@@ -1,0 +1,63 @@
+"""Registry of named queries with optional DuckDB oracles.
+
+The reference validates every query end-to-end against a relational oracle
+(H2 — presto-tests/src/main/java/io/prestosql/tests/QueryAssertions.java:97,
+H2QueryRunner.java:92; SURVEY.md §5). We mirror that: each registered query
+carries (a) a Spark callable ``(spark, sf_dir) -> DataFrame`` and (b) an
+equivalent ANSI-SQL string DuckDB can run over the same parquet tables.
+
+Column-name discipline: the driver's comparator sorts columns by name before
+hashing values, so every computed column is aliased identically on both
+sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+REGISTRY: dict[str, "Query"] = {}
+
+
+@dataclass
+class Query:
+    name: str
+    spark: SparkQuery
+    oracle: str | None = None  # DuckDB SQL; None → driver does rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Decorator: register a Spark query under ``name``."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, spark=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a fixture table (scan node analog — TableScanNode.java:36)."""
+    import os
+
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
+    """Run Spark SQL after registering the named fixture tables as views."""
+    for name in tables:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark.sql(sql)

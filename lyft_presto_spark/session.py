@@ -1,0 +1,103 @@
+"""SparkSession factory and catalog bootstrap.
+
+Maps the reference's session/catalog machinery (Session.java, MetadataManager —
+see SURVEY.md §1.3, §3) onto a configured SparkSession plus temp-view
+registration of the fixture tables.
+
+Semantics choices mirroring the reference (Presto 319):
+- ANSI mode ON: Presto errors on integer overflow, bad casts, and
+  out-of-bounds array subscripts (presto-main type/*Operators.java,
+  ArraySubscriptOperator.java); Spark's ``spark.sql.ansi.enabled=true``
+  matches that behavior.
+- Session timezone pinned UTC so timestamp semantics are stable and
+  comparable against the DuckDB oracle (naive-UTC timestamps).
+- AQE on: runtime broadcast/skew decisions replace the reference's cost-based
+  DetermineJoinDistributionType (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_cpus() -> str:
+    return os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session(
+    app_name: str = "lyft_presto_spark",
+    cpus: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine's SparkSession.
+
+    Local mode here; on a real cluster the same confs apply — partitioning
+    and shuffle sizing are the knobs that carry to 1000-executor scale.
+    """
+    cpus = cpus or default_cpus()
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus) if cpus.isdigit() else 32, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (the 'catalog mount').
+
+    Analog of the reference mounting a catalog per connector
+    (MetadataManager); here a catalog is a directory of parquet tables.
+    """
+    for name in TABLES:
+        path = table_path(sf_dir, name)
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def session_with_catalog(sf_dir: str = DEFAULT_SF_DIR, **kwargs) -> SparkSession:
+    spark = build_session(**kwargs)
+    register_tables(spark, sf_dir)
+    return spark
