@@ -1,1 +1,243 @@
-"""Placeholder — populated in this round."""
+"""Deduplication query family over the ``documents`` fixture.
+
+Spark-first re-expression of the reference's set-similarity niche
+(SetDigestFunctions.java jaccard_index / intersection_cardinality;
+SURVEY.md §2.4 make_set_digest) plus the exact/near-dup operators a training
+pipeline needs (SURVEY.md §7 Phase 6).
+
+Every query is declared once as a dialect-parametrized SQL skeleton: the
+Spark plan and the DuckDB oracle are generated from the same template and the
+same constants (operators/dedup.py), so signatures are bit-identical.
+
+Scale notes (100 TB):
+- exact dedup = hash-aggregate on a 128-bit digest — one shuffle on the hash,
+  never on the raw text.
+- minhash/simhash candidate generation = explode to (band, key) then
+  *equi-join* on the band key — a partitioned shuffle join; there is no
+  all-pairs O(n²) comparison anywhere. AQE handles hot buckets (skew join).
+- signature computation is per-row lambda-HOF work — embarrassingly parallel,
+  map-side only, whole-stage codegen (no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import dedup as D
+from ..operators import text as T
+from .registry import query, sql_over
+
+
+def _exact_sql(dialect: str) -> str:
+    # Digest-based exact dedup: md5 of normalized text, keep-first policy.
+    toks = T.tokens("text", dialect)
+    norm = f"array_to_string({toks}, ' ')" if dialect == "duck" else f"array_join({toks}, ' ')"
+    return f"""
+WITH hashed AS (
+    SELECT doc_id, md5({norm}) AS digest FROM documents
+),
+grouped AS (
+    SELECT digest,
+           count(*) AS n_copies,
+           min(doc_id) AS keeper_doc_id
+    FROM hashed
+    GROUP BY digest
+)
+SELECT count(*) AS n_unique,
+       sum(n_copies) AS n_docs,
+       sum(n_copies - 1) AS n_dropped,
+       min(keeper_doc_id) AS first_keeper
+FROM grouped
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle=_exact_sql("duck"),
+    doc="Exact dedup via normalized-text digest; hash-aggregate, keep-first. "
+    "Digest analog: VarbinaryFunctions.java md5.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _exact_sql("spark"), ("documents",))
+
+
+def _minhash_sql(dialect: str) -> str:
+    toks = T.tokens("text", dialect)
+    sh = T.shingles("toks", dialect)
+    hashes = D.shingle_hashes("sh", dialect)
+    sig = D.minhash_sig("hashes", dialect)
+    if dialect == "spark":
+        structs = ", ".join(
+            "struct({b} AS band_idx, {k} AS band_key)".format(
+                b=b, k=D.band_key("sig", b, "spark")
+            )
+            for b in range(D.BANDS)
+        )
+        band_rows = (
+            "SELECT doc_id, b.band_idx, b.band_key FROM sigs "
+            f"LATERAL VIEW explode(array({structs})) AS b"
+        )
+    else:
+        band_rows = (
+            "SELECT doc_id, u.band_idx AS band_idx, "
+            + "CASE u.band_idx "
+            + " ".join(
+                f"WHEN {b} THEN {D.band_key('sig', b, 'duck')}" for b in range(D.BANDS)
+            )
+            + " END AS band_key "
+            "FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, "
+            f"{D.BANDS - 1})) AS band_idx) u"
+        )
+    sim = D.sig_similarity("a.sig", "b.sig", dialect)
+    return f"""
+WITH toks_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+sh_t AS (
+    SELECT doc_id, {sh} AS sh FROM toks_t
+),
+hashes_t AS (
+    SELECT doc_id, {hashes} AS hashes FROM sh_t
+),
+sigs AS (
+    SELECT doc_id, {sig} AS sig FROM hashes_t
+),
+bands AS (
+    {band_rows}
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, {sim} AS est_jaccard
+FROM candidates c
+JOIN sigs a ON a.doc_id = c.doc_a
+JOIN sigs b ON b.doc_id = c.doc_b
+ORDER BY est_jaccard DESC, doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=_minhash_sql("duck"),
+    doc="MinHash(16)+LSH(4 bands) near-dup candidates via band equi-join; "
+    "jaccard estimated from signature agreement. Reference niche: "
+    "SetDigestFunctions.java jaccard_index.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _minhash_sql("spark"), ("documents",))
+
+
+def _simhash_sql(dialect: str) -> str:
+    toks = T.tokens("text", dialect)
+    sh = T.shingles("toks", dialect)
+    hashes = D.shingle_hashes("sh", dialect)
+    simh = D.simhash("hashes", dialect)
+    if dialect == "spark":
+        structs = ", ".join(
+            "struct({b} AS band_idx, {k} AS band_key)".format(
+                b=b, k=D.simhash_band("sh64", b, "spark")
+            )
+            for b in range(D.SIMHASH_BANDS)
+        )
+        band_rows = (
+            "SELECT doc_id, sh64, b.band_idx, b.band_key FROM sims "
+            f"LATERAL VIEW explode(array({structs})) AS b"
+        )
+    else:
+        band_rows = (
+            "SELECT doc_id, sh64, u.band_idx AS band_idx, "
+            + "CASE u.band_idx "
+            + " ".join(
+                f"WHEN {b} THEN {D.simhash_band('sh64', b, 'duck')}"
+                for b in range(D.SIMHASH_BANDS)
+            )
+            + " END AS band_key "
+            "FROM sims CROSS JOIN (SELECT unnest(generate_series(0, "
+            f"{D.SIMHASH_BANDS - 1})) AS band_idx) u"
+        )
+    ham = D.hamming("x.sh64", "y.sh64", dialect)
+    return f"""
+WITH toks_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+sh_t AS (
+    SELECT doc_id, {sh} AS sh FROM toks_t
+),
+hashes_t AS (
+    SELECT doc_id, {hashes} AS hashes FROM sh_t
+),
+sims AS (
+    SELECT doc_id, {simh} AS sh64 FROM hashes_t
+),
+bands AS (
+    {band_rows}
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, {ham} AS hamming_dist
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+ AND x.doc_id < y.doc_id
+WHERE {ham} <= 20
+ORDER BY hamming_dist, doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_sql("duck"),
+    doc="SimHash(60-bit) near-dup pairs: banded equi-join candidates filtered "
+    "by hamming distance (bit_count of xor).",
+    tags=("dedup",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _simhash_sql("spark"), ("documents",))
+
+
+def _jaccard_sql(dialect: str) -> str:
+    # Exact n-gram Jaccard via shingle-inverted-index join (no all-pairs scan):
+    # explode distinct shingles, self-join on shingle, |A∩B| from match count,
+    # |A∪B| = |A| + |B| − |A∩B|.
+    toks = T.tokens("text", dialect)
+    sh = T.shingles("toks", dialect)
+    if dialect == "spark":
+        exploded = "SELECT doc_id, n_sh, shingle FROM sh_t LATERAL VIEW explode(sh) AS shingle"
+    else:
+        exploded = "SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sh_t"
+    return f"""
+WITH toks_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+sh_t AS (
+    SELECT doc_id, {sh} AS sh, {T.array_size(sh, dialect)} AS n_sh FROM toks_t
+),
+inv AS (
+    {exploded}
+),
+pair_common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           max(a.n_sh) AS n_a, max(b.n_sh) AS n_b,
+           count(*) AS n_common
+    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM pair_common
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2
+ORDER BY jaccard DESC, doc_a, doc_b
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_jaccard_sql("duck"),
+    doc="Exact 3-gram Jaccard pairs >= 0.2 via inverted-index equi-join "
+    "(shingle -> doc posting list), never all-pairs.",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _jaccard_sql("spark"), ("documents",))

@@ -1,1 +1,245 @@
-"""Placeholder — populated in this round."""
+"""Event analytics over the ``events`` fixture (batch time-series).
+
+The reference has no streaming operators (SURVEY.md §2.9) — its Kafka
+connector scans topics as static tables (presto-kafka/.../KafkaRecordSet.java:53)
+and time-series work is plain timestamp-column SQL. This module is that
+surface: tumbling-window rollups, gap sessionization, funnels, retention,
+JSON property extraction (JsonFunctions.java:64 analog).
+
+Time buckets are computed by epoch arithmetic (identical in both engines)
+rather than engine-specific window()/time_bucket() helpers, so the oracle is
+bit-exact. Sessionization is the classic lag-gap-cumsum rewrite — two window
+functions over (user_id, ts), one shuffle on user_id.
+
+Scale notes: every query shuffles on (bucket|user_id) grouped scalars only;
+sessionization's state is bounded per user partition (WindowExec), the
+streaming-native variant lives in lyft_presto_spark/streaming/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query, sql_over
+
+SESSION_GAP_MIN = 30
+
+
+def _bucket(d: str, col: str = "ts", secs: int = 300) -> str:
+    """Epoch-aligned tumbling bucket start, identical across engines."""
+    if d == "spark":
+        return f"timestamp_seconds(CAST(floor(unix_timestamp({col}) / {secs}) * {secs} AS BIGINT))"
+    return f"CAST(to_timestamp(CAST(floor(epoch_ms({col}) / 1000.0 / {secs}) * {secs} AS BIGINT)) AS TIMESTAMP)"
+
+
+def _tumbling_sql(d: str) -> str:
+    # avg as integer cents via integer division: round(avg_double, n) can land
+    # on a .5 decimal boundary (e.g. 290.93/8) where engines round apart.
+    idiv = "div" if d == "spark" else "//"
+    avg_cents = (
+        f"CAST(sum(CAST(round(value * 100) AS BIGINT)) {idiv} count(*) AS BIGINT)"
+    )
+    return f"""
+SELECT {_bucket(d, secs=3600)} AS window_start,
+       event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS total_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       {avg_cents} AS avg_value_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@query(
+    "events_tumbling_window",
+    oracle=_tumbling_sql("duck"),
+    doc="Hourly tumbling-window rollup per event type (epoch-aligned bucket, "
+    "single hash-aggregate shuffle on (bucket, type)).",
+    tags=("events",),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _tumbling_sql("spark"), ("events",))
+
+
+def _sessionize_sql(d: str) -> str:
+    # Microsecond precision on both sides (Spark unix_timestamp truncates to
+    # whole seconds, which would misclassify events near the gap boundary).
+    if d == "spark":
+        gap_s = "(unix_micros(ts) - unix_micros(prev_ts)) / 1000000.0"
+    else:
+        gap_s = "(epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0"
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts, event_type, value,
+           CASE WHEN prev_ts IS NULL
+                  OR {gap_s} > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, ts, event_type, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+
+@query(
+    "events_sessionize",
+    oracle=_sessionize_sql("duck"),
+    doc="Gap-based sessionization (30 min): lag -> new-session flag -> "
+    "running-sum session ids; bounded per-user window state, one shuffle "
+    "on user_id. Window machinery analog: WindowOperator.java:61.",
+    tags=("events",),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _sessionize_sql("spark"), ("events",))
+
+
+def _funnel_sql(d: str) -> str:
+    return """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events
+    GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS n_signup_then_view,
+       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view
+                THEN 1 ELSE 0 END) AS n_full_funnel
+FROM firsts
+"""
+
+
+@query(
+    "events_funnel",
+    oracle=_funnel_sql("duck"),
+    doc="3-step ordered funnel (signup -> view -> purchase) via conditional "
+    "min-timestamp pivot; one shuffle on user_id.",
+    tags=("events",),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _funnel_sql("spark"), ("events",))
+
+
+def _retention_sql(d: str) -> str:
+    day = "CAST(ts AS DATE)"
+    return f"""
+WITH daily AS (
+    SELECT DISTINCT user_id, {day} AS d FROM events
+),
+firsts AS (
+    SELECT user_id, min(d) AS first_day FROM daily GROUP BY user_id
+)
+SELECT CAST(daily.d - firsts.first_day AS INT) AS day_offset,
+       count(DISTINCT daily.user_id) AS n_active
+FROM daily JOIN firsts ON daily.user_id = firsts.user_id
+WHERE CAST(daily.d - firsts.first_day AS INT) <= 7
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def _retention_spark_sql() -> str:
+    return """
+WITH daily AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+firsts AS (
+    SELECT user_id, min(d) AS first_day FROM daily GROUP BY user_id
+)
+SELECT datediff(daily.d, firsts.first_day) AS day_offset,
+       count(DISTINCT daily.user_id) AS n_active
+FROM daily JOIN firsts ON daily.user_id = firsts.user_id
+WHERE datediff(daily.d, firsts.first_day) <= 7
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query(
+    "events_retention",
+    oracle=_retention_sql("duck"),
+    doc="N-day retention cohort: first-activity join + day-offset distinct "
+    "counts (broadcastable firsts side).",
+    tags=("events",),
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _retention_spark_sql(), ("events",))
+
+
+def _json_props_sql(d: str) -> str:
+    if d == "spark":
+        k = "CAST(get_json_object(props, '$.k') AS INT)"
+    else:
+        k = "CAST(json_extract_string(props, '$.k') AS INT)"
+    return f"""
+SELECT event_type,
+       count(*) AS n_events,
+       min({k}) AS min_k,
+       max({k}) AS max_k,
+       round(avg({k}), 4) AS avg_k,
+       count(DISTINCT {k}) AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "events_json_props",
+    oracle=_json_props_sql("duck"),
+    doc="JSON property extraction + rollup (json_extract_scalar analog — "
+    "JsonFunctions.java:64).",
+    tags=("events",),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _json_props_sql("spark"), ("events",))
+
+
+def _top_users_sql(d: str) -> str:
+    return """
+WITH ranked AS (
+    SELECT user_id, event_type, value, ts,
+           row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+    FROM events
+)
+SELECT event_type, rn, user_id, round(value, 4) AS value
+FROM ranked
+WHERE rn <= 5
+ORDER BY event_type, rn
+"""
+
+
+@query(
+    "events_top_per_type",
+    oracle=_top_users_sql("duck"),
+    doc="Top-5 events per type by value — TopNRowNumberNode analog "
+    "(TopNRowNumberOperator.java:38; Spark WindowGroupLimit prunes it).",
+    tags=("events",),
+)
+def events_top_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _top_users_sql("spark"), ("events",))

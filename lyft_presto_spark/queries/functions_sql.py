@@ -1,1 +1,446 @@
-"""Placeholder — populated in this round."""
+"""Scalar & aggregate function conformance corpus (SURVEY.md §2.4–2.6).
+
+Mirrors the reference's per-function test strategy (presto-main/src/test/
+java/io/prestosql/operator/scalar/* via AbstractTestFunctions; SURVEY.md §5.1)
+as family-grouped queries over real fixture rows, each matched against the
+DuckDB oracle. Where the two dialects spell a function differently, both
+sides alias to the same column name; where semantics can diverge at the last
+float bit (parallel summation), results are rounded.
+
+Family -> reference citation:
+- string:    StringFunctions.java:62
+- regex:     JoniRegexpFunctions.java:44
+- math:      MathFunctions.java:65
+- datetime:  DateTimeFunctions.java:63
+- bitwise:   BitwiseFunctions.java:24
+- binary:    VarbinaryFunctions.java:37
+- array/HOF: scalar/Array*.java, ArrayTransformFunction.java:68
+- conditional: TryFunction.java:37, AbstractGreatestLeast.java
+- stats aggs: VarianceAggregation.java:32, DoubleCorrelationAggregation.java:32
+- approx aggs: ApproximateCountDistinctAggregation.java:44
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import query, sql_over
+
+
+def _string_sql(d: str) -> str:
+    pos = "instr(p_name, 'a')" if d == "spark" else "strpos(p_name, 'a')"
+    return f"""
+SELECT p_partkey,
+       lower(p_name) AS lower_name,
+       upper(p_brand) AS upper_brand,
+       length(p_name) AS name_len,
+       substr(p_name, 1, 5) AS name_prefix,
+       trim(p_type) AS type_trim,
+       replace(p_name, ' ', '_') AS name_underscored,
+       reverse(p_brand) AS brand_rev,
+       lpad(p_brand, 12, '*') AS brand_lpad,
+       rpad(p_brand, 12, '#') AS brand_rpad,
+       split_part(p_type, ' ', 1) AS type_first_word,
+       {pos} AS first_a_pos,
+       concat(p_brand, '/', p_type) AS brand_type,
+       levenshtein(p_brand, p_type) AS brand_type_lev
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "fn_string",
+    oracle=_string_sql("duck"),
+    doc="String family: lower/upper/length/substr/trim/replace/reverse/"
+    "lpad/rpad/split_part/strpos/concat/levenshtein (StringFunctions.java:62).",
+    tags=("functions",),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _string_sql("spark"), ("part",))
+
+
+def _regex_sql(d: str) -> str:
+    if d == "spark":
+        like = "CASE WHEN p_type RLIKE '^[A-Z]+' THEN 1 ELSE 0 END"
+        extract_all_n = "size(regexp_extract_all(p_name, '([aeiou]+)', 1))"
+        repl = "regexp_replace(p_name, '[aeiou]', '.')"
+    else:
+        like = "CASE WHEN regexp_matches(p_type, '^[A-Z]+') THEN 1 ELSE 0 END"
+        extract_all_n = "len(regexp_extract_all(p_name, '([aeiou]+)', 1))"
+        repl = "regexp_replace(p_name, '[aeiou]', '.', 'g')"
+    return f"""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       {extract_all_n} AS n_vowel_runs,
+       {repl} AS vowels_masked,
+       {like} AS starts_upper
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "fn_regex",
+    oracle=_regex_sql("duck"),
+    doc="Regex family: regexp_extract(_all)/regexp_replace/regexp_like "
+    "(JoniRegexpFunctions.java:44).",
+    tags=("functions",),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _regex_sql("spark"), ("part",))
+
+
+def _math_sql(d: str) -> str:
+    # width_bucket is absent in DuckDB: spelled as clamped floor arithmetic
+    # identically on both sides (MathFunctions.java width_bucket semantics).
+    wb = (
+        "CAST(CASE WHEN l_quantity >= 50 THEN 11 WHEN l_quantity < 0 THEN 0 "
+        "ELSE floor(l_quantity / 5) + 1 END AS BIGINT)"
+    )
+    return f"""
+SELECT l_orderkey, l_linenumber,
+       abs(l_extendedprice - 30000) AS abs_delta,
+       CAST(ceil(l_extendedprice / 100) AS BIGINT) AS price_ceil_100,
+       CAST(floor(l_discount * 100) AS BIGINT) AS discount_pct,
+       round(sqrt(l_extendedprice), 6) AS price_sqrt,
+       round(exp(l_discount), 6) AS discount_exp,
+       round(ln(l_extendedprice), 6) AS price_ln,
+       round(log10(l_extendedprice), 6) AS price_log10,
+       round(power(l_discount + 1, 3), 6) AS disc_pow3,
+       mod(CAST(l_partkey AS BIGINT), 7) AS partkey_mod7,
+       CAST(sign(l_discount - 0.05) AS INT) AS disc_sign,
+       round(sin(l_tax), 6) AS tax_sin,
+       round(atan2(l_tax, l_discount + 0.01), 6) AS tax_atan2,
+       {wb} AS qty_bucket,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate
+FROM lineitem
+WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query(
+    "fn_math",
+    oracle=_math_sql("duck"),
+    doc="Math family: abs/ceil/floor/round/sqrt/exp/ln/log10/power/mod/sign/"
+    "trig/width_bucket/greatest/least (MathFunctions.java:65).",
+    tags=("functions",),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _math_sql("spark"), ("lineitem",))
+
+
+def _datetime_sql(d: str) -> str:
+    if d == "spark":
+        dow = "(dayofweek(o_orderdate) + 5) % 7"  # normalize: Monday=0
+        ddiff = "datediff(DATE '1998-12-01', o_orderdate)"
+        dadd = "date_add(o_orderdate, 90)"
+        fmt = "date_format(o_orderdate, 'yyyy-MM')"
+    else:
+        dow = "(CAST(dayofweek(o_orderdate) AS INT) + 6) % 7"  # duck: Sun=0
+        ddiff = "date_diff('day', o_orderdate, DATE '1998-12-01')"
+        dadd = "o_orderdate + INTERVAL 90 DAY"
+        fmt = "strftime(o_orderdate, '%Y-%m')"
+    return f"""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(extract(month FROM o_orderdate) AS BIGINT) AS order_month_num,
+       CAST(extract(day FROM o_orderdate) AS BIGINT) AS order_day,
+       CAST(extract(quarter FROM o_orderdate) AS BIGINT) AS order_quarter,
+       {dow} AS order_dow_mon0,
+       last_day(o_orderdate) AS month_end,
+       CAST({dadd} AS DATE) AS plus_90d,
+       CAST({ddiff} AS BIGINT) AS days_to_cutoff,
+       {fmt} AS month_str
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_datetime",
+    oracle=_datetime_sql("duck"),
+    doc="Date/time family: date_trunc/extract/day-of-week/last_day/date_add/"
+    "date_diff/date_format (DateTimeFunctions.java:63; Presto date_add(unit,n,ts) "
+    "spelled as Spark date arithmetic).",
+    tags=("functions",),
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _datetime_sql("spark"), ("orders",))
+
+
+def _bitwise_sql(d: str) -> str:
+    if d == "spark":
+        ops = """
+       n_nationkey & 12 AS bits_and,
+       n_nationkey | 3 AS bits_or,
+       n_nationkey ^ 9 AS bits_xor,
+       shiftleft(n_nationkey, 2) AS bits_shl,
+       shiftright(n_nationkey, 1) AS bits_shr,
+       bit_count(n_nationkey) AS bits_popcount"""
+    else:
+        ops = """
+       n_nationkey & 12 AS bits_and,
+       n_nationkey | 3 AS bits_or,
+       xor(n_nationkey, 9) AS bits_xor,
+       n_nationkey << 2 AS bits_shl,
+       n_nationkey >> 1 AS bits_shr,
+       CAST(bit_count(n_nationkey) AS INT) AS bits_popcount"""
+    return f"""
+SELECT n_nationkey,{ops}
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query(
+    "fn_bitwise",
+    oracle=_bitwise_sql("duck"),
+    doc="Bitwise family: and/or/xor/shifts/bit_count (BitwiseFunctions.java:24).",
+    tags=("functions",),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _bitwise_sql("spark"), ("nation",))
+
+
+def _binary_sql(d: str) -> str:
+    if d == "spark":
+        sha = "sha2(n_name, 256)"
+        b64 = "base64(CAST(n_name AS BINARY))"
+        hx = "hex(CAST(n_name AS BINARY))"
+    else:
+        sha = "sha256(n_name)"
+        b64 = "base64(CAST(n_name AS BLOB))"
+        hx = "hex(n_name)"
+    return f"""
+SELECT n_nationkey,
+       md5(n_name) AS name_md5,
+       {sha} AS name_sha256,
+       lower({b64}) AS name_b64_lower,
+       lower({hx}) AS name_hex_lower
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query(
+    "fn_binary_hash",
+    oracle=_binary_sql("duck"),
+    doc="Binary/digest family: md5/sha256/base64/hex (VarbinaryFunctions.java:37).",
+    tags=("functions",),
+)
+def fn_binary_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _binary_sql("spark"), ("nation",))
+
+
+def _array_sql(d: str) -> str:
+    if d == "spark":
+        arr = "array(CAST(n_nationkey AS BIGINT), CAST(n_regionkey * 7 AS BIGINT), CAST(n_nationkey % 5 AS BIGINT))"
+        return f"""
+WITH base AS (SELECT n_nationkey, {arr} AS arr FROM nation)
+SELECT n_nationkey,
+       size(arr) AS arr_size,
+       sort_array(arr) AS arr_sorted,
+       sort_array(array_distinct(arr)) AS arr_distinct_sorted,
+       element_at(arr, 1) AS arr_first,
+       array_contains(arr, 3) AS has_three,
+       slice(sort_array(arr), 1, 2) AS arr_low2,
+       sort_array(array_intersect(arr, array(0L, 1L, 2L, 3L, 4L))) AS small_vals,
+       array_join(transform(sort_array(arr), x -> CAST(x AS STRING)), '-') AS arr_str,
+       aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS arr_sum,
+       size(filter(arr, x -> x % 2 = 0)) AS n_even,
+       array_max(arr) AS arr_max,
+       array_min(arr) AS arr_min,
+       flatten(array(slice(arr, 1, 1), slice(arr, 2, 2))) AS arr_reflat,
+       sequence(1, 3) AS seq3
+FROM base
+ORDER BY n_nationkey
+"""
+    arr = "[CAST(n_nationkey AS BIGINT), CAST(n_regionkey * 7 AS BIGINT), CAST(n_nationkey % 5 AS BIGINT)]"
+    return f"""
+WITH base AS (SELECT n_nationkey, {arr} AS arr FROM nation)
+SELECT n_nationkey,
+       len(arr) AS arr_size,
+       list_sort(arr) AS arr_sorted,
+       list_sort(list_distinct(arr)) AS arr_distinct_sorted,
+       arr[1] AS arr_first,
+       list_contains(arr, 3) AS has_three,
+       list_sort(arr)[1:2] AS arr_low2,
+       list_sort(list_intersect(arr, [0, 1, 2, 3, 4])) AS small_vals,
+       array_to_string(list_transform(list_sort(arr), x -> CAST(x AS VARCHAR)), '-') AS arr_str,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), arr), (acc, x) -> acc + x) AS arr_sum,
+       len(list_filter(arr, x -> x % 2 = 0)) AS n_even,
+       list_max(arr) AS arr_max,
+       list_min(arr) AS arr_min,
+       flatten([arr[1:1], arr[2:3]]) AS arr_reflat,
+       generate_series(1, 3) AS seq3
+FROM base
+ORDER BY n_nationkey
+"""
+
+
+@query(
+    "fn_array_hof",
+    oracle=_array_sql("duck"),
+    doc="Array + lambda-HOF family: size/sort/distinct/element_at/contains/"
+    "slice/intersect/join/transform/filter/aggregate/min/max/flatten/sequence "
+    "(scalar/Array*.java, ArrayTransformFunction.java:68).",
+    tags=("functions",),
+)
+def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _array_sql("spark"), ("nation",))
+
+
+def _conditional_sql(d: str) -> str:
+    # try()/TRY: Presto returns NULL on error (TryFunction.java:37); Spark's
+    # try_divide & friends match; DuckDB needs an explicit guard.
+    if d == "spark":
+        tdiv = "try_divide(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 3 AS DOUBLE))"
+    else:
+        tdiv = ("CASE WHEN o_orderkey % 3 = 0 THEN NULL "
+                "ELSE CAST(o_totalprice AS DOUBLE) / (o_orderkey % 3) END")
+    return f"""
+SELECT o_orderkey,
+       coalesce(nullif(o_orderstatus, 'O'), '<open>') AS status_or_tag,
+       CASE o_orderstatus WHEN 'F' THEN 'final' WHEN 'O' THEN 'open' ELSE 'other' END AS status_word,
+       if(o_totalprice > 100000, 'big', 'small') AS size_class,
+       round({tdiv}, 4) AS try_div_mod,
+       nullif(o_orderpriority, '1-URGENT') AS prio_non_urgent,
+       coalesce(CAST(NULL AS STRING), o_orderpriority) AS prio_coalesced
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+def _conditional_duck() -> str:
+    # DuckDB also has if(); only the NULL-literal cast type is spelled differently.
+    return _conditional_sql("duck").replace("AS STRING", "AS VARCHAR")
+
+
+@query(
+    "fn_conditional",
+    oracle=_conditional_duck(),
+    doc="Conditional family: coalesce/nullif/case/if/try-division "
+    "(TryFunction.java:37, TryCastFunction.java).",
+    tags=("functions",),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _conditional_sql("spark"), ("orders",))
+
+
+def _stats_sql(d: str) -> str:
+    # Definitions identical across engines; parallel summation order differs,
+    # so every double aggregate is rounded.
+    return """
+SELECT l_returnflag,
+       count(*) AS n,
+       round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+       round(stddev_pop(l_extendedprice), 4) AS sd_pop,
+       round(var_samp(l_extendedprice), 2) AS var_s,
+       round(var_pop(l_extendedprice), 2) AS var_p,
+       round(covar_samp(l_extendedprice, l_discount), 4) AS covar_s,
+       round(covar_pop(l_extendedprice, l_discount), 4) AS covar_p,
+       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "fn_stats_agg",
+    oracle=_stats_sql("duck"),
+    doc="Statistical aggregates: stddev/variance (samp+pop)/covar/corr/"
+    "regr_slope/regr_intercept (VarianceAggregation.java:32, "
+    "DoubleCorrelationAggregation.java:32, DoubleRegressionAggregation.java).",
+    tags=("functions",),
+)
+def fn_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _stats_sql("spark"), ("lineitem",))
+
+
+def _minmax_by_sql(d: str) -> str:
+    if d == "spark":
+        mb = "max_by(o_orderkey, o_totalprice)"
+        nb = "min_by(o_orderkey, o_totalprice)"
+    else:
+        mb = "arg_max(o_orderkey, o_totalprice)"
+        nb = "arg_min(o_orderkey, o_totalprice)"
+    return f"""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       {mb} AS priciest_order,
+       {nb} AS cheapest_order,
+       max(o_totalprice) AS max_price,
+       min(o_totalprice) AS min_price,
+       count_if(o_orderstatus = 'F') AS n_final,
+       bool_and(o_totalprice > 0) AS all_positive,
+       bool_or(o_totalprice > 500000) AS any_huge,
+       any_value(o_orderstatus IS NOT NULL) AS has_status
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _minmax_by_duck() -> str:
+    return _minmax_by_sql("duck").replace(
+        "count_if(o_orderstatus = 'F')", "count(*) FILTER (WHERE o_orderstatus = 'F')"
+    ).replace(
+        "any_value(o_orderstatus IS NOT NULL)", "bool_and(o_orderstatus IS NOT NULL)"
+    )
+
+
+@query(
+    "fn_minmax_by",
+    oracle=_minmax_by_duck(),
+    doc="min_by/max_by/count_if/bool_and/bool_or/any_value aggregates "
+    "(minmaxby/AbstractMinMaxBy.java:80, CountIfAggregation.java:29, "
+    "BooleanAndAggregation.java:32, ArbitraryAggregationFunction.java:47). "
+    "Tie-safety: o_totalprice ties broken identically because values are "
+    "unique per priority group at fixture scales.",
+    tags=("functions",),
+)
+def fn_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _minmax_by_sql("spark"), ("orders",))
+
+
+def _approx_sql(d: str) -> str:
+    # Approx sketches differ across engines by construction; the differential
+    # check asserts the engine's estimate lands within rsd bounds of truth —
+    # oracle side reduces to literal TRUE (same pattern as error-bound tests
+    # in ApproximateCountDistinctAggregation.java tests).
+    if d == "spark":
+        return """
+SELECT
+  CAST(abs(approx_count_distinct(o_custkey, 0.05) - count(DISTINCT o_custkey)) AS DOUBLE)
+    / count(DISTINCT o_custkey) < 0.15 AS acd_within_bounds,
+  abs(percentile_approx(o_totalprice, 0.5, 1000) - percentile_approx(o_totalprice, 0.5, 1000)) = 0
+    AS pa_deterministic,
+  percentile_approx(o_totalprice, 0.5, 10000) BETWEEN min(o_totalprice) AND max(o_totalprice)
+    AS pa_within_range
+FROM orders
+"""
+    return "SELECT TRUE AS acd_within_bounds, TRUE AS pa_deterministic, TRUE AS pa_within_range"
+
+
+@query(
+    "fn_approx_agg",
+    oracle=_approx_sql("duck"),
+    doc="Approximate aggregates with error-bound differential check: "
+    "approx_count_distinct (approx_distinct, "
+    "ApproximateCountDistinctAggregation.java:44) and percentile_approx "
+    "(ApproximateLongPercentileAggregations.java:33).",
+    tags=("functions",),
+)
+def fn_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _approx_sql("spark"), ("orders",))

@@ -51,9 +51,9 @@ def query(
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a fixture table (scan node analog — TableScanNode.java:36)."""
-    import os
+    from ..session import load_table
 
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    return load_table(spark, sf_dir, name)
 
 
 def sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:

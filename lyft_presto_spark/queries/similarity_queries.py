@@ -1,1 +1,153 @@
-"""Placeholder — populated in this round."""
+"""Embedding similarity search over the ``embeddings`` fixture.
+
+Generalizes the reference's cosine_similarity scalar (presto-main/.../scalar/
+MathFunctions.java) to dense array<float> columns; adds the ANN shapes a
+training pipeline needs (SURVEY.md §7 Phase 6).
+
+Scale notes (100 TB):
+- ``sim_topk_bruteforce``: the query vector is a scalar-subquery broadcast;
+  the scan is map-side only with a partial top-k per partition folded by a
+  final ``TakeOrderedAndProject`` — no wide shuffle.
+- ``sim_topk_signbucket``: IVF-style — candidates pruned by an equi-filter on
+  a coarse sign-quantization key, so the scan prunes to ~1/256 of rows before
+  any distance math (and would partition-prune if the table were written
+  bucketed by ``bucket``).
+- ``sim_pairs_blocked``: pairwise similarity only *within* label blocks —
+  a partitioned self-join on the blocking key, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import similarity as S
+from .registry import query, sql_over
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+
+def _topk_sql(dialect: str) -> str:
+    cos = S.cosine("e.embedding", "q.embedding", dialect)
+    return f"""
+WITH q AS (
+    SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label, {cos} AS cosine_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=_topk_sql("duck"),
+    doc="Exact cosine top-k for one query vector: broadcast query vec, "
+    "map-side scan + TakeOrderedAndProject (no wide shuffle).",
+    tags=("similarity",),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _topk_sql("spark"), ("embeddings",))
+
+
+def _signbucket_sql(dialect: str) -> str:
+    cos = S.cosine("e.embedding", "q.embedding", dialect)
+    bucket_e = S.sign_bucket("e.embedding", dialect)
+    bucket_q = S.sign_bucket("q.embedding", dialect)
+    return f"""
+WITH q AS (
+    SELECT embedding FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+)
+SELECT e.vec_id, e.label, {cos} AS cosine_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> {QUERY_VEC_ID}
+  AND {bucket_e} = {bucket_q}
+ORDER BY cosine_sim DESC, e.vec_id
+LIMIT {TOP_K}
+"""
+
+
+@query(
+    "sim_topk_signbucket",
+    oracle=_signbucket_sql("duck"),
+    doc="ANN top-k via sign-bit coarse quantization (IVF-style): candidates "
+    "restricted to the query's bucket before any distance computation.",
+    tags=("similarity",),
+)
+def sim_topk_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _signbucket_sql("spark"), ("embeddings",))
+
+
+def _pairs_sql(dialect: str) -> str:
+    cos = S.cosine("a.embedding", "b.embedding", dialect)
+    return f"""
+WITH blocked AS (
+    SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cos} AS cosine_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label,
+       count(*) AS n_pairs,
+       sum(CASE WHEN cosine_sim >= 0.5 THEN 1 ELSE 0 END) AS n_similar,
+       round(max(cosine_sim), 6) AS max_sim,
+       round(min(cosine_sim), 6) AS min_sim
+FROM blocked
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query(
+    "sim_pairs_blocked",
+    oracle=_pairs_sql("duck"),
+    doc="Per-label pairwise cosine stats: self-join blocked on label "
+    "(partitioned shuffle join on the blocking key, never all-pairs).",
+    tags=("similarity",),
+)
+def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _pairs_sql("spark"), ("embeddings",))
+
+
+def _centroid_sql(dialect: str) -> str:
+    # Per-label centroid norm + dispersion: aggregation over array columns via
+    # position explode (the only shuffle is the groupBy on (label, pos)).
+    if dialect == "spark":
+        exploded = (
+            "SELECT label, pos, CAST(v AS DOUBLE) AS v "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, v"
+        )
+    else:
+        exploded = (
+            "SELECT label, generate_subscripts(embedding, 1) - 1 AS pos, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings"
+        )
+    return f"""
+WITH flat AS (
+    {exploded}
+),
+centroid AS (
+    SELECT label, pos, avg(v) AS c, count(*) AS n
+    FROM flat
+    GROUP BY label, pos
+)
+SELECT label,
+       max(n) AS n_vectors,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm
+FROM centroid
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query(
+    "sim_label_centroids",
+    oracle=_centroid_sql("duck"),
+    doc="Per-label centroid norms via posexplode + two-level aggregation "
+    "(partial aggregates map-side; one shuffle on (label,pos)).",
+    tags=("similarity",),
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _centroid_sql("spark"), ("embeddings",))

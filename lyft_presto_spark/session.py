@@ -20,6 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import expr
 
 TABLES = (
     "region",
@@ -69,6 +70,10 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as nanos-since-epoch long and convert on view
+        # registration (load_table) — DuckDB truncates nanos->micros the same way.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -82,7 +87,13 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # Nanos timestamps surface as BIGINT under nanosAsLong: restore micros
+    # precision (truncating div, matching DuckDB's nanos->micros cast).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
@@ -94,7 +105,7 @@ def register_tables(spark: SparkSession, sf_dir: str) -> None:
     for name in TABLES:
         path = table_path(sf_dir, name)
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def session_with_catalog(sf_dir: str = DEFAULT_SF_DIR, **kwargs) -> SparkSession:
