@@ -802,3 +802,130 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         ("customer", "nation", "orders"),
     )
+
+
+# q2 / q11 / q20 depend on partsupp, which the driver fixture set omits
+# (FIXTURES.md). lineitem(l_partkey, l_suppkey) is the part<->supplier bridge,
+# and unit price l_extendedprice/l_quantity stands in for ps_supplycost.
+# Operator *shape* is preserved exactly: q2's correlated min scalar subquery,
+# q11's global-fraction HAVING with an uncorrelated scalar subquery, q20's
+# nested IN/semi-join chain.
+
+_Q2_SQL = """
+WITH supply AS (
+    SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+           min(CAST(l_extendedprice AS DECIMAL(12,2)) / CAST(l_quantity AS DECIMAL(12,2))) AS unit_cost
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+       CAST(sp.unit_cost AS DOUBLE) AS supplycost
+FROM part
+JOIN supply sp ON sp.partkey = p_partkey
+JOIN supplier ON s_suppkey = sp.suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15
+  AND r_name = 'REGION_1'
+  AND sp.unit_cost = (
+      SELECT min(sp2.unit_cost)
+      FROM supply sp2
+      JOIN supplier s2 ON s2.s_suppkey = sp2.suppkey
+      JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      WHERE sp2.partkey = p_partkey AND r2.r_name = 'REGION_1'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query(
+    "tpch_q2",
+    oracle=_Q2_SQL,
+    doc="TPC-H Q2 minimum-cost-supplier shape: 5-way join + correlated min "
+    "scalar subquery (decorrelated by Catalyst to an aggregate+join). Adapted: "
+    "partsupp derived from lineitem unit prices. Reference: q02.sql; "
+    "TransformCorrelatedScalarAggregationToJoin.java.",
+    tags=("tpch", "join", "subquery"),
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(
+        spark, sf_dir, _Q2_SQL,
+        ("part", "supplier", "nation", "region", "lineitem"),
+    )
+
+
+_Q11_SQL = """
+WITH supply AS (
+    SELECT l_partkey AS partkey, s_nationkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    GROUP BY l_partkey, s_nationkey
+)
+SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM supply
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY partkey, value_dec
+HAVING value_dec > (
+    SELECT SUM(value_dec) * 0.0001
+    FROM supply
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+)
+ORDER BY part_value DESC, partkey
+"""
+
+
+@query(
+    "tpch_q11",
+    oracle=_Q11_SQL,
+    doc="TPC-H Q11 important-stock shape: agg + HAVING against an "
+    "uncorrelated scalar subquery over the same aggregate (one broadcast of "
+    "the scalar). Adapted: stock value from lineitem x supplier. Reference: "
+    "q11.sql.",
+    tags=("tpch", "aggregation", "subquery"),
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _Q11_SQL, ("lineitem", "supplier", "nation"))
+
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_size <= 10
+      )
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > (
+          SELECT 0.5 * SUM(CAST(l2.l_quantity AS DECIMAL(12,2)))
+          FROM lineitem l2
+          WHERE l2.l_partkey = lineitem.l_partkey
+            AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      )
+  )
+ORDER BY s_name
+"""
+
+
+@query(
+    "tpch_q20",
+    oracle=_Q20_SQL,
+    doc="TPC-H Q20 excess-supply shape: nested IN semi-joins + correlated "
+    "scalar subquery under HAVING. Adapted: availqty test over lineitem "
+    "shipped quantities. Reference: q20.sql; "
+    "TransformUncorrelatedInPredicateSubqueryToSemiJoin.java.",
+    tags=("tpch", "semijoin", "subquery"),
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _Q20_SQL, ("supplier", "nation", "lineitem", "part"))
