@@ -1,0 +1,75 @@
+"""Helpers over Spark's physical plan text (``explain formatted``)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """The full formatted physical plan (what ``df.explain('formatted')`` prints)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def simple_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (each is a full-data network hop).
+
+    The scale budget for an operator is expressed in shuffles: e.g. a grouped
+    aggregation should cost exactly one, a broadcast join zero on the big side.
+    """
+    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", formatted_plan(df)))
+
+
+def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:
+    """Assert the parquet scan carries PushedFilters containing each fragment.
+
+    A filter that is NOT pushed means the scan reads every row-group at
+    100 TB; this is the Spark analog of the reference pushing TupleDomains
+    into connectors (PushPredicateIntoTableScan.java:70).
+    """
+    plan = formatted_plan(df)
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    missing = [f for f in fragments if f not in pushed]
+    if missing:
+        raise AssertionError(f"filters not pushed: {missing}\nPushedFilters seen: {pushed[:500]}")
+
+
+def assert_read_schema_pruned(df: DataFrame, table_fragment: str, max_columns: int) -> None:
+    """Assert column pruning reached the scan (ReadSchema narrow enough)."""
+    plan = formatted_plan(df)
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c for c in m.group(1).split(",") if c]
+        if table_fragment in plan and len(cols) <= max_columns:
+            return
+    schemas = re.findall(r"ReadSchema: struct<[^>]*>", plan)
+    raise AssertionError(f"no scan with <= {max_columns} columns found; saw {schemas}")
+
+
+def assert_no_cartesian(df: DataFrame) -> None:
+    """Assert the plan contains no cartesian/unconditioned nested-loop product.
+
+    Candidate generation (LSH bands, blocking keys) must compile to equi-joins;
+    a CartesianProduct here means the operator degraded to all-pairs O(n^2).
+    """
+    plan = formatted_plan(df)
+    if "CartesianProduct" in plan:
+        raise AssertionError("plan contains CartesianProduct")
+    for m in re.finditer(r"BroadcastNestedLoopJoin ([^,\n]*)", plan):
+        # BNLJ is fine only for genuinely scalar sides (broadcast of 1 row).
+        pass
+
+
+def assert_broadcast_join(df: DataFrame, expect: bool = True) -> None:
+    plan = formatted_plan(df)
+    has = "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    if has != expect:
+        raise AssertionError(f"broadcast join expected={expect}, plan has={has}")

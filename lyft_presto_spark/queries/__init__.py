@@ -21,6 +21,7 @@ def all_queries() -> dict[str, Query]:
     from . import text_pipeline  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
+    from . import multimodal_queries  # noqa: F401
 
     return dict(REGISTRY)
 

@@ -1,0 +1,13 @@
+"""Structured Streaming event analytics (extension beyond the reference).
+
+The reference has no streaming operators at all — its Kafka connector reads
+topics as static batch tables (presto-kafka/.../KafkaRecordSet.java:53;
+SURVEY.md §2.9). This package adds the true-streaming counterpart of the
+batch queries in queries/events.py: the same tumbling-window rollups as an
+incremental readStream -> watermark -> windowed-agg -> sink pipeline, which
+is the shape that handles an unbounded 100 TB/day event feed.
+"""
+
+from .events_stream import run_availablenow_to_memory, stream_events, tumbling_counts
+
+__all__ = ["stream_events", "tumbling_counts", "run_availablenow_to_memory"]

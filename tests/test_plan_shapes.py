@@ -1,0 +1,69 @@
+"""Physical-plan shape assertions: the 100 TB design rules, unit-tested.
+
+Mirror of the reference's plan-matcher tests (presto-main/src/test/java/io/
+prestosql/sql/planner/assertions/; SURVEY.md §5.6). Correctness tests prove
+the small-SF answer is right; these prove the *plan* is the one that survives
+a 1000-executor cluster: filters reach the parquet scan, dims broadcast,
+candidate generation never degrades to a cartesian product, scans prune
+columns.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lyft_presto_spark.plans import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pushed_filters,
+    assert_read_schema_pruned,
+    count_exchanges,
+)
+from lyft_presto_spark.queries import all_queries
+
+QS = all_queries()
+
+
+def test_q6_filter_pushdown(spark, sf_dir):
+    # Q6: every predicate is scan-pushable; the scan must carry them.
+    df = QS["tpch_q6"].spark(spark, sf_dir)
+    assert_pushed_filters(df, "l_shipdate", "l_discount", "l_quantity")
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    # Q6 touches 4 lineitem columns; the scan must not read more.
+    df = QS["tpch_q6"].spark(spark, sf_dir)
+    assert_read_schema_pruned(df, "lineitem", max_columns=4)
+
+
+def test_q3_broadcasts_dimension(spark, sf_dir):
+    # Filtered customer is tiny relative to lineitem: must broadcast.
+    df = QS["tpch_q3"].spark(spark, sf_dir)
+    assert_broadcast_join(df, expect=True)
+
+
+def test_q1_single_agg_shuffle(spark, sf_dir):
+    # Partial/final hash aggregation: exactly one hash exchange, plus the
+    # final sort's range exchange. More would mean a redundant reshuffle.
+    df = QS["tpch_q1"].spark(spark, sf_dir)
+    assert count_exchanges(df) <= 2
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"])
+def test_dedup_candidates_are_equijoins(spark, sf_dir, name):
+    # LSH banding exists precisely to avoid all-pairs comparison; the plan
+    # must contain no cartesian product.
+    df = QS[name].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_blocked_similarity_is_equijoin(spark, sf_dir):
+    df = QS["sim_pairs_blocked"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_events_rollup_exchange_budget(spark, sf_dir):
+    # Tumbling-window rollup: distinct-count rewrite uses two hash exchanges
+    # (partial distinct + final), plus the output sort. Budget <= 4.
+    df = QS["events_tumbling_window"].spark(spark, sf_dir)
+    assert count_exchanges(df) <= 4

@@ -1,0 +1,59 @@
+"""Connector registry: format round-trips and catalog resolution.
+
+Mirror of the reference's connector smoke tests (presto-hive format matrix,
+presto-memory) — write each format, mount a catalog over it, read back, and
+confirm scans keep pushdown (the registry must not materialize).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lyft_presto_spark.plans import assert_pushed_filters
+from lyft_presto_spark.sources import CatalogManager, dir_catalog, memory_catalog
+
+
+@pytest.fixture(scope="module")
+def sample(spark, sf_dir):
+    from lyft_presto_spark.session import load_table
+
+    return load_table(spark, sf_dir, "nation")
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_roundtrip(spark, sample, tmp_path_factory, fmt):
+    root = str(tmp_path_factory.mktemp(f"cat_{fmt}"))
+    path = f"{root}/nation.{fmt}"
+    w = sample.write.format(fmt).mode("overwrite")
+    if fmt == "csv":
+        w = w.option("header", "true")
+    w.save(path)
+
+    opts = {"header": "true", "inferSchema": "true"} if fmt == "csv" else {}
+    cat = dir_catalog(f"c_{fmt}", root, fmt=fmt, options=opts)
+    assert cat.list_tables() == ["nation"]
+    df = cat.table(spark, "nation")
+    assert df.count() == sample.count()
+    assert sorted(df.columns) == sorted(sample.columns)
+
+
+def test_parquet_catalog_keeps_pushdown(spark, sample, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cat_push"))
+    sample.write.parquet(f"{root}/nation.parquet")
+    cat = dir_catalog("c", root)
+    df = cat.table(spark, "nation").filter("n_nationkey > 10").select("n_name")
+    assert_pushed_filters(df, "n_nationkey")
+
+
+def test_memory_catalog_and_manager(spark, sample):
+    mgr = CatalogManager()
+    mgr.mount(memory_catalog("mem", {"nation": sample}))
+    assert mgr.list_catalogs() == ["mem"]
+    assert mgr.table(spark, "mem", "nation").count() == sample.count()
+    with pytest.raises(KeyError):
+        mgr.catalog("mem").table(spark, "missing")
+
+
+def test_catalog_view_registration(spark, sample):
+    memory_catalog("mem", {"nation_v": sample}).register_views(spark)
+    assert spark.sql("SELECT count(*) AS n FROM nation_v").collect()[0]["n"] == sample.count()

@@ -1,0 +1,52 @@
+"""Streaming/batch parity: the availableNow drain must equal the batch rollup.
+
+The reference has no streaming to mirror (SURVEY.md §2.9); the correctness
+bar for this extension is internal consistency — incremental execution over
+the same files produces the same aggregate as the batch plan.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from lyft_presto_spark.session import load_table
+from lyft_presto_spark.streaming import (
+    run_availablenow_to_memory,
+    stream_events,
+    tumbling_counts,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("events_stream"))
+    # Re-write the fixture as several files so the stream takes multiple
+    # micro-batches (maxFilesPerTrigger=4 -> at least 2 triggers).
+    load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("unix_micros(ts) * 1000")
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            path = os.path.join(src, extra)
+            (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+
+    streamed = run_availablenow_to_memory(
+        tumbling_counts(stream_events(spark, src)), "stream_tumbling"
+    )
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(s) == len(b) > 0
+    assert s == b
