@@ -129,7 +129,45 @@ ORDER BY est_jaccard DESC, doc_a, doc_b
     tags=("dedup",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _minhash_sql("spark"), ("documents",))
+    # Spark inlines CTEs, so the signature computation in _minhash_sql would
+    # run 3x (bands + both sides of the candidate join), and the 16 permuted
+    # minima each re-inline the md5 pipeline. Stage the plan instead:
+    # tokens->shingle-hashes as one projection (computed once — CollapseProject
+    # keeps multi-referenced non-trivial aliases separate), signature next,
+    # then persist. At production scale this is the materialized signature
+    # dataset every dedup pass reuses.
+    from .registry import t as read_table
+
+    hashes_expr = D.shingle_hashes(T.shingles(T.tokens("text", "spark"), "spark"), "spark")
+    sigs = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{hashes_expr} AS hashes")
+        .selectExpr("doc_id", f"{D.minhash_sig('hashes', 'spark')} AS sig")
+        .persist()
+    )
+    sigs.createOrReplaceTempView("minhash_sigs")
+    structs = ", ".join(
+        "struct({b} AS band_idx, {k} AS band_key)".format(b=b, k=D.band_key("sig", b, "spark"))
+        for b in range(D.BANDS)
+    )
+    sim = D.sig_similarity("a.sig", "b.sig", "spark")
+    return spark.sql(f"""
+WITH bands AS (
+    SELECT doc_id, b.band_idx, b.band_key FROM minhash_sigs
+    LATERAL VIEW explode(array({structs})) AS b
+),
+candidates AS (
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b, {sim} AS est_jaccard
+FROM candidates c
+JOIN minhash_sigs a ON a.doc_id = c.doc_a
+JOIN minhash_sigs b ON b.doc_id = c.doc_b
+ORDER BY est_jaccard DESC, doc_a, doc_b
+""")
 
 
 def _simhash_sql(dialect: str) -> str:
@@ -194,7 +232,38 @@ ORDER BY hamming_dist, doc_a, doc_b
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _simhash_sql("spark"), ("documents",))
+    # Same staging as minhash: hashes as their own projection (the per-bit
+    # majority vote references them 60x), persist the signature table so the
+    # banded self-join reads it twice without recompute.
+    from .registry import t as read_table
+
+    hashes_expr = D.shingle_hashes(T.shingles(T.tokens("text", "spark"), "spark"), "spark")
+    sims = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{hashes_expr} AS hashes")
+        .selectExpr("doc_id", f"{D.simhash('hashes', 'spark')} AS sh64")
+        .persist()
+    )
+    sims.createOrReplaceTempView("simhash_sigs")
+    structs = ", ".join(
+        "struct({b} AS band_idx, {k} AS band_key)".format(
+            b=b, k=D.simhash_band("sh64", b, "spark")
+        )
+        for b in range(D.SIMHASH_BANDS)
+    )
+    ham = D.hamming("x.sh64", "y.sh64", "spark")
+    return spark.sql(f"""
+WITH bands AS (
+    SELECT doc_id, sh64, b.band_idx, b.band_key FROM simhash_sigs
+    LATERAL VIEW explode(array({structs})) AS b
+)
+SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, {ham} AS hamming_dist
+FROM bands x JOIN bands y
+  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+ AND x.doc_id < y.doc_id
+WHERE {ham} <= 20
+ORDER BY hamming_dist, doc_a, doc_b
+""")
 
 
 def _jaccard_sql(dialect: str) -> str:

@@ -890,7 +890,32 @@ ORDER BY part_value DESC, partkey
     tags=("tpch", "aggregation", "subquery"),
 )
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _Q11_SQL, ("lineitem", "supplier", "nation"))
+    # The supply CTE feeds both the main aggregation and the HAVING scalar
+    # subquery; Spark inlines CTEs, so stage it once (nation filter applied)
+    # and persist — one lineitem scan + join instead of two.
+    supply = sql_over(
+        spark,
+        sf_dir,
+        """
+        SELECT l_partkey AS partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+        """,
+        ("lineitem", "supplier", "nation"),
+    ).persist()
+    supply.createOrReplaceTempView("q11_supply")
+    return spark.sql(
+        """
+        SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
+        FROM q11_supply
+        WHERE value_dec > (SELECT SUM(value_dec) * 0.0001 FROM q11_supply)
+        ORDER BY part_value DESC, partkey
+        """
+    )
 
 
 _Q20_SQL = """

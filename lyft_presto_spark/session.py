@@ -69,7 +69,11 @@ def build_session(
         .config("spark.sql.cbo.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Moderate static threshold: the planner must never broadcast a
+        # pruned *fact* table on size-estimate optimism (at 100 TB that is a
+        # driver OOM); AQE upgrades genuinely-small sides to broadcast at
+        # runtime, which is the safe direction.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as nanos-since-epoch long and convert on view
         # registration (load_table) — DuckDB truncates nanos->micros the same way.
