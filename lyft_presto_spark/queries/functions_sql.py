@@ -444,3 +444,240 @@ FROM orders
 )
 def fn_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _approx_sql("spark"), ("orders",))
+
+
+def _url_sql(d: str) -> str:
+    # Synthetic URLs from part columns. Spark side uses the native parse_url
+    # (UrlFunctions.java analog); the oracle recomputes with plain regexes —
+    # an independent implementation checking the same values.
+    # p_brand contains '#' (Brand#13) — sanitize the host token.
+    g = "" if d == "spark" else ", 'g'"
+    url = (
+        f"concat('https://', regexp_replace(lower(p_brand), '[^a-z0-9]', ''{g}), "
+        "'.example.com:8080/parts/', "
+        "CAST(p_partkey AS STRING), '?size=', CAST(p_size AS STRING), '#frag')"
+    )
+    if d == "spark":
+        return f"""
+WITH u AS (SELECT p_partkey, {url} AS url FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+       parse_url(url, 'PROTOCOL') AS proto,
+       parse_url(url, 'HOST') AS host,
+       parse_url(url, 'PATH') AS path,
+       parse_url(url, 'QUERY') AS query,
+       parse_url(url, 'QUERY', 'size') AS size_param,
+       parse_url(url, 'REF') AS fragment
+FROM u
+ORDER BY p_partkey
+"""
+    url_duck = url.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH u AS (SELECT p_partkey, {url_duck} AS url FROM part WHERE p_partkey <= 200)
+SELECT p_partkey,
+       regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+       regexp_extract(url, '^[a-z]+://([^:/]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^:/]+:[0-9]+(/[^?#]*)', 1) AS path,
+       regexp_extract(url, '[?]([^#]*)', 1) AS query,
+       regexp_extract(url, '[?&]size=([^&#]*)', 1) AS size_param,
+       regexp_extract(url, '#(.*)$', 1) AS fragment
+FROM u
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "fn_url",
+    oracle=_url_sql("duck"),
+    doc="URL family: protocol/host/path/query/param/fragment extraction "
+    "(UrlFunctions.java:43 url_extract_*; Spark parse_url vs an independent "
+    "regex oracle).",
+    tags=("functions",),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _url_sql("spark"), ("part",))
+
+
+def _map_sql(d: str) -> str:
+    if d == "spark":
+        return """
+WITH m AS (
+    SELECT p_partkey,
+           map('brand', p_brand, 'type', split_part(p_type, ' ', 1)) AS meta,
+           str_to_map(concat('brand=', p_brand, '&size=', CAST(p_size AS STRING)), '&', '=') AS kv
+    FROM part WHERE p_partkey <= 200
+)
+SELECT p_partkey,
+       element_at(meta, 'brand') AS meta_brand,
+       element_at(meta, 'type') AS meta_type,
+       size(meta) AS meta_size,
+       sort_array(map_keys(meta)) AS meta_keys,
+       element_at(kv, 'size') AS kv_size,
+       element_at(kv, 'brand') AS kv_brand
+FROM m
+ORDER BY p_partkey
+"""
+    return """
+WITH m AS (
+    SELECT p_partkey,
+           MAP {'brand': p_brand, 'type': split_part(p_type, ' ', 1)} AS meta,
+           p_brand AS b, CAST(p_size AS VARCHAR) AS s
+    FROM part WHERE p_partkey <= 200
+)
+SELECT p_partkey,
+       meta['brand'][1] AS meta_brand,
+       meta['type'][1] AS meta_type,
+       CAST(cardinality(meta) AS INT) AS meta_size,
+       list_sort(map_keys(meta)) AS meta_keys,
+       s AS kv_size,
+       b AS kv_brand
+FROM m
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "fn_map",
+    oracle=_map_sql("duck"),
+    doc="Map family: map construction/element_at/map_keys/cardinality and "
+    "str_to_map k/v parsing (MapConstructor.java, MapElementAtFunction.java, "
+    "SplitToMapFunction.java).",
+    tags=("functions",),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _map_sql("spark"), ("part",))
+
+
+def _histogram_sql(d: str) -> str:
+    # numeric_histogram analog (DoubleHistogramAggregation.java): fixed-width
+    # binning + per-bucket stats. width_bucket spelled portably.
+    wb = (
+        "CAST(CASE WHEN l_extendedprice >= 100000 THEN 11 "
+        "WHEN l_extendedprice < 0 THEN 0 "
+        "ELSE floor(l_extendedprice / 10000) + 1 END AS BIGINT)"
+    )
+    return f"""
+SELECT {wb} AS bucket,
+       count(*) AS n,
+       round(min(l_extendedprice), 2) AS lo,
+       round(max(l_extendedprice), 2) AS hi,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query(
+    "fn_histogram",
+    oracle=_histogram_sql("duck"),
+    doc="numeric_histogram analog: fixed-width bucketed counts + per-bucket "
+    "bounds (DoubleHistogramAggregation.java, NumericHistogram.java; "
+    "width_bucket MathFunctions.java).",
+    tags=("functions",),
+)
+def fn_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _histogram_sql("spark"), ("lineitem",))
+
+
+def _checksum_sql(d: str) -> str:
+    # Order-independent checksum over a 60-bit portable hash (the reference's
+    # checksum agg, ChecksumAggregationFunction.java:46, exists exactly for
+    # cross-engine result diffing — this is its Spark spelling).
+    if d == "spark":
+        h = "CAST(conv(substr(md5(concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus)), 1, 15), 16, 10) AS BIGINT)"
+    else:
+        h = "CAST('0x' || substr(md5(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus)), 1, 15) AS BIGINT)"
+    return f"""
+SELECT o_orderpriority,
+       count(*) AS n,
+       bit_xor({h}) AS row_checksum
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "fn_checksum",
+    oracle=_checksum_sql("duck"),
+    doc="Order-independent row checksum via xor of portable row hashes "
+    "(ChecksumAggregationFunction.java:46 — the reference's verifier "
+    "primitive).",
+    tags=("functions",),
+)
+def fn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _checksum_sql("spark"), ("orders",))
+
+
+def _reduce_sql(d: str) -> str:
+    # reduce_agg analog (ReduceAggregationFunction.java): fold a per-group
+    # collection with a lambda. Deterministic via sorted collection.
+    if d == "spark":
+        return """
+WITH g AS (
+    SELECT n_regionkey, sort_array(collect_list(n_nationkey)) AS ks FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey,
+       aggregate(ks, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS sum_sq,
+       aggregate(ks, CAST(1 AS BIGINT), (acc, x) -> acc * (x + 1) % 1000003) AS fold_prod
+FROM g
+ORDER BY n_regionkey
+"""
+    return """
+WITH g AS (
+    SELECT n_regionkey, list_sort(array_agg(n_nationkey)) AS ks FROM nation GROUP BY n_regionkey
+)
+SELECT n_regionkey,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), ks), (acc, x) -> acc + x * x) AS sum_sq,
+       list_reduce(list_prepend(CAST(1 AS BIGINT), ks), (acc, x) -> acc * (x + 1) % 1000003) AS fold_prod
+FROM g
+ORDER BY n_regionkey
+"""
+
+
+@query(
+    "fn_reduce_agg",
+    oracle=_reduce_sql("duck"),
+    doc="reduce_agg analog: per-group lambda fold over a sorted collected "
+    "array (ReduceAggregationFunction.java; Spark aggregate HOF).",
+    tags=("functions",),
+)
+def fn_reduce_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _reduce_sql("spark"), ("nation",))
+
+
+def _tz_interval_sql(d: str) -> str:
+    # AT TIME ZONE analog (TimestampWithTimeZoneType, DateTimeEncoding.java)
+    # + interval arithmetic incl. month-end clamping. Order dates are
+    # midnight UTC, so no DST-ambiguous wall times arise.
+    if d == "spark":
+        ny = "from_utc_timestamp(o_orderdate, 'America/New_York')"
+        rt = f"to_utc_timestamp({ny}, 'America/New_York')"
+    else:
+        ny = "CAST(o_orderdate AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York' AS TIMESTAMP)"
+        rt = f"CAST({ny} AT TIME ZONE 'America/New_York' AT TIME ZONE 'UTC' AS TIMESTAMP)"
+    return f"""
+SELECT o_orderkey,
+       {ny} AS ny_wall_time,
+       {rt} AS utc_round_trip,
+       o_orderdate + INTERVAL 1 MONTH AS plus_month,
+       o_orderdate + INTERVAL 90 SECOND AS plus_90s,
+       o_orderdate - INTERVAL 1 DAY AS minus_day,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS plus_month_date
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_timezone_interval",
+    oracle=_tz_interval_sql("duck"),
+    doc="AT TIME ZONE + interval arithmetic: UTC<->zone wall-time conversion "
+    "round trip, month-end-clamping month addition, second/day intervals "
+    "(DateTimeFunctions.java:63, DateTimeEncoding.java, "
+    "IntervalDayTimeType/IntervalYearMonthType).",
+    tags=("functions",),
+)
+def fn_timezone_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _tz_interval_sql("spark"), ("orders",))

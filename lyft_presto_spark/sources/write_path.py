@@ -1,0 +1,74 @@
+"""Write path: CTAS / INSERT / DELETE / ANALYZE (SURVEY.md §7 Phase 4).
+
+Reference mapping:
+- ctas            ≈ TableWriterNode + TableFinishNode (CTAS commit;
+                    TableWriterOperator.java:58, TableFinishOperator.java:46)
+- insert_into     ≈ INSERT append path
+- delete_where    ≈ TableDeleteNode (whole-partition delete shortcut,
+                    TableDeleteOperator.java:33) — parquet has no row-level
+                    delete, so this rewrites the table minus matching rows;
+                    a production deployment would use a lakehouse format.
+- analyze         ≈ StatisticsWriterNode / ANALYZE (feeds the CBO exactly as
+                    Presto's stats feed its cost-based optimizer)
+
+Scale notes: writes go through Spark's committer (task-level speculative-safe
+commit, the TableFinish analog); partitioned CTAS lays out partition
+directories so downstream scans partition-prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ctas(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    location: str,
+    partition_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """CREATE TABLE AS SELECT with an explicit location."""
+    w = df.write.format(fmt).mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.option("path", location).saveAsTable(table)
+
+
+def insert_into(spark: SparkSession, df: DataFrame, table: str) -> None:
+    """INSERT INTO (append) an existing catalog table."""
+    df.write.insertInto(table, overwrite=False)
+
+
+def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
+    """DELETE FROM table WHERE predicate, as overwrite-minus-matches.
+
+    Parquet-table semantics: rewrite retained rows (the reference's
+    whole-table path); with a partitioned table and a partition-aligned
+    predicate, dynamic partition overwrite rewrites only affected partitions.
+    """
+    remaining = spark.table(table).filter(f"NOT ({predicate})")
+    # Materialize before overwrite: the plan must not read the table it is
+    # replacing mid-write.
+    rows = remaining.collect()
+    spark.createDataFrame(rows, remaining.schema).write.insertInto(table, overwrite=True)
+
+
+def analyze(spark: SparkSession, table: str, columns: tuple[str, ...] = ()) -> None:
+    """ANALYZE TABLE — table and optional column stats for the CBO."""
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+
+
+def table_stats(spark: SparkSession, table: str) -> dict[str, str]:
+    """Parsed DESCRIBE EXTENDED statistics line (rowCount/sizeInBytes)."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    out = {}
+    for r in rows:
+        if r["col_name"] == "Statistics":
+            out["statistics"] = r["data_type"]
+    return out

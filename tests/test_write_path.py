@@ -1,0 +1,53 @@
+"""Write path: CTAS/INSERT/DELETE/ANALYZE round-trips (SURVEY.md Phase 4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from lyft_presto_spark.session import load_table
+from lyft_presto_spark.sources.write_path import (
+    analyze,
+    ctas,
+    delete_where,
+    insert_into,
+    table_stats,
+)
+
+
+@pytest.fixture()
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_ctas_insert_delete_analyze(spark, nation, tmp_path):
+    table = "t_nation_wp"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation, table, str(tmp_path / "nation_ctas"))
+    n0 = spark.table(table).count()
+    assert n0 == nation.count()
+
+    insert_into(spark, nation.limit(5), table)
+    assert spark.table(table).count() == n0 + 5
+
+    delete_where(spark, table, "n_regionkey = 0")
+    after = spark.table(table)
+    assert after.filter("n_regionkey = 0").count() == 0
+    assert after.count() < n0 + 5
+
+    analyze(spark, table, columns=("n_nationkey",))
+    stats = table_stats(spark, table)
+    assert "statistics" in stats and "bytes" in stats["statistics"]
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_partitioned_ctas_prunes(spark, nation, tmp_path):
+    table = "t_nation_part"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation, table, str(tmp_path / "nation_part"), partition_by=("n_regionkey",))
+    df = spark.table(table).filter("n_regionkey = 1")
+    # Partition pruning: the scan's partition filters must include the key.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    assert "n_regionkey" in formatted_plan(df)
+    assert df.count() == nation.filter("n_regionkey = 1").count()
+    spark.sql(f"DROP TABLE {table}")
