@@ -310,3 +310,34 @@ ORDER BY jaccard DESC, doc_a, doc_b
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _jaccard_sql("spark"), ("documents",))
+
+
+def _embed_dedup_sql(dialect: str) -> str:
+    # Embedding-cosine near-dup: candidate pairs blocked by the sign-bucket
+    # quantization key (equi-join — the same IVF-style pruning as the ANN
+    # path), then exact cosine >= threshold. Never all-pairs.
+    from ..operators import similarity as S
+
+    cos = S.cosine("a.embedding", "b.embedding", dialect)
+    bucket = S.sign_bucket("embedding", dialect)
+    return f"""
+WITH bucketed AS (
+    SELECT vec_id, label, embedding, {bucket} AS bucket FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine_sim
+FROM bucketed a JOIN bucketed b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.8
+ORDER BY cosine_sim DESC, vec_a, vec_b
+"""
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=_embed_dedup_sql("duck"),
+    doc="Embedding-cosine near-dup pairs: sign-bucket blocked equi-join + "
+    "exact cosine threshold (the dedup twin of sim_topk_signbucket).",
+    tags=("dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _embed_dedup_sql("spark"), ("embeddings",))

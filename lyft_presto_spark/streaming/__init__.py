@@ -9,5 +9,11 @@ is the shape that handles an unbounded 100 TB/day event feed.
 """
 
 from .events_stream import run_availablenow_to_memory, stream_events, tumbling_counts
+from .sessionize_stream import sessionize_stream
 
-__all__ = ["stream_events", "tumbling_counts", "run_availablenow_to_memory"]
+__all__ = [
+    "stream_events",
+    "tumbling_counts",
+    "run_availablenow_to_memory",
+    "sessionize_stream",
+]

@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator: gap sessionization with applyInPandasWithState.
+
+The batch twin is queries/events.py events_sessionize (lag-gap-cumsum). On an
+unbounded feed that rewrite no longer works — session state must live across
+micro-batches. This is the ``applyInPandasWithState`` shape: state keyed by
+user_id holding the open session; closed sessions are emitted as soon as a
+new event's gap exceeds the threshold.
+
+Scale notes: state is one small tuple per active user (bounded by active-user
+cardinality, not event volume); events arrive grouped+sorted per key by the
+shuffle, Arrow-batched into pandas. A production deployment adds a state TTL
+(GroupStateTimeout) to retire idle users; kept NoTimeout here so the bounded
+availableNow runs used in tests are deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_GAP_S = 30 * 60
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", DoubleType()),
+    ]
+)
+
+# Open-session state: (start_us, last_us, n_events, value_sum)
+STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+
+def _sessionize_group(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        start_us, last_us, n_events, value_sum = state.get
+    else:
+        start_us = last_us = None
+        n_events, value_sum = 0, 0.0
+
+    closed: list[dict] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for ts, value in zip(pdf["ts"], pdf["value"]):
+            ts_us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and ts_us - last_us > SESSION_GAP_S * 1_000_000:
+                closed.append(
+                    {
+                        "user_id": user_id,
+                        "session_start": pd.Timestamp(start_us * 1000),
+                        "session_end": pd.Timestamp(last_us * 1000),
+                        "n_events": n_events,
+                        "session_value": value_sum,
+                    }
+                )
+                start_us, n_events, value_sum = ts_us, 0, 0.0
+            if start_us is None:
+                start_us = ts_us
+            last_us = ts_us
+            n_events += 1
+            value_sum += float(value)
+
+    state.update((start_us, last_us, n_events, value_sum))
+    if closed:
+        yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Closed sessions per user over an unbounded event stream."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,71 @@
+"""Stateful streaming sessionization vs the batch rewrite.
+
+Events are fed in two time-ordered micro-batches, so sessions that span the
+file boundary exercise cross-batch state carry-over. Sessions still open when
+input is exhausted stay in state (a live feed would close them later), so
+the comparison drops each user's final batch session.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import functions as F
+
+from lyft_presto_spark.queries import all_queries
+from lyft_presto_spark.session import load_table
+from lyft_presto_spark.streaming.events_stream import EVENTS_SCHEMA
+from lyft_presto_spark.streaming.sessionize_stream import sessionize_stream
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
+    src = str(tmp_path_factory.mktemp("sess_stream"))
+    events = load_table(spark, sf_dir, "events")
+    cutoff = events.selectExpr("percentile_approx(unix_micros(ts), 0.5, 10000) AS c").collect()[0]["c"]
+
+    nanos = events.withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+    for i, pred in enumerate([f"ts <= {cutoff * 1000}", f"ts > {cutoff * 1000}"]):
+        nanos.filter(pred).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mod-times => deterministic file order
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            p = os.path.join(src, extra)
+            (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["session_value"], 4))
+        for r in spark.table("closed_sessions").collect()
+    }
+
+    # Batch truth: all sessions, minus each user's last (potentially open).
+    batch = all_queries()["events_sessionize"].spark(spark, sf_dir)
+    rows = batch.collect()
+    last_per_user = {}
+    for r in rows:
+        if r["user_id"] not in last_per_user or r["session_id"] > last_per_user[r["user_id"]]:
+            last_per_user[r["user_id"]] = r["session_id"]
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"], round(r["session_value"], 4))
+        for r in rows
+        if r["session_id"] != last_per_user[r["user_id"]]
+    }
+    assert streamed == expected
+    assert len(streamed) > 0
