@@ -43,7 +43,9 @@ HEADLINE_EXTRAS = (
     "text_quality_score",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "sim_topk_bruteforce",
+    "multimodal_features",
 )
 
 

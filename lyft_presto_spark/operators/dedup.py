@@ -33,18 +33,29 @@ SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
 
 
 def shingle_hashes(shingles_expr: str, dialect: str) -> str:
-    """Array of 60-bit hashes of each shingle, reduced mod P."""
+    """Array of full 60-bit hashes of each shingle.
+
+    NOT reduced mod P here: simhash consumes the upper bits (a mod-P hash
+    zeroes bits 31+, collapsing the upper LSH bands into one bucket).
+    MinHash permutations reduce mod P themselves.
+    """
     h = hash60("s", dialect)
     if dialect == "spark":
-        return f"transform({shingles_expr}, s -> {h} % {MINHASH_P})"
-    return f"list_transform({shingles_expr}, s -> {h} % {MINHASH_P})"
+        return f"transform({shingles_expr}, s -> {h})"
+    return f"list_transform({shingles_expr}, s -> {h})"
+
+
+def minhash_perm(x: str, j: int) -> str:
+    """j-th permutation of a 60-bit hash (overflow-safe under ANSI: the
+    operand is reduced mod P < 2^31 before the < 2^6 multiplier)."""
+    return f"(({MINHASH_A[j]} * ({x} % {MINHASH_P}) + {MINHASH_B[j]}) % {MINHASH_P})"
 
 
 def minhash_sig(hashes_expr: str, dialect: str) -> str:
     """MinHash signature: array of NUM_HASHES minima over the shingle hashes."""
     parts = []
     for j in range(NUM_HASHES):
-        perm = f"(({MINHASH_A[j]} * x + {MINHASH_B[j]}) % {MINHASH_P})"
+        perm = minhash_perm("x", j)
         if dialect == "spark":
             parts.append(f"array_min(transform({hashes_expr}, x -> {perm}))")
         else:

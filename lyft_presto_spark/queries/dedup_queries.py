@@ -22,10 +22,89 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as T
-from .registry import query, sql_over
+from .registry import query, sql_over, t as read_table
+
+
+def _exploded_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h) rows: one 60-bit hash per distinct word-3-gram shingle.
+
+    Built entirely from JVM operators — posexplode(split) for tokens, window
+    ``lead`` for the 3-gram, groupBy for distinctness, codegen md5 for the
+    hash. The lambda-HOF formulation (transform/array_distinct, kept for the
+    DuckDB oracle where lambdas are vectorized) runs *interpreted* in Spark
+    (~1e5 evals/s vs ~1e7 here): at sf0.1 that is 26 s vs under 2 s, and the
+    gap widens with scale. Shuffles: one window shuffle on doc_id, one
+    distinct on (doc_id, shingle) — both map-side combined.
+
+    Semantics match operators/text.py shingles(): docs with >= 3 tokens emit
+    every consecutive 3-gram; shorter docs emit their full token join.
+    (A zero-token doc would vanish here but yields [''] in the HOF form —
+    impossible for the fixtures' non-empty documents.)
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        read_table(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "posexplode(split(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' ')) AS (pos, t)",
+        )
+        .where("t <> ''")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    wall = Window.partitionBy("doc_id")
+    shingled = toks.select(
+        "doc_id",
+        F.col("t"),
+        F.lead("t", 1).over(w).alias("t1"),
+        F.lead("t", 2).over(w).alias("t2"),
+        F.count("*").over(wall).alias("n_tok"),
+        F.row_number().over(w).alias("rn"),
+    ).select(
+        "doc_id",
+        F.when(
+            (F.col("n_tok") >= 3) & F.col("t2").isNotNull(),
+            F.concat_ws(" ", "t", "t1", "t2"),
+        )
+        .when((F.col("n_tok") < 3) & (F.col("rn") == 1), F.concat_ws(" ", "t", "t1"))
+        .alias("s"),
+    ).where("s IS NOT NULL")
+    return (
+        shingled.groupBy("doc_id", "s")
+        .agg(F.lit(1))
+        .selectExpr("doc_id", f"{T.hash60('s', 'spark')} AS h")
+    )
+
+
+def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures as NUM_HASHES min-aggregates (order-independent)."""
+    ex = _exploded_shingle_hashes(spark, sf_dir)
+    aggs = [
+        F.min(F.expr(D.minhash_perm("h", j))).alias(f"m{j}") for j in range(D.NUM_HASHES)
+    ]
+    return (
+        ex.groupBy("doc_id")
+        .agg(*aggs)
+        .select("doc_id", F.array(*[F.col(f"m{j}") for j in range(D.NUM_HASHES)]).alias("sig"))
+    )
+
+
+def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash via per-bit vote sums (SIMHASH_BITS sum-aggregates), packed."""
+    ex = _exploded_shingle_hashes(spark, sf_dir)
+    votes = [
+        F.sum(F.expr(f"2 * CAST(shiftright(h, {i}) % 2 AS BIGINT) - 1")).alias(f"v{i}")
+        for i in range(D.SIMHASH_BITS)
+    ]
+    packed = None
+    for i in range(D.SIMHASH_BITS):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        packed = bit if packed is None else packed + bit
+    return ex.groupBy("doc_id").agg(*votes).select("doc_id", packed.alias("sh64"))
 
 
 def _exact_sql(dialect: str) -> str:
@@ -130,21 +209,10 @@ ORDER BY est_jaccard DESC, doc_a, doc_b
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark inlines CTEs, so the signature computation in _minhash_sql would
-    # run 3x (bands + both sides of the candidate join), and the 16 permuted
-    # minima each re-inline the md5 pipeline. Stage the plan instead:
-    # tokens->shingle-hashes as one projection (computed once — CollapseProject
-    # keeps multi-referenced non-trivial aliases separate), signature next,
-    # then persist. At production scale this is the materialized signature
-    # dataset every dedup pass reuses.
-    from .registry import t as read_table
-
-    hashes_expr = D.shingle_hashes(T.shingles(T.tokens("text", "spark"), "spark"), "spark")
-    sigs = (
-        read_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{hashes_expr} AS hashes")
-        .selectExpr("doc_id", f"{D.minhash_sig('hashes', 'spark')} AS sig")
-        .persist()
-    )
+    # run 3x (bands + both sides of the candidate join). Build signatures as
+    # codegen grouped aggregates and persist — at production scale this is
+    # the materialized signature dataset every pass reuses.
+    sigs = _minhash_sigs(spark, sf_dir).persist()
     sigs.createOrReplaceTempView("minhash_sigs")
     structs = ", ".join(
         "struct({b} AS band_idx, {k} AS band_key)".format(b=b, k=D.band_key("sig", b, "spark"))
@@ -232,18 +300,9 @@ ORDER BY hamming_dist, doc_a, doc_b
     tags=("dedup",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Same staging as minhash: hashes as their own projection (the per-bit
-    # majority vote references them 60x), persist the signature table so the
-    # banded self-join reads it twice without recompute.
-    from .registry import t as read_table
-
-    hashes_expr = D.shingle_hashes(T.shingles(T.tokens("text", "spark"), "spark"), "spark")
-    sims = (
-        read_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", f"{hashes_expr} AS hashes")
-        .selectExpr("doc_id", f"{D.simhash('hashes', 'spark')} AS sh64")
-        .persist()
-    )
+    # Same staging as minhash: codegen per-bit vote aggregates, persisted
+    # signatures so the banded self-join reads them twice without recompute.
+    sims = _simhash_sigs(spark, sf_dir).persist()
     sims.createOrReplaceTempView("simhash_sigs")
     structs = ", ".join(
         "struct({b} AS band_idx, {k} AS band_key)".format(
