@@ -1,0 +1,68 @@
+"""IVF (inverted-file) approximate nearest neighbor over embedding columns.
+
+The learned-quantization counterpart of the fixed sign-bucket ANN in
+operators/similarity.py: K-Means centroids partition the vector space; a
+query probes only the ``nprobe`` nearest cells. Centroids come from MLlib
+KMeans (the reference's ML niche is presto-ml, MLFunctions.java — Spark-side
+MLlib is the direct analog).
+
+Scale path: the index build is one MLlib job (sampled at extreme scale);
+assignment is a map-side transform; search reads only the probed cells —
+with the table written partitioned by ``cell`` it is partition-pruned I/O,
+~nprobe/k of the data.
+
+Iterative training is not SQL-expressible, so queries built on this are
+rows-only entries for the driver's oracle (the recall test in
+tests/test_ivf.py is the correctness check instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEED = 42
+
+
+def build_ivf_index(embeddings: DataFrame, k: int = 16) -> tuple[DataFrame, list[list[float]]]:
+    """Assign each vector to a KMeans cell; return (assigned_df, centroids)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = embeddings.withColumn("features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=k, seed=SEED, featuresCol="features", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).drop("features")
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    num = sum(x * y for x, y in zip(a, b))
+    na = sum(x * x for x in a) ** 0.5
+    nb = sum(x * x for x in b) ** 0.5
+    return num / (na * nb) if na and nb else 0.0
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    top_k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k by cosine among vectors in the nprobe nearest cells."""
+    order = sorted(range(len(centroids)), key=lambda c: -_cos(centroids[c], query_vec))
+    probed = order[:nprobe]
+    qlit = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in query_vec) + ")"
+    cos_expr = (
+        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), {qlit}, (x, y) -> x * y), "
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / "
+        f"(sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * "
+        f"sqrt(aggregate(transform({qlit}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
+    )
+    return (
+        assigned.filter(F.col("cell").isin(probed))
+        .selectExpr("vec_id", "label", "cell", f"round({cos_expr}, 6) AS cosine_sim")
+        .orderBy(F.desc("cosine_sim"), "vec_id")
+        .limit(top_k)
+    )

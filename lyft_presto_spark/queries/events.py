@@ -243,3 +243,62 @@ ORDER BY event_type, rn
 )
 def events_top_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _top_users_sql("spark"), ("events",))
+
+
+def _session_window_sql(d: str) -> str:
+    if d == "spark":
+        # Native session windows: Catalyst's SessionWindow node handles the
+        # gap merge — same state machine Structured Streaming uses.
+        return f"""
+SELECT user_id,
+       session_window.start AS session_start,
+       session_window.end AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM events
+GROUP BY user_id, session_window(ts, '{SESSION_GAP_MIN} minutes')
+ORDER BY user_id, session_start
+"""
+    # Oracle: the lag-gap-cumsum rewrite; a session window's end is
+    # last-event + gap by definition.
+    return f"""
+WITH ordered AS (
+    SELECT user_id, event_id, ts, value,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+),
+flagged AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN prev_ts IS NULL
+                  OR (epoch_us(ts) - epoch_us(prev_ts)) / 1000000.0 > {SESSION_GAP_MIN * 60}
+                THEN 1 ELSE 0 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query(
+    "events_session_window",
+    oracle=_session_window_sql("duck"),
+    doc="Native session windows (session_window(ts, gap)) checked against "
+    "the lag-gap-cumsum relational rewrite as oracle — the same dynamic-gap "
+    "session semantics Structured Streaming applies on unbounded input.",
+    tags=("events",),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _session_window_sql("spark"), ("events",))

@@ -151,3 +151,21 @@ ORDER BY label
 )
 def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _centroid_sql("spark"), ("embeddings",))
+
+
+@query(
+    "sim_topk_ivf",
+    oracle=None,  # KMeans training is iterative — recall-tested in tests/test_ivf.py
+    doc="IVF ANN top-k: MLlib KMeans cells + nprobe-nearest-cell search "
+    "(learned counterpart of sim_topk_signbucket; presto-ml niche analog). "
+    "Rows-only for the driver; correctness = recall bounds vs brute force.",
+    tags=("similarity",),
+)
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ivf import build_ivf_index, ivf_topk
+    from .registry import t
+
+    emb = t(spark, sf_dir, "embeddings")
+    query_vec = list(emb.filter(f"vec_id = {QUERY_VEC_ID}").collect()[0]["embedding"])
+    assigned, centroids = build_ivf_index(emb.filter(f"vec_id <> {QUERY_VEC_ID}"), k=16)
+    return ivf_topk(assigned, centroids, query_vec, top_k=TOP_K, nprobe=4)
