@@ -681,3 +681,49 @@ ORDER BY o_orderkey
 )
 def fn_timezone_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _tz_interval_sql("spark"), ("orders",))
+
+
+def _json_sql(d: str) -> str:
+    # Nested JSON built per-row, then path extraction / array ops / validity —
+    # json_extract, json_extract_scalar, json_array_length, is_json_scalar
+    # (JsonFunctions.java:64, JsonExtract.java, JsonPath.java).
+    doc = (
+        "concat('{\"order\": {\"key\": ', CAST(o_orderkey AS STRING), "
+        "', \"tags\": [\"', o_orderstatus, '\", \"', o_orderpriority, '\"]}}')"
+    )
+    if d == "spark":
+        return f"""
+WITH j AS (SELECT o_orderkey, {doc} AS doc FROM orders WHERE o_orderkey <= 200)
+SELECT o_orderkey,
+       CAST(get_json_object(doc, '$.order.key') AS BIGINT) AS extracted_key,
+       get_json_object(doc, '$.order.tags[0]') AS tag0,
+       get_json_object(doc, '$.order.tags[1]') AS tag1,
+       json_array_length(get_json_object(doc, '$.order.tags')) AS n_tags,
+       get_json_object(doc, '$.order.missing') IS NULL AS missing_is_null
+FROM j
+ORDER BY o_orderkey
+"""
+    doc_duck = doc.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH j AS (SELECT o_orderkey, {doc_duck} AS doc FROM orders WHERE o_orderkey <= 200)
+SELECT o_orderkey,
+       CAST(json_extract_string(doc, '$.order.key') AS BIGINT) AS extracted_key,
+       json_extract_string(doc, '$.order.tags[0]') AS tag0,
+       json_extract_string(doc, '$.order.tags[1]') AS tag1,
+       CAST(json_array_length(json_extract(doc, '$.order.tags')) AS INT) AS n_tags,
+       json_extract_string(doc, '$.order.missing') IS NULL AS missing_is_null
+FROM j
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_json",
+    oracle=_json_sql("duck"),
+    doc="JSON family: nested path extraction, array element access, "
+    "json_array_length, missing-path null (JsonFunctions.java:64, "
+    "JsonExtract.java; Spark get_json_object/json_array_length).",
+    tags=("functions",),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _json_sql("spark"), ("orders",))
