@@ -13,6 +13,11 @@ double money columns are cast to tight DECIMALs before any SUM so the
 accumulation is exact and order-independent, then the final aggregate is cast
 to DOUBLE. Spark and DuckDB then produce bit-identical values regardless of
 partitioning. Averages divide an exact decimal sum by a count in double.
+
+(Measured alternative: summing integer cents as BIGINT is ~1.6x faster at
+sf0.1 but overflows int64 near 1e9 rows for charge-style three-factor
+products — a small-data trick that breaks at the 100 TB target. Spark's
+decimal aggregation is 128-bit; it stays exact at any scale, so it wins.)
 """
 
 from __future__ import annotations
