@@ -123,8 +123,8 @@ grouped AS (
     GROUP BY digest
 )
 SELECT count(*) AS n_unique,
-       sum(n_copies) AS n_docs,
-       sum(n_copies - 1) AS n_dropped,
+       CAST(sum(n_copies) AS BIGINT) AS n_docs,
+       CAST(sum(n_copies - 1) AS BIGINT) AS n_dropped,
        min(keeper_doc_id) AS first_keeper
 FROM grouped
 """

@@ -87,9 +87,9 @@ flagged AS (
 ),
 sessions AS (
     SELECT user_id, ts, event_type, value,
-           sum(new_session) OVER (
+           CAST(sum(new_session) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
     FROM flagged
 )
 SELECT user_id, session_id,
@@ -126,10 +126,10 @@ WITH firsts AS (
     GROUP BY user_id
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS n_signup_then_view,
-       sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view
-                THEN 1 ELSE 0 END) AS n_full_funnel
+       CAST(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_then_view,
+       CAST(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup AND t_purchase > t_view
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
 FROM firsts
 """
 

@@ -91,7 +91,7 @@ WITH blocked AS (
 )
 SELECT label,
        count(*) AS n_pairs,
-       sum(CASE WHEN cosine_sim >= 0.5 THEN 1 ELSE 0 END) AS n_similar,
+       CAST(sum(CASE WHEN cosine_sim >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_similar,
        round(max(cosine_sim), 6) AS max_sim,
        round(min(cosine_sim), 6) AS min_sim
 FROM blocked

@@ -33,7 +33,7 @@ WITH per_doc AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(n_tokens), 4) AS avg_tokens,
        max(n_tokens) AS max_tokens,
        min(n_tokens) AS min_tokens,
@@ -111,18 +111,18 @@ scored AS (
 ),
 final AS (
     SELECT doc_id, source, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
-           round(
+           CAST(round(
              (CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 0.4 ELSE 0.0 END)
            + (CASE WHEN punct_ratio < 0.3 THEN 0.3 ELSE 0.0 END)
            + (CASE WHEN stopword_ratio BETWEEN 0.01 AND 0.6 THEN 0.2 ELSE 0.0 END)
-           + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END), 1)
+           + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END), 1) AS DOUBLE)
            AS quality_score
     FROM scored
 )
 SELECT source,
        count(*) AS n_docs,
        round(avg(quality_score), 6) AS avg_quality,
-       sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END) AS n_keep
+       CAST(sum(CASE WHEN quality_score >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
 FROM final
 GROUP BY source
 ORDER BY source

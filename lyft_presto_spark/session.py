@@ -91,6 +91,10 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: a caller-provided session (e.g. the driver's) may not carry
+    # build_session's configs. nanosAsLong is a runtime SQL conf — set it here
+    # so events.parquet (TIMESTAMP(NANOS)) is readable from any session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # Nanos timestamps surface as BIGINT under nanosAsLong: restore micros
     # precision (truncating div, matching DuckDB's nanos->micros cast).

@@ -49,10 +49,18 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
     predicate, dynamic partition overwrite rewrites only affected partitions.
     """
     remaining = spark.table(table).filter(f"NOT ({predicate})")
-    # Materialize before overwrite: the plan must not read the table it is
-    # replacing mid-write.
-    rows = remaining.collect()
-    spark.createDataFrame(rows, remaining.schema).write.insertInto(table, overwrite=True)
+    # Stage the retained rows to a scratch table with a distributed write
+    # (never .collect(): at 100 TB that is a guaranteed driver OOM, and the
+    # Python round-trip perturbs timestamp/decimal types). The staged copy
+    # breaks the read-own-table-mid-overwrite cycle; the swap back is a
+    # second distributed write.
+    stage = f"{table}__delete_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    try:
+        remaining.write.format("parquet").saveAsTable(stage)
+        spark.table(stage).write.insertInto(table, overwrite=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
 
 
 def analyze(spark: SparkSession, table: str, columns: tuple[str, ...] = ()) -> None:

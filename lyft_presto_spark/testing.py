@@ -42,7 +42,12 @@ def _canon_cell(v):
     if v is None:
         return None
     if isinstance(v, decimal.Decimal):
-        return float(v)
+        # Deliberately NOT coerced to float: a Spark DECIMAL output column
+        # arrives in pandas as object-dtype Decimal while DuckDB hands back
+        # float64 — the driver's value hash sees different reprs. Keeping the
+        # Decimal makes the type-strict compare fail locally first; queries
+        # must CAST decimal outputs to DOUBLE/BIGINT explicitly.
+        return v
     if isinstance(v, (np.floating, float)):
         f = float(v)
         return None if math.isnan(f) else f
@@ -98,20 +103,40 @@ def compare_with_oracle(
 
     a, b = canonicalize(spark_pd), canonicalize(oracle_pd)
     for i, (ra, rb) in enumerate(zip(a, b)):
-        if ra == rb:
-            continue
-        if float_rel_tol > 0 and _rows_close(ra, rb, float_rel_tol):
+        if _rows_close(ra, rb, float_rel_tol):
             continue
         raise OracleMismatch(f"[{name}] first differing row {i}:\n  spark : {ra}\n  oracle: {rb}")
+
+
+def _cell_eq(x, y, rel_tol: float) -> bool:
+    """Type-strict cell equality.
+
+    The driver hashes the *repr* of values, so ``1764`` (Spark BIGINT) vs
+    ``1764.0`` (DuckDB HUGEINT -> pandas float64) is a driver hash MISMATCH
+    even though Python says ``1764 == 1764.0``. Mirror that strictness here:
+    int/float/bool must match in type, not just value (VERDICT r1 item 1).
+    """
+    if x is None or y is None:
+        return x is y
+    if isinstance(x, tuple) and isinstance(y, tuple):
+        return len(x) == len(y) and all(_cell_eq(a, b, rel_tol) for a, b in zip(x, y))
+    if isinstance(x, bool) or isinstance(y, bool):
+        return type(x) is type(y) and x == y
+    if isinstance(x, (int, float, decimal.Decimal)) or isinstance(y, (int, float, decimal.Decimal)):
+        if type(x) is not type(y):
+            return False
+        if x == y:
+            return True
+        return (
+            rel_tol > 0
+            and isinstance(x, float)
+            and isinstance(y, float)
+            and math.isclose(x, y, rel_tol=rel_tol)
+        )
+    return x == y
 
 
 def _rows_close(ra: tuple, rb: tuple, rel_tol: float) -> bool:
     if len(ra) != len(rb):
         return False
-    for x, y in zip(ra, rb):
-        if x == y:
-            continue
-        if isinstance(x, float) and isinstance(y, float) and math.isclose(x, y, rel_tol=rel_tol):
-            continue
-        return False
-    return True
+    return all(_cell_eq(x, y, rel_tol) for x, y in zip(ra, rb))

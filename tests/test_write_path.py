@@ -40,6 +40,43 @@ def test_ctas_insert_delete_analyze(spark, nation, tmp_path):
     spark.sql(f"DROP TABLE {table}")
 
 
+def test_delete_where_stays_distributed(spark, sf_dir, tmp_path, monkeypatch):
+    """DELETE must never materialize the table on the driver (VERDICT r1 #2).
+
+    Monkeypatch DataFrame.collect to fail loudly: at 100 TB a collect-based
+    rewrite is a guaranteed driver OOM, so any collect() on this path is a
+    scale bug, not an implementation detail.
+    """
+    import pyspark.sql
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = "t_orders_del"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, orders, table, str(tmp_path / "orders_del"))
+    expected = orders.filter("NOT (o_orderpriority = '1-URGENT')")
+    exp_n = expected.count()
+    exp_sum = expected.selectExpr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) s").first()["s"]
+
+    def _no_collect(self):
+        raise AssertionError("delete_where must not collect() to the driver")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
+    try:
+        delete_where(spark, table, "o_orderpriority = '1-URGENT'")
+    finally:
+        monkeypatch.undo()
+
+    after = spark.table(table)
+    assert after.count() == exp_n
+    assert after.filter("o_orderpriority = '1-URGENT'").count() == 0
+    got_sum = after.selectExpr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) s").first()["s"]
+    assert got_sum == exp_sum
+    # Type fidelity: the staged write preserves the original schema exactly.
+    assert after.schema == orders.schema
+    assert not [t for t in spark.catalog.listTables() if t.name == f"{table}__delete_stage"]
+    spark.sql(f"DROP TABLE {table}")
+
+
 def test_partitioned_ctas_prunes(spark, nation, tmp_path):
     table = "t_nation_part"
     spark.sql(f"DROP TABLE IF EXISTS {table}")
