@@ -7,7 +7,14 @@ Three mapping kinds:
 - SAME:   identical name & semantics in Spark SQL (listed for inventory).
 - RENAME: same arguments, different name (``strpos`` -> ``instr``).
 - REWRITE: argument restructuring handled by the transpiler
-  (``date_add('day', n, ts)`` -> ``timestampadd(DAY, n, ts)``).
+  (``date_add('day', n, ts)`` -> ``timestampadd(DAY, n, ts)``). A REWRITE
+  value is either a ``$1..$n`` template or a callable ``(args, lits) ->
+  str | None`` for shapes that need to inspect literal arguments (datetime
+  pattern translation, 2-arg min/max).
+
+String literals are masked out before any pass runs (doubled ``''`` escapes
+included), so function-looking text inside literals is never rewritten and
+argument splitting cannot mis-parse escaped quotes.
 
 Known semantic deltas are documented in DELTAS — they matter to a user
 switching engines, and the conformance corpus pins the behavior we ship.
@@ -16,6 +23,7 @@ switching engines, and the conformance corpus pins the behavior we ship.
 from __future__ import annotations
 
 import re
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -27,10 +35,10 @@ SAME = (
     # math — MathFunctions.java:65
     "abs ceil ceiling floor round sign mod pow power exp ln log log2 log10 sqrt cbrt "
     "sin cos tan asin acos atan atan2 sinh cosh tanh degrees radians pi e "
-    "is_nan width_bucket greatest least rand random "
+    "width_bucket greatest least rand random "
     # date/time — DateTimeFunctions.java:63
-    "now current_date current_timestamp from_unixtime to_unixtime date_trunc "
-    "year quarter month day hour minute second day_of_week day_of_year last_day_of_month "
+    "now current_date current_timestamp date_trunc "
+    "year quarter month day hour minute second "
     # bitwise — BitwiseFunctions.java:24
     "bit_count "
     # regex — JoniRegexpFunctions.java:44
@@ -40,7 +48,7 @@ SAME = (
     # array / map / HOF — scalar/Array*.java, Map*.java
     "cardinality element_at contains array_distinct array_intersect array_union "
     "array_except array_position array_remove array_sort arrays_overlap array_join "
-    "flatten sequence repeat shuffle slice zip zip_with transform filter reduce "
+    "flatten sequence repeat shuffle slice zip_with transform filter reduce "
     "map map_keys map_values map_entries map_from_entries map_concat map_filter "
     "map_zip_with transform_keys transform_values "
     # conditional / misc
@@ -49,7 +57,7 @@ SAME = (
     "count count_if sum avg min max min_by max_by bool_and bool_or every "
     "variance var_samp var_pop stddev stddev_samp stddev_pop skewness kurtosis "
     "covar_samp covar_pop corr regr_slope regr_intercept approx_percentile "
-    "histogram bit_and bit_or bit_xor any_value "
+    "bit_and bit_or bit_xor any_value "
     # window — window/*.java
     "row_number rank dense_rank percent_rank cume_dist ntile "
     "first_value last_value nth_value lag lead"
@@ -64,14 +72,223 @@ RENAME = {
     "array_agg": "collect_list",  # NULL delta: see DELTAS
     "arbitrary": "any_value",  # ArbitraryAggregationFunction.java:47
     "index": "instr",  # TeradataStringFunctions.java
+    "is_nan": "isnan",  # MathFunctions.java isNaN
+    "day_of_year": "dayofyear",  # DateTimeFunctions.java dayOfYear
+    "doy": "dayofyear",
+    "week": "weekofyear",
+    "week_of_year": "weekofyear",
+    "last_day_of_month": "last_day",
+    "zip": "arrays_zip",  # ZipFunction.java (struct field names differ; DELTAS)
+    "split_to_map": "str_to_map",  # StringFunctions.java splitToMap
 }
 
+# --- MySQL datetime pattern translation (DateTimeFunctions.java:63 date_format/
+# date_parse use MySQL codes; Spark uses JDK java.time patterns). ---
+_MYSQL_TO_JDK = {
+    "a": "EEE",
+    "b": "MMM",
+    "c": "M",
+    "d": "dd",
+    "e": "d",
+    "f": "SSSSSS",
+    "H": "HH",
+    "h": "hh",
+    "I": "hh",
+    "i": "mm",
+    "j": "DDD",
+    "k": "H",
+    "l": "h",
+    "M": "MMMM",
+    "m": "MM",
+    "p": "a",
+    "r": "hh:mm:ss a",
+    "S": "ss",
+    "s": "ss",
+    "T": "HH:mm:ss",
+    "v": "ww",
+    "W": "EEEE",
+    "x": "YYYY",
+    "Y": "yyyy",
+    "y": "yy",
+}
+
+
+def mysql_pattern_to_jdk(pat: str) -> str:
+    """Translate a MySQL datetime pattern ('%Y-%m-%d') to JDK ('yyyy-MM-dd').
+
+    Literal runs containing letters are single-quoted (JDK treats bare
+    letters as pattern codes); ``%%`` produces a literal percent.
+    """
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        text = "".join(lit)
+        if re.search(r"[A-Za-z']", text):
+            out.append("'" + text.replace("'", "''") + "'")
+        else:
+            out.append(text)
+        lit.clear()
+
+    i = 0
+    while i < len(pat):
+        ch = pat[i]
+        if ch == "%" and i + 1 < len(pat):
+            code = pat[i + 1]
+            if code == "%":
+                lit.append("%")
+            else:
+                jdk = _MYSQL_TO_JDK.get(code)
+                if jdk is None:
+                    raise ValueError(f"unsupported MySQL datetime code %{code}")
+                flush()
+                out.append(jdk)
+            i += 2
+        else:
+            lit.append(ch)
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def joda_pattern_to_jdk(pat: str) -> str:
+    """Translate a Joda pattern (format_datetime/parse_datetime —
+    JodaDateTimeFormat) to JDK. The alphabets mostly coincide; the deltas:
+    Joda 'Y' is year-of-era (JDK 'y') and Joda 'x' is weekyear (JDK 'Y').
+    Quoted literal sections pass through untouched.
+    """
+    out: list[str] = []
+    in_quote = False
+    for ch in pat:
+        if ch == "'":
+            in_quote = not in_quote
+            out.append(ch)
+        elif not in_quote and ch == "Y":
+            out.append("y")
+        elif not in_quote and ch == "x":
+            out.append("Y")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+_LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
+_MASK = "\x00L{}\x00"
+_MASK_RE = re.compile("\x00L(\\d+)\x00")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    lits: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return _MASK.format(len(lits) - 1)
+
+    return _LITERAL_RE.sub(sub, sql), lits
+
+
+def _unmask(sql: str, lits: list[str]) -> str:
+    return _MASK_RE.sub(lambda m: lits[int(m.group(1))], sql)
+
+
+def _lit_value(arg: str, lits: list[str]) -> str | None:
+    """If ``arg`` is exactly one masked literal, return its unquoted text."""
+    m = _MASK_RE.fullmatch(arg.strip())
+    if not m:
+        return None
+    raw = lits[int(m.group(1))]
+    return raw[1:-1].replace("''", "'")
+
+
+def _quote(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'"
+
+
+# --- callable rewrites -------------------------------------------------------
+
+RewriteFn = Callable[[list[str], list[str]], "str | None"]
+
+
+def _rw_date_format(args: list[str], lits: list[str]) -> str | None:
+    # date_format(ts, '%Y-%m-%d') — translate only when the pattern is a
+    # literal containing MySQL codes; otherwise leave for Spark (JDK) syntax.
+    if len(args) != 2:
+        return None
+    pat = _lit_value(args[1], lits)
+    if pat is None or "%" not in pat:
+        return None
+    return f"date_format({args[0]}, {_quote(mysql_pattern_to_jdk(pat))})"
+
+
+def _rw_date_parse(args: list[str], lits: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    pat = _lit_value(args[1], lits)
+    if pat is None:
+        return None
+    return f"to_timestamp({args[0]}, {_quote(mysql_pattern_to_jdk(pat))})"
+
+
+def _rw_format_datetime(args: list[str], lits: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    pat = _lit_value(args[1], lits)
+    if pat is None:
+        return None
+    return f"date_format({args[0]}, {_quote(joda_pattern_to_jdk(pat))})"
+
+
+def _rw_parse_datetime(args: list[str], lits: list[str]) -> str | None:
+    if len(args) != 2:
+        return None
+    pat = _lit_value(args[1], lits)
+    if pat is None:
+        return None
+    return f"to_timestamp({args[0]}, {_quote(joda_pattern_to_jdk(pat))})"
+
+
+def _rw_max_n(args: list[str], lits: list[str]) -> str | None:
+    # MaxNAggregationFunction.java: max(x, n) -> n largest values as array.
+    # Only fires on a 2-arg call with an integer-literal n (never the plain
+    # aggregate).
+    if len(args) != 2 or not args[1].strip().isdigit():
+        return None
+    return f"slice(reverse(array_sort(collect_list({args[0]}))), 1, {args[1]})"
+
+
+def _rw_min_n(args: list[str], lits: list[str]) -> str | None:
+    if len(args) != 2 or not args[1].strip().isdigit():
+        return None
+    return f"slice(array_sort(collect_list({args[0]})), 1, {args[1]})"
+
+
+_ERF = "reflect('org.apache.commons.math3.special.Erf', 'erf', CAST({} AS DOUBLE))"
+_ERFINV = "reflect('org.apache.commons.math3.special.Erf', 'erfInv', CAST({} AS DOUBLE))"
+
 # Argument-restructuring rewrites, applied by the transpiler. Each maps a
-# Presto call shape to a Spark SQL template with $1..$n placeholders.
-REWRITE: dict[str, str] = {
+# Presto call shape to a Spark SQL template with $1..$n placeholders, or a
+# callable for literal-dependent shapes.
+REWRITE: dict[str, "str | RewriteFn"] = {
     # DateTimeFunctions.java date_add(unit, n, ts): unit becomes a keyword.
     "date_add": "timestampadd(__UNIT($1), $2, $3)",
     "date_diff": "timestampdiff(__UNIT($1), $2, $3)",
+    # MySQL-pattern and Joda-pattern translation (DateTimeFunctions.java:63,
+    # 95 functions; the reference's dashboard-facing surface).
+    "date_format": _rw_date_format,
+    "date_parse": _rw_date_parse,
+    "format_datetime": _rw_format_datetime,
+    "parse_datetime": _rw_parse_datetime,
+    # from_unixtime returns TIMESTAMP in Presto; Spark's returns a string.
+    "from_unixtime": "timestamp_seconds($1)",
+    # to_unixtime returns DOUBLE seconds (Presto); unix_timestamp truncates.
+    "to_unixtime": "(CAST(unix_micros(CAST($1 AS TIMESTAMP)) AS DOUBLE) / 1000000.0)",
+    # Presto day_of_week is ISO (Mon=1..Sun=7); Spark dayofweek is Sun=1.
+    "day_of_week": "((dayofweek($1) + 5) % 7 + 1)",
+    "dow": "((dayofweek($1) + 5) % 7 + 1)",
+    "year_of_week": "extract(YEAROFWEEK FROM $1)",
+    "yow": "extract(YEAROFWEEK FROM $1)",
     # MathFunctions.java cosine_similarity over sparse maps -> dense arrays
     # is covered by operators/similarity.py; scalar truncate:
     "truncate": "(CAST($1 AS BIGINT) + 0.0)",
@@ -89,6 +306,46 @@ REWRITE: dict[str, str] = {
     "hamming_distance": (
         "size(filter(zip_with(split($1, ''), split($2, ''), (a, b) -> a <> b), x -> x))"
     ),
+    # Min/MaxNAggregationFunction.java — top-n aggregates.
+    "max": _rw_max_n,
+    "min": _rw_min_n,
+    # UrlFunctions.java:43 — URLEncoder matches Presto byte-for-byte
+    # (space -> '+', UTF-8 percent escapes).
+    "url_encode": "reflect('java.net.URLEncoder', 'encode', CAST($1 AS STRING), 'UTF-8')",
+    "url_decode": "reflect('java.net.URLDecoder', 'decode', CAST($1 AS STRING), 'UTF-8')",
+    # MathFunctions.java:65 radix conversion (Presto emits lowercase digits).
+    "from_base": "CAST(conv($1, $2, 10) AS BIGINT)",
+    "to_base": "lower(conv(CAST($1 AS STRING), 10, $2))",
+    # MathFunctions normal_cdf/inverse_normal_cdf via commons-math Erf
+    # (on Spark's classpath); reflect returns string, round-trips doubles
+    # exactly through Double.toString.
+    "normal_cdf": (
+        "(0.5 * (1.0 + CAST(" + _ERF.format("(($3) - ($1)) / (($2) * sqrt(2.0))") + " AS DOUBLE)))"
+    ),
+    "inverse_normal_cdf": (
+        "(($1) + ($2) * sqrt(2.0) * CAST(" + _ERFINV.format("2.0 * ($3) - 1.0") + " AS DOUBLE))"
+    ),
+    # WilsonInterval.java — score interval bounds from (successes, trials, z).
+    "wilson_interval_lower": (
+        "((($1) / CAST($2 AS DOUBLE) + ($3) * ($3) / (2.0 * ($2)) - ($3) * "
+        "sqrt((($1) / CAST($2 AS DOUBLE)) * (1.0 - ($1) / CAST($2 AS DOUBLE)) / ($2) "
+        "+ ($3) * ($3) / (4.0 * ($2) * ($2)))) / (1.0 + ($3) * ($3) / ($2)))"
+    ),
+    "wilson_interval_upper": (
+        "((($1) / CAST($2 AS DOUBLE) + ($3) * ($3) / (2.0 * ($2)) + ($3) * "
+        "sqrt((($1) / CAST($2 AS DOUBLE)) * (1.0 - ($1) / CAST($2 AS DOUBLE)) / ($2) "
+        "+ ($3) * ($3) / (4.0 * ($2) * ($2)))) / (1.0 + ($3) * ($3) / ($2)))"
+    ),
+    # ArrayNgramsFunction.java — n-grams over any array; when n exceeds the
+    # array length Presto returns the whole array as the single n-gram.
+    "ngrams": "transform(sequence(1, greatest(size($1) - ($2) + 1, 1)), i -> slice($1, i, $2))",
+    # HyperLogLogFunctions.java / ApproximateSetAggregation.java — mergeable
+    # sketches over Spark's DataSketches HLL.
+    "approx_set": "hll_sketch_agg($1)",
+    "merge": "hll_union_agg($1)",
+    # cardinality(hll) is type-directed in Presto; on sketch columns use
+    # hll_cardinality explicitly (cardinality stays the array/map function).
+    "hll_cardinality": "hll_sketch_estimate($1)",
 }
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
@@ -96,8 +353,17 @@ DELTAS = {
     "array_agg": "Presto keeps NULLs; Spark collect_list drops them.",
     "round": "Presto/Spark round HALF_UP on doubles; DuckDB differs at exact .5 decimals.",
     "element_at": "Both 1-based; Presto errors on OOB under ANSI, Spark returns error in ANSI mode too.",
-    "date_format": "Presto uses MySQL patterns, Spark uses JDK patterns — not transpiled.",
     "json_parse": "Presto has a JSON type; Spark represents json as string.",
+    "zip": "Presto rows have unnamed fields; Spark arrays_zip names struct fields 0..n / by column.",
+    "histogram": "No single Spark aggregate; expressed as groupBy-count + "
+    "map_from_entries (see fn_histogram in the corpus).",
+    "map_agg": "Expressed as map_from_entries(collect_list(struct(k, v))); "
+    "duplicate-key resolution is last-wins on both engines (see fn_map_agg).",
+    "cardinality": "On HLL sketches Presto overloads cardinality(); here the "
+    "sketch estimator is the explicit hll_cardinality/hll_sketch_estimate.",
+    "hmac_*": "No JVM builtin; registered as Python UDFs via "
+    "register_udfs(spark) — the documented slow path, never on a hot path.",
+    "combinations": "Registered as a Python UDF via register_udfs(spark).",
 }
 
 FUNCTION_MAP: dict[str, str] = {}
@@ -105,27 +371,24 @@ for _name in SAME:
     FUNCTION_MAP[_name] = _name
 for _name, _spark in RENAME.items():
     FUNCTION_MAP[_name] = _spark
-for _name in REWRITE:
-    FUNCTION_MAP[_name] = f"<rewrite> {REWRITE[_name]}"
+for _name, _rw in REWRITE.items():
+    FUNCTION_MAP[_name] = f"<rewrite> {_rw if isinstance(_rw, str) else _rw.__name__}"
 
-_UNITS = {"'second'", "'minute'", "'hour'", "'day'", "'week'", "'month'", "'quarter'", "'year'"}
+_UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
 
 
 def _split_args(argstr: str) -> list[str]:
-    """Split a call's argument list on top-level commas."""
-    args, depth, cur, in_str = [], 0, [], False
+    """Split a (literal-masked) call argument list on top-level commas."""
+    args, depth, cur = [], 0, []
     for ch in argstr:
-        if ch == "'" :
-            in_str = not in_str
-        if not in_str:
-            if ch in "([":
-                depth += 1
-            elif ch in ")]":
-                depth -= 1
-            elif ch == "," and depth == 0:
-                args.append("".join(cur).strip())
-                cur = []
-                continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+            continue
         cur.append(ch)
     if cur:
         args.append("".join(cur).strip())
@@ -133,21 +396,18 @@ def _split_args(argstr: str) -> list[str]:
 
 
 def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]] | None:
-    """Locate ``name( ... )`` at/after start; return (begin, end, args)."""
+    """Locate ``name( ... )`` at/after start in masked SQL; return (begin, end, args)."""
     pat = re.compile(r"\b" + re.escape(name) + r"\s*\(", re.IGNORECASE)
     m = pat.search(sql, start)
     if not m:
         return None
-    depth, i, in_str = 1, m.end(), False
+    depth, i = 1, m.end()
     while i < len(sql) and depth:
         ch = sql[i]
-        if ch == "'":
-            in_str = not in_str
-        elif not in_str:
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
         i += 1
     return m.start(), i, _split_args(sql[m.end() : i - 1])
 
@@ -156,36 +416,88 @@ def transpile(sql: str) -> str:
     """Rewrite Presto-dialect SQL into Spark SQL.
 
     Handles RENAME (name swap) and REWRITE (argument restructuring);
-    SAME-named functions pass through untouched. Nested calls are handled by
-    iterating to fixpoint.
+    SAME-named functions pass through untouched. String literals are masked
+    for the duration of both passes. Nested calls are handled by re-scanning
+    from each replacement.
     """
-    out = sql
-    for name, template in REWRITE.items():
+    out, lits = _mask_literals(sql)
+    for name, rw in REWRITE.items():
         pos = 0
         while True:
             found = _find_call(out, name, pos)
             if found is None:
                 break
             begin, end, args = found
-            # Presto date_add/date_diff take a unit literal first; Spark's
-            # native 2-arg date_add(date, n) must pass through untouched.
-            if name in ("date_add", "date_diff") and (
-                not args or args[0].strip().lower() not in _UNITS
-            ):
-                pos = begin + len(name)
-                continue
-            repl = template
-            for idx, arg in enumerate(args, 1):
-                if f"__UNIT(${idx})" in repl:
-                    repl = repl.replace(f"__UNIT(${idx})", arg.strip().strip("'").upper())
-                repl = repl.replace(f"${idx}", arg)
-            # Re-scan from the replacement start: templates never contain
-            # their own name, so nested calls in args still get rewritten.
-            out = out[:begin] + repl + out[end:]
-            pos = begin
+            if isinstance(rw, str):
+                # Presto date_add/date_diff take a unit literal first; Spark's
+                # native 2-arg date_add(date, n) must pass through untouched.
+                if name in ("date_add", "date_diff"):
+                    unit = _lit_value(args[0], lits) if args else None
+                    if unit is None or unit.lower() not in _UNITS:
+                        pos = begin + len(name)
+                        continue
+                repl = rw
+                for idx, arg in enumerate(args, 1):
+                    if f"__UNIT(${idx})" in repl:
+                        repl = repl.replace(f"__UNIT(${idx})", (_lit_value(arg, lits) or arg).upper())
+                    repl = repl.replace(f"${idx}", arg)
+                out = out[:begin] + repl + out[end:]
+                # Templates never contain their own name: re-scan from the
+                # replacement start so nested calls in args get rewritten.
+                pos = begin
+            else:
+                repl = rw(args, lits)
+                if repl is None:
+                    pos = begin + len(name)
+                    continue
+                out = out[:begin] + repl + out[end:]
+                # A callable's output may legitimately contain the source
+                # name (date_format -> date_format with a JDK pattern); the
+                # callable returns None for already-translated calls, so
+                # re-scanning from `begin` terminates.
+                pos = begin
     for name, spark_name in RENAME.items():
         out = re.sub(r"\b" + re.escape(name) + r"\s*\(", spark_name + "(", out, flags=re.IGNORECASE)
-    return out
+    return _unmask(out, lits)
+
+
+def register_udfs(spark: SparkSession) -> None:
+    """Register the few Presto functions with no JVM-side Spark equivalent.
+
+    These are the documented slow path (HmacFunctions.java:25,
+    CombinationsFunction.java): row-at-a-time crypto/combinatorics on
+    driver-registered Python UDFs — fine off the hot path, never used by the
+    engine's own operators.
+    """
+    import hashlib
+    import hmac as _hmac
+    from itertools import combinations as _combos
+
+    from pyspark.sql.types import (
+        ArrayType,
+        BinaryType,
+        StringType,
+    )
+
+    def _mk_hmac(algo: str):
+        def f(data, key):
+            if data is None or key is None:
+                return None
+            d = data if isinstance(data, (bytes, bytearray)) else str(data).encode()
+            k = key if isinstance(key, (bytes, bytearray)) else str(key).encode()
+            return _hmac.new(bytes(k), bytes(d), getattr(hashlib, algo)).digest()
+
+        return f
+
+    for algo in ("md5", "sha1", "sha256", "sha512"):
+        spark.udf.register(f"hmac_{algo}", _mk_hmac(algo), BinaryType())
+
+    def combinations_fn(arr, n):
+        if arr is None or n is None:
+            return None
+        return [list(c) for c in _combos(arr, int(n))]
+
+    spark.udf.register("combinations", combinations_fn, ArrayType(ArrayType(StringType())))
 
 
 def presto_sql(spark: SparkSession, sql: str) -> DataFrame:

@@ -246,19 +246,19 @@ def _array_sql(d: str) -> str:
 WITH base AS (SELECT n_nationkey, {arr} AS arr FROM nation)
 SELECT n_nationkey,
        size(arr) AS arr_size,
-       sort_array(arr) AS arr_sorted,
-       sort_array(array_distinct(arr)) AS arr_distinct_sorted,
+       array_join(transform(sort_array(arr), x -> CAST(x AS STRING)), '-') AS arr_sorted,
+       array_join(transform(sort_array(array_distinct(arr)), x -> CAST(x AS STRING)), '-') AS arr_distinct_sorted,
        element_at(arr, 1) AS arr_first,
        array_contains(arr, 3) AS has_three,
-       slice(sort_array(arr), 1, 2) AS arr_low2,
-       sort_array(array_intersect(arr, array(0L, 1L, 2L, 3L, 4L))) AS small_vals,
+       array_join(transform(slice(sort_array(arr), 1, 2), x -> CAST(x AS STRING)), '-') AS arr_low2,
+       array_join(transform(sort_array(array_intersect(arr, array(0L, 1L, 2L, 3L, 4L))), x -> CAST(x AS STRING)), '-') AS small_vals,
        array_join(transform(sort_array(arr), x -> CAST(x AS STRING)), '-') AS arr_str,
        aggregate(arr, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS arr_sum,
        size(filter(arr, x -> x % 2 = 0)) AS n_even,
        array_max(arr) AS arr_max,
        array_min(arr) AS arr_min,
-       flatten(array(slice(arr, 1, 1), slice(arr, 2, 2))) AS arr_reflat,
-       sequence(1, 3) AS seq3
+       array_join(transform(flatten(array(slice(arr, 1, 1), slice(arr, 2, 2))), x -> CAST(x AS STRING)), '-') AS arr_reflat,
+       array_join(transform(sequence(1, 3), x -> CAST(x AS STRING)), '-') AS seq3
 FROM base
 ORDER BY n_nationkey
 """
@@ -267,19 +267,19 @@ ORDER BY n_nationkey
 WITH base AS (SELECT n_nationkey, {arr} AS arr FROM nation)
 SELECT n_nationkey,
        len(arr) AS arr_size,
-       list_sort(arr) AS arr_sorted,
-       list_sort(list_distinct(arr)) AS arr_distinct_sorted,
+       array_to_string(list_transform(list_sort(arr), x -> CAST(x AS VARCHAR)), '-') AS arr_sorted,
+       array_to_string(list_transform(list_sort(list_distinct(arr)), x -> CAST(x AS VARCHAR)), '-') AS arr_distinct_sorted,
        arr[1] AS arr_first,
        list_contains(arr, 3) AS has_three,
-       list_sort(arr)[1:2] AS arr_low2,
-       list_sort(list_intersect(arr, [0, 1, 2, 3, 4])) AS small_vals,
+       array_to_string(list_transform(list_sort(arr)[1:2], x -> CAST(x AS VARCHAR)), '-') AS arr_low2,
+       array_to_string(list_transform(list_sort(list_intersect(arr, [0, 1, 2, 3, 4])), x -> CAST(x AS VARCHAR)), '-') AS small_vals,
        array_to_string(list_transform(list_sort(arr), x -> CAST(x AS VARCHAR)), '-') AS arr_str,
        list_reduce(list_prepend(CAST(0 AS BIGINT), arr), (acc, x) -> acc + x) AS arr_sum,
        len(list_filter(arr, x -> x % 2 = 0)) AS n_even,
        list_max(arr) AS arr_max,
        list_min(arr) AS arr_min,
-       flatten([arr[1:1], arr[2:3]]) AS arr_reflat,
-       generate_series(1, 3) AS seq3
+       array_to_string(list_transform(flatten([arr[1:1], arr[2:3]]), x -> CAST(x AS VARCHAR)), '-') AS arr_reflat,
+       array_to_string(list_transform(generate_series(1, 3), x -> CAST(x AS VARCHAR)), '-') AS seq3
 FROM base
 ORDER BY n_nationkey
 """
@@ -415,22 +415,35 @@ def fn_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _approx_sql(d: str) -> str:
-    # Approx sketches differ across engines by construction; the differential
-    # check asserts the engine's estimate lands within rsd bounds of truth —
-    # oracle side reduces to literal TRUE (same pattern as error-bound tests
-    # in ApproximateCountDistinctAggregation.java tests).
+    # Approx sketches differ across engines by construction, so the sketch
+    # *estimates* can't be value-compared; instead both sides compute the
+    # exact ground truth (n_exact, exact median) — value-checked — and the
+    # Spark side additionally proves its sketches land within the published
+    # error bounds (the reference's own bounds-test pattern,
+    # ApproximateCountDistinctAggregation tests). Only the boolean bound
+    # flags reduce to TRUE on the oracle side.
     if d == "spark":
         return """
 SELECT
+  count(DISTINCT o_custkey) AS n_exact,
+  round(percentile(o_totalprice, 0.5), 4) AS exact_median,
   CAST(abs(approx_count_distinct(o_custkey, 0.05) - count(DISTINCT o_custkey)) AS DOUBLE)
     / count(DISTINCT o_custkey) < 0.15 AS acd_within_bounds,
-  abs(percentile_approx(o_totalprice, 0.5, 1000) - percentile_approx(o_totalprice, 0.5, 1000)) = 0
-    AS pa_deterministic,
+  abs(percentile_approx(o_totalprice, 0.5, 10000) - percentile(o_totalprice, 0.5))
+    / percentile(o_totalprice, 0.5) < 0.05 AS pa_within_bounds,
   percentile_approx(o_totalprice, 0.5, 10000) BETWEEN min(o_totalprice) AND max(o_totalprice)
     AS pa_within_range
 FROM orders
 """
-    return "SELECT TRUE AS acd_within_bounds, TRUE AS pa_deterministic, TRUE AS pa_within_range"
+    return """
+SELECT
+  count(DISTINCT o_custkey) AS n_exact,
+  round(quantile_cont(o_totalprice, 0.5), 4) AS exact_median,
+  TRUE AS acd_within_bounds,
+  TRUE AS pa_within_bounds,
+  TRUE AS pa_within_range
+FROM orders
+"""
 
 
 @query(
@@ -510,7 +523,7 @@ SELECT p_partkey,
        element_at(meta, 'brand') AS meta_brand,
        element_at(meta, 'type') AS meta_type,
        size(meta) AS meta_size,
-       sort_array(map_keys(meta)) AS meta_keys,
+       array_join(sort_array(map_keys(meta)), ',') AS meta_keys,
        element_at(kv, 'size') AS kv_size,
        element_at(kv, 'brand') AS kv_brand
 FROM m
@@ -527,7 +540,7 @@ SELECT p_partkey,
        meta['brand'][1] AS meta_brand,
        meta['type'][1] AS meta_type,
        CAST(cardinality(meta) AS INT) AS meta_size,
-       list_sort(map_keys(meta)) AS meta_keys,
+       array_to_string(list_sort(map_keys(meta)), ',') AS meta_keys,
        s AS kv_size,
        b AS kv_brand
 FROM m
@@ -727,3 +740,427 @@ ORDER BY o_orderkey
 )
 def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _json_sql("spark"), ("orders",))
+
+
+# --- MySQL / Joda datetime pattern translation (DateTimeFunctions.java:63) ---
+
+_DT_PATTERNS_PRESTO = """
+SELECT o_orderkey,
+       date_format(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%i:%S') AS iso_str,
+       date_format(CAST(o_orderdate AS TIMESTAMP), '%W %M %e, %Y') AS pretty_str,
+       date_format(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%y %H:%i') AS mysql_str,
+       CAST(date_parse(date_format(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%Y %H:%i'),
+                       '%d/%m/%Y %H:%i') AS TIMESTAMP) AS roundtrip_ts,
+       format_datetime(CAST(o_orderdate AS TIMESTAMP), 'YYYY-MM-dd HH:mm') AS joda_str,
+       CAST(parse_datetime(format_datetime(CAST(o_orderdate AS TIMESTAMP), 'YYYY-MM-dd'),
+                           'yyyy-MM-dd') AS TIMESTAMP) AS joda_roundtrip
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+_DT_PATTERNS_DUCK = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S') AS iso_str,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%A %B %-d, %Y') AS pretty_str,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%y %H:%M') AS mysql_str,
+       strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%d/%m/%Y %H:%M'),
+                '%d/%m/%Y %H:%M') AS roundtrip_ts,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d %H:%M') AS joda_str,
+       strptime(strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d'), '%Y-%m-%d') AS joda_roundtrip
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_datetime_patterns",
+    oracle=_DT_PATTERNS_DUCK,
+    doc="MySQL-pattern date_format/date_parse and Joda format_datetime/"
+    "parse_datetime, run through the dialect transpiler's pattern translator "
+    "(DateTimeFunctions.java:63 — the MySQL pattern table; "
+    "JodaDateTimeFormat). Oracle recomputes with DuckDB strftime/strptime.",
+    tags=("functions", "dialect"),
+)
+def fn_datetime_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_DT_PATTERNS_PRESTO), ("orders",))
+
+
+# --- map_agg / map_union / multimap_agg (MapAggregationFunction.java:47) ---
+
+
+def _map_agg_sql(d: str) -> str:
+    # Maps rendered as canonical 'k:v' strings (sorted by key) so the
+    # cross-engine comparison — and the driver's value hash — never sees an
+    # engine-specific map/dict repr.
+    if d == "spark":
+        return """
+WITH maps AS (
+    SELECT n_regionkey,
+           map_from_entries(array_sort(collect_list(struct(n_name AS k, n_nationkey AS v)))) AS m
+    FROM nation
+    GROUP BY n_regionkey
+),
+mm AS (
+    SELECT n_regionkey, substr(n_name, 1, 1) AS mk,
+           array_join(array_sort(collect_list(n_name)), '|') AS mv
+    FROM nation
+    GROUP BY n_regionkey, substr(n_name, 1, 1)
+),
+mmagg AS (
+    SELECT n_regionkey,
+           array_join(array_sort(collect_list(concat(mk, '->', mv))), ',') AS multimap_str
+    FROM mm
+    GROUP BY n_regionkey
+)
+SELECT maps.n_regionkey,
+       array_join(transform(array_sort(map_entries(maps.m)),
+                            e -> concat(e.key, ':', CAST(e.value AS STRING))), ',') AS map_str,
+       size(maps.m) AS map_size,
+       mmagg.multimap_str
+FROM maps JOIN mmagg ON maps.n_regionkey = mmagg.n_regionkey
+ORDER BY maps.n_regionkey
+"""
+    return """
+WITH mm AS (
+    SELECT n_regionkey, substr(n_name, 1, 1) AS mk,
+           string_agg(n_name, '|' ORDER BY n_name) AS mv
+    FROM nation
+    GROUP BY n_regionkey, substr(n_name, 1, 1)
+),
+mmagg AS (
+    SELECT n_regionkey,
+           string_agg(mk || '->' || mv, ',' ORDER BY mk) AS multimap_str
+    FROM mm
+    GROUP BY n_regionkey
+),
+maps AS (
+    SELECT n_regionkey,
+           string_agg(n_name || ':' || n_nationkey, ',' ORDER BY n_name) AS map_str,
+           CAST(count(*) AS INT) AS map_size
+    FROM nation
+    GROUP BY n_regionkey
+)
+SELECT maps.n_regionkey, maps.map_str, maps.map_size, mmagg.multimap_str
+FROM maps JOIN mmagg ON maps.n_regionkey = mmagg.n_regionkey
+ORDER BY maps.n_regionkey
+"""
+
+
+@query(
+    "fn_map_agg",
+    oracle=_map_agg_sql("duck"),
+    doc="map_agg / multimap_agg built by aggregation "
+    "(MapAggregationFunction.java:47, MultimapAggregationFunction.java): "
+    "map_from_entries(collect_list(struct(k,v))) with canonical string "
+    "rendering; map_union is the same shape over exploded entries.",
+    tags=("functions",),
+)
+def fn_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _map_agg_sql("spark"), ("nation",))
+
+
+# --- mergeable HLL sketches (ApproximateSetAggregation.java,
+#     HyperLogLogFunctions.java:24) ---
+
+
+def _hll_sql(d: str) -> str:
+    if d == "spark":
+        # Two-level rollup: per-nation sketches -> region-level union.
+        # This is the mergeability property approx_count_distinct lacks —
+        # the incremental/rollup pipeline pattern approx_set/merge exist for.
+        return """
+WITH nat_sk AS (
+    SELECT c_nationkey,
+           hll_sketch_agg(c_custkey) AS sk,
+           count(DISTINCT c_custkey) AS nd
+    FROM customer
+    GROUP BY c_nationkey
+),
+rolled AS (
+    SELECT n_regionkey,
+           hll_sketch_estimate(hll_union_agg(sk)) AS est,
+           CAST(sum(nd) AS BIGINT) AS n_exact
+    FROM nat_sk JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_regionkey
+)
+SELECT n_regionkey,
+       n_exact,
+       CAST(abs(est - n_exact) AS DOUBLE) / n_exact < 0.05 AS within_bounds
+FROM rolled
+ORDER BY n_regionkey
+"""
+    return """
+SELECT n_regionkey,
+       count(DISTINCT c_custkey) AS n_exact,
+       TRUE AS within_bounds
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@query(
+    "fn_hll_merge",
+    oracle=_hll_sql("duck"),
+    doc="Mergeable HLL surface: approx_set/merge/cardinality over Spark's "
+    "DataSketches HLL (hll_sketch_agg/hll_union_agg/hll_sketch_estimate) — "
+    "two-level rollup re-aggregating sketches, exact count value-checked, "
+    "estimate proven within bounds (ApproximateSetAggregation.java, "
+    "HyperLogLogFunctions.java:24).",
+    tags=("functions",),
+)
+def fn_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _hll_sql("spark"), ("customer", "nation"))
+
+
+# --- min(x,n)/max(x,n) top-n aggregates (Min/MaxNAggregationFunction.java) ---
+
+_MINMAX_N_PRESTO = """
+SELECT o_orderpriority,
+       max(o_orderkey, 3) AS top3_keys,
+       min(o_orderkey, 2) AS low2_keys
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def _minmax_n_spark() -> str:
+    from ..functions.presto import transpile
+
+    sql = transpile(_MINMAX_N_PRESTO)
+    # Render arrays as strings for driver-hash safety (BIGINT casts are
+    # engine-identical).
+    return sql.replace(
+        "slice(reverse(array_sort(collect_list(o_orderkey))), 1, 3) AS top3_keys",
+        "array_join(transform(slice(reverse(array_sort(collect_list(o_orderkey))), 1, 3), x -> CAST(x AS STRING)), ',') AS top3_keys",
+    ).replace(
+        "slice(array_sort(collect_list(o_orderkey)), 1, 2) AS low2_keys",
+        "array_join(transform(slice(array_sort(collect_list(o_orderkey)), 1, 2), x -> CAST(x AS STRING)), ',') AS low2_keys",
+    )
+
+
+_MINMAX_N_DUCK = """
+SELECT o_orderpriority,
+       array_to_string((list_sort(array_agg(o_orderkey), 'DESC'))[1:3], ',') AS top3_keys,
+       array_to_string((list_sort(array_agg(o_orderkey)))[1:2], ',') AS low2_keys
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "fn_minmax_n",
+    oracle=_MINMAX_N_DUCK,
+    doc="min(x,n)/max(x,n) top-n aggregates via the transpiler's "
+    "sort-and-slice rewrite (MinNAggregationFunction.java, "
+    "MaxNAggregationFunction.java).",
+    tags=("functions", "dialect"),
+)
+def fn_minmax_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _minmax_n_spark(), ("orders",))
+
+
+# --- url_encode/url_decode (UrlFunctions.java:43) ---
+
+_URL_CODEC_PRESTO = """
+SELECT p_partkey,
+       url_encode(p_name) AS enc,
+       url_decode(url_encode(p_name)) AS roundtrip,
+       url_encode('a b&c=d/e?f#g') AS enc_specials
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+# p_name is lowercase words + spaces, so its URL encoding is exactly
+# space->'+'; the specials column pins the full escape table.
+_URL_CODEC_DUCK = """
+SELECT p_partkey,
+       replace(p_name, ' ', '+') AS enc,
+       p_name AS roundtrip,
+       'a+b%26c%3Dd%2Fe%3Ff%23g' AS enc_specials
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "fn_url_codec",
+    oracle=_URL_CODEC_DUCK,
+    doc="url_encode/url_decode (UrlFunctions.java:43): x-www-form-urlencoded "
+    "escaping (space->'+', UTF-8 percent escapes) with a decode round-trip.",
+    tags=("functions", "dialect"),
+)
+def fn_url_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_URL_CODEC_PRESTO), ("part",))
+
+
+# --- from_base/to_base (MathFunctions.java:65) ---
+
+_BASE_CONV_PRESTO = """
+SELECT o_orderkey,
+       to_base(o_orderkey, 16) AS hex_str,
+       to_base(o_orderkey, 2) AS bin_str,
+       from_base(to_base(o_orderkey, 16), 16) AS roundtrip,
+       from_base('ff', 16) AS const_255
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+_BASE_CONV_DUCK = """
+SELECT o_orderkey,
+       lower(to_hex(o_orderkey)) AS hex_str,
+       bin(o_orderkey) AS bin_str,
+       o_orderkey AS roundtrip,
+       CAST(255 AS BIGINT) AS const_255
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_base_conv",
+    oracle=_BASE_CONV_DUCK,
+    doc="from_base/to_base radix conversion (MathFunctions.java:65) via "
+    "Spark conv(), lowercase digits matching Presto; round-trip pinned.",
+    tags=("functions", "dialect"),
+)
+def fn_base_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_BASE_CONV_PRESTO), ("orders",))
+
+
+# --- normal_cdf / inverse_normal_cdf / wilson intervals
+#     (MathFunctions.java:65, WilsonInterval.java) ---
+
+_CDF_PRESTO = """
+SELECT o_orderkey,
+       round(wilson_interval_lower(o_orderkey % 50 + 10, 100, 1.96), 6) AS w_lo,
+       round(wilson_interval_upper(o_orderkey % 50 + 10, 100, 1.96), 6) AS w_hi,
+       round(normal_cdf(0.0, 1.0, CAST(o_orderkey % 7 AS DOUBLE) - 3.0), 6) AS ncdf,
+       abs(inverse_normal_cdf(0.0, 1.0, normal_cdf(0.0, 1.0, 1.5)) - 1.5) < 0.000000001 AS inv_roundtrip
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+# DuckDB has no erf: the Wilson interval is recomputed arithmetically and
+# normal_cdf is pinned against the 7 reference values Phi(-3..3) (computed
+# from the error function; commons-math and libm agree to ~1e-15).
+_CDF_DUCK = """
+SELECT o_orderkey,
+       round((s / 100.0 + z * z / 200.0 - z * sqrt((s / 100.0) * (1 - s / 100.0) / 100.0
+              + z * z / 40000.0)) / (1 + z * z / 100.0), 6) AS w_lo,
+       round((s / 100.0 + z * z / 200.0 + z * sqrt((s / 100.0) * (1 - s / 100.0) / 100.0
+              + z * z / 40000.0)) / (1 + z * z / 100.0), 6) AS w_hi,
+       CASE o_orderkey % 7
+           WHEN 0 THEN 0.00135 WHEN 1 THEN 0.02275 WHEN 2 THEN 0.158655
+           WHEN 3 THEN 0.5 WHEN 4 THEN 0.841345 WHEN 5 THEN 0.97725
+           ELSE 0.99865 END AS ncdf,
+       TRUE AS inv_roundtrip
+FROM (SELECT o_orderkey, CAST(o_orderkey % 50 + 10 AS DOUBLE) AS s, 1.96 AS z
+      FROM orders WHERE o_orderkey <= 200)
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_cdf_wilson",
+    oracle=_CDF_DUCK,
+    doc="normal_cdf/inverse_normal_cdf (commons-math Erf via reflect) and "
+    "wilson_interval_lower/upper (WilsonInterval.java) — CDF pinned against "
+    "reference Phi values, Wilson recomputed arithmetically in the oracle.",
+    tags=("functions", "dialect"),
+)
+def fn_cdf_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_CDF_PRESTO), ("orders",))
+
+
+# --- hmac_* known-answer tests (HmacFunctions.java:25) ---
+
+# RFC 4231 test case 2 (key "Jefe") + RFC 2202 for md5/sha1: published
+# known-answer vectors, the same fixtures the reference's HmacFunctions
+# tests assert against.
+_HMAC_SPARK = """
+SELECT 'jefe' AS vector,
+       lower(hex(hmac_md5('what do ya want for nothing?', 'Jefe'))) AS h_md5,
+       lower(hex(hmac_sha1('what do ya want for nothing?', 'Jefe'))) AS h_sha1,
+       lower(hex(hmac_sha256('what do ya want for nothing?', 'Jefe'))) AS h_sha256,
+       lower(hex(hmac_sha512('what do ya want for nothing?', 'Jefe'))) AS h_sha512
+"""
+
+_HMAC_DUCK = """
+SELECT 'jefe' AS vector,
+       '750c783e6ab0b503eaa86e310a5db738' AS h_md5,
+       'effcdf6ae5eb2fa2d27416d5f184df9c259a7c79' AS h_sha1,
+       '5bdcc146bf60754e6a042426089575c75a003f089d2739839dec58b964ec3843' AS h_sha256,
+       '164b7a7bfcf819e2e395fbe73b56e0a387bd64222e831fd610270cd7ea2505549758bf75c05a994a6d034f65f8f0e6fdcaeab1a34d4a6b4b636e070a38bce737' AS h_sha512
+"""
+
+
+@query(
+    "fn_hmac",
+    oracle=_HMAC_DUCK,
+    doc="hmac_md5/sha1/sha256/sha512 (HmacFunctions.java:25) as registered "
+    "Python UDFs, asserted against RFC 2202/4231 known-answer vectors "
+    "(the documented slow path — no JVM hmac builtin; never on a hot path).",
+    tags=("functions", "dialect"),
+)
+def fn_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import register_udfs
+
+    register_udfs(spark)
+    return spark.sql(_HMAC_SPARK)
+
+
+# --- ngrams as a user-facing function (ArrayNgramsFunction.java) ---
+
+_NGRAMS_PRESTO = """
+SELECT doc_id,
+       cardinality(ngrams(split(text, ' '), 3)) AS n_trigrams,
+       array_join(transform(ngrams(split(text, ' '), 2), g -> array_join(g, ' ')), '|') AS bigrams_str
+FROM documents
+WHERE doc_id <= 50
+ORDER BY doc_id
+"""
+
+_NGRAMS_DUCK = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id <= 50
+)
+SELECT doc_id,
+       CAST(greatest(len(t) - 3 + 1, 1) AS INT) AS n_trigrams,
+       array_to_string(
+           list_transform(generate_series(1, greatest(len(t) - 2 + 1, 1)),
+                          i -> array_to_string(t[i:i+1], ' ')), '|') AS bigrams_str
+FROM toks
+ORDER BY doc_id
+"""
+
+
+@query(
+    "fn_ngrams",
+    oracle=_NGRAMS_DUCK,
+    doc="ngrams as a user-facing array function (ArrayNgramsFunction.java) "
+    "via the transpiler's sequence+slice rewrite; bigrams rendered "
+    "canonically, trigram cardinality value-checked.",
+    tags=("functions", "dialect"),
+)
+def fn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_NGRAMS_PRESTO), ("documents",))

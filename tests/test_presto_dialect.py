@@ -45,6 +45,64 @@ def test_transpile_string_literals_untouched():
     assert transpile(sql) == "SELECT 'date_add(day)' AS s, instr(x, 'y') FROM t"
 
 
+def test_transpile_escaped_quotes_in_literals():
+    # Doubled '' is an escaped quote, not a literal boundary (ADVICE r1).
+    sql = "SELECT strpos(x, 'it''s a strpos(test)') FROM t"
+    assert transpile(sql) == "SELECT instr(x, 'it''s a strpos(test)') FROM t"
+
+
+def test_transpile_mysql_datetime_patterns():
+    assert (
+        transpile("SELECT date_format(ts, '%Y-%m-%dT%H:%i:%S') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM-dd''T''HH:mm:ss') FROM t"
+    )
+    assert (
+        transpile("SELECT date_parse(s, '%d/%m/%Y') FROM t")
+        == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t"
+    )
+    # Already-JDK patterns (no %) pass through untouched.
+    assert (
+        transpile("SELECT date_format(ts, 'yyyy-MM') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM') FROM t"
+    )
+
+
+def test_transpile_joda_patterns():
+    assert (
+        transpile("SELECT format_datetime(ts, 'YYYY-MM-dd') FROM t")
+        == "SELECT date_format(ts, 'yyyy-MM-dd') FROM t"
+    )
+    assert (
+        transpile("SELECT parse_datetime(s, 'yyyy-MM-dd') FROM t")
+        == "SELECT to_timestamp(s, 'yyyy-MM-dd') FROM t"
+    )
+
+
+def test_transpile_dow_iso_and_week():
+    out = transpile("SELECT day_of_week(d), week(d), year_of_week(d) FROM t")
+    assert "((dayofweek(d) + 5) % 7 + 1)" in out
+    assert "weekofyear(d)" in out
+    assert "extract(YEAROFWEEK FROM d)" in out
+
+
+def test_transpile_minmax_n_only_two_arg_literal():
+    out = transpile("SELECT max(x, 3), min(x, 2), max(x), min(y), max(a, b) FROM t")
+    assert "slice(reverse(array_sort(collect_list(x))), 1, 3)" in out
+    assert "slice(array_sort(collect_list(x)), 1, 2)" in out
+    # plain aggregates and non-literal 2-arg calls untouched
+    assert "max(x)" in out and "min(y)" in out and "max(a, b)" in out
+
+
+def test_transpile_url_base_hll():
+    out = transpile("SELECT url_encode(u), from_base('ff', 16), to_base(n, 2) FROM t")
+    assert "reflect('java.net.URLEncoder', 'encode', CAST(u AS STRING), 'UTF-8')" in out
+    assert "CAST(conv('ff', 16, 10) AS BIGINT)" in out
+    assert "lower(conv(CAST(n AS STRING), 10, 2))" in out
+    out2 = transpile("SELECT hll_cardinality(merge(s)) FROM (SELECT approx_set(x) s FROM t)")
+    assert "hll_sketch_estimate(hll_union_agg(s))" in out2
+    assert "hll_sketch_agg(x)" in out2
+
+
 PRESTO_QUERY = """
 SELECT o_orderpriority,
        count(*) AS n,
