@@ -79,7 +79,12 @@ def main() -> None:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             per_query[name] = -1.0
 
-    total = round(sum(v for v in per_query.values() if v > 0), 4)
+    failed = sorted(n for n, v in per_query.items() if v < 0)
+    # A failed query must never *improve* the headline number: each one is
+    # charged a penalty larger than any real query's wall, and the process
+    # exits nonzero so a regression is loud (ADVICE r1).
+    penalty = 60.0 * len(failed)
+    total = round(sum(v for v in per_query.values() if v > 0) + penalty, 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -88,11 +93,14 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "failed": failed,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }
         )
     )
     spark.stop()
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

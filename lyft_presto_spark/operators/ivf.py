@@ -51,15 +51,15 @@ def ivf_topk(
     nprobe: int = 4,
 ) -> DataFrame:
     """Top-k by cosine among vectors in the nprobe nearest cells."""
+    from .similarity import register_vector_udfs
+
+    register_vector_udfs(assigned.sparkSession)
     order = sorted(range(len(centroids)), key=lambda c: -_cos(centroids[c], query_vec))
     probed = order[:nprobe]
     qlit = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in query_vec) + ")"
-    cos_expr = (
-        f"aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), {qlit}, (x, y) -> x * y), "
-        "CAST(0 AS DOUBLE), (acc, v) -> acc + v) / "
-        f"(sqrt(aggregate(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)) * "
-        f"sqrt(aggregate(transform({qlit}, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))"
-    )
+    # Vectorized cosine (numpy batch via Arrow) — the interpreted-HOF form
+    # costs ~100x per vector (see operators/similarity.py).
+    cos_expr = f"cosine_sim_v(CAST(embedding AS ARRAY<DOUBLE>), {qlit})"
     return (
         assigned.filter(F.col("cell").isin(probed))
         .selectExpr("vec_id", "label", "cell", f"round({cos_expr}, 6) AS cosine_sim")

@@ -399,4 +399,7 @@ ORDER BY cosine_sim DESC, vec_a, vec_b
     tags=("dedup", "similarity"),
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    S.register_vector_udfs(spark)
     return sql_over(spark, sf_dir, _embed_dedup_sql("spark"), ("embeddings",))

@@ -49,6 +49,7 @@ LIMIT {TOP_K}
     tags=("similarity",),
 )
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S.register_vector_udfs(spark)
     return sql_over(spark, sf_dir, _topk_sql("spark"), ("embeddings",))
 
 
@@ -77,6 +78,7 @@ LIMIT {TOP_K}
     tags=("similarity",),
 )
 def sim_topk_signbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S.register_vector_udfs(spark)
     return sql_over(spark, sf_dir, _signbucket_sql("spark"), ("embeddings",))
 
 
@@ -108,6 +110,7 @@ ORDER BY label
     tags=("similarity",),
 )
 def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S.register_vector_udfs(spark)
     return sql_over(spark, sf_dir, _pairs_sql("spark"), ("embeddings",))
 
 
