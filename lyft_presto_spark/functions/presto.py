@@ -501,5 +501,13 @@ def register_udfs(spark: SparkSession) -> None:
 
 
 def presto_sql(spark: SparkSession, sql: str) -> DataFrame:
-    """The engine's Presto-compatible front door: transpile then run."""
+    """The engine's Presto-compatible front door.
+
+    Metadata statements (SHOW/DESCRIBE/PREPARE/EXECUTE — SqlBase.g4:33-118)
+    route to the statement surface; queries are transpiled then run.
+    """
+    from ..sources import statements as _st
+
+    if _st.is_statement(sql):
+        return _st.execute_statement(spark, sql)
     return spark.sql(transpile(sql))

@@ -165,10 +165,14 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity",),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.ivf import build_ivf_index, ivf_topk
+    from ..operators.ivf import ensure_ivf_index, ivf_topk
     from .registry import t
 
     emb = t(spark, sf_dir, "embeddings")
     query_vec = list(emb.filter(f"vec_id = {QUERY_VEC_ID}").collect()[0]["embedding"])
-    assigned, centroids = build_ivf_index(emb.filter(f"vec_id <> {QUERY_VEC_ID}"), k=16)
+    # Build-once/probe-many: the index is a persisted cell-partitioned table
+    # (rebuilt only when missing); each query is a partition-pruned probe.
+    assigned, centroids = ensure_ivf_index(
+        spark, emb.filter(f"vec_id <> {QUERY_VEC_ID}"), key=f"{sf_dir}:no_query_vec", k=16
+    )
     return ivf_topk(assigned, centroids, query_vec, top_k=TOP_K, nprobe=4)

@@ -1,0 +1,154 @@
+"""Metadata statement surface: SHOW / DESCRIBE / PREPARE / EXECUTE.
+
+The reference exposes catalog metadata through SQL statements
+(SqlBase.g4:33-118 — SHOW CATALOGS/SCHEMAS/TABLES/COLUMNS/FUNCTIONS/STATS,
+DESCRIBE, PREPARE/EXECUTE; resolved by MetadataManager.java). Here the same
+statements resolve against the CatalogManager (sources/connectors.py) plus
+the live SparkSession catalog, and return ordinary DataFrames.
+
+Metadata results are tiny (bounded by table/function counts, never data
+volume), so building them driver-side is the correct shape at any scale —
+SHOW STATS is the one exception and computes its aggregates distributed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .connectors import CatalogManager
+
+_DEFAULT_MANAGER: CatalogManager | None = None
+_PREPARED: dict[str, str] = {}
+
+
+def set_default_manager(mgr: CatalogManager) -> None:
+    """Mount the CatalogManager the statement surface resolves against."""
+    global _DEFAULT_MANAGER
+    _DEFAULT_MANAGER = mgr
+
+
+def _manager() -> CatalogManager:
+    global _DEFAULT_MANAGER
+    if _DEFAULT_MANAGER is None:
+        _DEFAULT_MANAGER = CatalogManager()
+    return _DEFAULT_MANAGER
+
+
+STATEMENT_RE = re.compile(r"^\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE)\b", re.IGNORECASE)
+
+
+def is_statement(sql: str) -> bool:
+    return STATEMENT_RE.match(sql) is not None
+
+
+def _session_tables(spark: SparkSession) -> list[str]:
+    return sorted(t.name for t in spark.catalog.listTables())
+
+
+def _resolve_table(spark: SparkSession, name: str) -> DataFrame:
+    """Resolve ``[catalog.]table`` against mounted catalogs, then the session."""
+    mgr = _manager()
+    if "." in name:
+        cat, tbl = name.split(".", 1)
+        if cat in mgr.list_catalogs():
+            return mgr.table(spark, cat, tbl)
+    for cat in mgr.list_catalogs():
+        if name in mgr.catalog(cat).tables:
+            return mgr.table(spark, cat, name)
+    return spark.table(name)
+
+
+def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
+    """Run one metadata statement; raises ValueError on unknown syntax."""
+    mgr = _manager()
+    s = sql.strip().rstrip(";").strip()
+    u = s.upper()
+
+    if u == "SHOW CATALOGS":
+        names = sorted(set(mgr.list_catalogs()) | {"spark"})
+        return spark.createDataFrame([(n,) for n in names], "catalog string")
+
+    m = re.fullmatch(r"SHOW\s+SCHEMAS(?:\s+FROM\s+(\w+))?", s, re.IGNORECASE)
+    if m:
+        cat = (m.group(1) or "spark").lower()
+        if cat == "spark":
+            names = sorted(d.name for d in spark.catalog.listDatabases())
+        else:
+            mgr.catalog(cat)  # existence check
+            names = ["default"]
+        return spark.createDataFrame([(n,) for n in names], "schema string")
+
+    m = re.fullmatch(r"SHOW\s+TABLES(?:\s+FROM\s+(\w+))?", s, re.IGNORECASE)
+    if m:
+        cat = (m.group(1) or "").lower()
+        if cat and cat != "spark":
+            names = mgr.catalog(cat).list_tables()
+        else:
+            names = _session_tables(spark)
+        return spark.createDataFrame([(n,) for n in names], "table string")
+
+    m = re.fullmatch(
+        r"(?:SHOW\s+COLUMNS\s+FROM|DESCRIBE|DESC)\s+([\w.]+)", s, re.IGNORECASE
+    )
+    if m:
+        df = _resolve_table(spark, m.group(1))
+        rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in df.schema.fields]
+        return spark.createDataFrame(rows, "column string, type string, nullable boolean")
+
+    m = re.fullmatch(r"SHOW\s+FUNCTIONS(?:\s+LIKE\s+'([^']*)')?", s, re.IGNORECASE)
+    if m:
+        from ..functions.presto import FUNCTION_MAP
+
+        pat = (m.group(1) or "%").replace("%", ".*").replace("_", ".")
+        rx = re.compile(f"^{pat}$", re.IGNORECASE)
+        rows = sorted((k, v) for k, v in FUNCTION_MAP.items() if rx.match(k))
+        return spark.createDataFrame(rows, "function string, spark_mapping string")
+
+    m = re.fullmatch(r"SHOW\s+STATS\s+FOR\s+([\w.]+)", s, re.IGNORECASE)
+    if m:
+        # Distributed single-pass stats (the reference's SHOW STATS shape:
+        # one row per column + a row-count summary row).
+        from pyspark.sql import functions as F
+
+        df = _resolve_table(spark, m.group(1))
+        aggs: list = [F.count(F.lit(1)).alias("__rows")]
+        for f in df.schema.fields:
+            aggs.append(F.approx_count_distinct(f.name).alias(f"__ndv_{f.name}"))
+            aggs.append(F.sum(F.when(F.col(f.name).isNull(), 1).otherwise(0)).alias(f"__nulls_{f.name}"))
+        r = df.agg(*aggs).first()
+        rows = [
+            (f.name, int(r[f"__ndv_{f.name}"]), int(r[f"__nulls_{f.name}"]), int(r["__rows"]))
+            for f in df.schema.fields
+        ]
+        return spark.createDataFrame(
+            rows, "column string, approx_ndv bigint, null_count bigint, row_count bigint"
+        )
+
+    m = re.fullmatch(r"PREPARE\s+(\w+)\s+FROM\s+(.+)", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        _PREPARED[m.group(1).lower()] = m.group(2).strip()
+        return spark.createDataFrame([(m.group(1).lower(), "PREPARED")], "name string, status string")
+
+    m = re.fullmatch(r"EXECUTE\s+(\w+)(?:\s+USING\s+(.+))?", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        name = m.group(1).lower()
+        if name not in _PREPARED:
+            raise ValueError(f"prepared statement {name!r} not found")
+        body = _PREPARED[name]
+        if m.group(2):
+            # Positional '?' substitution, literal-masked so a '?' inside a
+            # string literal is never treated as a parameter slot.
+            from ..functions.presto import _mask_literals, _split_args, _unmask
+
+            params = _split_args(m.group(2))
+            masked, lits = _mask_literals(body)
+            for p in params:
+                masked = masked.replace("?", p.strip(), 1)
+            body = _unmask(masked, lits)
+        from ..functions.presto import presto_sql
+
+        return presto_sql(spark, body)
+
+    raise ValueError(f"unsupported statement: {sql!r}")

@@ -7,10 +7,13 @@ user_id holding the open session; closed sessions are emitted as soon as a
 new event's gap exceeds the threshold.
 
 Scale notes: state is one small tuple per active user (bounded by active-user
-cardinality, not event volume); events arrive grouped+sorted per key by the
-shuffle, Arrow-batched into pandas. A production deployment adds a state TTL
-(GroupStateTimeout) to retire idle users; kept NoTimeout here so the bounded
-availableNow runs used in tests are deterministic.
+cardinality, not event volume); the shuffle *groups* a key's rows but gives
+no ordering guarantee, and one group can span several Arrow chunks — so the
+operator concatenates all chunks and sorts once before folding (sorting each
+chunk independently mis-sessionizes any user whose events straddle chunks).
+A production deployment adds a state TTL (GroupStateTimeout) to retire idle
+users; kept NoTimeout here so the bounded availableNow runs used in tests
+are deterministic.
 """
 
 from __future__ import annotations
@@ -65,8 +68,12 @@ def _sessionize_group(
         n_events, value_sum = 0, 0.0
 
     closed: list[dict] = []
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
+    # Materialize ALL Arrow chunks, then sort once: within-group order is not
+    # guaranteed by the shuffle, and a >1-chunk group sorted per-chunk would
+    # interleave out of order (ADVICE r1).
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
         for ts, value in zip(pdf["ts"], pdf["value"]):
             ts_us = int(pd.Timestamp(ts).value // 1000)
             if last_us is not None and ts_us - last_us > SESSION_GAP_S * 1_000_000:

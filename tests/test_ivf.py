@@ -39,6 +39,29 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert r8 >= 3
 
 
+def test_persisted_ivf_probe_partition_prunes(spark, sf_dir, tmp_path):
+    """The persisted index is a cell-partitioned table; a probe must reach it
+    as a partition filter (pruned I/O ~nprobe/k of the data), not a post-scan
+    filter."""
+    from lyft_presto_spark.operators.ivf import ivf_topk, read_ivf_index, write_ivf_index
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query_vec = list(emb.filter("vec_id = 0").collect()[0]["embedding"])
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb.filter("vec_id <> 0"), path, k=16)
+
+    assigned, centroids = read_ivf_index(spark, path)
+    probed = ivf_topk(assigned, centroids, query_vec, top_k=10, nprobe=4)
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # Persisted probe agrees with the in-memory index path.
+    mem_assigned, mem_centroids = build_ivf_index(emb.filter("vec_id <> 0"), k=16)
+    mem = ivf_topk(mem_assigned, mem_centroids, query_vec, top_k=10, nprobe=4)
+    assert {r["vec_id"] for r in probed.collect()} == {r["vec_id"] for r in mem.collect()}
+
+
 def test_ivf_probes_subset(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     query_vec = emb.filter("vec_id = 0").collect()[0]["embedding"]

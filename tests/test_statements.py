@@ -1,0 +1,99 @@
+"""SHOW/DESCRIBE/PREPARE/EXECUTE statement surface (SqlBase.g4:33-118).
+
+Parity contract: statement results must agree with the live
+spark.catalog / DataFrame schema metadata they describe.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lyft_presto_spark.functions.presto import presto_sql
+from lyft_presto_spark.session import load_table, register_tables
+from lyft_presto_spark.sources.connectors import CatalogManager, dir_catalog
+from lyft_presto_spark.sources.statements import set_default_manager
+
+
+@pytest.fixture()
+def mounted(spark, sf_dir):
+    mgr = CatalogManager()
+    mgr.mount(dir_catalog("fixtures", sf_dir))
+    set_default_manager(mgr)
+    register_tables(spark, sf_dir)
+    return mgr
+
+
+def test_show_catalogs(spark, mounted):
+    cats = [r["catalog"] for r in presto_sql(spark, "SHOW CATALOGS").collect()]
+    assert "fixtures" in cats and "spark" in cats
+
+
+def test_show_schemas(spark, mounted):
+    assert [r["schema"] for r in presto_sql(spark, "SHOW SCHEMAS FROM fixtures").collect()] == ["default"]
+    spark_schemas = [r["schema"] for r in presto_sql(spark, "SHOW SCHEMAS").collect()]
+    assert spark_schemas == sorted(d.name for d in spark.catalog.listDatabases())
+
+
+def test_show_tables_parity(spark, mounted):
+    # Mounted catalog: every fixture parquet is a table.
+    tables = [r["table"] for r in presto_sql(spark, "SHOW TABLES FROM fixtures").collect()]
+    assert "orders" in tables and "lineitem" in tables
+    assert tables == mounted.catalog("fixtures").list_tables()
+    # Session catalog: parity with spark.catalog.listTables().
+    session_tables = [r["table"] for r in presto_sql(spark, "SHOW TABLES").collect()]
+    assert session_tables == sorted(t.name for t in spark.catalog.listTables())
+    assert "orders" in session_tables
+
+
+def test_describe_matches_schema(spark, sf_dir, mounted):
+    rows = presto_sql(spark, "DESCRIBE fixtures.orders").collect()
+    got = [(r["column"], r["type"]) for r in rows]
+    expected = [
+        (f.name, f.dataType.simpleString()) for f in load_table(spark, sf_dir, "orders").schema.fields
+    ]
+    # dir_catalog reads raw parquet (no ts-column rewrite), so compare names
+    # and that every described type is the raw reader's type.
+    raw = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert got == [(f.name, f.dataType.simpleString()) for f in raw.schema.fields]
+    assert [c for c, _ in got] == [c for c, _ in expected]
+
+
+def test_show_columns_equals_describe(spark, mounted):
+    a = presto_sql(spark, "SHOW COLUMNS FROM fixtures.nation").collect()
+    b = presto_sql(spark, "DESCRIBE fixtures.nation").collect()
+    assert a == b
+
+
+def test_show_functions_inventory(spark, mounted):
+    rows = presto_sql(spark, "SHOW FUNCTIONS LIKE 'date%'").collect()
+    names = [r["function"] for r in rows]
+    assert "date_add" in names and "date_format" in names
+    from lyft_presto_spark.functions.presto import FUNCTION_MAP
+
+    assert set(names) == {k for k in FUNCTION_MAP if k.startswith("date")}
+
+
+def test_show_stats(spark, mounted):
+    rows = {r["column"]: r for r in presto_sql(spark, "SHOW STATS FOR fixtures.nation").collect()}
+    assert rows["n_nationkey"]["row_count"] == 25
+    assert rows["n_nationkey"]["null_count"] == 0
+    # approx ndv within HLL bounds of the exact 25
+    assert abs(rows["n_nationkey"]["approx_ndv"] - 25) <= 3
+
+
+def test_prepare_execute_with_params(spark, mounted):
+    presto_sql(spark, "PREPARE top_orders FROM SELECT o_orderkey FROM orders WHERE o_orderkey <= ? ORDER BY o_orderkey LIMIT ?")
+    rows = presto_sql(spark, "EXECUTE top_orders USING 10, 3").collect()
+    expected = [
+        r["o_orderkey"]
+        for r in spark.sql(
+            "SELECT o_orderkey FROM orders WHERE o_orderkey <= 10 ORDER BY o_orderkey LIMIT 3"
+        ).collect()
+    ]
+    assert [r["o_orderkey"] for r in rows] == expected and len(expected) == 3
+
+
+def test_prepare_execute_transpiles_body(spark, mounted):
+    # The prepared body is Presto dialect: strpos must transpile on EXECUTE.
+    presto_sql(spark, "PREPARE find_dash FROM SELECT strpos(o_orderpriority, '-') AS p FROM orders LIMIT 1")
+    assert presto_sql(spark, "EXECUTE find_dash").collect()[0]["p"] >= 1
