@@ -14,13 +14,17 @@ from .registry import REGISTRY, Query, query
 
 def all_queries() -> dict[str, Query]:
     # Import registers; keep the list explicit so a broken module is loud.
+    # Registration order is also evaluation order for budgeted scorers, so
+    # modules run cheapest-first within each tier: core relational surface,
+    # then scalar/agg families, then the heavier pipeline operators (exploded
+    # posting tables, Python-worker spawns) last.
     from . import tpch  # noqa: F401
     from . import relational  # noqa: F401
     from . import functions_sql  # noqa: F401
     from . import events  # noqa: F401
     from . import text_pipeline  # noqa: F401
-    from . import dedup_queries  # noqa: F401
     from . import similarity_queries  # noqa: F401
+    from . import dedup_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
 
     return dict(REGISTRY)

@@ -788,8 +788,11 @@ def op_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("values",),
 )
 def op_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    vals = spark.createDataFrame(
-        [("AFRICA", 10), ("ASIA", 20), ("EUROPE", 30)], ["region_hint", "weight"]
+    # VALUES as a Catalyst LocalRelation via SQL — NOT spark.createDataFrame,
+    # whose Python-RDD serialization path costs seconds per call (and is the
+    # one shape that can wedge a harness-owned session).
+    vals = spark.sql(
+        "SELECT * FROM VALUES ('AFRICA', 10), ('ASIA', 20), ('EUROPE', 30) AS v(region_hint, weight)"
     )
     reg = t(spark, sf_dir, "region")
     return (
@@ -834,9 +837,11 @@ def op_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     total = li.count()
     sampled = li.sample(fraction=0.1, seed=42).count()
-    return spark.createDataFrame(
-        [(total, sampled, abs(sampled / total - 0.1) < 0.03)],
-        ["total_rows", "sampled_rows", "fraction_within_tolerance"],
+    ok = "true" if abs(sampled / total - 0.1) < 0.03 else "false"
+    # LocalRelation via SQL, not createDataFrame (Python-RDD path).
+    return spark.sql(
+        f"SELECT CAST({total} AS BIGINT) AS total_rows, "
+        f"CAST({sampled} AS BIGINT) AS sampled_rows, {ok} AS fraction_within_tolerance"
     )
 
 
