@@ -6,12 +6,14 @@ media as opaque ``binary`` columns with a typed metadata struct; decode /
 feature-extract run as Arrow-batched ``mapInPandas`` stages so the bytes
 never round-trip through Python row objects.
 
-Codec reality: image/audio libraries are not in this container, so the
-actual decoders are STUBS — ``decode_image``/``decode_audio`` raise
-NotImplementedError unless ``codec="fake"`` selects the deterministic test
-codec (byte-stats features). The Spark-side plumbing — schema, Arrow batch
-iteration, partition-parallel execution, output contract — is real and
-tested; swapping a stub for Pillow/librosa changes one function body.
+Codec reality: third-party image/audio libraries are not in this container,
+so compressed formats (JPEG/PNG/MP3/...) are out of reach — but the
+*uncompressed* containers are parsed for real with the stdlib: WAV (RIFF
+PCM16), PPM (P6) and BMP (24-bit uncompressed) decoders below do actual
+byte-level header + payload parsing. ``codec="fake"`` keeps the
+deterministic byte-stats codec for the oracle-checked data-path test;
+``codec="real"`` dispatches on container magic and raises ValueError for
+formats that would need an external library.
 
 Scale notes: mapInPandas streams Arrow batches (no collect, no per-row
 Python); blobs stay partition-local (the only shuffle in the demo pipeline
@@ -58,23 +60,187 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(blob: bytes, codec: str = "real") -> dict:
-    """Decode an image blob to features. STUB: no imaging libs in-container."""
+    """Decode an image blob to features (real parse for PPM/BMP)."""
     if codec == "fake":
         return _fake_decode(blob)
-    raise NotImplementedError(
-        "image decoding requires an imaging library not present in this "
-        "environment; use codec='fake' for the deterministic test codec"
-    )
+    meta = decode_media(blob)
+    return {
+        "n_bytes": len(blob),
+        "byte_mean": meta["mean_value"],
+        "byte_entropy_proxy": meta["value_spread"],
+        "header_hex": blob[:8].hex(),
+    }
 
 
 def decode_audio(blob: bytes, codec: str = "real") -> dict:
-    """Decode an audio blob to features. STUB: no audio libs in-container."""
+    """Decode an audio blob to features (real parse for WAV PCM16)."""
     if codec == "fake":
         return _fake_decode(blob)
-    raise NotImplementedError(
-        "audio decoding requires an audio library not present in this "
-        "environment; use codec='fake' for the deterministic test codec"
+    meta = decode_media(blob)
+    return {
+        "n_bytes": len(blob),
+        "byte_mean": meta["mean_value"],
+        "byte_entropy_proxy": meta["value_spread"],
+        "header_hex": blob[:8].hex(),
+    }
+
+
+# --- real (stdlib) codecs ----------------------------------------------------
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", LongType()),  # images; 0 for audio
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),  # audio; 0 for images
+        StructField("n_samples", LongType()),  # pixels or PCM frames
+        StructField("duration_s", DoubleType()),  # audio; 0.0 for images
+        StructField("mean_value", DoubleType()),  # mean pixel byte / PCM sample
+        StructField("value_spread", DoubleType()),  # distinct values / range
+    ]
+)
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE", b"fmt ", 16,
+        1, 1, sample_rate, sample_rate * 2, 2, 16, b"data", len(data),
     )
+    return hdr + data
+
+
+def encode_ppm(width: int, height: int, value: int) -> bytes:
+    """Minimal P6 PPM writer: constant-value RGB image."""
+    return f"P6\n{width} {height}\n255\n".encode() + bytes([value] * (width * height * 3))
+
+
+def encode_bmp(width: int, height: int, value: int) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (row stride padded to 4)."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    data = (bytes([value] * (width * 3)) + b"\x00" * (stride - width * 3)) * height
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return hdr + info + data
+
+
+def decode_media(blob: bytes) -> dict:
+    """Container-dispatched REAL decode: WAV / PPM / BMP via stdlib parsing.
+
+    Raises ValueError for containers that would need an external codec
+    library (JPEG/PNG/MP3/...), keeping the limitation explicit.
+    """
+    import struct
+
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        # Walk RIFF chunks for fmt + data.
+        pos, sample_rate, bits, channels, data = 12, 0, 16, 1, b""
+        while pos + 8 <= len(blob):
+            cid, size = blob[pos : pos + 4], struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+            body = blob[pos + 8 : pos + 8 + size]
+            if cid == b"fmt ":
+                _, channels, sample_rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)
+        if bits != 16 or channels != 1:
+            raise ValueError(f"unsupported WAV layout: {bits}-bit {channels}ch")
+        n = len(data) // 2
+        samples = struct.unpack(f"<{n}h", data[: n * 2])
+        return {
+            "container": "wav",
+            "width": 0, "height": 0,
+            "sample_rate": sample_rate,
+            "n_samples": n,
+            "duration_s": n / sample_rate if sample_rate else 0.0,
+            "mean_value": sum(samples) / n if n else 0.0,
+            "value_spread": len(set(samples)) / 65536.0,
+        }
+    if blob[:2] == b"P6":
+        # P6 header: three whitespace-separated tokens after the magic.
+        parts = blob.split(maxsplit=4)
+        width, height, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+        pixels = blob[-width * height * 3 :]
+        n = width * height * 3
+        return {
+            "container": "ppm",
+            "width": width, "height": height,
+            "sample_rate": 0,
+            "n_samples": width * height,
+            "duration_s": 0.0,
+            "mean_value": sum(pixels) / n if n else 0.0,
+            "value_spread": len(set(pixels)) / (maxval + 1.0),
+        }
+    if blob[:2] == b"BM":
+        width, height = struct.unpack("<ii", blob[18:26])
+        bits = struct.unpack("<H", blob[28:30])[0]
+        if bits != 24:
+            raise ValueError(f"unsupported BMP depth: {bits}")
+        off = struct.unpack("<I", blob[10:14])[0]
+        stride = (width * 3 + 3) & ~3
+        rows = [blob[off + r * stride : off + r * stride + width * 3] for r in range(abs(height))]
+        pixels = b"".join(rows)
+        return {
+            "container": "bmp",
+            "width": width, "height": abs(height),
+            "sample_rate": 0,
+            "n_samples": width * abs(height),
+            "duration_s": 0.0,
+            "mean_value": sum(pixels) / len(pixels) if pixels else 0.0,
+            "value_spread": len(set(pixels)) / 256.0,
+        }
+    raise ValueError(
+        "unsupported container (JPEG/PNG/MP3/... need external codec "
+        "libraries not present in this environment)"
+    )
+
+
+def documents_as_real_media(documents: DataFrame) -> DataFrame:
+    """Synthesize REAL containers from document columns (Arrow-batched).
+
+    Deterministic payloads derived from fixture columns, so an oracle can
+    predict every decoded property from (doc_id, n_chars) without parsing:
+    WAV with n_chars PCM frames of constant value doc_id%128 at 8 kHz, or a
+    PPM/BMP of width min(n_chars,64) x 8 filled with doc_id%256.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                mid, n_chars = int(mid), int(n_chars)
+                if mid % 3 == 0:
+                    blob, kind = encode_wav_pcm16([mid % 128] * n_chars), "audio"
+                elif mid % 3 == 1:
+                    blob, kind = encode_ppm(min(n_chars, 64), 8, mid % 256), "image"
+                else:
+                    blob, kind = encode_bmp(min(n_chars, 64), 8, mid % 256), "image"
+                rows.append({"media_id": mid, "kind": kind, "blob": blob, "source": "synth"})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return documents.select("doc_id", "n_chars").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def decode_real_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched real decode: blobs -> typed media properties."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                d = decode_media(bytes(blob))
+                rows.append({"media_id": int(mid), **d})
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
 def _fake_decode(blob: bytes) -> dict:

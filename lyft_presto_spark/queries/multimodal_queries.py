@@ -47,12 +47,51 @@ ORDER BY media_id
     "multimodal_features",
     oracle=_DUCK_ORACLE,
     doc="Binary media columns through Arrow-batched mapInPandas feature "
-    "extraction (deterministic fake codec; real codecs are stubbed — "
-    "operators/multimodal.py). Oracle recomputes byte stats in SQL, "
-    "validating the full binary/Arrow data path.",
+    "extraction (deterministic fake codec; real WAV/PPM/BMP codecs live in "
+    "operators/multimodal.py — see multimodal_decode). Oracle recomputes "
+    "byte stats in SQL, validating the full binary/Arrow data path.",
     tags=("multimodal",),
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents").filter("octet_length(text) = char_length(text)")
     media = documents_as_media(docs)
     return extract_features(media, codec="fake").orderBy("media_id")
+
+
+# Real-codec round trip: blobs are genuine WAV/PPM/BMP containers built from
+# (doc_id, n_chars); the Spark side PARSES the bytes (RIFF chunk walk, P6
+# header, BMP header+stride), the oracle PREDICTS every decoded property
+# from the originating columns — so a parser bug cannot cancel itself out.
+_DECODE_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'wav'
+            WHEN doc_id % 3 = 1 THEN 'ppm'
+            ELSE 'bmp' END AS container,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE least(n_chars, 64) END AS width,
+       CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 8 END AS height,
+       CASE WHEN doc_id % 3 = 0 THEN 8000 ELSE 0 END AS sample_rate,
+       CASE WHEN doc_id % 3 = 0 THEN n_chars ELSE least(n_chars, 64) * 8 END AS n_samples,
+       CASE WHEN doc_id % 3 = 0 THEN n_chars / 8000.0 ELSE 0.0 END AS duration_s,
+       CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 128 AS DOUBLE)
+            ELSE CAST(doc_id % 256 AS DOUBLE) END AS mean_value,
+       CASE WHEN doc_id % 3 = 0 THEN 1.0 / 65536.0 ELSE 1.0 / 256.0 END AS value_spread
+FROM documents
+WHERE doc_id <= 300
+ORDER BY media_id
+"""
+
+
+@query(
+    "multimodal_decode",
+    oracle=_DECODE_ORACLE,
+    doc="REAL container decode end-to-end: WAV (RIFF PCM16 chunk walk), PPM "
+    "(P6), BMP (24-bit, stride-aware) parsed byte-level in Arrow-batched "
+    "mapInPandas; blobs synthesized deterministically from fixture columns "
+    "so the oracle predicts every decoded property without parsing.",
+    tags=("multimodal",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_real_media, documents_as_real_media
+
+    docs = t(spark, sf_dir, "documents").filter("doc_id <= 300")
+    return decode_real_media(documents_as_real_media(docs)).orderBy("media_id")

@@ -1,4 +1,4 @@
-"""Multimodal operator contract: stub behavior and Arrow plumbing."""
+"""Multimodal operator contract: real stdlib codecs and Arrow plumbing."""
 
 from __future__ import annotations
 
@@ -7,17 +7,48 @@ import pytest
 from lyft_presto_spark.operators.multimodal import (
     decode_audio,
     decode_image,
+    decode_media,
     documents_as_media,
+    encode_bmp,
+    encode_ppm,
+    encode_wav_pcm16,
     extract_features,
 )
 from lyft_presto_spark.session import load_table
 
 
-def test_real_codecs_are_stubbed():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG", codec="real")
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF", codec="real")
+def test_compressed_codecs_raise():
+    # Formats needing external libraries stay explicit errors.
+    with pytest.raises(ValueError):
+        decode_media(b"\x89PNG\r\n\x1a\n")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0jpeg", codec="real")
+
+
+def test_wav_roundtrip():
+    samples = [(i * 37) % 1000 - 500 for i in range(4000)]
+    meta = decode_media(encode_wav_pcm16(samples, sample_rate=16000))
+    assert meta["container"] == "wav"
+    assert meta["sample_rate"] == 16000
+    assert meta["n_samples"] == 4000
+    assert meta["duration_s"] == pytest.approx(0.25)
+    assert meta["mean_value"] == pytest.approx(sum(samples) / 4000)
+
+
+def test_ppm_bmp_roundtrip():
+    p = decode_media(encode_ppm(17, 5, 200))
+    assert (p["container"], p["width"], p["height"], p["n_samples"]) == ("ppm", 17, 5, 85)
+    assert p["mean_value"] == 200.0
+    # Odd width exercises BMP 4-byte row-stride padding.
+    b = decode_media(encode_bmp(33, 8, 9))
+    assert (b["container"], b["width"], b["height"], b["n_samples"]) == ("bmp", 33, 8, 264)
+    assert b["mean_value"] == 9.0
+
+
+def test_real_codec_through_feature_path():
+    f = decode_audio(encode_wav_pcm16([100] * 800), codec="real")
+    assert f["byte_mean"] == 100.0
+    assert f["header_hex"].startswith("52494646")  # 'RIFF'
 
 
 def test_fake_codec_deterministic():
