@@ -44,7 +44,7 @@ SAME = (
     # regex — JoniRegexpFunctions.java:44
     "regexp_extract regexp_replace "
     # binary — VarbinaryFunctions.java:37
-    "md5 sha1 sha256 sha512 crc32 xxhash64 to_hex from_hex to_base64 from_base64 "
+    "md5 sha1 crc32 xxhash64 "
     # array / map / HOF — scalar/Array*.java, Map*.java
     "cardinality element_at contains array_distinct array_intersect array_union "
     "array_except array_position array_remove array_sort arrays_overlap array_join "
@@ -52,7 +52,7 @@ SAME = (
     "map map_keys map_values map_entries map_from_entries map_concat map_filter "
     "map_zip_with transform_keys transform_values "
     # conditional / misc
-    "coalesce nullif if typeof format concat_ws "
+    "coalesce nullif if typeof concat_ws "
     # aggregates — operator/aggregation/
     "count count_if sum avg min max min_by max_by bool_and bool_or every "
     "variance var_samp var_pop stddev stddev_samp stddev_pop skewness kurtosis "
@@ -80,6 +80,11 @@ RENAME = {
     "last_day_of_month": "last_day",
     "zip": "arrays_zip",  # ZipFunction.java (struct field names differ; DELTAS)
     "split_to_map": "str_to_map",  # StringFunctions.java splitToMap
+    "to_hex": "hex",  # VarbinaryFunctions.java (both uppercase output)
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
+    "format": "format_string",  # FormatFunction.java — printf-style
 }
 
 # --- MySQL datetime pattern translation (DateTimeFunctions.java:63 date_format/
@@ -346,6 +351,26 @@ REWRITE: dict[str, "str | RewriteFn"] = {
     # cardinality(hll) is type-directed in Presto; on sketch columns use
     # hll_cardinality explicitly (cardinality stays the array/map function).
     "hll_cardinality": "hll_sketch_estimate($1)",
+    # VarbinaryFunctions.java sha256/sha512 -> Spark's parameterized sha2.
+    # sha2 returns a hex STRING; Presto returns varbinary — unhex restores
+    # the binary type contract so to_hex/to_base64 compose correctly.
+    "sha256": "unhex(sha2($1, 256))",
+    "sha512": "unhex(sha2($1, 512))",
+    # MathFunctions.java IEEE 754 bit patterns via java.lang reflection
+    # (big-endian binary, matching Presto's to/from_ieee754_* exactly).
+    "to_ieee754_64": (
+        "unhex(lpad(hex(CAST(reflect('java.lang.Double', 'doubleToRawLongBits', "
+        "CAST($1 AS DOUBLE)) AS BIGINT)), 16, '0'))"
+    ),
+    "from_ieee754_64": (
+        "CAST(reflect('java.lang.Double', 'longBitsToDouble', "
+        "CAST(reflect('java.lang.Long', 'parseUnsignedLong', conv(hex($1), 16, 10)) "
+        "AS BIGINT)) AS DOUBLE)"
+    ),
+    "to_ieee754_32": (
+        "unhex(lpad(hex(CAST(reflect('java.lang.Float', 'floatToRawIntBits', "
+        "CAST($1 AS FLOAT)) AS BIGINT) & 4294967295), 8, '0'))"
+    ),
 }
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).

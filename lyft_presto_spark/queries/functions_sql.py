@@ -1152,6 +1152,53 @@ ORDER BY doc_id
 """
 
 
+# --- IEEE 754 bit patterns + binary spellings (VarbinaryFunctions.java,
+#     MathFunctions.java to/from_ieee754_*) ---
+
+_IEEE754_PRESTO = """
+SELECT o_orderkey,
+       from_ieee754_64(to_ieee754_64(CAST(o_totalprice AS DOUBLE))) AS roundtrip,
+       lower(to_hex(to_ieee754_64(CAST(1.0 AS DOUBLE)))) AS one_bits64,
+       lower(to_hex(to_ieee754_32(CAST(1.0 AS DOUBLE)))) AS one_bits32,
+       lower(to_hex(sha256(to_utf8('abc')))) AS sha256_abc,
+       to_base64(to_utf8('presto')) AS b64,
+       format('%05d/%s', o_orderkey, 'x') AS formatted
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+# KAT oracle: the 1.0 bit patterns and sha256('abc') are published constants;
+# the round-trip must return the input exactly (bit-level identity).
+_IEEE754_DUCK = """
+SELECT o_orderkey,
+       CAST(o_totalprice AS DOUBLE) AS roundtrip,
+       '3ff0000000000000' AS one_bits64,
+       '3f800000' AS one_bits32,
+       'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad' AS sha256_abc,
+       'cHJlc3Rv' AS b64,
+       lpad(CAST(o_orderkey AS VARCHAR), 5, '0') || '/x' AS formatted
+FROM orders
+WHERE o_orderkey <= 200
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_ieee754",
+    oracle=_IEEE754_DUCK,
+    doc="IEEE 754 bit patterns (to/from_ieee754_64, to_ieee754_32 — "
+    "MathFunctions.java) via java.lang reflection, plus sha256/to_base64/"
+    "format spellings (VarbinaryFunctions.java, FormatFunction.java); "
+    "round-trip identity + published known-answer constants.",
+    tags=("functions", "dialect"),
+)
+def fn_ieee754(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_IEEE754_PRESTO), ("orders",))
+
+
 @query(
     "fn_ngrams",
     oracle=_NGRAMS_DUCK,

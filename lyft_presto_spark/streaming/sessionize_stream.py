@@ -11,9 +11,10 @@ cardinality, not event volume); the shuffle *groups* a key's rows but gives
 no ordering guarantee, and one group can span several Arrow chunks — so the
 operator concatenates all chunks and sorts once before folding (sorting each
 chunk independently mis-sessionizes any user whose events straddle chunks).
-A production deployment adds a state TTL (GroupStateTimeout) to retire idle
-users; kept NoTimeout here so the bounded availableNow runs used in tests
-are deterministic.
+The optional state TTL (``idle_timeout_s`` -> ProcessingTimeTimeout) retires
+idle users by flushing their open session and removing state, bounding total
+state by *active* users; the default NoTimeout keeps bounded availableNow
+runs deterministic for the batch-parity tests.
 """
 
 from __future__ import annotations
@@ -55,12 +56,37 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _make_row(user_id, start_us, last_us, n_events, value_sum) -> dict:
+    return {
+        "user_id": user_id,
+        "session_start": pd.Timestamp(start_us * 1000),
+        "session_end": pd.Timestamp(last_us * 1000),
+        "n_events": n_events,
+        "session_value": value_sum,
+    }
+
+
 def _sessionize_group(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
+    idle_timeout_s: float | None = None,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
+
+    if idle_timeout_s is not None and state.hasTimedOut:
+        # TTL expiry: the user has been idle past the timeout — flush the
+        # open session and retire the state (the production path that keeps
+        # total state bounded by *active* users, not all users ever seen).
+        start_us, last_us, n_events, value_sum = state.get
+        state.remove()
+        if n_events:
+            yield pd.DataFrame(
+                [_make_row(user_id, start_us, last_us, n_events, value_sum)],
+                columns=[f.name for f in SESSION_SCHEMA.fields],
+            )
+        return
+
     if state.exists:
         start_us, last_us, n_events, value_sum = state.get
     else:
@@ -94,16 +120,32 @@ def _sessionize_group(
             value_sum += float(value)
 
     state.update((start_us, last_us, n_events, value_sum))
+    if idle_timeout_s is not None:
+        state.setTimeoutDuration(int(idle_timeout_s * 1000))
     if closed:
         yield pd.DataFrame(closed, columns=[f.name for f in SESSION_SCHEMA.fields])
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
-    """Closed sessions per user over an unbounded event stream."""
+def sessionize_stream(events: DataFrame, idle_timeout_s: float | None = None) -> DataFrame:
+    """Closed sessions per user over an unbounded event stream.
+
+    ``idle_timeout_s`` enables the production TTL: a user idle past the
+    timeout has their open session flushed and state removed
+    (ProcessingTimeTimeout), bounding state by *active* users. The default
+    (None) keeps NoTimeout so bounded availableNow runs stay deterministic.
+    """
+    if idle_timeout_s is None:
+        fn, conf = _sessionize_group, GroupStateTimeout.NoTimeout
+    else:
+
+        def fn(key, pdfs, state):  # bind the TTL parameter
+            yield from _sessionize_group(key, pdfs, state, idle_timeout_s=idle_timeout_s)
+
+        conf = GroupStateTimeout.ProcessingTimeTimeout
     return events.groupBy("user_id").applyInPandasWithState(
-        _sessionize_group,
+        fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=conf,
     )

@@ -93,6 +93,31 @@ def test_transpile_minmax_n_only_two_arg_literal():
     assert "max(x)" in out and "min(y)" in out and "max(a, b)" in out
 
 
+def test_every_same_entry_resolves_in_spark(spark):
+    """Each SAME-inventory function must actually exist under that name in
+    Spark — an advertised-compatible name that fails with AnalysisException
+    is an inventory bug (ADVICE r1)."""
+    from lyft_presto_spark.functions.presto import SAME
+
+    unknown = []
+    for name in SAME:
+        try:
+            spark.sql(f"DESCRIBE FUNCTION `{name}`").collect()
+        except Exception:
+            unknown.append(name)
+    assert unknown == []
+
+
+def test_transpile_binary_renames_and_ieee754():
+    out = transpile("SELECT to_hex(from_hex(h)), to_base64(b), format('%d', n) FROM t")
+    assert "hex(unhex(h))" in out
+    assert "base64(b)" in out
+    assert "format_string('%d', n)" in out
+    out2 = transpile("SELECT sha256(x), date_format(ts, 'yyyy') FROM t")
+    assert "sha2(x, 256)" in out2
+    assert "date_format(ts, 'yyyy')" in out2  # 'format' rename must not touch it
+
+
 def test_transpile_url_base_hll():
     out = transpile("SELECT url_encode(u), from_base('ff', 16), to_base(n, 2) FROM t")
     assert "reflect('java.net.URLEncoder', 'encode', CAST(u AS STRING), 'UTF-8')" in out

@@ -20,6 +20,64 @@ from lyft_presto_spark.streaming.events_stream import EVENTS_SCHEMA
 from lyft_presto_spark.streaming.sessionize_stream import sessionize_stream
 
 
+class _FakeState:
+    """Minimal GroupState double for exercising the TTL code path directly
+    (processing-time timeouts can't be fired deterministically under
+    availableNow triggers, so the flush/remove contract is unit-tested)."""
+
+    def __init__(self, value, timed_out):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_state_ttl_flushes_idle_user():
+    from lyft_presto_spark.streaming.sessionize_stream import _sessionize_group
+
+    # Timed-out user with an open session: flush it, retire the state.
+    state = _FakeState((1_000_000, 5_000_000, 7, 12.5), timed_out=True)
+    out = list(_sessionize_group((42,), iter([]), state, idle_timeout_s=60.0))
+    assert state.removed and not state.updated
+    assert len(out) == 1 and len(out[0]) == 1
+    row = out[0].iloc[0]
+    assert row["user_id"] == 42 and row["n_events"] == 7 and row["session_value"] == 12.5
+
+
+def test_state_ttl_arms_timeout_on_update():
+    import pandas as pd
+
+    from lyft_presto_spark.streaming.sessionize_stream import _sessionize_group
+
+    pdf = pd.DataFrame({"ts": [pd.Timestamp("2024-01-01 00:00:00")], "value": [1.0]})
+    state = _FakeState(None, timed_out=False)
+    list(_sessionize_group((7,), iter([pdf]), state, idle_timeout_s=60.0))
+    assert state.updated is not None
+    assert state.timeout_ms == 60_000
+    # Without a TTL the timeout is never armed (NoTimeout mode).
+    state2 = _FakeState(None, timed_out=False)
+    list(_sessionize_group((7,), iter([pdf]), state2))
+    assert state2.timeout_ms is None
+
+
 def test_stateful_sessionize_matches_batch(spark, sf_dir, tmp_path_factory):
     src = str(tmp_path_factory.mktemp("sess_stream"))
     events = load_table(spark, sf_dir, "events")
