@@ -93,18 +93,42 @@ def _minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_FIELD_W = 20  # bit-count field width: 3 counters per BIGINT sum
+_SIMHASH_PER_LONG = 3
+
+
 def _simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash via per-bit vote sums (SIMHASH_BITS sum-aggregates), packed."""
+    """SimHash via packed per-bit vote counts (VERDICT r1 perf note).
+
+    Instead of SIMHASH_BITS separate SUM aggregates, 3 bit-counters are
+    packed into 20-bit fields of one BIGINT per group — 20 sums + 1 count
+    instead of 60 sums, all map-side combined. A bit of the signature is set
+    iff ones > n/2 (equivalent to the +/-1 vote sum being positive; ties
+    fall to 0 in both formulations since 2*ones == n is not > n). The 20-bit
+    field bounds per-doc shingles at ~1M — far above any real document; the
+    width is a named constant to retune if that ever changes.
+    """
     ex = _exploded_shingle_hashes(spark, sf_dir)
-    votes = [
-        F.sum(F.expr(f"2 * CAST(shiftright(h, {i}) % 2 AS BIGINT) - 1")).alias(f"v{i}")
-        for i in range(D.SIMHASH_BITS)
-    ]
-    packed = None
-    for i in range(D.SIMHASH_BITS):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-        packed = bit if packed is None else packed + bit
-    return ex.groupBy("doc_id").agg(*votes).select("doc_id", packed.alias("sh64"))
+    n_groups = (D.SIMHASH_BITS + _SIMHASH_PER_LONG - 1) // _SIMHASH_PER_LONG
+    aggs = [F.count("*").alias("n")]
+    for g in range(n_groups):
+        bits = range(g * _SIMHASH_PER_LONG, min((g + 1) * _SIMHASH_PER_LONG, D.SIMHASH_BITS))
+        packed_row = " + ".join(
+            f"shiftleft(CAST(shiftright(h, {i}) % 2 AS BIGINT), {_SIMHASH_FIELD_W * r})"
+            for r, i in enumerate(bits)
+        )
+        aggs.append(F.sum(F.expr(packed_row)).alias(f"g{g}"))
+    mask = (1 << _SIMHASH_FIELD_W) - 1
+    sig = None
+    for g in range(n_groups):
+        bits = range(g * _SIMHASH_PER_LONG, min((g + 1) * _SIMHASH_PER_LONG, D.SIMHASH_BITS))
+        for r, i in enumerate(bits):
+            ones = F.expr(f"shiftright(g{g}, {_SIMHASH_FIELD_W * r}) & {mask}")
+            bit = F.when(ones * 2 > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            sig = bit if sig is None else sig + bit
+    return ex.groupBy("doc_id").agg(*aggs).select("doc_id", sig.alias("sh64"))
 
 
 def _exact_sql(dialect: str) -> str:
