@@ -203,6 +203,107 @@ def decode_media(blob: bytes) -> dict:
     )
 
 
+def encode_y4m(width: int, height: int, frame_values: list[int], fps: int = 25) -> bytes:
+    """Minimal YUV4MPEG2 (y4m) writer: C444, one constant value per frame."""
+    hdr = f"YUV4MPEG2 W{width} H{height} F{fps}:1 Ip A1:1 C444\n".encode()
+    frames = b"".join(
+        b"FRAME\n" + bytes([v % 256] * (3 * width * height)) for v in frame_values
+    )
+    return hdr + frames
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("container", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("fps", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_sampled", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("sampled_mean", DoubleType()),
+    ]
+)
+
+
+def decode_y4m(blob: bytes, frame_stride: int = 1) -> dict:
+    """REAL y4m parse: stream header tokens, then frame-sample every
+    ``frame_stride``-th frame (the pipeline's frame-sampling primitive —
+    only sampled frames' planes are touched).
+    """
+    nl = blob.index(b"\n")
+    header = blob[:nl].decode()
+    if not header.startswith("YUV4MPEG2"):
+        raise ValueError("not a y4m stream")
+    width = height = fps_num = fps_den = 0
+    colorspace = "C420"
+    for tok in header.split()[1:]:
+        if tok[0] == "W":
+            width = int(tok[1:])
+        elif tok[0] == "H":
+            height = int(tok[1:])
+        elif tok[0] == "F":
+            fps_num, fps_den = (int(x) for x in tok[1:].split(":"))
+        elif tok[0] == "C":
+            colorspace = tok
+    if colorspace != "C444":
+        raise ValueError(f"unsupported y4m colorspace {colorspace}")
+    frame_size = 3 * width * height
+    pos, f, means = nl + 1, 0, []
+    while pos < len(blob):
+        fnl = blob.index(b"\n", pos)
+        if blob[pos:fnl].split()[0] != b"FRAME":
+            raise ValueError("malformed y4m frame header")
+        body = blob[fnl + 1 : fnl + 1 + frame_size]
+        if f % frame_stride == 0:
+            means.append(sum(body) / frame_size)
+        pos = fnl + 1 + frame_size
+        f += 1
+    return {
+        "container": "y4m",
+        "width": width,
+        "height": height,
+        "fps": fps_num // fps_den,
+        "n_frames": f,
+        "n_sampled": len(means),
+        "duration_s": f * fps_den / fps_num if fps_num else 0.0,
+        "sampled_mean": sum(means) / len(means) if means else 0.0,
+    }
+
+
+def documents_as_video(documents: DataFrame) -> DataFrame:
+    """Synthesize y4m blobs from document columns (Arrow-batched): 8x4 C444,
+    least(n_chars, 32) frames, frame f filled with (doc_id%128)+f — every
+    decoded property is predictable from (doc_id, n_chars)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                mid, n_chars = int(mid), int(n_chars)
+                n_frames = max(min(n_chars, 32), 1)
+                blob = encode_y4m(8, 4, [(mid % 128) + f for f in range(n_frames)])
+                rows.append({"media_id": mid, "kind": "video", "blob": blob, "source": "synth"})
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
+
+    return documents.select("doc_id", "n_chars").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def sample_video_frames(media: DataFrame, frame_stride: int = 4) -> DataFrame:
+    """Arrow-batched y4m decode + frame sampling."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                d = decode_y4m(bytes(blob), frame_stride=frame_stride)
+                rows.append({"media_id": int(mid), **d})
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_SCHEMA.fields])
+
+    return media.mapInPandas(batches, schema=VIDEO_SCHEMA)
+
+
 def documents_as_real_media(documents: DataFrame) -> DataFrame:
     """Synthesize REAL containers from document columns (Arrow-batched).
 

@@ -95,3 +95,44 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").filter("doc_id <= 300")
     return decode_real_media(documents_as_real_media(docs)).orderBy("media_id")
+
+
+# Video frame-sampling: y4m (YUV4MPEG2) streams parsed for real — header
+# tokens, FRAME markers, C444 planes — with every 4th frame sampled. Frame f
+# carries value (doc_id%128)+f, so the sampled mean is the arithmetic-series
+# mean base + 2*(k-1), predictable in SQL.
+_VIDEO_ORACLE = """
+WITH v AS (
+    SELECT doc_id, greatest(least(n_chars, 32), 1) AS nf
+    FROM documents WHERE doc_id <= 300
+)
+SELECT doc_id AS media_id,
+       'y4m' AS container,
+       8 AS width,
+       4 AS height,
+       25 AS fps,
+       nf AS n_frames,
+       CAST(floor((nf + 3) / 4) AS BIGINT) AS n_sampled,
+       nf / 25.0 AS duration_s,
+       CAST(doc_id % 128 AS DOUBLE) + 2.0 * (CAST(floor((nf + 3) / 4) AS BIGINT) - 1)
+           AS sampled_mean
+FROM v
+ORDER BY media_id
+"""
+
+
+@query(
+    "multimodal_video_frames",
+    oracle=_VIDEO_ORACLE,
+    doc="REAL video container decode + frame sampling: YUV4MPEG2 streams "
+    "(header tokens, FRAME markers, C444 planes) parsed byte-level in "
+    "Arrow-batched mapInPandas, sampling every 4th frame — only sampled "
+    "planes are touched. Blobs synthesized from fixture columns so the "
+    "oracle predicts frame counts, duration and the sampled mean exactly.",
+    tags=("multimodal", "video"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_video, sample_video_frames
+
+    docs = t(spark, sf_dir, "documents").filter("doc_id <= 300")
+    return sample_video_frames(documents_as_video(docs), frame_stride=4).orderBy("media_id")

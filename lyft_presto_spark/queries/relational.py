@@ -725,6 +725,46 @@ def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.exceptAll(li).distinct().orderBy("pk")
 
 
+@query(
+    "op_intersect_all",
+    oracle="""
+    SELECT l_partkey AS pk FROM lineitem WHERE l_quantity >= 49
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09
+    ORDER BY pk
+    """,
+    doc="INTERSECT ALL (bag semantics: multiplicity = min of the two sides). "
+    "Reference: IntersectNode distinct=false (SetOperationNodeUtils); "
+    "Catalyst RewriteIntersectAll.",
+    tags=("setop",),
+)
+def op_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 49).select(F.col("l_partkey").alias("pk"))
+    b = li.filter(F.col("l_discount") >= 0.09).select(F.col("l_partkey").alias("pk"))
+    return a.intersectAll(b).orderBy("pk")
+
+
+@query(
+    "op_except_all",
+    oracle="""
+    SELECT l_partkey AS pk FROM lineitem WHERE l_quantity >= 45
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_discount >= 0.09
+    ORDER BY pk
+    """,
+    doc="EXCEPT ALL (bag semantics: multiplicity = left minus right, floored "
+    "at zero). Reference: ExceptNode distinct=false; Catalyst "
+    "RewriteExceptAll.",
+    tags=("setop",),
+)
+def op_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") >= 45).select(F.col("l_partkey").alias("pk"))
+    b = li.filter(F.col("l_discount") >= 0.09).select(F.col("l_partkey").alias("pk"))
+    return a.exceptAll(b).orderBy("pk")
+
+
 # ---------------------------------------------------------------------------
 # Unnest / Values / Sample — UnnestNode.java:33, ValuesNode.java:30,
 # SampleNode.java:31.
@@ -772,6 +812,102 @@ def op_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"))
         .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "op_unnest_map",
+    oracle="""
+    SELECT n_nationkey, 'key' AS mk, n_name AS mv FROM nation
+    UNION ALL
+    SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation
+    ORDER BY n_nationkey, mk
+    """,
+    doc="UNNEST of a MAP into (key, value) rows — Presto UNNEST(map) emits "
+    "two columns (UnnestOperator.java map case); Spark spells it "
+    "explode(map). Oracle reconstructs the same rows relationally.",
+    tags=("unnest", "map"),
+)
+def op_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("key"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return (
+        nation.select("n_nationkey", F.explode(m).alias("mk", "mv"))
+        .orderBy("n_nationkey", "mk")
+    )
+
+
+@query(
+    "op_row_type",
+    oracle="""
+    WITH pairs AS (
+        SELECT n_nationkey,
+               struct_pack(rk := n_regionkey, ini := substr(n_name, 1, 1)) AS r
+        FROM nation
+    )
+    SELECT a.n_nationkey AS nk_a, b.n_nationkey AS nk_b
+    FROM pairs a JOIN pairs b
+      ON a.r = b.r AND a.n_nationkey < b.n_nationkey
+    UNION ALL
+    SELECT n_nationkey, CAST(r.rk AS BIGINT)
+    FROM pairs WHERE r.ini >= 'A'
+    ORDER BY nk_a, nk_b
+    """,
+    doc="ROW/struct type operators: construction, field access, full-struct "
+    "equality in a join key (RowType.java, RowEqualOperator.java; Spark "
+    "struct() + field access). Struct equality joins only identical rows.",
+    tags=("row", "struct"),
+)
+def op_row_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = t(spark, sf_dir, "nation")
+    pairs = nation.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_regionkey").alias("rk"), F.substring("n_name", 1, 1).alias("ini")
+        ).alias("r"),
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    eq = (
+        a.join(b, (F.col("a.r") == F.col("b.r")) & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+        .select(F.col("a.n_nationkey").alias("nk_a"), F.col("b.n_nationkey").alias("nk_b"))
+    )
+    access = pairs.filter(F.col("r.ini") >= "A").select(
+        F.col("n_nationkey").alias("nk_a"), F.col("r.rk").cast("bigint").alias("nk_b")
+    )
+    return eq.unionAll(access).orderBy("nk_a", "nk_b")
+
+
+@query(
+    "op_skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="Skew-salted join equivalence: the salted plan (big side's key "
+    "salted N ways, small side replicated N times — operators/skew.py) must "
+    "produce exactly the plain-join aggregate. This is the explicit skew "
+    "tool for when AQE's runtime skew split can't see the hot key.",
+    tags=("join", "skew"),
+)
+def op_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    joined = salted_join(orders, cust, big_key="o_custkey", small_key="c_custkey", salt_n=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

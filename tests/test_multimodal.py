@@ -45,6 +45,22 @@ def test_ppm_bmp_roundtrip():
     assert b["mean_value"] == 9.0
 
 
+def test_y4m_roundtrip_and_frame_sampling():
+    from lyft_presto_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    blob = encode_y4m(8, 4, [10 + f for f in range(9)], fps=25)
+    full = decode_y4m(blob, frame_stride=1)
+    assert (full["container"], full["width"], full["height"]) == ("y4m", 8, 4)
+    assert full["n_frames"] == 9 and full["n_sampled"] == 9
+    assert full["duration_s"] == pytest.approx(9 / 25)
+    assert full["sampled_mean"] == pytest.approx(14.0)  # mean of 10..18
+    sampled = decode_y4m(blob, frame_stride=4)
+    assert sampled["n_sampled"] == 3  # frames 0, 4, 8
+    assert sampled["sampled_mean"] == pytest.approx((10 + 14 + 18) / 3)
+    with pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 F25:1 C420\n")  # subsampled layout unsupported
+
+
 def test_real_codec_through_feature_path():
     f = decode_audio(encode_wav_pcm16([100] * 800), codec="real")
     assert f["byte_mean"] == 100.0
