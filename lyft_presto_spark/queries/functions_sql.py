@@ -1152,6 +1152,46 @@ ORDER BY doc_id
 """
 
 
+# --- ORDER BY inside aggregation (Presto array_agg(x ORDER BY y) —
+#     AggregationNode orderingScheme) ---
+
+
+def _array_agg_ordered_sql(d: str) -> str:
+    if d == "spark":
+        # Spark's collect_list gives no ordering guarantee; the deterministic
+        # rewrite packs the sort key into a struct, sorts, then projects.
+        return """
+SELECT n_regionkey,
+       array_join(transform(array_sort(collect_list(struct(n_nationkey AS o, n_name AS v))),
+                            s -> s.v), ',') AS names_by_key,
+       array_join(transform(array_sort(collect_list(struct(n_name AS o, n_nationkey AS v))),
+                            s -> CAST(s.v AS STRING)), ',') AS keys_by_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+    return """
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_nationkey) AS names_by_key,
+       string_agg(CAST(n_nationkey AS VARCHAR), ',' ORDER BY n_name) AS keys_by_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+@query(
+    "fn_array_agg_ordered",
+    oracle=_array_agg_ordered_sql("duck"),
+    doc="array_agg(x ORDER BY y) — ordered aggregation (AggregationNode "
+    "orderingScheme, Presto 319 ORDER BY in aggregates) via the "
+    "struct-sort-project rewrite, since collect_list guarantees no order.",
+    tags=("functions",),
+)
+def fn_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _array_agg_ordered_sql("spark"), ("nation",))
+
+
 # --- IEEE 754 bit patterns + binary spellings (VarbinaryFunctions.java,
 #     MathFunctions.java to/from_ieee754_*) ---
 

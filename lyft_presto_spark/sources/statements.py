@@ -36,7 +36,7 @@ def _manager() -> CatalogManager:
     return _DEFAULT_MANAGER
 
 
-STATEMENT_RE = re.compile(r"^\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE)\b", re.IGNORECASE)
+STATEMENT_RE = re.compile(r"^\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE|EXPLAIN)\b", re.IGNORECASE)
 
 
 def is_statement(sql: str) -> bool:
@@ -125,6 +125,16 @@ def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "column string, approx_ndv bigint, null_count bigint, row_count bigint"
         )
+
+    m = re.fullmatch(r"EXPLAIN\s+(?:\((?:[^)]*)\)\s+)?(.+)", s, re.IGNORECASE | re.DOTALL)
+    if m and not re.match(r"(?i)\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE)\b", m.group(1)):
+        # EXPLAIN [(...options...)] <query> — SqlBase.g4 explain; the plan
+        # text is Spark's formatted physical plan for the transpiled query.
+        from ..functions.presto import transpile
+        from ..plans.inspect import formatted_plan
+
+        plan = formatted_plan(spark.sql(transpile(m.group(1))))
+        return spark.createDataFrame([(line,) for line in plan.splitlines()], "plan string")
 
     m = re.fullmatch(r"PREPARE\s+(\w+)\s+FROM\s+(.+)", s, re.IGNORECASE | re.DOTALL)
     if m:

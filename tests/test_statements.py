@@ -81,6 +81,15 @@ def test_show_stats(spark, mounted):
     assert abs(rows["n_nationkey"]["approx_ndv"] - 25) <= 3
 
 
+def test_explain_statement(spark, mounted):
+    rows = presto_sql(spark, "EXPLAIN SELECT count(*) FROM orders WHERE o_orderkey > 10").collect()
+    plan = "\n".join(r["plan"] for r in rows)
+    assert "HashAggregate" in plan
+    # Presto-dialect bodies transpile before planning.
+    rows2 = presto_sql(spark, "EXPLAIN SELECT strpos(o_orderpriority, '-') FROM orders").collect()
+    assert any("instr" in r["plan"] for r in rows2)
+
+
 def test_prepare_execute_with_params(spark, mounted):
     presto_sql(spark, "PREPARE top_orders FROM SELECT o_orderkey FROM orders WHERE o_orderkey <= ? ORDER BY o_orderkey LIMIT ?")
     rows = presto_sql(spark, "EXECUTE top_orders USING 10, 3").collect()
