@@ -67,3 +67,29 @@ def test_events_rollup_exchange_budget(spark, sf_dir):
     # (partial distinct + final), plus the output sort. Budget <= 4.
     df = QS["events_tumbling_window"].spark(spark, sf_dir)
     assert count_exchanges(df) <= 4
+
+
+def test_salted_join_no_cartesian_bounded_shuffles(spark, sf_dir):
+    # The salted join must stay an equi-join on (key, salt) — salting that
+    # degrades to a cartesian replicate-everything defeats its purpose.
+    df = QS["op_skew_salted_join"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    # big-side shuffle on (key,salt) + agg + sort; small side replicates
+    # salt_n ways but is still one exchange at most.
+    assert count_exchanges(df) <= 4
+
+
+def test_hll_rollup_two_level_shuffles(spark, sf_dir):
+    # Mergeable-sketch rollup: nation-level sketch agg + region-level union
+    # agg (+ output sort); the nation dim must broadcast, not shuffle.
+    df = QS["fn_hll_merge"].spark(spark, sf_dir)
+    assert_broadcast_join(df, expect=True)
+    assert count_exchanges(df) <= 4
+
+
+def test_video_decode_prunes_documents_scan(spark, sf_dir):
+    # The y4m synth stage needs only (doc_id, n_chars): column pruning must
+    # reach the parquet scan — reading text/embedding blobs for a 2-column
+    # pipeline is exactly the 100 TB mistake.
+    df = QS["multimodal_video_frames"].spark(spark, sf_dir)
+    assert_read_schema_pruned(df, "documents", max_columns=2)
