@@ -517,6 +517,20 @@ def register_udfs(spark: SparkSession) -> None:
     for algo in ("md5", "sha1", "sha256", "sha512"):
         spark.udf.register(f"hmac_{algo}", _mk_hmac(algo), BinaryType())
 
+    from ..operators.spooky import spooky_hash_v2_32, spooky_hash_v2_64
+
+    def _bin(f):
+        def g(data):
+            if data is None:
+                return None
+            d = data if isinstance(data, (bytes, bytearray)) else str(data).encode()
+            return f(bytes(d))
+
+        return g
+
+    spark.udf.register("spooky_hash_v2_32", _bin(spooky_hash_v2_32), BinaryType())
+    spark.udf.register("spooky_hash_v2_64", _bin(spooky_hash_v2_64), BinaryType())
+
     def combinations_fn(arr, n):
         if arr is None or n is None:
             return None

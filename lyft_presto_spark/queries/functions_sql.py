@@ -1127,6 +1127,42 @@ def fn_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HMAC_SPARK)
 
 
+# --- spooky_hash_v2 known-answer tests (VarbinaryFunctions.java spooky;
+#     vectors from the reference's TestVarbinaryFunctions.java:338-341) ---
+
+_SPOOKY_SPARK = """
+SELECT 'kat' AS vector,
+       lower(hex(spooky_hash_v2_32(encode('', 'UTF-8')))) AS s32_empty,
+       lower(hex(spooky_hash_v2_32(encode('hello', 'UTF-8')))) AS s32_hello,
+       lower(hex(spooky_hash_v2_64(encode('', 'UTF-8')))) AS s64_empty,
+       lower(hex(spooky_hash_v2_64(encode('hello', 'UTF-8')))) AS s64_hello
+"""
+
+_SPOOKY_DUCK = """
+SELECT 'kat' AS vector,
+       '6bf50919' AS s32_empty,
+       'd382e6ca' AS s32_hello,
+       '232706fc6bf50919' AS s64_empty,
+       '3768826ad382e6ca' AS s64_hello
+"""
+
+
+@query(
+    "fn_spooky",
+    oracle=_SPOOKY_DUCK,
+    doc="spooky_hash_v2_32/64 (VarbinaryFunctions.java — Hive bucket "
+    "compatibility) as a pure-Python SpookyHashV2, asserted against the "
+    "reference's own test vectors (TestVarbinaryFunctions.java:338-341). "
+    "Compatibility surface only — engine-internal hashing stays JVM-side.",
+    tags=("functions", "dialect"),
+)
+def fn_spooky(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import register_udfs
+
+    register_udfs(spark)
+    return spark.sql(_SPOOKY_SPARK)
+
+
 # --- ngrams as a user-facing function (ArrayNgramsFunction.java) ---
 
 _NGRAMS_PRESTO = """
