@@ -1127,6 +1127,75 @@ def fn_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HMAC_SPARK)
 
 
+# --- mergeable quantile rollup (qdigest use case: QuantileDigestFunctions,
+#     merge(qdigest) — re-aggregatable percentiles) ---
+
+
+def _quantile_rollup_sql(d: str) -> str:
+    # Two-level mergeable estimation: per-nation fixed-width histograms are
+    # the "sketches"; region level merges by summing bucket counts — the
+    # re-aggregation property qdigest exists for. Every step is engine-
+    # portable integer arithmetic, so the merged estimate AND the exact
+    # median are both value-checked (no tautology).
+    exact = "percentile(v, 0.5)" if d == "spark" else "quantile_cont(v, 0.5)"
+    return f"""
+WITH joined AS (
+    SELECT n_nationkey AS nk, n_regionkey AS rk, o_totalprice AS v
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+),
+nat_hist AS (
+    SELECT nk, rk, CAST(floor(v / 25000) AS BIGINT) AS b, count(*) AS cnt
+    FROM joined GROUP BY 1, 2, 3
+),
+region_hist AS (
+    SELECT rk, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM nat_hist GROUP BY 1, 2
+),
+tot AS (SELECT rk, CAST(sum(cnt) AS BIGINT) AS n FROM region_hist GROUP BY 1),
+cum AS (
+    SELECT rk, b, sum(cnt) OVER (PARTITION BY rk ORDER BY b) AS cum
+    FROM region_hist
+),
+med_bucket AS (
+    SELECT cum.rk, min(b) AS med_b
+    FROM cum JOIN tot ON cum.rk = tot.rk
+    WHERE cum * 2 >= n
+    GROUP BY cum.rk
+),
+exact_med AS (
+    SELECT rk, round({exact}, 4) AS median_exact FROM joined GROUP BY rk
+)
+SELECT m.rk AS region,
+       t.n AS n_orders,
+       m.med_b AS median_bucket,
+       CAST(m.med_b * 25000 + 12500 AS DOUBLE) AS median_est,
+       e.median_exact,
+       abs(CAST(m.med_b * 25000 + 12500 AS DOUBLE) - e.median_exact) <= 12500.0
+           AS est_within_half_bucket
+FROM med_bucket m
+JOIN tot t ON m.rk = t.rk
+JOIN exact_med e ON m.rk = e.rk
+ORDER BY region
+"""
+
+
+@query(
+    "fn_quantile_rollup",
+    oracle=_quantile_rollup_sql("duck"),
+    doc="Mergeable quantile rollup (QuantileDigestFunctions / merge(qdigest) "
+    "use case): per-nation fixed-width histograms merged to region level by "
+    "count-sum re-aggregation, median estimated from the merged cumulative "
+    "distribution — estimate, exact median, and error bound all "
+    "value-checked on both engines.",
+    tags=("functions",),
+)
+def fn_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(
+        spark, sf_dir, _quantile_rollup_sql("spark"), ("orders", "customer", "nation")
+    )
+
+
 # --- spooky_hash_v2 known-answer tests (VarbinaryFunctions.java spooky;
 #     vectors from the reference's TestVarbinaryFunctions.java:338-341) ---
 
