@@ -1127,6 +1127,59 @@ def fn_hmac(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_HMAC_SPARK)
 
 
+# --- approx_most_frequent analog (ApproximateMostFrequentFunction — heavy
+#     hitters as a value->count map) ---
+
+
+def _most_frequent_sql(d: str) -> str:
+    # Exact top-k computation — a valid refinement of the sketch contract
+    # (the reference's function guarantees the true heavy hitters appear;
+    # exact counts satisfy every bound). Rendered canonically as a sorted
+    # 'value:count' string, the map-shape the reference returns.
+    if d == "spark":
+        return """
+WITH counts AS (
+    SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+),
+ranked AS (
+    SELECT event_type, c,
+           row_number() OVER (ORDER BY c DESC, event_type) AS rn
+    FROM counts
+)
+SELECT array_join(
+           transform(array_sort(collect_list(struct(rn AS o,
+                     concat(event_type, ':', CAST(c AS STRING)) AS v))),
+                     s -> s.v), ',') AS top3,
+       count(*) AS n_buckets
+FROM ranked WHERE rn <= 3
+"""
+    return """
+WITH counts AS (
+    SELECT event_type, count(*) AS c FROM events GROUP BY event_type
+),
+ranked AS (
+    SELECT event_type, c,
+           row_number() OVER (ORDER BY c DESC, event_type) AS rn
+    FROM counts
+)
+SELECT string_agg(event_type || ':' || c, ',' ORDER BY rn) AS top3,
+       count(*) AS n_buckets
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query(
+    "fn_approx_most_frequent",
+    oracle=_most_frequent_sql("duck"),
+    doc="approx_most_frequent analog (ApproximateMostFrequentFunction): "
+    "heavy hitters as an ordered value:count map — computed exactly (a "
+    "valid refinement of the sketch's guarantees), one hash-agg + top-k.",
+    tags=("functions",),
+)
+def fn_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _most_frequent_sql("spark"), ("events",))
+
+
 # --- mergeable quantile rollup (qdigest use case: QuantileDigestFunctions,
 #     merge(qdigest) — re-aggregatable percentiles) ---
 
