@@ -389,6 +389,12 @@ DELTAS = {
     "hmac_*": "No JVM builtin; registered as Python UDFs via "
     "register_udfs(spark) — the documented slow path, never on a hot path.",
     "combinations": "Registered as a Python UDF via register_udfs(spark).",
+    "spooky_hash_v2_*": "Registered Python UDFs (operators/spooky.py), "
+    "asserted against the reference's own test vectors.",
+    "approx_most_frequent": "Computed exactly (groupBy-count + top-k window; "
+    "see fn_approx_most_frequent) — a valid refinement of the sketch bounds.",
+    "qdigest/merge": "Re-aggregatable percentiles expressed as mergeable "
+    "histogram rollups (fn_quantile_rollup); no sketch binary interchange.",
 }
 
 FUNCTION_MAP: dict[str, str] = {}
