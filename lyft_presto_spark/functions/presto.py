@@ -52,7 +52,9 @@ SAME = (
     "map map_keys map_values map_entries map_from_entries map_concat map_filter "
     "map_zip_with transform_keys transform_values "
     # conditional / misc
-    "coalesce nullif if typeof concat_ws "
+    "coalesce nullif if typeof concat_ws uuid "
+    # session/zone — SessionFunctions.java, DateTimeFunctions.java
+    "current_timezone localtimestamp "
     # aggregates — operator/aggregation/
     "count count_if sum avg min max min_by max_by bool_and bool_or every "
     "variance var_samp var_pop stddev stddev_samp stddev_pop skewness kurtosis "
@@ -371,6 +373,50 @@ REWRITE: dict[str, "str | RewriteFn"] = {
         "unhex(lpad(hex(CAST(reflect('java.lang.Float', 'floatToRawIntBits', "
         "CAST($1 AS FLOAT)) AS BIGINT) & 4294967295), 8, '0'))"
     ),
+    # DateTimeFunctions.java ISO 8601 surface. to_iso8601 is type-directed in
+    # Presto (DATE -> 'yyyy-MM-dd'); the textual transpiler always emits the
+    # timestamp form (see DELTAS).
+    "to_iso8601": 'date_format($1, "yyyy-MM-dd\'T\'HH:mm:ss.SSS")',
+    "from_iso8601_timestamp": "to_timestamp($1)",
+    "from_iso8601_date": "to_date($1)",
+    "millisecond": "CAST(date_format($1, 'SSS') AS INT)",
+    # to_milliseconds(interval day to second): adding the interval to an epoch
+    # anchor keeps sub-second precision (CAST(interval AS BIGINT) truncates
+    # to whole seconds).
+    "to_milliseconds": ("CAST(unix_micros(TIMESTAMP '1970-01-01 00:00:00' + ($1)) / 1000 AS BIGINT)"),
+    # DateTimeFunctions.java:1331 parse_duration('3.5h') -> interval. Value
+    # and unit are picked apart by regex; unit factors are Presto's
+    # (ns/us/ms/s/m/h/d).
+    "parse_duration": (
+        "make_dt_interval(0, 0, 0, "
+        "CAST(regexp_extract($1, '^[ ]*([0-9]+(\\\\.[0-9]+)?)[ ]*([a-z]+)[ ]*$', 1) AS DOUBLE) * "
+        "CASE regexp_extract($1, '^[ ]*([0-9]+(\\\\.[0-9]+)?)[ ]*([a-z]+)[ ]*$', 3) "
+        "WHEN 'ns' THEN 0.000000001 WHEN 'us' THEN 0.000001 WHEN 'ms' THEN 0.001 "
+        "WHEN 's' THEN 1.0 WHEN 'm' THEN 60.0 WHEN 'h' THEN 3600.0 WHEN 'd' THEN 86400.0 END)"
+    ),
+    # DataSizeFunctions.java:37 parse_presto_data_size('2.3MB') -> bytes as
+    # DECIMAL(38,0); binary units, kB = 1024.
+    "parse_presto_data_size": (
+        "CAST(CAST(regexp_extract($1, '^[ ]*([0-9]+(\\\\.[0-9]+)?)[ ]*([A-Za-z]+)[ ]*$', 1) AS DOUBLE) * "
+        "CASE regexp_extract($1, '^[ ]*([0-9]+(\\\\.[0-9]+)?)[ ]*([A-Za-z]+)[ ]*$', 3) "
+        "WHEN 'B' THEN 1.0 WHEN 'kB' THEN 1024.0 WHEN 'MB' THEN 1048576.0 "
+        "WHEN 'GB' THEN 1073741824.0 WHEN 'TB' THEN 1099511627776.0 "
+        "WHEN 'PB' THEN 1125899906842624.0 WHEN 'EB' THEN 1152921504606846976.0 "
+        "WHEN 'ZB' THEN 1180591620717411303424.0 WHEN 'YB' THEN 1208925819614629174706176.0 "
+        "END AS DECIMAL(38,0))"
+    ),
+    # SplitToMultimapFunction.java — map<varchar, array<varchar>> grouping
+    # duplicate keys. Composed from codegen-able HOFs; $1 is evaluated per
+    # reference (three scans of the same split) — fine for a scalar surface,
+    # never on the engine's own hot path.
+    "split_to_multimap": (
+        "map_from_entries(transform("
+        "array_distinct(transform(split($1, $2), e -> split_part(e, $3, 1))), "
+        "k -> struct(k AS key, transform(filter(split($1, $2), e -> split_part(e, $3, 1) = k), "
+        "e -> split_part(e, $3, 2)) AS value)))"
+    ),
+    # TeradataStringFunctions.java char2hexint — hex of UTF-16BE code units.
+    "char2hexint": "hex(encode($1, 'UTF-16BE'))",
 }
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
@@ -395,6 +441,23 @@ DELTAS = {
     "see fn_approx_most_frequent) — a valid refinement of the sketch bounds.",
     "qdigest/merge": "Re-aggregatable percentiles expressed as mergeable "
     "histogram rollups (fn_quantile_rollup); no sketch binary interchange.",
+    "split": "Presto's delimiter is a literal string; Spark's is a regex. "
+    "Plain-text delimiters (',', ';', '=') behave identically; regex "
+    "metacharacters ('|', '.') must be escaped when migrating.",
+    "to_iso8601": "Type-directed in Presto (DATE formats as 'yyyy-MM-dd'); "
+    "the textual transpiler always emits the timestamp form — cast DATE "
+    "columns or format directly.",
+    "timezone_hour/minute": "Presto extracts the offset of TIMESTAMP WITH "
+    "TIME ZONE; Spark has no tz-carrying type (session-zone instants only), "
+    "so there is no per-value offset to extract.",
+    "localtime": "Presto returns TIME; Spark has no TIME type — use "
+    "date_format(localtimestamp(), 'HH:mm:ss').",
+    "multimap_from_entries": "Spark struct field names are expression-"
+    "derived, so no generic textual rewrite; build with named fields and "
+    "the split_to_multimap/map_agg shapes (fn_multimap, fn_map_agg).",
+    "parse_presto_data_size": "Computed via double multiplication then cast "
+    "to DECIMAL(38,0) — exact through TB; EB+ magnitudes round at the "
+    "double's 53-bit mantissa.",
 }
 
 FUNCTION_MAP: dict[str, str] = {}
@@ -406,6 +469,15 @@ for _name, _rw in REWRITE.items():
     FUNCTION_MAP[_name] = f"<rewrite> {_rw if isinstance(_rw, str) else _rw.__name__}"
 
 _UNITS = {"second", "minute", "hour", "day", "week", "month", "quarter", "year"}
+
+# Presto type names with different Spark spellings, in CAST position only
+# (SqlBase.g4 type rules). Length-parameterized VARCHAR(n) is valid Spark and
+# passes through.
+_TYPE_RENAMES = [
+    (re.compile(r"\bAS\s+VARCHAR\b(?!\s*\()", re.IGNORECASE), "AS STRING"),
+    (re.compile(r"\bAS\s+VARBINARY\b", re.IGNORECASE), "AS BINARY"),
+    (re.compile(r"\bAS\s+REAL\b", re.IGNORECASE), "AS FLOAT"),
+]
 
 
 def _split_args(argstr: str) -> list[str]:
@@ -489,6 +561,8 @@ def transpile(sql: str) -> str:
                 pos = begin
     for name, spark_name in RENAME.items():
         out = re.sub(r"\b" + re.escape(name) + r"\s*\(", spark_name + "(", out, flags=re.IGNORECASE)
+    for pat, repl in _TYPE_RENAMES:
+        out = pat.sub(repl, out)
     return _unmask(out, lits)
 
 

@@ -1409,3 +1409,100 @@ def fn_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.presto import transpile
 
     return sql_over(spark, sf_dir, transpile(_NGRAMS_PRESTO), ("documents",))
+
+
+# --- ISO 8601 / duration / data size (DateTimeFunctions.java:204-266,1331;
+# DataSizeFunctions.java:37) ---
+
+_ISO_DUR_PRESTO = """
+SELECT o_orderkey,
+       to_iso8601(CAST(o_orderdate AS TIMESTAMP)) AS iso_ts,
+       CAST(from_iso8601_date(date_format(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')) AS DATE) AS date_rt,
+       CAST(from_iso8601_timestamp(to_iso8601(CAST(o_orderdate AS TIMESTAMP))) AS TIMESTAMP) AS ts_rt,
+       millisecond(CAST(o_orderdate AS TIMESTAMP)) AS ms_part,
+       to_milliseconds(parse_duration(concat(CAST(o_orderkey % 30 AS VARCHAR), 'm'))) AS dur_minutes_ms,
+       to_milliseconds(parse_duration(concat(CAST(o_orderkey % 7 AS VARCHAR), '.5h'))) AS dur_hours_ms,
+       to_milliseconds(parse_duration('250ms')) AS dur_fixed_ms,
+       CAST(parse_presto_data_size(concat(CAST(o_orderkey % 100 AS VARCHAR), 'kB')) AS BIGINT) AS size_kb_bytes,
+       CAST(parse_presto_data_size(concat(CAST(o_orderkey % 10 AS VARCHAR), '.5MB')) AS BIGINT) AS size_mb_bytes
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+_ISO_DUR_DUCK = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%g') AS iso_ts,
+       CAST(o_orderdate AS DATE) AS date_rt,
+       CAST(o_orderdate AS TIMESTAMP) AS ts_rt,
+       0 AS ms_part,
+       CAST((o_orderkey % 30) * 60000 AS BIGINT) AS dur_minutes_ms,
+       CAST(((o_orderkey % 7) + 0.5) * 3600000 AS BIGINT) AS dur_hours_ms,
+       CAST(250 AS BIGINT) AS dur_fixed_ms,
+       CAST((o_orderkey % 100) * 1024 AS BIGINT) AS size_kb_bytes,
+       CAST(((o_orderkey % 10) + 0.5) * 1048576 AS BIGINT) AS size_mb_bytes
+FROM orders
+WHERE o_orderkey <= 500
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_iso8601_duration",
+    oracle=_ISO_DUR_DUCK,
+    doc="ISO 8601 formatting/parsing round-trips (to_iso8601, "
+    "from_iso8601_timestamp/date — DateTimeFunctions.java:204-266), "
+    "millisecond extraction, parse_duration -> to_milliseconds "
+    "(DateTimeFunctions.java:1331) and parse_presto_data_size "
+    "(DataSizeFunctions.java:37), all through the dialect transpiler; "
+    "oracle recomputes arithmetic directly in DuckDB.",
+    tags=("functions", "dialect"),
+)
+def fn_iso8601_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_ISO_DUR_PRESTO), ("orders",))
+
+
+# --- split_to_multimap / multimap rendering (SplitToMultimapFunction.java) ---
+
+_MULTIMAP_PRESTO = """
+SELECT n_nationkey,
+       array_join(transform(array_sort(map_keys(mm)),
+                            k -> concat(k, ':', array_join(element_at(mm, k), '|'))),
+                  ',') AS mm_str,
+       cardinality(mm) AS n_keys,
+       cardinality(element_at(mm, 'a')) AS n_a_values
+FROM (
+    SELECT n_nationkey,
+           split_to_multimap(concat('a=', CAST(n_nationkey AS VARCHAR), ';b=', n_name, ';a=', n_name),
+                             ';', '=') AS mm
+    FROM nation
+)
+ORDER BY n_nationkey
+"""
+
+_MULTIMAP_DUCK = """
+SELECT n_nationkey,
+       'a:' || CAST(n_nationkey AS VARCHAR) || '|' || n_name || ',b:' || n_name AS mm_str,
+       2 AS n_keys,
+       2 AS n_a_values
+FROM nation
+ORDER BY n_nationkey
+"""
+
+
+@query(
+    "fn_multimap",
+    oracle=_MULTIMAP_DUCK,
+    doc="split_to_multimap (SplitToMultimapFunction.java) building "
+    "map<varchar, array<varchar>> with duplicate-key grouping, via the "
+    "transpiler's HOF composition; map rendered canonically (sorted keys, "
+    "'|'-joined values) so the cross-engine hash never sees a map repr. "
+    "Oracle constructs the expected rendering directly.",
+    tags=("functions", "dialect"),
+)
+def fn_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_MULTIMAP_PRESTO), ("nation",))

@@ -173,3 +173,53 @@ def test_presto_front_door(spark, sf_dir):
         sf_dir,
         name="presto_front_door",
     )
+
+
+def test_transpile_iso8601_duration_datasize():
+    out = transpile("SELECT to_iso8601(ts), from_iso8601_date(s), from_iso8601_timestamp(s) FROM t")
+    assert "date_format(ts, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")" in out
+    assert "to_date(s)" in out
+    assert "to_timestamp(s)" in out
+    out2 = transpile("SELECT to_milliseconds(parse_duration('3.5h')) FROM t")
+    assert "make_dt_interval" in out2
+    assert "unix_micros" in out2
+    out3 = transpile("SELECT parse_presto_data_size('2.3MB') FROM t")
+    assert "1048576.0" in out3
+    assert "DECIMAL(38,0)" in out3
+
+
+def test_transpile_split_to_multimap_and_types():
+    out = transpile("SELECT split_to_multimap(s, ';', '=') FROM t")
+    assert "map_from_entries" in out
+    assert "split_part" in out
+    # split_to_map (-> str_to_map) must not fire inside split_to_multimap.
+    assert "str_to_map" not in out
+    out2 = transpile("SELECT CAST(x AS VARCHAR), CAST(b AS VARBINARY), CAST(r AS REAL) FROM t")
+    assert "CAST(x AS STRING)" in out2
+    assert "CAST(b AS BINARY)" in out2
+    assert "CAST(r AS FLOAT)" in out2
+    # parameterized VARCHAR(n) is valid Spark and passes through
+    out3 = transpile("SELECT CAST(x AS VARCHAR(10)) FROM t")
+    assert "VARCHAR(10)" in out3
+
+
+def test_transpile_millisecond_not_to_milliseconds():
+    out = transpile("SELECT millisecond(ts), char2hexint(s) FROM t")
+    assert "CAST(date_format(ts, 'SSS') AS INT)" in out
+    assert "hex(encode(s, 'UTF-16BE'))" in out
+
+
+def test_iso8601_duration_values(spark):
+    df = spark.sql(
+        transpile(
+            "SELECT to_milliseconds(parse_duration('1.5m')) AS a, "
+            "to_milliseconds(parse_duration('250ms')) AS b, "
+            "CAST(parse_presto_data_size('2kB') AS BIGINT) AS c, "
+            "char2hexint('AB') AS d"
+        )
+    )
+    row = df.collect()[0]
+    assert row.a == 90000
+    assert row.b == 250
+    assert row.c == 2048
+    assert row.d == "00410042"
