@@ -1248,3 +1248,71 @@ def op_case_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("o_orderkey").cast("double"), F.lit(1000.0)).alias("capped_key"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("is_urgent"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# As-of (point-in-time) join — operators/asof.py. The reference expresses
+# this as a correlated TopN subquery (CorrelatedJoinNode.java + TopNNode.java
+# with n=1); the Spark-first shape is union + ordered window (one shuffle,
+# no row multiplication). DuckDB's native ASOF JOIN is the oracle.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "op_asof_join",
+    oracle="""
+    WITH ords AS (
+        SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+               o_orderkey, o_totalprice
+        FROM (SELECT o.*, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                             ORDER BY o_orderkey DESC) AS rn
+              FROM orders o)
+        WHERE rn = 1
+    ), ev AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE user_id <= 300
+    )
+    SELECT ev.event_id, ev.user_id, ev.event_type,
+           ords.ots AS matched_ots,
+           ords.o_orderkey AS last_orderkey,
+           ords.o_totalprice AS last_totalprice
+    FROM ev ASOF LEFT JOIN ords ON ev.user_id = ords.user_id AND ev.ts >= ords.ots
+    ORDER BY ev.event_id
+    """,
+    doc="As-of join: each event picks up the user's most recent order at or "
+    "before the event timestamp (point-in-time feature lookup). Spark side "
+    "is the union+window operator (operators/asof.py — one shuffle on the "
+    "key, zero row multiplication); right side deduped to one row per "
+    "(key, ts) for determinism; oracle is DuckDB's native ASOF LEFT JOIN.",
+    tags=("join", "extension"),
+)
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 300)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.col("o_orderkey").desc())
+    ords = (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+    )
+    res = asof_join(ev, ords, on="user_id", left_ts="ts", right_ts="ots",
+                    value_cols=["o_orderkey", "o_totalprice"])
+    return res.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("matched_ots"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    ).orderBy("event_id")
