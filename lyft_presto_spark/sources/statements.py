@@ -1,10 +1,12 @@
-"""Metadata statement surface: SHOW / DESCRIBE / PREPARE / EXECUTE.
+"""Metadata statement surface: SHOW / DESCRIBE / PREPARE / EXECUTE / session control.
 
 The reference exposes catalog metadata through SQL statements
-(SqlBase.g4:33-118 — SHOW CATALOGS/SCHEMAS/TABLES/COLUMNS/FUNCTIONS/STATS,
-DESCRIBE, PREPARE/EXECUTE; resolved by MetadataManager.java). Here the same
-statements resolve against the CatalogManager (sources/connectors.py) plus
-the live SparkSession catalog, and return ordinary DataFrames.
+(SqlBase.g4:33-118 — SHOW CATALOGS/SCHEMAS/TABLES/COLUMNS/FUNCTIONS/STATS/
+SESSION, DESCRIBE [INPUT|OUTPUT], PREPARE/EXECUTE/DEALLOCATE, USE,
+SET/RESET SESSION, transaction statements; resolved by MetadataManager.java).
+Here the same statements resolve against the CatalogManager
+(sources/connectors.py) plus the live SparkSession catalog/conf, and return
+ordinary DataFrames.
 
 Metadata results are tiny (bounded by table/function counts, never data
 volume), so building them driver-side is the correct shape at any scale —
@@ -36,7 +38,22 @@ def _manager() -> CatalogManager:
     return _DEFAULT_MANAGER
 
 
-STATEMENT_RE = re.compile(r"^\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE|EXPLAIN)\b", re.IGNORECASE)
+STATEMENT_RE = re.compile(
+    r"^\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE|DEALLOCATE|EXPLAIN|USE|SET|RESET|"
+    r"START|COMMIT|ROLLBACK)\b",
+    re.IGNORECASE,
+)
+
+# Session properties surfaced by SHOW SESSION — the Spark confs that map to
+# the reference's commonly-used session properties (SystemSessionProperties.java).
+_SESSION_PROPS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.adaptive.enabled",
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.ansi.enabled",
+    "spark.sql.session.timeZone",
+    "spark.sql.files.maxPartitionBytes",
+)
 
 
 def is_statement(sql: str) -> bool:
@@ -89,6 +106,44 @@ def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
             names = _session_tables(spark)
         return spark.createDataFrame([(n,) for n in names], "table string")
 
+    m = re.fullmatch(r"DESCRIBE\s+INPUT\s+(\w+)", s, re.IGNORECASE)
+    if m:
+        name = m.group(1).lower()
+        if name not in _PREPARED:
+            raise ValueError(f"prepared statement {name!r} not found")
+        from ..functions.presto import _mask_literals
+
+        masked, _ = _mask_literals(_PREPARED[name])
+        n_params = masked.count("?")
+        # Parameter types are inference-dependent in the reference
+        # (DescribeInput -> unknown until bound); report positions.
+        return spark.createDataFrame(
+            [(i, "unknown") for i in range(n_params)] or [(None, None)],
+            "position int, type string",
+        )
+
+    m = re.fullmatch(r"DESCRIBE\s+OUTPUT\s+(\w+)", s, re.IGNORECASE)
+    if m:
+        name = m.group(1).lower()
+        if name not in _PREPARED:
+            raise ValueError(f"prepared statement {name!r} not found")
+        from ..functions.presto import _mask_literals, transpile
+
+        masked, lits = _mask_literals(_PREPARED[name])
+        if "?" in masked:
+            raise ValueError("DESCRIBE OUTPUT of a parameterized statement requires bound values")
+        out = spark.sql(transpile(_PREPARED[name])).limit(0)
+        rows = [(f.name, f.dataType.simpleString(), f.nullable) for f in out.schema.fields]
+        return spark.createDataFrame(rows, "column string, type string, nullable boolean")
+
+    m = re.fullmatch(r"DEALLOCATE\s+(?:PREPARE\s+)?(\w+)", s, re.IGNORECASE)
+    if m:
+        name = m.group(1).lower()
+        if name not in _PREPARED:
+            raise ValueError(f"prepared statement {name!r} not found")
+        del _PREPARED[name]
+        return spark.createDataFrame([(name, "DEALLOCATED")], "name string, status string")
+
     m = re.fullmatch(
         r"(?:SHOW\s+COLUMNS\s+FROM|DESCRIBE|DESC)\s+([\w.]+)", s, re.IGNORECASE
     )
@@ -125,6 +180,46 @@ def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame(
             rows, "column string, approx_ndv bigint, null_count bigint, row_count bigint"
         )
+
+    m = re.fullmatch(r"SHOW\s+SESSION(?:\s+LIKE\s+'([^']*)')?", s, re.IGNORECASE)
+    if m:
+        pat = (m.group(1) or "%").replace("%", ".*").replace("_", ".")
+        rx = re.compile(f"^{pat}$", re.IGNORECASE)
+        def _get(p: str) -> str:
+            try:
+                return str(spark.conf.get(p))
+            except Exception:  # noqa: BLE001 — unset conf with no default
+                return "<unset>"
+
+        rows = [(p, _get(p)) for p in _SESSION_PROPS if rx.match(p)]
+        return spark.createDataFrame(rows, "name string, value string")
+
+    m = re.fullmatch(r"SET\s+SESSION\s+([\w.]+)\s*=\s*(.+)", s, re.IGNORECASE)
+    if m:
+        key, val = m.group(1), m.group(2).strip().strip("'")
+        spark.conf.set(key, val)
+        return spark.createDataFrame([(key, val)], "name string, value string")
+
+    m = re.fullmatch(r"RESET\s+SESSION\s+([\w.]+)", s, re.IGNORECASE)
+    if m:
+        spark.conf.unset(m.group(1))
+        return spark.createDataFrame([(m.group(1), "RESET")], "name string, status string")
+
+    m = re.fullmatch(r"USE\s+(?:(\w+)\.)?(\w+)", s, re.IGNORECASE)
+    if m:
+        # USE [catalog.]schema — only the spark catalog carries schemas here.
+        spark.catalog.setCurrentDatabase(m.group(2))
+        return spark.createDataFrame([(m.group(2), "USING")], "schema string, status string")
+
+    # Transactions: the reference runs autocommit by default and delegates
+    # transactional semantics to connectors (TransactionManager.java); the
+    # parquet/dir connectors here have none, matching most Presto
+    # deployments. BEGIN/COMMIT are accepted no-ops; ROLLBACK errors rather
+    # than silently not undoing.
+    if re.fullmatch(r"START\s+TRANSACTION.*|COMMIT(\s+WORK)?", s, re.IGNORECASE | re.DOTALL):
+        return spark.createDataFrame([(s.split()[0].upper(), "OK (autocommit)")], "statement string, status string")
+    if re.fullmatch(r"ROLLBACK(\s+WORK)?", s, re.IGNORECASE):
+        raise ValueError("ROLLBACK is unsupported: connectors are non-transactional (autocommit)")
 
     m = re.fullmatch(r"EXPLAIN\s+(?:\((?:[^)]*)\)\s+)?(.+)", s, re.IGNORECASE | re.DOTALL)
     if m and not re.match(r"(?i)\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE)\b", m.group(1)):

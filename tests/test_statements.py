@@ -106,3 +106,36 @@ def test_prepare_execute_transpiles_body(spark, mounted):
     # The prepared body is Presto dialect: strpos must transpile on EXECUTE.
     presto_sql(spark, "PREPARE find_dash FROM SELECT strpos(o_orderpriority, '-') AS p FROM orders LIMIT 1")
     assert presto_sql(spark, "EXECUTE find_dash").collect()[0]["p"] >= 1
+
+
+def test_show_set_reset_session(spark, mounted):
+    rows = {r["name"]: r["value"] for r in presto_sql(spark, "SHOW SESSION").collect()}
+    assert rows["spark.sql.ansi.enabled"] == "true"
+    presto_sql(spark, "SET SESSION spark.sql.shuffle.partitions = 16")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "16"
+    presto_sql(spark, "RESET SESSION spark.sql.shuffle.partitions")
+    presto_sql(spark, "SET SESSION spark.sql.shuffle.partitions = 8")  # restore
+
+
+def test_use_and_transactions(spark, mounted):
+    assert presto_sql(spark, "USE default").collect()[0]["status"] == "USING"
+    assert presto_sql(spark, "START TRANSACTION").collect()[0]["status"].startswith("OK")
+    assert presto_sql(spark, "COMMIT").collect()[0]["status"].startswith("OK")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ROLLBACK"):
+        presto_sql(spark, "ROLLBACK")
+
+
+def test_describe_input_output_deallocate(spark, mounted):
+    presto_sql(spark, "PREPARE di FROM SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey <= ?")
+    rows = presto_sql(spark, "DESCRIBE INPUT di").collect()
+    assert len(rows) == 1 and rows[0]["position"] == 0
+    presto_sql(spark, "PREPARE do2 FROM SELECT o_orderkey, strpos(o_orderpriority, '-') AS p FROM orders")
+    out = {r["column"]: r["type"] for r in presto_sql(spark, "DESCRIBE OUTPUT do2").collect()}
+    assert out["o_orderkey"] == "bigint" and out["p"] == "int"
+    assert presto_sql(spark, "DEALLOCATE PREPARE do2").collect()[0]["status"] == "DEALLOCATED"
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="not found"):
+        presto_sql(spark, "EXECUTE do2")
