@@ -664,20 +664,27 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "semijoin", "having", "topn"),
 )
 def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan rewrite of the spec's IN-over-HAVING shape (the oracle keeps
+    # that shape): the subquery's per-order SUM is exactly the outer
+    # aggregate, so compute it once, filter >150, and join the survivors to
+    # orders/customer. o_orderkey functionally determines the other group
+    # keys, so the outer GROUP BY disappears. At scale this halves the
+    # lineitem traffic and the HAVING survivors are rare (~1e-5 of orders),
+    # so both joins broadcast the aggregate instead of shuffling the facts.
     return sql_over(
         spark,
         sf_dir,
         """
-        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        WHERE o_orderkey IN (
-          SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        WITH big AS (
+          SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty_d
+          FROM lineitem GROUP BY l_orderkey
           HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150
         )
-        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum_qty_d AS DOUBLE) AS sum_qty
+        FROM big
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
         ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         LIMIT 100
         """,
@@ -741,27 +748,39 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "semijoin", "antijoin"),
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan rewrite of the spec's EXISTS/NOT-EXISTS shape (the oracle
+    # keeps that shape). Per order: EXISTS(other supplier) = more than one
+    # distinct supplier on the order; NOT EXISTS(other late supplier) = this
+    # row is late and the order has exactly one late supplier. Both are
+    # per-order window aggregates (collect_set is bounded by suppliers per
+    # order, ~4-7), so lineitem is scanned ONCE and shuffled ONCE on
+    # l_orderkey — Catalyst's decorrelation would scan and shuffle it three
+    # times (l1 + semi + anti). The orders join lands on the same key, so at
+    # scale the window reuses the join's partitioning.
     return sql_over(
         spark,
         sf_dir,
         """
+        WITH flagged AS (
+          SELECT l_orderkey, l_suppkey,
+                 l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        scored AS (
+          SELECT l_suppkey, late,
+                 size(collect_set(l_suppkey)
+                      OVER (PARTITION BY l_orderkey)) AS n_supp,
+                 size(collect_set(CASE WHEN late THEN l_suppkey END)
+                      OVER (PARTITION BY l_orderkey)) AS n_late_supp
+          FROM flagged
+        )
         SELECT s_name, COUNT(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
+        FROM scored
+        JOIN supplier ON s_suppkey = l_suppkey
         JOIN nation ON s_nationkey = n_nationkey
-        WHERE o_orderstatus = 'F'
+        WHERE late AND n_supp > 1 AND n_late_supp = 1
           AND n_name = 'NATION_5'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
-          AND EXISTS (
-            SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
-          )
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 100
