@@ -181,6 +181,40 @@ def joda_pattern_to_jdk(pat: str) -> str:
     return "".join(out)
 
 
+# Teradata datetime codes (presto-teradata-functions TeradataDateFunctions:
+# supported tokens yyyy/yy/mm/dd/hh24/hh/mi/ss). Longest-match-first.
+_TERADATA_TOKENS = [
+    ("yyyy", "yyyy"),
+    ("yy", "yy"),
+    ("hh24", "HH"),
+    ("hh", "hh"),
+    ("mi", "mm"),
+    ("mm", "MM"),
+    ("ss", "ss"),
+    ("dd", "dd"),
+]
+
+
+def teradata_pattern_to_jdk(pat: str) -> str:
+    """Translate a Teradata datetime pattern ('yyyy-mm-dd hh24:mi:ss') to JDK."""
+    out: list[str] = []
+    i = 0
+    low = pat.lower()
+    while i < len(pat):
+        for tok, jdk in _TERADATA_TOKENS:
+            if low.startswith(tok, i):
+                out.append(jdk)
+                i += len(tok)
+                break
+        else:
+            ch = pat[i]
+            if ch.isalpha():
+                raise ValueError(f"unsupported Teradata datetime token at {pat[i:]!r}")
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 _LITERAL_RE = re.compile(r"'(?:[^']|'')*'")
 _MASK = "\x00L{}\x00"
 _MASK_RE = re.compile("\x00L(\\d+)\x00")
@@ -269,6 +303,25 @@ def _rw_min_n(args: list[str], lits: list[str]) -> str | None:
     if len(args) != 2 or not args[1].strip().isdigit():
         return None
     return f"slice(array_sort(collect_list({args[0]})), 1, {args[1]})"
+
+
+def _mk_teradata_rw(spark_fn: str) -> RewriteFn:
+    # presto-teradata-functions to_char/to_date/to_timestamp: fire only on
+    # the 2-arg form with a literal Teradata pattern; Spark's native 1-arg
+    # to_date/to_timestamp (and our ISO rewrites that emit them) pass through.
+    def rw(args: list[str], lits: list[str]) -> str | None:
+        if len(args) != 2:
+            return None
+        pat = _lit_value(args[1], lits)
+        if pat is None:
+            return None
+        try:
+            jdk = teradata_pattern_to_jdk(pat)
+        except ValueError:
+            return None
+        return f"{spark_fn}({args[0]}, {_quote(jdk)})"
+
+    return rw
 
 
 _ERF = "reflect('org.apache.commons.math3.special.Erf', 'erf', CAST({} AS DOUBLE))"
@@ -417,6 +470,11 @@ REWRITE: dict[str, "str | RewriteFn"] = {
     ),
     # TeradataStringFunctions.java char2hexint — hex of UTF-16BE code units.
     "char2hexint": "hex(encode($1, 'UTF-16BE'))",
+    # presto-teradata-functions TeradataDateFunctions — Teradata-pattern
+    # datetime formatting/parsing (2-arg literal-pattern form only).
+    "to_char": _mk_teradata_rw("date_format"),
+    "to_date": _mk_teradata_rw("to_date"),
+    "to_timestamp": _mk_teradata_rw("to_timestamp"),
 }
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
@@ -458,6 +516,10 @@ DELTAS = {
     "parse_presto_data_size": "Computed via double multiplication then cast "
     "to DECIMAL(38,0) — exact through TB; EB+ magnitudes round at the "
     "double's 53-bit mantissa.",
+    "to_char/to_date/to_timestamp": "2-arg literal patterns are interpreted "
+    "as Teradata codes (mi=minute, hh24=24-hour — the teradata-functions "
+    "plugin semantics); JDK-style 'HH'/'mm' in those positions would be "
+    "reinterpreted. 1-arg forms keep Spark semantics.",
 }
 
 FUNCTION_MAP: dict[str, str] = {}

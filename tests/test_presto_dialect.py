@@ -223,3 +223,25 @@ def test_iso8601_duration_values(spark):
     assert row.b == 250
     assert row.c == 2048
     assert row.d == "00410042"
+
+
+def test_transpile_teradata_datetime():
+    out = transpile("SELECT to_char(ts, 'yyyy-mm-dd hh24:mi:ss') FROM t")
+    assert "date_format(ts, 'yyyy-MM-dd HH:mm:ss')" in out
+    out2 = transpile("SELECT to_date(s, 'yyyy-mm-dd'), to_timestamp(s, 'yyyy-mm-dd hh24:mi') FROM t")
+    assert "to_date(s, 'yyyy-MM-dd')" in out2
+    assert "to_timestamp(s, 'yyyy-MM-dd HH:mm')" in out2
+    # 1-arg forms (incl. the ISO rewrites' own output) pass through
+    out3 = transpile("SELECT from_iso8601_timestamp(s), to_date(s) FROM t")
+    assert "to_timestamp(s)" in out3 and "to_date(s)" in out3
+
+
+def test_teradata_datetime_values(spark):
+    row = spark.sql(
+        transpile(
+            "SELECT to_char(TIMESTAMP '2021-03-04 15:06:07', 'yyyy-mm-dd hh24:mi:ss') AS a, "
+            "CAST(to_date('2021-03-04', 'yyyy-mm-dd') AS STRING) AS b"
+        )
+    ).collect()[0]
+    assert row.a == "2021-03-04 15:06:07"
+    assert row.b == "2021-03-04"
