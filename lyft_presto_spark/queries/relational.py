@@ -1316,3 +1316,32 @@ def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("last_orderkey"),
         F.col("o_totalprice").alias("last_totalprice"),
     ).orderBy("event_id")
+
+
+@query(
+    "op_range_join_binned",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_close
+    FROM supplier JOIN customer
+      ON c_acctbal BETWEEN s_acctbal - 10 AND s_acctbal + 10
+    GROUP BY s_suppkey ORDER BY s_suppkey
+    """,
+    doc="Pure band join (NO equi key): suppliers paired with customers within "
+    "±10 acctbal. Spark would plan a nested-loop for this predicate; the "
+    "binned operator (operators/range_join.py) quantizes the range dimension "
+    "and hash-joins on the bin with a residual filter — 3x fan-out on one "
+    "side instead of |L|x|R| comparisons. Oracle runs the naive non-equi "
+    "join in DuckDB.",
+    tags=("join", "nonequi", "extension"),
+)
+def op_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.range_join import band_join
+
+    supp = t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    return (
+        band_join(supp, cust, "s_acctbal", "c_acctbal", 10.0)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_close"))
+        .orderBy("s_suppkey")
+    )
