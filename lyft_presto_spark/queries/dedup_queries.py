@@ -427,3 +427,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     S.register_vector_udfs(spark)
     return sql_over(spark, sf_dir, _embed_dedup_sql("spark"), ("embeddings",))
+
+
+def _cluster_sql_duck() -> str:
+    # Transitive closure of the exact-jaccard pair graph via recursive CTE:
+    # reach(node, r) enumerates every node reachable from `node`; the
+    # component id is min(reachable). Tractable in DuckDB because dedup
+    # clusters are tiny; the Spark side uses min-label propagation
+    # (operators/cc.py) instead.
+    return f"""
+WITH RECURSIVE pairs AS (
+    SELECT doc_a, doc_b FROM ({_jaccard_sql("duck")})
+),
+edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+labeled AS (
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT component,
+       count(*) AS cluster_size,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM labeled
+GROUP BY component
+ORDER BY component
+"""
+
+
+@query(
+    "dedup_cluster_canonical",
+    oracle=_cluster_sql_duck(),
+    doc="Near-dup clustering: transitive closure over the exact n-gram "
+    "Jaccard pair graph (dedup_ngram_jaccard's pairs), one cluster per "
+    "connected component keyed by its canonical (minimum) doc_id. Spark "
+    "side is iterative min-label propagation (operators/cc.py — per round "
+    "one equi-join + one min-aggregate, converges in diameter rounds); "
+    "oracle is a DuckDB recursive-CTE reachability closure.",
+    tags=("dedup", "extension"),
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.cc import connected_components
+
+    pairs = sql_over(spark, sf_dir, _jaccard_sql("spark"), ("documents",)).select(
+        "doc_a", "doc_b"
+    )
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return (
+        cc.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .registry import query, sql_over
+from .registry import query, sql_over, t
 
 SESSION_GAP_MIN = 30
 
@@ -302,3 +302,45 @@ ORDER BY user_id, session_start
 )
 def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _session_window_sql("spark"), ("events",))
+
+
+_HOPPING_DUCK = """
+SELECT CAST(to_timestamp(ws) AS TIMESTAMP) AS window_start,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS total_value
+FROM (
+    SELECT e.*,
+           (CAST(floor(epoch_ms(ts) / 1000.0 / 900) AS BIGINT) - k.k) * 900 AS ws
+    FROM events e
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k
+)
+GROUP BY ws
+ORDER BY window_start
+"""
+
+
+@query(
+    "events_hopping_window",
+    oracle=_HOPPING_DUCK,
+    doc="Hopping (sliding) window rollup: 1-hour windows every 15 minutes via "
+    "Spark's native window(ts, '1 hour', '15 minutes') — each event lands in "
+    "4 overlapping windows (Expand + one hash-agg shuffle, the streaming-"
+    "compatible operator). Oracle recomputes by exploding the 4 epoch-"
+    "aligned window starts per event.",
+    tags=("events",),
+)
+def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users", "total_value")
+        .orderBy("window_start")
+    )
