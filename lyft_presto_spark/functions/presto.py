@@ -305,6 +305,19 @@ def _rw_min_n(args: list[str], lits: list[str]) -> str | None:
     return f"slice(array_sort(collect_list({args[0]})), 1, {args[1]})"
 
 
+_NORM_FORMS = {"NFC", "NFD", "NFKC", "NFKD"}
+
+
+def _rw_normalize(args: list[str], lits: list[str]) -> str | None:
+    if len(args) == 1:
+        return f"unicode_normalize('NFC', {args[0]})"
+    if len(args) == 2:
+        form = (_lit_value(args[1], lits) or args[1]).strip().upper()
+        if form in _NORM_FORMS:
+            return f"unicode_normalize('{form}', {args[0]})"
+    return None
+
+
 def _mk_teradata_rw(spark_fn: str) -> RewriteFn:
     # presto-teradata-functions to_char/to_date/to_timestamp: fire only on
     # the 2-arg form with a literal Teradata pattern; Spark's native 1-arg
@@ -475,6 +488,10 @@ REWRITE: dict[str, "str | RewriteFn"] = {
     "to_char": _mk_teradata_rw("date_format"),
     "to_date": _mk_teradata_rw("to_date"),
     "to_timestamp": _mk_teradata_rw("to_timestamp"),
+    # StringFunctions.java normalize(s[, form]) — Unicode normalization; the
+    # form is a bare keyword (NFC/NFD/NFKC/NFKD) in Presto's grammar.
+    # unicode_normalize is a register_udfs() Python UDF (no JVM builtin).
+    "normalize": _rw_normalize,
 }
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
@@ -672,6 +689,14 @@ def register_udfs(spark: SparkSession) -> None:
 
     spark.udf.register("spooky_hash_v2_32", _bin(spooky_hash_v2_32), BinaryType())
     spark.udf.register("spooky_hash_v2_64", _bin(spooky_hash_v2_64), BinaryType())
+
+    import unicodedata
+
+    spark.udf.register(
+        "unicode_normalize",
+        lambda form, s: None if s is None else unicodedata.normalize(form, s),
+        StringType(),
+    )
 
     def combinations_fn(arr, n):
         if arr is None or n is None:

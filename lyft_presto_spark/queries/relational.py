@@ -1345,3 +1345,46 @@ def op_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_close"))
         .orderBy("s_suppkey")
     )
+
+
+def _ignore_nulls_sql(d: str) -> str:
+    # LOCF gap-fill (forward-fill): NULLs injected deterministically, then
+    # last/lag/first with IGNORE NULLS per user ordered by (ts, event_id).
+    # Presto spells the modifier after the call (x) IGNORE NULLS; DuckDB
+    # inside it (x IGNORE NULLS) — semantics identical (SqlBase.g4
+    # nullTreatment; value windows in WindowAnnotationsParser).
+    if d == "spark":
+        locf = "last_value(v) IGNORE NULLS"
+        prev = "lag(v) IGNORE NULLS"
+        fst = "first_value(v) IGNORE NULLS"
+    else:
+        locf = "last_value(v IGNORE NULLS)"
+        prev = "lag(v IGNORE NULLS)"
+        fst = "first_value(v IGNORE NULLS)"
+    return f"""
+SELECT user_id, event_id, v,
+       {locf} OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       {prev} OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_obs,
+       {fst} OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_obs
+FROM (
+    SELECT user_id, event_id, ts,
+           CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+    FROM events
+)
+WHERE user_id <= 100
+ORDER BY user_id, ts, event_id
+"""
+
+
+@query(
+    "op_window_ignore_nulls",
+    oracle=_ignore_nulls_sql("duck"),
+    doc="IGNORE NULLS value windows (SqlBase.g4 nullTreatment): LOCF "
+    "forward-fill via last_value, previous-observation lag, first_value — "
+    "the time-series gap-fill staple. One shuffle on user_id.",
+    tags=("window",),
+)
+def op_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _ignore_nulls_sql("spark"), ("events",))

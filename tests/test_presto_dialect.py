@@ -245,3 +245,18 @@ def test_teradata_datetime_values(spark):
     ).collect()[0]
     assert row.a == "2021-03-04 15:06:07"
     assert row.b == "2021-03-04"
+
+
+def test_normalize_unicode(spark):
+    from lyft_presto_spark.functions.presto import register_udfs
+
+    register_udfs(spark)
+    out = transpile("SELECT normalize(s), normalize(s, NFD), normalize(s, 'NFKC') FROM t")
+    assert "unicode_normalize('NFC', s)" in out
+    assert "unicode_normalize('NFD', s)" in out
+    assert "unicode_normalize('NFKC', s)" in out
+    # e + combining acute (len 2) -> NFC composes to single codepoint
+    row = spark.sql(
+        transpile("SELECT length(normalize('étest')) AS c, length(normalize('étest', NFD)) AS d")
+    ).collect()[0]
+    assert row.c == 5 and row.d == 6
