@@ -716,4 +716,4 @@ def presto_sql(spark: SparkSession, sql: str) -> DataFrame:
 
     if _st.is_statement(sql):
         return _st.execute_statement(spark, sql)
-    return spark.sql(transpile(sql))
+    return spark.sql(transpile(_st.rewrite_system_tables(spark, sql)))

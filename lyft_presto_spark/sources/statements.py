@@ -77,6 +77,52 @@ def _resolve_table(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(name)
 
 
+_SYSTEM_RUNTIME_RE = re.compile(r"\bsystem\.runtime\.(nodes|queries)\b", re.IGNORECASE)
+
+
+def rewrite_system_tables(spark: SparkSession, sql: str) -> str:
+    """Mount system.runtime introspection tables referenced by a query.
+
+    The reference's system connector exposes cluster state as tables
+    (presto-main SystemConnector — system.runtime.nodes/queries). Here the
+    "cluster" is the SparkContext: nodes reports the app's executors-view,
+    queries the scheduler's active/completed job state. Referenced names are
+    registered as temp views and the dotted name rewritten to the view.
+    """
+
+    def mount(m: re.Match) -> str:
+        kind = m.group(1).lower()
+        view = f"system_runtime_{kind}"
+        sc = spark.sparkContext
+        if kind == "nodes":
+            rows = [
+                (
+                    sc.applicationId,
+                    sc.master,
+                    sc.version,
+                    True,
+                    "active",
+                )
+            ]
+            spark.createDataFrame(
+                rows,
+                "node_id string, http_uri string, node_version string, "
+                "coordinator boolean, state string",
+            ).createOrReplaceTempView(view)
+        else:
+            tracker = sc.statusTracker()
+            rows = []
+            for jid in tracker.getActiveJobsIds():
+                info = tracker.getJobInfo(jid)
+                rows.append((str(jid), "RUNNING" if info else "UNKNOWN"))
+            spark.createDataFrame(
+                rows or [("none", "FINISHED")], "query_id string, state string"
+            ).createOrReplaceTempView(view)
+        return view
+
+    return _SYSTEM_RUNTIME_RE.sub(mount, sql)
+
+
 def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
     """Run one metadata statement; raises ValueError on unknown syntax."""
     mgr = _manager()

@@ -139,3 +139,10 @@ def test_describe_input_output_deallocate(spark, mounted):
 
     with _pytest.raises(Exception, match="not found"):
         presto_sql(spark, "EXECUTE do2")
+
+
+def test_system_runtime_tables(spark, mounted):
+    nodes = presto_sql(spark, "SELECT node_id, coordinator, state FROM system.runtime.nodes").collect()
+    assert len(nodes) == 1 and nodes[0]["coordinator"] is True and nodes[0]["state"] == "active"
+    q = presto_sql(spark, "SELECT count(*) AS n FROM system.runtime.queries").collect()
+    assert q[0]["n"] >= 1
