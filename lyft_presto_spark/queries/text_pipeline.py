@@ -219,3 +219,83 @@ FROM fp
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _fingerprint_sql("spark"), ("documents",))
+
+
+def _split_sql(d: str) -> str:
+    # Reproducible train/val/test split by PORTABLE hash (hash60 mod 1000):
+    # the split a document lands in is a pure function of its id — stable
+    # across runs, engines, cluster sizes, and data order, unlike RNG
+    # sampling. 80/10/10 by permille bucket.
+    h = T.hash60("CAST(doc_id AS STRING)", d)
+    return f"""
+WITH assigned AS (
+    SELECT lang,
+           CASE WHEN {h} % 1000 < 800 THEN 'train'
+                WHEN {h} % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+SELECT lang, split, count(*) AS n_docs
+FROM assigned
+GROUP BY lang, split
+ORDER BY lang, split
+"""
+
+
+@query(
+    "text_train_test_split",
+    oracle=_split_sql("duck"),
+    doc="Reproducible 80/10/10 train/val/test split via portable hash "
+    "permille buckets (deterministic across engines/runs/cluster sizes — "
+    "the training-pipeline alternative to RNG sampling); per-language "
+    "split counts.",
+    tags=("text", "extension"),
+)
+def text_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _split_sql("spark"), ("documents",))
+
+
+def _packing_sql(d: str) -> str:
+    # Sequence packing for LLM training prep: per language, documents in
+    # deterministic (doc_id) order are chunked into packs of <= 4096 tokens
+    # by running-cumsum bucketing — the streaming, one-shuffle approximation
+    # of greedy bin packing (window cumsum, identical in both engines).
+    # Oversized documents occupy their own pack(s).
+    toks = T.tokens("text", d)
+    n = _size("toks", d)
+    return f"""
+WITH counted AS (
+    SELECT lang, doc_id, {n} AS n_tokens
+    FROM (SELECT lang, doc_id, {toks} AS toks FROM documents)
+),
+runs AS (
+    SELECT lang, doc_id, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+    FROM counted
+),
+packed AS (
+    SELECT lang, doc_id, n_tokens,
+           CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS pack_id
+    FROM runs
+)
+SELECT lang, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY lang, pack_id
+ORDER BY lang, pack_id
+"""
+
+
+@query(
+    "text_sequence_packing",
+    oracle=_packing_sql("duck"),
+    doc="Sequence packing (LLM training prep): per-language deterministic "
+    "doc order chunked into ~4096-token packs by running-cumsum bucketing "
+    "— one window shuffle, no driver loop; the streaming approximation of "
+    "greedy bin packing.",
+    tags=("text", "extension"),
+)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _packing_sql("spark"), ("documents",))
