@@ -399,3 +399,71 @@ def documents_as_media(documents: DataFrame) -> DataFrame:
         F.encode("text", "UTF-8").cast(BinaryType()).alias("blob"),
         F.col("source"),
     )
+
+
+def encode_ppm_gradient(width: int, height: int) -> bytes:
+    """P6 PPM with a horizontal gradient: pixel value = x*255 // (width-1)."""
+    row = b"".join(bytes([(x * 255) // (width - 1)] * 3) for x in range(width))
+    return f"P6\n{width} {height}\n255\n".encode() + row * height
+
+
+def resize_ppm(blob: bytes, new_w: int, new_h: int) -> bytes:
+    """REAL nearest-neighbor resize of a P6 PPM (the pipeline's thumbnail
+    primitive): parse the header, sample src pixel (x*w//new_w, y*h//new_h)
+    per target pixel, re-emit a P6 container."""
+    parts = blob.split(maxsplit=4)
+    w, h = int(parts[1]), int(parts[2])
+    pixels = blob[-w * h * 3 :]
+    out = bytearray(f"P6\n{new_w} {new_h}\n255\n".encode())
+    for y in range(new_h):
+        sy = y * h // new_h
+        for x in range(new_w):
+            sx = x * w // new_w
+            off = (sy * w + sx) * 3
+            out += pixels[off : off + 3]
+    return bytes(out)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("orig_width", LongType()),
+        StructField("orig_height", LongType()),
+        StructField("new_width", LongType()),
+        StructField("new_height", LongType()),
+        StructField("mean_after", DoubleType()),
+    ]
+)
+
+
+def resize_table(documents: DataFrame, new_w: int = 3, new_h: int = 2) -> DataFrame:
+    """Gradient PPMs (width varies per doc) -> real NN resize -> re-decode.
+
+    The full byte path runs for real: encode a gradient P6, resize_ppm
+    parses + samples + re-emits, decode_media parses the result. The oracle
+    predicts mean_after from the NN sampling arithmetic alone, so a bug in
+    any of the three stages surfaces as a value mismatch.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                w = 4 + mid % 5
+                blob = encode_ppm_gradient(w, 4)
+                orig = decode_media(blob)
+                resized = decode_media(resize_ppm(blob, new_w, new_h))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "orig_width": orig["width"],
+                        "orig_height": orig["height"],
+                        "new_width": resized["width"],
+                        "new_height": resized["height"],
+                        "mean_after": round(resized["mean_value"], 6),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return documents.select("doc_id").mapInPandas(batches, schema=RESIZE_SCHEMA)

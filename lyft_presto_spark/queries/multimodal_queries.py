@@ -136,3 +136,45 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = t(spark, sf_dir, "documents").filter("doc_id <= 300")
     return sample_video_frames(documents_as_video(docs), frame_stride=4).orderBy("media_id")
+
+
+# Real nearest-neighbor resize: gradient P6 images (width 4 + doc_id%5,
+# height 4, pixel value x*255 // (w-1)) resized to 3x2 thumbnails. NN picks
+# src_x = x*w // 3, so the resized mean is avg over x in 0..2 of
+# ((x*w // 3) * 255 // (w-1)) — pure integer arithmetic the oracle
+# replays without touching a byte.
+_RESIZE_ORACLE = """
+WITH imgs AS (
+    SELECT doc_id, 4 + doc_id % 5 AS w
+    FROM documents WHERE doc_id <= 300
+),
+px AS (
+    SELECT doc_id, w, ((k.k * w) // 3) * 255 // (w - 1) AS v
+    FROM imgs CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS k) k
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS orig_width,
+       CAST(4 AS BIGINT) AS orig_height,
+       CAST(3 AS BIGINT) AS new_width,
+       CAST(2 AS BIGINT) AS new_height,
+       round(avg(CAST(v AS DOUBLE)), 6) AS mean_after
+FROM px
+GROUP BY doc_id, w
+ORDER BY media_id
+"""
+
+
+@query(
+    "multimodal_resize",
+    oracle=_RESIZE_ORACLE,
+    doc="REAL image resize: gradient P6 PPMs through nearest-neighbor "
+    "resize_ppm (parse header, sample src pixels, re-emit) then re-decode, "
+    "all in Arrow-batched mapInPandas; oracle replays the NN sampling "
+    "arithmetic in SQL.",
+    tags=("multimodal",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import resize_table
+
+    docs = t(spark, sf_dir, "documents").filter("doc_id <= 300")
+    return resize_table(docs).orderBy("media_id")
