@@ -8,12 +8,18 @@ incremental readStream -> watermark -> windowed-agg -> sink pipeline, which
 is the shape that handles an unbounded 100 TB/day event feed.
 """
 
-from .events_stream import run_availablenow_to_memory, stream_events, tumbling_counts
+from .events_stream import (
+    enriched_stream,
+    run_availablenow_to_memory,
+    stream_events,
+    tumbling_counts,
+)
 from .sessionize_stream import sessionize_stream
 
 __all__ = [
     "stream_events",
     "tumbling_counts",
+    "enriched_stream",
     "run_availablenow_to_memory",
     "sessionize_stream",
 ]

@@ -82,3 +82,35 @@ def run_availablenow_to_memory(result: DataFrame, query_name: str) -> DataFrame:
     q.awaitTermination()
     spark = result.sparkSession
     return spark.table(query_name)
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame, agg_window: str = "1 hour") -> DataFrame:
+    """Stream-static enrichment join + windowed rollup per dimension key.
+
+    The standard production shape: an unbounded event stream joined to a
+    bounded dimension table (here customers as the user dimension). Spark
+    plans the static side as a broadcast rebuilt per micro-batch — no
+    stream-state for the join, so the only state store is the windowed
+    aggregate (watermark-bounded). On a cluster the dim refresh cadence is
+    the micro-batch cadence, which is exactly the semantics a slowly-
+    changing enrichment wants.
+    """
+    ev = events.withWatermark("ts", "1 hour")
+    joined = ev.join(
+        F.broadcast(dim.select(F.col("c_custkey").alias("user_id"), "c_nationkey")),
+        "user_id",
+        "left",
+    )
+    return (
+        joined.groupBy(F.window("ts", agg_window).alias("w"), "c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "c_nationkey",
+            "n_events",
+            "total_value",
+        )
+    )

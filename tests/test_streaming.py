@@ -50,3 +50,34 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     b = sorted(map(tuple, batch.collect()))
     assert len(s) == len(b) > 0
     assert s == b
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path_factory):
+    from lyft_presto_spark.streaming import enriched_stream
+
+    src = str(tmp_path_factory.mktemp("events_enrich"))
+    load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("unix_micros(ts) * 1000")
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            path = os.path.join(src, extra)
+            (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+
+    dim = load_table(spark, sf_dir, "customer")
+    streamed = run_availablenow_to_memory(
+        enriched_stream(stream_events(spark, src), dim), "stream_enriched"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.join(
+            dim.selectExpr("c_custkey AS user_id", "c_nationkey"), "user_id", "left"
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "c_nationkey", "n_events", "total_value")
+    )
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert s == b and len(b) > 0
