@@ -64,20 +64,35 @@ def main() -> None:
     # Session prewarm: JVM/codegen warm-up on a tiny independent query.
     spark.range(1_000_000).selectExpr("sum(id) AS s").collect()
 
-    per_query: dict[str, float] = {}
-    for name in names:
-        q = queries[name]
+    # Measured passes are interleaved round-robin (pass 1 runs every query,
+    # then pass 2, ...) so a transient ambient-load spike inflates at most one
+    # sample per query instead of poisoning every sample of whichever query it
+    # lands on — the per-query median then discards it.
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    broken: dict[str, str] = {}
+    for name in names:  # prewarm pass (parquet footer cache, codegen)
         try:
-            force(q.spark(spark, SF_DIR))  # prewarm (parquet footer cache, codegen)
-            samples = []
-            for _ in range(RUNS):
-                t0 = time.perf_counter()
-                force(q.spark(spark, SF_DIR))
-                samples.append(time.perf_counter() - t0)
-            per_query[name] = round(statistics.median(samples), 4)
+            force(queries[name].spark(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001 — a broken query shouldn't kill the bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
-            per_query[name] = -1.0
+            broken[name] = str(e)
+    for _ in range(RUNS):
+        for name in names:
+            if name in broken:
+                continue
+            t0 = time.perf_counter()
+            try:
+                force(queries[name].spark(spark, SF_DIR))
+            except Exception as e:  # noqa: BLE001
+                print(f"bench: {name} failed: {e}", file=sys.stderr)
+                broken[name] = str(e)
+                continue
+            samples[name].append(time.perf_counter() - t0)
+
+    per_query: dict[str, float] = {
+        name: (-1.0 if name in broken else round(statistics.median(samples[name]), 4))
+        for name in names
+    }
 
     failed = sorted(n for n, v in per_query.items() if v < 0)
     # A failed query must never *improve* the headline number: each one is
