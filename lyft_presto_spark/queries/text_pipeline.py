@@ -299,3 +299,198 @@ ORDER BY lang, pack_id
 )
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _packing_sql("spark"), ("documents",))
+
+
+def _decontaminate_sql(d: str) -> str:
+    # Train/test decontamination: a test document is contaminated when >= 50%
+    # of its distinct 3-gram shingles also appear anywhere in the train split.
+    # Shape: the train corpus is reduced to its DISTINCT shingle set first
+    # (one aggregation), then test postings semi-join that set — an
+    # inverted-index equi-join, never test x train all-pairs, and the
+    # intermediate never multiplies a test shingle by its train occurrence
+    # count. Split assignment reuses the portable-hash permille buckets of
+    # ``text_train_test_split`` so the op composes with it deterministically.
+    toks = T.tokens("text", d)
+    sh = T.shingles("toks", d)
+    h = T.hash60("CAST(doc_id AS STRING)", d)
+    if d == "spark":
+        exploded = "SELECT doc_id, split, shingle FROM sh_t LATERAL VIEW explode(sh) AS shingle"
+    else:
+        exploded = "SELECT doc_id, split, unnest(sh) AS shingle FROM sh_t"
+    return f"""
+WITH split_docs AS (
+    SELECT doc_id, lang, {toks} AS toks,
+           CASE WHEN {h} % 1000 < 800 THEN 'train'
+                WHEN {h} % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+),
+sh_t AS (
+    SELECT doc_id, lang, split, {sh} AS sh,
+           {_size(sh, d)} AS n_sh
+    FROM split_docs
+),
+inv AS (
+    {exploded}
+),
+train_shingles AS (
+    SELECT DISTINCT shingle FROM inv WHERE split = 'train'
+),
+test_overlap AS (
+    SELECT t.doc_id, count(*) AS n_common
+    FROM inv t JOIN train_shingles tr ON t.shingle = tr.shingle
+    WHERE t.split = 'test'
+    GROUP BY t.doc_id
+),
+scored AS (
+    SELECT d.lang,
+           CAST(COALESCE(o.n_common, 0) AS DOUBLE) / d.n_sh AS overlap_ratio
+    FROM (SELECT doc_id, lang, n_sh FROM sh_t WHERE split = 'test') d
+    LEFT JOIN test_overlap o ON d.doc_id = o.doc_id
+)
+SELECT lang,
+       count(*) AS n_test_docs,
+       CAST(sum(CASE WHEN overlap_ratio >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_contaminated,
+       round(avg(overlap_ratio), 6) AS avg_overlap_ratio
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "text_decontaminate",
+    oracle=_decontaminate_sql("duck"),
+    doc="Train/test decontamination: test docs with >= 50% of their distinct "
+    "3-gram shingles present in the train split, via DISTINCT-train-shingle "
+    "semi-join (inverted index, never all-pairs); per-language counts.",
+    tags=("text", "extension"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _decontaminate_sql("spark"), ("documents",))
+
+
+def _repetition_sql(d: str) -> str:
+    # Gopher-style within-document repetition signals: fraction of token
+    # occurrences taken by the single most frequent token, and fraction of
+    # 2-gram occurrences that are repeats (1 - distinct/total). Both are
+    # computed from exploded posting tables with grouped codegen aggregates
+    # (map-side combined) — no per-document Python loop, no driver collect.
+    toks = T.tokens("text", d)
+    if d == "spark":
+        bigs = "transform(sequence(1, size(toks) - 1), i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))"
+        uni = "SELECT doc_id, tok FROM toks_t LATERAL VIEW explode(toks) AS tok"
+        big = "SELECT doc_id, big FROM big_t LATERAL VIEW explode(bigs) AS big"
+    else:
+        bigs = "list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])"
+        uni = "SELECT doc_id, unnest(toks) AS tok FROM toks_t"
+        big = "SELECT doc_id, unnest(bigs) AS big FROM big_t"
+    return f"""
+WITH toks_t AS (
+    SELECT doc_id, source, {toks} AS toks FROM documents
+),
+uni_counts AS (
+    SELECT doc_id, tok, count(*) AS c
+    FROM ({uni}) u
+    GROUP BY doc_id, tok
+),
+uni_stats AS (
+    SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) AS top_token_frac
+    FROM uni_counts
+    GROUP BY doc_id
+),
+big_t AS (
+    SELECT doc_id, {bigs} AS bigs
+    FROM toks_t WHERE {_size('toks', d)} >= 2
+),
+big_stats AS (
+    SELECT doc_id,
+           1.0 - CAST(count(DISTINCT big) AS DOUBLE) / count(*) AS dup_bigram_frac
+    FROM ({big}) b
+    GROUP BY doc_id
+),
+per_doc AS (
+    SELECT t.source, u.top_token_frac,
+           COALESCE(b.dup_bigram_frac, CAST(0 AS DOUBLE)) AS dup_bigram_frac
+    FROM toks_t t
+    JOIN uni_stats u ON t.doc_id = u.doc_id
+    LEFT JOIN big_stats b ON t.doc_id = b.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(top_token_frac), 6) AS avg_top_token_frac,
+       round(avg(dup_bigram_frac), 6) AS avg_dup_bigram_frac,
+       CAST(sum(CASE WHEN top_token_frac > 0.2 OR dup_bigram_frac > 0.3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "text_repetition_signals",
+    oracle=_repetition_sql("duck"),
+    doc="Gopher-style repetition quality signals: top-token occupancy and "
+    "duplicate-2-gram fraction per document via exploded grouped aggregates, "
+    "flagged-document counts per source.",
+    tags=("text", "extension"),
+)
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _repetition_sql("spark"), ("documents",))
+
+
+MIXTURE_CAP_TOKENS = 20_000
+
+
+def _mixture_sql(d: str) -> str:
+    # Domain rebalancing: downsample each source to <= CAP tokens by keeping
+    # docs whose portable-hash bucket falls under the per-source keep rate
+    # (rate = CAP / source_tokens, capped at 1). Deterministic — the keep set
+    # is a pure function of doc_id — so resumable and identical across
+    # engines/cluster sizes. Shape: one small per-source aggregate broadcast
+    # back onto the scan; the basis-point comparison is integer so no
+    # float-boundary drift between engines.
+    toks = T.tokens("text", d)
+    h = T.hash60("CAST(doc_id AS STRING)", d)
+    return f"""
+WITH counted AS (
+    SELECT source, doc_id, {_size('toks', d)} AS n_tokens
+    FROM (SELECT source, doc_id, {toks} AS toks FROM documents)
+),
+totals AS (
+    SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+    FROM counted GROUP BY source
+),
+rated AS (
+    SELECT source, src_tokens,
+           CAST(floor(least(CAST(1 AS DOUBLE),
+                CAST({MIXTURE_CAP_TOKENS} AS DOUBLE) / src_tokens) * 10000)
+                AS BIGINT) AS keep_bp
+    FROM totals
+),
+kept AS (
+    SELECT c.source, r.src_tokens, r.keep_bp, c.n_tokens
+    FROM counted c JOIN rated r ON c.source = r.source
+    WHERE {h} % 10000 < r.keep_bp
+)
+SELECT source, src_tokens, keep_bp,
+       count(*) AS n_docs_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+FROM kept
+GROUP BY source, src_tokens, keep_bp
+ORDER BY source
+"""
+
+
+@query(
+    "text_domain_mixture",
+    oracle=_mixture_sql("duck"),
+    doc="Deterministic domain rebalancing: per-source keep rate = cap / "
+    "source_tokens applied via portable-hash basis-point buckets (integer "
+    "compare, engine-stable); per-source kept doc/token counts.",
+    tags=("text", "extension"),
+)
+def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _mixture_sql("spark"), ("documents",))
