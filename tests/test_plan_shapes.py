@@ -93,3 +93,19 @@ def test_video_decode_prunes_documents_scan(spark, sf_dir):
     # pipeline is exactly the 100 TB mistake.
     df = QS["multimodal_video_frames"].spark(spark, sf_dir)
     assert_read_schema_pruned(df, "documents", max_columns=2)
+
+
+def test_decontaminate_is_equijoin(spark, sf_dir):
+    # The train-shingle membership check must stay an equi-join on the
+    # shingle key (inverted index); a cartesian test x train scan is the
+    # all-pairs failure mode this op exists to avoid.
+    df = QS["text_decontaminate"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_domain_mixture_broadcasts_rates(spark, sf_dir):
+    # The per-source rate table is a handful of rows; it must broadcast back
+    # onto the document scan rather than shuffling the corpus by source.
+    df = QS["text_domain_mixture"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df, expect=True)
