@@ -52,7 +52,7 @@ SAME = (
     "map map_keys map_values map_entries map_from_entries map_concat map_filter "
     "map_zip_with transform_keys transform_values "
     # conditional / misc
-    "coalesce nullif if typeof concat_ws uuid "
+    "coalesce nullif if typeof concat_ws uuid current_user "
     # session/zone — SessionFunctions.java, DateTimeFunctions.java
     "current_timezone localtimestamp "
     # aggregates — operator/aggregation/
@@ -337,6 +337,28 @@ def _mk_teradata_rw(spark_fn: str) -> RewriteFn:
     return rw
 
 
+def _hrs_part(value_expr: str, unit: str) -> str:
+    return (
+        f"CASE WHEN {value_expr} > 0 THEN CAST({value_expr} AS STRING) || ' ' || "
+        f"CASE WHEN {value_expr} = 1 THEN '{unit}' ELSE '{unit}s' END END"
+    )
+
+
+_HRS_N = "CAST(round(CAST($1 AS DOUBLE)) AS BIGINT)"
+_HRS_TEMPLATE = (
+    "COALESCE(nullif(concat_ws(', ', "
+    + _hrs_part(f"({_HRS_N} DIV 604800)", "week")
+    + ", "
+    + _hrs_part(f"(({_HRS_N} % 604800) DIV 86400)", "day")
+    + ", "
+    + _hrs_part(f"(({_HRS_N} % 86400) DIV 3600)", "hour")
+    + ", "
+    + _hrs_part(f"(({_HRS_N} % 3600) DIV 60)", "minute")
+    + ", "
+    + _hrs_part(f"({_HRS_N} % 60)", "second")
+    + "), ''), '0 seconds')"
+)
+
 _ERF = "reflect('org.apache.commons.math3.special.Erf', 'erf', CAST({} AS DOUBLE))"
 _ERFINV = "reflect('org.apache.commons.math3.special.Erf', 'erfInv', CAST({} AS DOUBLE))"
 
@@ -398,6 +420,12 @@ REWRITE: dict[str, "str | RewriteFn"] = {
     "inverse_normal_cdf": (
         "(($1) + ($2) * sqrt(2.0) * CAST(" + _ERFINV.format("2.0 * ($3) - 1.0") + " AS DOUBLE))"
     ),
+    # MathFunctions beta_cdf via commons-math regularized incomplete beta
+    # (Beta.regularizedBeta(x, a, b); Presto argument order is (a, b, value)).
+    "beta_cdf": (
+        "CAST(reflect('org.apache.commons.math3.special.Beta', 'regularizedBeta', "
+        "CAST($3 AS DOUBLE), CAST($1 AS DOUBLE), CAST($2 AS DOUBLE)) AS DOUBLE)"
+    ),
     # WilsonInterval.java — score interval bounds from (successes, trials, z).
     "wilson_interval_lower": (
         "((($1) / CAST($2 AS DOUBLE) + ($3) * ($3) / (2.0 * ($2)) - ($3) * "
@@ -439,6 +467,23 @@ REWRITE: dict[str, "str | RewriteFn"] = {
         "unhex(lpad(hex(CAST(reflect('java.lang.Float', 'floatToRawIntBits', "
         "CAST($1 AS FLOAT)) AS BIGINT) & 4294967295), 8, '0'))"
     ),
+    # VarbinaryFunctions.java big-endian encodings: hex already renders the
+    # two's-complement bit pattern; parseUnsigned{Long,Int} folds it back to
+    # the signed value without overflow (conv keeps it an unsigned string).
+    "to_big_endian_64": "unhex(lpad(hex($1), 16, '0'))",
+    "from_big_endian_64": (
+        "CAST(reflect('java.lang.Long', 'parseUnsignedLong', conv(hex($1), 16, 10)) "
+        "AS BIGINT)"
+    ),
+    "to_big_endian_32": "unhex(lpad(hex(CAST($1 AS BIGINT) & 4294967295), 8, '0'))",
+    "from_big_endian_32": (
+        "CAST(reflect('java.lang.Integer', 'parseUnsignedInt', conv(hex($1), 16, 10)) "
+        "AS INT)"
+    ),
+    # DateTimeFunctions.java human_readable_seconds: week/day/hour/minute/
+    # second decomposition with pluralization; concat_ws drops the NULL
+    # zero-valued units and the empty string falls back to '0 seconds'.
+    "human_readable_seconds": _HRS_TEMPLATE,
     # DateTimeFunctions.java ISO 8601 surface. to_iso8601 is type-directed in
     # Presto (DATE -> 'yyyy-MM-dd'); the textual transpiler always emits the
     # timestamp form (see DELTAS).

@@ -1506,3 +1506,91 @@ def fn_multimap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.presto import transpile
 
     return sql_over(spark, sf_dir, transpile(_MULTIMAP_PRESTO), ("nation",))
+
+
+# --- beta_cdf, big-endian binary, human_readable_seconds
+#     (MathFunctions.java:65, VarbinaryFunctions.java:37,
+#     DateTimeFunctions.java human_readable_seconds) ---
+
+_MISC_PRESTO = """
+SELECT o_orderkey,
+       round(beta_cdf(1.0, 1.0, x), 6) AS b11,
+       round(beta_cdf(2.0, 1.0, x), 6) AS b21,
+       round(beta_cdf(1.0, 2.0, x), 6) AS b12,
+       round(beta_cdf(2.0, 2.0, x), 6) AS b22,
+       lower(to_hex(to_big_endian_64(o_orderkey))) AS h64,
+       from_big_endian_64(to_big_endian_64(0 - o_orderkey)) AS rt64,
+       lower(to_hex(to_big_endian_32(k32))) AS h32,
+       from_big_endian_32(to_big_endian_32(k32)) AS rt32,
+       human_readable_seconds(o_orderkey % 700000) AS hrs
+FROM (SELECT o_orderkey,
+             CAST(o_orderkey % 9 + 1 AS DOUBLE) / 10.0 AS x,
+             CAST(o_orderkey % 100 - 50 AS INTEGER) AS k32
+      FROM orders)
+WHERE o_orderkey <= 100
+ORDER BY o_orderkey
+"""
+
+
+def _hrs_duck(n: str) -> str:
+    big = f"CAST(round(CAST({n} AS DOUBLE)) AS BIGINT)"
+
+    def part(v: str, unit: str) -> str:
+        return (
+            f"CASE WHEN {v} > 0 THEN CAST({v} AS VARCHAR) || ' ' || "
+            f"CASE WHEN {v} = 1 THEN '{unit}' ELSE '{unit}s' END END"
+        )
+
+    return (
+        "COALESCE(nullif(concat_ws(', ', "
+        + part(f"({big} // 604800)", "week")
+        + ", "
+        + part(f"(({big} % 604800) // 86400)", "day")
+        + ", "
+        + part(f"(({big} % 86400) // 3600)", "hour")
+        + ", "
+        + part(f"(({big} % 3600) // 60)", "minute")
+        + ", "
+        + part(f"({big} % 60)", "second")
+        + "), ''), '0 seconds')"
+    )
+
+
+# beta_cdf pinned against the closed forms Beta(1,1)=x, Beta(2,1)=x^2,
+# Beta(1,2)=1-(1-x)^2, Beta(2,2)=3x^2-2x^3 (polynomials DuckDB evaluates
+# exactly); big-endian encodings recomputed arithmetically (two's complement
+# for the 32-bit negatives); human_readable_seconds re-derived with the same
+# decomposition in DuckDB SQL.
+_MISC_DUCK = f"""
+SELECT o_orderkey,
+       round(x, 6) AS b11,
+       round(x * x, 6) AS b21,
+       round(1 - (1 - x) * (1 - x), 6) AS b12,
+       round(3 * x * x - 2 * x * x * x, 6) AS b22,
+       lower(lpad(to_hex(o_orderkey), 16, '0')) AS h64,
+       0 - o_orderkey AS rt64,
+       lower(lpad(to_hex(CASE WHEN k32 < 0 THEN k32 + 4294967296 ELSE k32 END), 8, '0')) AS h32,
+       k32 AS rt32,
+       {_hrs_duck("o_orderkey % 700000")} AS hrs
+FROM (SELECT o_orderkey,
+             CAST(o_orderkey % 9 + 1 AS DOUBLE) / 10.0 AS x,
+             CAST(o_orderkey % 100 - 50 AS INTEGER) AS k32
+      FROM orders)
+WHERE o_orderkey <= 100
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_beta_endian_hrs",
+    oracle=_MISC_DUCK,
+    doc="beta_cdf (commons-math regularized incomplete beta via reflect, "
+    "pinned against closed-form polynomials), to/from_big_endian_32/64 "
+    "round-trips with hex renderings, and human_readable_seconds "
+    "decomposition with pluralization.",
+    tags=("functions", "dialect"),
+)
+def fn_beta_endian_hrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_MISC_PRESTO), ("orders",))
