@@ -40,7 +40,7 @@ def _manager() -> CatalogManager:
 
 STATEMENT_RE = re.compile(
     r"^\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE|DEALLOCATE|EXPLAIN|USE|SET|RESET|"
-    r"START|COMMIT|ROLLBACK)\b",
+    r"START|COMMIT|ROLLBACK|CALL|GRANT|REVOKE)\b",
     re.IGNORECASE,
 )
 
@@ -266,6 +266,23 @@ def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
         return spark.createDataFrame([(s.split()[0].upper(), "OK (autocommit)")], "statement string, status string")
     if re.fullmatch(r"ROLLBACK(\s+WORK)?", s, re.IGNORECASE):
         raise ValueError("ROLLBACK is unsupported: connectors are non-transactional (autocommit)")
+
+    # CALL + role DCL (SqlBase.g4:33-118): the reference resolves procedures
+    # and roles against the connector (ProcedureRegistry.java,
+    # AccessControlManager); the directory/parquet connectors here register
+    # neither, which in the reference surfaces as PROCEDURE_NOT_FOUND /
+    # access-control errors. Fail loudly with the same meaning.
+    m = re.fullmatch(r"CALL\s+([\w.]+)\s*\(.*\)", s, re.IGNORECASE | re.DOTALL)
+    if m:
+        raise ValueError(
+            f"procedure {m.group(1)!r} not registered: "
+            "no connector in this catalog provides procedures"
+        )
+    if re.match(r"(GRANT|REVOKE)\b|(CREATE|DROP|SET)\s+ROLE\b", s, re.IGNORECASE):
+        raise ValueError(
+            "role-based access control is not provided by the mounted "
+            "connectors (reference delegates DCL to connector access control)"
+        )
 
     m = re.fullmatch(r"EXPLAIN\s+(?:\((?:[^)]*)\)\s+)?(.+)", s, re.IGNORECASE | re.DOTALL)
     if m and not re.match(r"(?i)\s*(SHOW|DESCRIBE|DESC|PREPARE|EXECUTE)\b", m.group(1)):

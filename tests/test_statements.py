@@ -146,3 +146,14 @@ def test_system_runtime_tables(spark, mounted):
     assert len(nodes) == 1 and nodes[0]["coordinator"] is True and nodes[0]["state"] == "active"
     q = presto_sql(spark, "SELECT count(*) AS n FROM system.runtime.queries").collect()
     assert q[0]["n"] >= 1
+
+
+def test_call_unregistered_procedure_errors(spark):
+    with pytest.raises(ValueError, match="procedure"):
+        presto_sql(spark, "CALL system.create_empty_partition('a', 'b')")
+
+
+def test_role_dcl_errors(spark):
+    for stmt in ("GRANT SELECT ON t TO alice", "REVOKE SELECT ON t FROM alice", "SET ROLE admin"):
+        with pytest.raises(ValueError, match="access control"):
+            presto_sql(spark, stmt)
