@@ -90,7 +90,20 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Resolved-table cache: a catalog resolves a table's schema once per session,
+# not once per query (MetadataManager caches table handles the same way).
+# spark.read.parquet costs ~100 ms of driver-side footer/schema work per call;
+# without this cache every query charges that per referenced table. Keyed by
+# session id so a fresh session (fresh JVM state) re-resolves. Fixture
+# parquet is immutable for a session's lifetime, so no invalidation path.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), os.path.abspath(sf_dir), name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Defensive: a caller-provided session (e.g. the driver's) may not carry
     # build_session's configs. nanosAsLong is a runtime SQL conf — set it here
     # so events.parquet (TIMESTAMP(NANOS)) is readable from any session.
@@ -101,6 +114,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    _TABLE_CACHE[key] = df
     return df
 
 
