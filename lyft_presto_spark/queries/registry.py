@@ -56,8 +56,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+# View-mount memo: (session, view name) -> sf_dir currently mounted. Temp-view
+# registration is a catalog RPC per call; skipping the no-op re-registration
+# keeps repeated query calls (bench reps, the driver's sweep) free of it while
+# still remounting whenever the caller switches scale-factor directories.
+_MOUNTED: dict[tuple[int, str], str] = {}
+
+
 def sql_over(spark: SparkSession, sf_dir: str, sql: str, tables: tuple[str, ...]) -> DataFrame:
     """Run Spark SQL after registering the named fixture tables as views."""
     for name in tables:
-        t(spark, sf_dir, name).createOrReplaceTempView(name)
+        key = (id(spark), name)
+        if _MOUNTED.get(key) != sf_dir:
+            t(spark, sf_dir, name).createOrReplaceTempView(name)
+            _MOUNTED[key] = sf_dir
     return spark.sql(sql)
