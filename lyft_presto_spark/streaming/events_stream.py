@@ -49,19 +49,28 @@ def stream_events(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "1 hour") -> DataFrame:
-    """Watermarked tumbling-window rollup (streaming twin of events_tumbling_window)."""
+    """Watermarked tumbling-window rollup (streaming twin of events_tumbling_window).
+
+    ``approx_users`` is the streaming-legal distinct: exact COUNT(DISTINCT)
+    is unsupported (and unboundedly stateful) in a streaming aggregation,
+    while the HLL register state is fixed-size per group and its merge is
+    commutative — so the incremental result is byte-identical to the batch
+    plan regardless of micro-batch arrival order (pinned by the parity test).
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
         )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
+            "approx_users",
         )
     )
 

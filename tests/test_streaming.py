@@ -42,8 +42,15 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path_factory):
         .agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("total_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
         )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "approx_users",
+        )
     )
 
     s = sorted(map(tuple, streamed.collect()))
