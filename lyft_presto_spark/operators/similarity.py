@@ -25,16 +25,19 @@ from pyspark.sql import SparkSession
 
 ROUND = 6
 
-_UDFS_REGISTERED: set[int] = set()
+_UDFS_REGISTERED: set[str] = set()
 
 
 def register_vector_udfs(spark: SparkSession) -> None:
     """Register ``cosine_sim_v(a, b) -> double`` (Arrow-batched, numpy).
 
-    Idempotent per session; queries call this before emitting SQL that uses
-    the vectorized cosine.
+    Idempotent per session (keyed by applicationId so a recycled id() of a
+    stopped session never skips registration); queries call this before
+    emitting SQL that uses the vectorized cosine.
     """
-    if id(spark) in _UDFS_REGISTERED:
+    from ..session import session_key
+
+    if session_key(spark) in _UDFS_REGISTERED:
         return
     import numpy as np
     import pandas as pd
@@ -56,7 +59,7 @@ def register_vector_udfs(spark: SparkSession) -> None:
         return pd.Series(out)
 
     spark.udf.register("cosine_sim_v", cosine_sim_v)
-    _UDFS_REGISTERED.add(id(spark))
+    _UDFS_REGISTERED.add(session_key(spark))
 
 
 def dot(a: str, b: str, dialect: str) -> str:

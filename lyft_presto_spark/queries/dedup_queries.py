@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as T
+from ..operators.staging import staged
 from .registry import query, sql_over, t as read_table
 
 
@@ -234,9 +235,10 @@ ORDER BY est_jaccard DESC, doc_a, doc_b
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spark inlines CTEs, so the signature computation in _minhash_sql would
     # run 3x (bands + both sides of the candidate join). Build signatures as
-    # codegen grouped aggregates and persist — at production scale this is
-    # the materialized signature dataset every pass reuses.
-    sigs = _minhash_sigs(spark, sf_dir).persist()
+    # codegen grouped aggregates with a managed persisted lifetime
+    # (operators/staging.py) — at production scale this is the materialized
+    # signature dataset every pass reuses; release_staged() reclaims it.
+    sigs = staged(spark, sf_dir, "minhash_sigs", lambda: _minhash_sigs(spark, sf_dir))
     sigs.createOrReplaceTempView("minhash_sigs")
     structs = ", ".join(
         "struct({b} AS band_idx, {k} AS band_key)".format(b=b, k=D.band_key("sig", b, "spark"))
@@ -326,7 +328,7 @@ ORDER BY hamming_dist, doc_a, doc_b
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same staging as minhash: codegen per-bit vote aggregates, persisted
     # signatures so the banded self-join reads them twice without recompute.
-    sims = _simhash_sigs(spark, sf_dir).persist()
+    sims = staged(spark, sf_dir, "simhash_sigs", lambda: _simhash_sigs(spark, sf_dir))
     sims.createOrReplaceTempView("simhash_sigs")
     structs = ", ".join(
         "struct({b} AS band_idx, {k} AS band_key)".format(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.staging import staged
 from .registry import query, sql_over, t
 
 # Tight decimal casts: l_extendedprice < 1e6, discount/tax in [0,1].
@@ -916,21 +917,28 @@ ORDER BY part_value DESC, partkey
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The supply CTE feeds both the main aggregation and the HAVING scalar
     # subquery; Spark inlines CTEs, so stage it once (nation filter applied)
-    # and persist — one lineitem scan + join instead of two.
-    supply = sql_over(
+    # with a managed persisted lifetime (operators/staging.py) — one lineitem
+    # scan + join instead of two, one cached copy per session no matter how
+    # many times the query runs.
+    supply = staged(
         spark,
         sf_dir,
-        """
-        SELECT l_partkey AS partkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
-        FROM lineitem
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        WHERE n_name = 'NATION_3'
-        GROUP BY l_partkey
-        """,
-        ("lineitem", "supplier", "nation"),
-    ).persist()
+        "tpch_q11_supply",
+        lambda: sql_over(
+            spark,
+            sf_dir,
+            """
+            SELECT l_partkey AS partkey,
+                   SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value_dec
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            GROUP BY l_partkey
+            """,
+            ("lineitem", "supplier", "nation"),
+        ),
+    )
     supply.createOrReplaceTempView("q11_supply")
     return spark.sql(
         """

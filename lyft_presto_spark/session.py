@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.functions import expr
+from pyspark.sql.functions import col, expr
 
 TABLES = (
     "region",
@@ -74,9 +74,11 @@ def build_session(
         # driver OOM); AQE upgrades genuinely-small sides to broadcast at
         # runtime, which is the safe direction.
         .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read as nanos-since-epoch long and convert on view
-        # registration (load_table) — DuckDB truncates nanos->micros the same way.
+        # Fixture timestamp layouts have varied across driver regenerations:
+        # TIMESTAMP(NANOS) (readable only as nanos-since-epoch BIGINT under
+        # this legacy flag) and timestamp[us] isAdjustedToUTC=false (surfaces
+        # as TIMESTAMP_NTZ). load_table normalizes both to TIMESTAMP so every
+        # call site sees one type; the flag keeps the nanos layout readable.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
@@ -94,26 +96,44 @@ def table_path(sf_dir: str, name: str) -> str:
 # not once per query (MetadataManager caches table handles the same way).
 # spark.read.parquet costs ~100 ms of driver-side footer/schema work per call;
 # without this cache every query charges that per referenced table. Keyed by
-# session id so a fresh session (fresh JVM state) re-resolves. Fixture
-# parquet is immutable for a session's lifetime, so no invalidation path.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# the session's applicationId (stable, unique per SparkContext) so a fresh
+# session re-resolves — id(spark) of a stopped session can be recycled by the
+# allocator and would silently serve stale DataFrames. Fixture parquet is
+# immutable for a session's lifetime, so no invalidation path.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session (survives id() reuse across stops)."""
+    return spark.sparkContext.applicationId
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), os.path.abspath(sf_dir), name)
+    key = (session_key(spark), os.path.abspath(sf_dir), name)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
     # Defensive: a caller-provided session (e.g. the driver's) may not carry
     # build_session's configs. nanosAsLong is a runtime SQL conf — set it here
-    # so events.parquet (TIMESTAMP(NANOS)) is readable from any session.
+    # so a TIMESTAMP(NANOS) events.parquet is readable from any session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
-    # Nanos timestamps surface as BIGINT under nanosAsLong: restore micros
-    # precision (truncating div, matching DuckDB's nanos->micros cast).
+    # Timestamp normalization: every engine call site assumes ts columns are
+    # TIMESTAMP (instant, session TZ pinned UTC). Fixture regenerations have
+    # shipped two other layouts; fold both into TIMESTAMP here so the rest of
+    # the engine — and the DuckDB oracle, which reads the same micros — sees
+    # identical values:
+    #  - TIMESTAMP(NANOS) surfaces as BIGINT under nanosAsLong: truncate
+    #    nanos->micros (matching DuckDB's cast).
+    #  - timestamp[us] isAdjustedToUTC=false surfaces as TIMESTAMP_NTZ: the
+    #    wall-clock values are UTC instants, so a cast relabels without
+    #    shifting (session TZ is UTC).
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+        kind = field.dataType.simpleString()
+        if field.name == "ts" and kind == "bigint":
             df = df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        elif kind == "timestamp_ntz":
+            df = df.withColumn(field.name, col(field.name).cast("timestamp"))
     _TABLE_CACHE[key] = df
     return df
 
