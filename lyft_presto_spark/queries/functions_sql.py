@@ -1594,3 +1594,59 @@ def fn_beta_endian_hrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.presto import transpile
 
     return sql_over(spark, sf_dir, transpile(_MISC_PRESTO), ("orders",))
+
+
+# --- time / time-of-day type (TimeType.java; DateTimeFunctions.java hour/
+# minute/second over TIME) ------------------------------------------------
+#
+# Spark 4.1 ships a feature-flagged native TIME type; build_session enables
+# it, and the query re-asserts the conf (runtime-settable) so a
+# driver-provided session works too. The reference's `time` semantics —
+# literals, string casts, field extraction, comparison, ordering, min/max —
+# map 1:1. `cast(timestamp AS time)` (Presto-supported, Spark-unsupported)
+# is expressed as date_format -> cast, which preserves microseconds.
+
+_TIME_SPARK = """
+SELECT event_type,
+       min(tod) AS first_tod,
+       max(tod) AS last_tod,
+       count(IF(tod >= TIME'12:00:00', 1, NULL)) AS pm_events,
+       hour(min(tod)) AS first_hour,
+       minute(max(tod)) AS last_minute,
+       cast(min(tod) AS string) AS first_tod_str
+FROM (
+    SELECT event_type,
+           cast(date_format(ts, 'HH:mm:ss.SSSSSS') AS time) AS tod
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_TIME_DUCK = """
+SELECT event_type,
+       min(CAST(ts AS TIME)) AS first_tod,
+       max(CAST(ts AS TIME)) AS last_tod,
+       count(*) FILTER (WHERE CAST(ts AS TIME) >= TIME '12:00:00') AS pm_events,
+       CAST(extract(hour FROM min(CAST(ts AS TIME))) AS INTEGER) AS first_hour,
+       CAST(extract(minute FROM max(CAST(ts AS TIME))) AS INTEGER) AS last_minute,
+       CAST(min(CAST(ts AS TIME)) AS VARCHAR) AS first_tod_str
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "fn_time",
+    oracle=_TIME_DUCK,
+    doc="`time` type surface (TimeType.java; SURVEY §1.2 gap now closed via "
+    "Spark 4.1's native TIME): timestamp->time-of-day derivation, TIME "
+    "literals, comparison, min/max aggregation, hour/minute extraction "
+    "(DateTimeFunctions.java:304-332) and string rendering, vs DuckDB's "
+    "native TIME.",
+    tags=("functions", "types"),
+)
+def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.timeType.enabled", "true")
+    return sql_over(spark, sf_dir, _TIME_SPARK, ("events",))

@@ -67,6 +67,9 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
+        # Spark 4.1's TIME type (feature-flagged) backs the reference's
+        # `time` type (TimeType.java) — literals, casts, extraction, min/max.
+        .config("spark.sql.timeType.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         # Moderate static threshold: the planner must never broadcast a
