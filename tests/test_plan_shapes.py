@@ -109,3 +109,51 @@ def test_domain_mixture_broadcasts_rates(spark, sf_dir):
     df = QS["text_domain_mixture"].spark(spark, sf_dir)
     assert_no_cartesian(df)
     assert_broadcast_join(df, expect=True)
+
+
+def test_hopping_window_single_expand_agg_shuffle(spark, sf_dir):
+    # Hopping windows multiply rows via one Expand (4 overlapping 1h/15m
+    # windows per event), NOT a join against a window table; after that the
+    # rollup is a normal hash agg. Distinct-user rewrite adds one exchange,
+    # plus the output sort: budget <= 4 and exactly one Expand.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["events_hopping_window"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Expand") >= 1
+    # Expand nodes appear once in the numbered-operator list; the distinct
+    # rewrite may re-list it, but a second *distinct* Expand would mean the
+    # window explosion ran twice.
+    import re
+
+    expand_ops = re.findall(r"\(\d+\) Expand", plan)
+    assert len(expand_ops) == 1, plan[:2000]
+    assert count_exchanges(df) <= 4
+    assert_no_cartesian(df)
+
+
+def test_streaming_tumbling_rollup_exchange_budget(spark, sf_dir):
+    # The streaming rollup's plan shape, checked on its batch twin (the
+    # logical plan is identical; streaming only adds the state store): one
+    # hash exchange for the windowed agg — HLL distinct is a single-pass
+    # mergeable agg, so no extra distinct exchange.
+    from lyft_presto_spark.session import load_table
+    from lyft_presto_spark.streaming import tumbling_counts
+
+    df = tumbling_counts(load_table(spark, sf_dir, "events"))
+    assert count_exchanges(df) <= 2
+    assert_no_cartesian(df)
+
+
+def test_streaming_enriched_join_broadcasts_dim(spark, sf_dir):
+    # Stream-static enrichment must broadcast the bounded dimension — a
+    # shuffled join would re-shuffle the unbounded stream every micro-batch.
+    from lyft_presto_spark.session import load_table
+    from lyft_presto_spark.streaming import enriched_stream
+
+    df = enriched_stream(
+        load_table(spark, sf_dir, "events"), load_table(spark, sf_dir, "customer")
+    )
+    assert_broadcast_join(df, expect=True)
+    assert count_exchanges(df) <= 2
+    assert_no_cartesian(df)
