@@ -537,10 +537,56 @@ REWRITE: dict[str, "str | RewriteFn"] = {
     # form is a bare keyword (NFC/NFD/NFKC/NFKD) in Presto's grammar.
     # unicode_normalize is a register_udfs() Python UDF (no JVM builtin).
     "normalize": _rw_normalize,
+    # MapConstructor.java — Presto's map() takes (key_array, value_array);
+    # Spark's two-array spelling is map_from_arrays (flat map(k,v,...) calls
+    # pass through untouched: only the exact 2-arg Presto shape rewrites).
+    "map": (lambda args, lits: f"map_from_arrays({args[0]}, {args[1]})" if len(args) == 2 else None),
+    # StringFunctions.java levenshteinDistance — Spark spells it levenshtein.
+    "levenshtein_distance": "levenshtein($1, $2)",
+    # ArrayContains.java — Presto contains(array, elem); Spark's bare
+    # `contains` is a *string* function, so the Presto spelling must map to
+    # array_contains. (Presto 319 has no string contains — strpos/LIKE.)
+    "contains": "array_contains($1, $2)",
+    # RepeatFunction.java — repeat(element, count) returns ARRAY in Presto
+    # (string repetition is rpad there); Spark's repeat is string-only.
+    "repeat": "array_repeat($1, $2)",
+    # ElementAt: Presto returns NULL for a missing map key or out-of-range
+    # index (ElementAtFunction.java); Spark's element_at THROWS under ANSI
+    # mode. try_element_at restores the reference contract.
+    "element_at": "try_element_at($1, $2)",
+    # StringFunctions.java splitPart: out-of-range index -> NULL (Spark's
+    # split_part returns ''). \\Q..\\E regex-quotes the delimiter so dynamic
+    # (non-literal) delimiters split literally, matching Presto.
+    "split_part": "try_element_at(split($1, concat('\\\\Q', $2, '\\\\E'), -1), $3)",
+    # MathFunctions.java special values; Spark has no infinity()/nan()
+    # constructors or is_finite/is_infinite predicates.
+    "infinity": "CAST('Infinity' AS DOUBLE)",
+    "nan": "CAST('NaN' AS DOUBLE)",
+    "is_finite": "(NOT isnan(CAST($1 AS DOUBLE)) AND abs(CAST($1 AS DOUBLE)) <> CAST('Infinity' AS DOUBLE))",
+    "is_infinite": "(abs(CAST($1 AS DOUBLE)) = CAST('Infinity' AS DOUBLE))",
+    # DateTimeFunctions at_timezone/with_timezone. The engine models every
+    # timestamp as a UTC instant (COVERAGE §1.2): at_timezone re-renders the
+    # instant on the target zone's wall clock; with_timezone interprets a
+    # naive wall clock IN the zone and yields the UTC instant.
+    "at_timezone": "convert_timezone('UTC', $2, $1)",
+    "with_timezone": "convert_timezone($2, 'UTC', $1)",
+    # MathFunctions.java cosineSimilarity over sparse map vectors: dot over
+    # the left map's keys / (l2(left) * l2(right)) — pure codegen HOFs, the
+    # same shape the reference computes over its map blocks.
+    "cosine_similarity": (
+        "(aggregate(map_keys($1), CAST(0 AS DOUBLE), "
+        "(acc, k) -> acc + coalesce(try_element_at($2, k), CAST(0 AS DOUBLE)) * try_element_at($1, k)) "
+        "/ (sqrt(aggregate(map_values($1), CAST(0 AS DOUBLE), (a, x) -> a + x * x)) "
+        "* sqrt(aggregate(map_values($2), CAST(0 AS DOUBLE), (a, x) -> a + x * x))))"
+    ),
 }
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
 DELTAS = {
+    "ln": "Presto ln(0) = -Infinity, ln(<0) = NaN; Spark ln(<=0) = NULL.",
+    "map": "2-arg map() is rewritten as the Presto two-array constructor; "
+    "Spark's flat 2-arg map(k, v) form must be spelled map_from_entries or "
+    "use >2 args in transpiled SQL.",
     "array_agg": "Presto keeps NULLs; Spark collect_list drops them.",
     "round": "Presto/Spark round HALF_UP on doubles; DuckDB differs at exact .5 decimals.",
     "element_at": "Both 1-based; Presto errors on OOB under ANSI, Spark returns error in ANSI mode too.",
@@ -639,6 +685,32 @@ def _find_call(sql: str, name: str, start: int = 0) -> tuple[int, int, list[str]
     return m.start(), i, _split_args(sql[m.end() : i - 1])
 
 
+_ARRAY_LIT = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+
+
+def _rewrite_array_literals(sql: str) -> str:
+    """Presto ``ARRAY[a, b]`` constructor -> Spark ``array(a, b)``.
+
+    Bracket-matching (not regex) so nested constructors and subscripts
+    survive; runs on literal-masked SQL so bracketed text inside strings is
+    never touched. Each pass rewrites the first (outermost) occurrence and
+    re-scans, which unwraps nested ARRAY[ARRAY[...]] from the outside in.
+    """
+    while True:
+        m = _ARRAY_LIT.search(sql)
+        if not m:
+            return sql
+        depth, i = 1, m.end()
+        while i < len(sql) and depth:
+            ch = sql[i]
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+            i += 1
+        sql = sql[: m.start()] + "array(" + sql[m.end() : i - 1] + ")" + sql[i:]
+
+
 def transpile(sql: str) -> str:
     """Rewrite Presto-dialect SQL into Spark SQL.
 
@@ -648,6 +720,7 @@ def transpile(sql: str) -> str:
     from each replacement.
     """
     out, lits = _mask_literals(sql)
+    out = _rewrite_array_literals(out)
     for name, rw in REWRITE.items():
         pos = 0
         while True:

@@ -344,3 +344,47 @@ def events_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "n_users", "total_value")
         .orderBy("window_start")
     )
+
+
+# --- click -> purchase attribution (batch twin of the stream-stream join) ---
+
+_ATTRIBUTION_DUCK = """
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       round(sum(p.value), 4) AS attributed_value
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL '30 minutes'
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@query(
+    "events_click_attribution",
+    oracle=_ATTRIBUTION_DUCK,
+    doc="Click->purchase attribution pairs within a 30-minute horizon, "
+    "rolled up per user. The pair generator is streaming/join_stream.py's "
+    "attribution_pairs — the SAME code that runs as a watermarked "
+    "stream-stream interval join (state bounded by watermark + horizon, "
+    "partitioned on the user_id equi-key); here it runs as its batch twin.",
+    tags=("events", "streaming"),
+)
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..streaming import attribution_pairs
+
+    pairs = attribution_pairs(t(spark, sf_dir, "events"), watermark=None)
+    return (
+        pairs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

@@ -1650,3 +1650,69 @@ ORDER BY event_type
 def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.timeType.enabled", "true")
     return sql_over(spark, sf_dir, _TIME_SPARK, ("events",))
+
+
+# --- Presto scalar-compat wave 3 (array/element/special-value semantics) ---
+#
+# The semantic deltas these pin (all reference-faithful):
+#  - element_at / split_part return NULL out of range (Spark: ANSI error /
+#    empty string) — ElementAtFunction.java, StringFunctions.java splitPart
+#  - contains/repeat are ARRAY functions in Presto (ArrayContains.java,
+#    RepeatFunction.java); Spark's same-named builtins are string functions
+#  - infinity()/nan()/is_finite/is_infinite special values MathFunctions.java
+#  - cosine_similarity over sparse map vectors (MathFunctions.java:1503) as
+#    pure codegen HOFs — no UDF
+#  - ARRAY[..] / map(ARRAY[..], ARRAY[..]) constructor syntax
+
+_COMPAT3_PRESTO = """
+SELECT p_partkey,
+       levenshtein_distance(split_part(p_type, ' ', 1), split_part(p_type, ' ', 2)) AS lev,
+       contains(ARRAY[1, 2, 3, 4, 5], p_partkey % 7) AS has_mod,
+       repeat(p_partkey % 3, 3) AS rep3,
+       element_at(ARRAY[10, 20], CAST(p_partkey % 4 + 1 AS INTEGER)) AS maybe_elem,
+       split_part(p_type, ' ', 99) AS oob_word,
+       is_finite(ln(CAST(p_partkey + 1 AS DOUBLE))) AS fin,
+       is_infinite(infinity()) AS inf_true,
+       is_finite(nan()) AS nan_fin,
+       width_bucket(CAST(p_retailprice AS DOUBLE), 0.0, 2500.0, 10) AS wb,
+       round(cosine_similarity(
+           map(ARRAY['a', 'b'], ARRAY[CAST(p_partkey % 5 + 1 AS DOUBLE), CAST(2 AS DOUBLE)]),
+           map(ARRAY['b', 'c'], ARRAY[CAST(3 AS DOUBLE), CAST(4 AS DOUBLE)])), 6) AS cos_sim
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+_COMPAT3_DUCK = """
+SELECT p_partkey,
+       levenshtein(string_split(p_type, ' ')[1], string_split(p_type, ' ')[2]) AS lev,
+       list_contains([1, 2, 3, 4, 5], p_partkey % 7) AS has_mod,
+       [p_partkey % 3, p_partkey % 3, p_partkey % 3] AS rep3,
+       CASE WHEN p_partkey % 4 + 1 <= 2 THEN [10, 20][CAST(p_partkey % 4 + 1 AS BIGINT)] END AS maybe_elem,
+       CAST(NULL AS VARCHAR) AS oob_word,
+       TRUE AS fin,
+       TRUE AS inf_true,
+       FALSE AS nan_fin,
+       CASE WHEN CAST(p_retailprice AS DOUBLE) < 0 THEN 0
+            WHEN CAST(p_retailprice AS DOUBLE) >= 2500.0 THEN 11
+            ELSE CAST(floor(CAST(p_retailprice AS DOUBLE) / 250.0) + 1 AS BIGINT) END AS wb,
+       round((2.0 * 3.0) / (sqrt((p_partkey % 5 + 1) * (p_partkey % 5 + 1) + 4.0) * 5.0), 6) AS cos_sim
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+
+@query(
+    "fn_presto_compat",
+    oracle=_COMPAT3_DUCK,
+    doc="Presto array/element/special-value scalar semantics through the "
+    "transpiler: NULL-on-out-of-range element_at/split_part, array "
+    "contains/repeat, infinity/nan predicates, width_bucket, sparse-map "
+    "cosine_similarity, ARRAY[]/map(ARRAY,ARRAY) constructors.",
+    tags=("functions", "dialect"),
+)
+def fn_presto_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.presto import transpile
+
+    return sql_over(spark, sf_dir, transpile(_COMPAT3_PRESTO), ("part",))

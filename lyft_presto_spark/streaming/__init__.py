@@ -14,6 +14,7 @@ from .events_stream import (
     stream_events,
     tumbling_counts,
 )
+from .join_stream import attribution_pairs
 from .sessionize_stream import sessionize_stream
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "enriched_stream",
     "run_availablenow_to_memory",
     "sessionize_stream",
+    "attribution_pairs",
 ]

@@ -191,7 +191,8 @@ def test_transpile_iso8601_duration_datasize():
 def test_transpile_split_to_multimap_and_types():
     out = transpile("SELECT split_to_multimap(s, ';', '=') FROM t")
     assert "map_from_entries" in out
-    assert "split_part" in out
+    # split_part now expands to the NULL-on-out-of-range try_element_at form
+    assert "try_element_at(split(" in out
     # split_to_map (-> str_to_map) must not fire inside split_to_multimap.
     assert "str_to_map" not in out
     out2 = transpile("SELECT CAST(x AS VARCHAR), CAST(b AS VARBINARY), CAST(r AS REAL) FROM t")
@@ -260,3 +261,66 @@ def test_normalize_unicode(spark):
         transpile("SELECT length(normalize('étest')) AS c, length(normalize('étest', NFD)) AS d")
     ).collect()[0]
     assert row.c == 5 and row.d == 6
+
+
+class TestScalarCompatWave3:
+    """Rewrites added with fn_presto_compat (array/element/special values)."""
+
+    def test_array_literal_constructor(self):
+        assert transpile("SELECT ARRAY[1, 2, 3]") == "SELECT array(1, 2, 3)"
+        # nested + inside calls
+        assert transpile("SELECT cardinality(ARRAY[ARRAY[1], ARRAY[2]])") == (
+            "SELECT cardinality(array(array(1), array(2)))"
+        )
+        # subscript brackets untouched
+        assert transpile("SELECT m['k']") == "SELECT m['k']"
+
+    def test_map_two_array_constructor(self):
+        assert transpile("SELECT map(ARRAY['a'], ARRAY[1])") == (
+            "SELECT map_from_arrays(array('a'), array(1))"
+        )
+        # flat Spark-style map() with >2 args passes through
+        assert transpile("SELECT map('a', 1, 'b', 2)") == "SELECT map('a', 1, 'b', 2)"
+
+    def test_element_at_becomes_try(self):
+        assert transpile("SELECT element_at(arr, 5)") == "SELECT try_element_at(arr, 5)"
+        # already-Spark try_element_at is not double-wrapped
+        assert transpile("SELECT try_element_at(arr, 5)") == "SELECT try_element_at(arr, 5)"
+
+    def test_array_vs_string_name_collisions(self):
+        assert transpile("SELECT contains(arr, x)") == "SELECT array_contains(arr, x)"
+        assert transpile("SELECT repeat(x, 3)") == "SELECT array_repeat(x, 3)"
+        assert transpile("SELECT levenshtein_distance(a, b)") == "SELECT levenshtein(a, b)"
+
+    def test_special_values(self, spark):
+        sql = transpile(
+            "SELECT is_finite(1.0) a, is_infinite(infinity()) b, is_finite(nan()) c, "
+            "is_infinite(0.0 - infinity()) d"
+        )
+        row = spark.sql(sql).collect()[0]
+        assert (row.a, row.b, row.c, row.d) == (True, True, False, True)
+
+    def test_split_part_null_out_of_range(self, spark):
+        sql = transpile("SELECT split_part('a.b.c', '.', 2) x, split_part('a.b.c', '.', 9) y")
+        row = spark.sql(sql).collect()[0]
+        assert (row.x, row.y) == ("b", None)
+
+    def test_cosine_similarity_sparse_maps(self, spark):
+        sql = transpile(
+            "SELECT cosine_similarity(map(ARRAY['a','b'], ARRAY[1.0, 2.0]), "
+            "map(ARRAY['b','c'], ARRAY[3.0, 4.0])) v"
+        )
+        got = spark.sql(sql).collect()[0].v
+        import math
+
+        expect = (2.0 * 3.0) / (math.sqrt(1 + 4) * math.sqrt(9 + 16))
+        assert abs(got - expect) < 1e-12
+
+    def test_at_timezone_with_timezone(self, spark):
+        sql = transpile(
+            "SELECT at_timezone(TIMESTAMP '2024-01-01 12:00:00', 'America/Los_Angeles') a, "
+            "with_timezone(TIMESTAMP '2024-01-01 04:00:00', 'America/Los_Angeles') b"
+        )
+        row = spark.sql(sql).collect()[0]
+        assert str(row.a) == "2024-01-01 04:00:00"  # instant re-rendered on LA wall clock
+        assert str(row.b) == "2024-01-01 12:00:00"  # LA wall clock -> UTC instant

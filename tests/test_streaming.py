@@ -88,3 +88,44 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, tmp_path_factory)
     s = sorted(map(tuple, streamed.collect()))
     b = sorted(map(tuple, batch.collect()))
     assert s == b and len(b) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_factory):
+    """attribution_pairs as a watermarked stream-stream join == its batch twin.
+
+    Both sides of the join come from the same unbounded file stream; Spark
+    buffers each side's state bounded by watermark + the 30-minute horizon,
+    keyed on user_id. The availableNow drain must produce exactly the pairs
+    the batch interval join produces.
+    """
+    import os
+    import shutil
+
+    from lyft_presto_spark.streaming import attribution_pairs
+
+    src = str(tmp_path_factory.mktemp("events_join_stream"))
+    load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.expr("unix_micros(ts) * 1000")
+    ).repartition(8).write.mode("overwrite").parquet(src)
+    for extra in os.listdir(src):
+        if extra.startswith("_"):
+            path = os.path.join(src, extra)
+            (shutil.rmtree if os.path.isdir(path) else os.remove)(path)
+
+    result = attribution_pairs(stream_events(spark, src))
+    q = (
+        result.writeStream.format("memory")
+        .queryName("stream_attr")
+        .outputMode("append")  # stream-stream inner joins emit append-only
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.table("stream_attr")
+
+    batch = attribution_pairs(load_table(spark, sf_dir, "events"), watermark=None)
+
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(s) == len(b) > 0
+    assert s == b
