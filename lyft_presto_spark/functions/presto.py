@@ -87,6 +87,7 @@ RENAME = {
     "to_base64": "base64",
     "from_base64": "unbase64",
     "format": "format_string",  # FormatFunction.java — printf-style
+    "regexp_split": "split",  # RegexpSplitFunction — same Java-regex split
 }
 
 # --- MySQL datetime pattern translation (DateTimeFunctions.java:63 date_format/

@@ -1716,3 +1716,57 @@ def fn_presto_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.presto import transpile
 
     return sql_over(spark, sf_dir, transpile(_COMPAT3_PRESTO), ("part",))
+
+
+# --- entropy aggregate (EntropyAggregation.java) --------------------------
+#
+# Presto's entropy(c) consumes a column of counts and returns the Shannon
+# entropy (log base 2) of the empirical distribution: -sum(p log2 p) over
+# p = c / sum(c). Spark has no entropy aggregate; the mergeable two-moment
+# identity makes it a pair of codegen sums instead:
+#   H = log2(S) - sum(c * log2(c)) / S,   S = sum(c)
+# which is exactly how the reference accumulates it (sumC, sumCLogC states)
+# — so the Spark plan is a single hash aggregation, mergeable across
+# partitions, no second pass over the data.
+
+_ENTROPY_SPARK = """
+SELECT o_orderpriority,
+       round(CASE WHEN sum(c) > 0
+                  THEN log2(sum(c)) - sum(c * log2(c)) / sum(c)
+                  ELSE 0.0 END, 6) AS status_entropy,
+       CAST(sum(c) AS BIGINT) AS n_orders
+FROM (
+    SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS DOUBLE) AS c
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_ENTROPY_DUCK = """
+SELECT o_orderpriority,
+       round(CASE WHEN sum(c) > 0
+                  THEN log2(sum(c)) - sum(c * log2(c)) / sum(c)
+                  ELSE 0.0 END, 6) AS status_entropy,
+       CAST(sum(c) AS BIGINT) AS n_orders
+FROM (
+    SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS DOUBLE) AS c
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query(
+    "fn_entropy",
+    oracle=_ENTROPY_DUCK,
+    doc="Shannon entropy aggregate (EntropyAggregation.java) over per-status "
+    "order counts, via the mergeable sumC/sumCLogC identity — one hash "
+    "aggregation, same accumulator decomposition as the reference.",
+    tags=("functions", "aggregates"),
+)
+def fn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _ENTROPY_SPARK, ("orders",))
