@@ -1388,3 +1388,41 @@ ORDER BY user_id, ts, event_id
 )
 def op_window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _ignore_nulls_sql("spark"), ("events",))
+
+
+# --- time-based RANGE frames (WindowNode frameType=RANGE with offsets) -----
+
+_RANGE_INTERVAL_SPARK = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_1d_value,
+       count(*) OVER w AS trailing_1d_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w / (count(*) OVER w) AS DECIMAL(16,4)) AS DOUBLE) AS trailing_1d_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1' DAY PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+_RANGE_INTERVAL_DUCK = """
+SELECT user_id, event_id,
+       CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS trailing_1d_value,
+       count(*) OVER w AS trailing_1d_events,
+       CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w / (count(*) OVER w) AS DECIMAL(16,4)) AS DOUBLE) AS trailing_1d_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 day' PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+"""
+
+
+@query(
+    "op_window_range_interval",
+    oracle=_RANGE_INTERVAL_DUCK,
+    doc="Time-based RANGE frame: trailing-24h sum/count/avg per user, the "
+    "sliding-aggregate staple Presto plans as WindowNode frameType=RANGE "
+    "with a value offset (WindowFrame.java). One shuffle on user_id; the "
+    "frame scan is a per-partition two-pointer sweep, no self-join.",
+    tags=("window",),
+)
+def op_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _RANGE_INTERVAL_SPARK, ("events",))

@@ -494,3 +494,68 @@ ORDER BY source
 )
 def text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _mixture_sql("spark"), ("documents",))
+
+
+# --- PII scrubbing (pretraining-pipeline redaction pass) -------------------
+#
+# Standard redaction before training: emails, IPv4s, and phone-shaped digit
+# runs replaced with typed placeholder tokens, entirely inside codegen
+# regexp_replace (no UDF — this runs over every byte of a 100 TB corpus, so
+# it must stay JVM-side and pipeline with the scan). Patterns are restricted
+# to the Java-regex/RE2 common subset so the DuckDB oracle applies the exact
+# same automaton. The fixture text contains no PII, so the query plants
+# deterministic PII derived from doc_id and then proves the scrubber removes
+# it byte-exactly.
+
+# Bracket classes ([.], [+]) instead of backslash escapes: Spark string
+# literals consume backslashes (escapedStringLiterals=false) while DuckDB
+# keeps them — [.] parses identically in both engines' regex dialects.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_PHONE = "[+]?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def _pii_sql(dialect: str) -> str:
+    # Spark regexp_replace is global by default; DuckDB needs the 'g' flag.
+    def scrub(expr: str) -> str:
+        email = f"regexp_replace({expr}, '{_PII_EMAIL}', '<EMAIL>'"
+        email += ")" if dialect == "spark" else ", 'g')"
+        ip = f"regexp_replace({email}, '{_PII_IP}', '<IP>'"
+        ip += ")" if dialect == "spark" else ", 'g')"
+        phone = f"regexp_replace({ip}, '{_PII_PHONE}', '<PHONE>'"
+        phone += ")" if dialect == "spark" else ", 'g')"
+        return phone
+
+    s = "STRING" if dialect == "spark" else "VARCHAR"
+    concat = (
+        f"concat(text, ' reach user', CAST(doc_id AS {s}), "
+        f"'@mail-', CAST(doc_id % 7 AS {s}), '.example.net or 10.0.', "
+        f"CAST(doc_id % 256 AS {s}), '.', CAST(doc_id % 100 AS {s}), "
+        f"' tel +', CAST(100 + doc_id % 900 AS {s}), '-555-', "
+        f"CAST(1000 + doc_id % 9000 AS {s}))"
+    )
+    return f"""
+SELECT doc_id,
+       scrubbed,
+       length(planted) - length(scrubbed) AS bytes_redacted,
+       CAST(scrubbed LIKE '%<EMAIL>%' AND scrubbed LIKE '%<IP>%' AND scrubbed LIKE '%<PHONE>%' AS BOOLEAN) AS all_redacted,
+       CAST(scrubbed NOT LIKE '%example.net%' AND scrubbed NOT LIKE '%555-%' AS BOOLEAN) AS clean
+FROM (
+    SELECT doc_id, planted, {scrub("planted")} AS scrubbed
+    FROM (SELECT doc_id, {concat} AS planted FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+@query(
+    "text_pii_scrub",
+    oracle=_pii_sql("duck"),
+    doc="PII redaction pass: email/IPv4/phone patterns replaced with typed "
+    "placeholders via chained codegen regexp_replace (Java-regex/RE2 common "
+    "subset; byte-exact vs the DuckDB oracle). Plants deterministic PII from "
+    "doc_id, then proves removal.",
+    tags=("text", "extension"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _pii_sql("spark"), ("documents",))

@@ -69,3 +69,46 @@ def test_transpile_identity_without_registered_names(text):
     if "(" in text:
         return
     assert transpile(text) == text
+
+
+# --- ARRAY[...] literal rewriting invariants --------------------------------
+
+_array_elem = st.sampled_from(["1", "2.5", "x", "'a,b'", "f(y)", "m['k']"])
+
+
+def _mk_array(elems, depth):
+    inner = ", ".join(elems) if elems else "1"
+    s = f"ARRAY[{inner}]"
+    for _ in range(depth):
+        s = f"ARRAY[{s}, {inner}]"
+    return s
+
+
+@given(st.lists(_array_elem, min_size=0, max_size=4), st.integers(0, 3))
+@settings(max_examples=200, deadline=None)
+def test_array_literal_rewrite_balanced(elems, depth):
+    """Every ARRAY[..] becomes array(..): balanced parens, no brackets left."""
+    sql = "SELECT " + _mk_array(elems, depth) + " AS a"
+    out = transpile(sql)
+    assert "ARRAY[" not in out.upper()
+    assert out.count("(") == out.count(")")
+    # subscript brackets (m['k']) survive untouched
+    if any("m['k']" in e for e in elems):
+        assert "m['k']" in out
+
+
+@given(st.lists(_array_elem, min_size=1, max_size=3))
+@settings(max_examples=100, deadline=None)
+def test_array_inside_string_literal_untouched(elems):
+    """ARRAY[ text inside a string literal is data, not syntax."""
+    lit = "ARRAY[" + ",".join(e.replace("'", "''") for e in elems) + "]"
+    sql = "SELECT '" + lit + "' AS s"
+    assert transpile(sql) == sql
+
+
+@given(st.sampled_from(["arr", "map_col", "split(x, ',')"]), st.integers(-5, 99))
+@settings(max_examples=100, deadline=None)
+def test_element_at_always_becomes_try(container, idx):
+    out = transpile(f"SELECT element_at({container}, {idx}) AS v")
+    assert "try_element_at(" in out
+    assert " element_at(" not in out.replace("try_element_at", "")
