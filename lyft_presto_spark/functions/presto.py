@@ -590,7 +590,9 @@ DELTAS = {
     "use >2 args in transpiled SQL.",
     "array_agg": "Presto keeps NULLs; Spark collect_list drops them.",
     "round": "Presto/Spark round HALF_UP on doubles; DuckDB differs at exact .5 decimals.",
-    "element_at": "Both 1-based; Presto errors on OOB under ANSI, Spark returns error in ANSI mode too.",
+    "element_at": "Both 1-based; transpiled element_at maps to try_element_at, "
+    "restoring Presto's NULL-on-missing-key/out-of-range contract (Spark's own "
+    "element_at errors under ANSI).",
     "json_parse": "Presto has a JSON type; Spark represents json as string.",
     "zip": "Presto rows have unnamed fields; Spark arrays_zip names struct fields 0..n / by column.",
     "histogram": "No single Spark aggregate; expressed as groupBy-count + "
@@ -617,8 +619,9 @@ DELTAS = {
     "timezone_hour/minute": "Presto extracts the offset of TIMESTAMP WITH "
     "TIME ZONE; Spark has no tz-carrying type (session-zone instants only), "
     "so there is no per-value offset to extract.",
-    "localtime": "Presto returns TIME; Spark has no TIME type — use "
-    "date_format(localtimestamp(), 'HH:mm:ss').",
+    "localtime": "Presto returns TIME; Spark 4.1's native TIME type "
+    "(build_session enables the feature flag) makes this current_time() "
+    "directly — see fn_time and COVERAGE §1.2.",
     "multimap_from_entries": "Spark struct field names are expression-"
     "derived, so no generic textual rewrite; build with named fields and "
     "the split_to_multimap/map_agg shapes (fn_multimap, fn_map_agg).",
@@ -648,6 +651,10 @@ _TYPE_RENAMES = [
     (re.compile(r"\bAS\s+VARCHAR\b(?!\s*\()", re.IGNORECASE), "AS STRING"),
     (re.compile(r"\bAS\s+VARBINARY\b", re.IGNORECASE), "AS BINARY"),
     (re.compile(r"\bAS\s+REAL\b", re.IGNORECASE), "AS FLOAT"),
+    # Presto's bare `localtime` keyword -> Spark 4.1's TIME-typed
+    # current_time() (the function-call form, so the keyword never collides
+    # with identifiers named localtime_something).
+    (re.compile(r"\blocaltime\b(?!\s*\()", re.IGNORECASE), "current_time()"),
 ]
 
 
