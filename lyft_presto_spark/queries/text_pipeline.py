@@ -559,3 +559,71 @@ ORDER BY doc_id
 )
 def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _pii_sql("spark"), ("documents",))
+
+
+# --- boilerplate stripping (line-level dedup shape) ------------------------
+#
+# CCNet/Gopher-style line-level dedup: explode each doc into ordered units,
+# count unit occurrences across the WHOLE corpus, drop units above a global
+# frequency threshold, and reassemble the survivors in document order. The
+# fixture text has no newlines, so the unit is a 3-token chunk (the plumbing
+# — global frequency join + order-preserving reassembly — is identical to
+# newline units). Reassembly sorts struct(chunk_idx, chunk) per doc, because
+# collect_list order is shuffle-dependent; the DuckDB oracle uses
+# string_agg(... ORDER BY) for the same guarantee.
+#
+# Scale: one explode (no row blowup beyond token count / unit size), one
+# hash-agg for the frequency table, one equi-join back (AQE handles hot
+# boilerplate chunks — the same skew story as hot shingles), one grouped
+# reassembly. Nothing driver-side; text shuffles once, as (doc_id, chunk).
+
+_BOILERPLATE_SPARK = """
+WITH toks AS (SELECT doc_id, split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, chunk_idx, array_join(slice(w, chunk_idx * 3 + 1, 3), ' ') AS chunk
+  FROM toks
+  LATERAL VIEW explode(sequence(0, CAST(ceil(size(w) / 3.0) AS INT) - 1)) AS chunk_idx
+),
+freq AS (SELECT chunk, count(*) AS n_occ FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk
+  FROM chunks c JOIN freq f ON c.chunk = f.chunk
+  WHERE f.n_occ <= 5
+)
+SELECT doc_id,
+       array_join(transform(array_sort(collect_list(struct(chunk_idx, chunk))), s -> s.chunk), ' ') AS clean_text,
+       count(*) AS kept_chunks
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+_BOILERPLATE_DUCK = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+chunks AS (
+  SELECT doc_id, u.chunk_idx,
+         array_to_string(list_slice(w, u.chunk_idx * 3 + 1, u.chunk_idx * 3 + 3), ' ') AS chunk
+  FROM toks, LATERAL (SELECT unnest(generate_series(0, CAST(ceil(len(w) / 3.0) AS INT) - 1)) AS chunk_idx) u
+),
+freq AS (SELECT chunk, count(*) AS n_occ FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk
+  FROM chunks c JOIN freq f ON c.chunk = f.chunk
+  WHERE f.n_occ <= 5
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS clean_text,
+       count(*) AS kept_chunks
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=_BOILERPLATE_DUCK,
+    doc="Line-level (chunk-unit) dedup: global unit-frequency table joined "
+    "back to ordered units, over-threshold boilerplate dropped, survivors "
+    "reassembled in document order via sorted struct collection (shuffle-"
+    "order-proof). The CCNet/Gopher repeated-line removal pass.",
+    tags=("text", "extension"),
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _BOILERPLATE_SPARK, ("documents",))
