@@ -123,6 +123,26 @@ def rewrite_system_tables(spark: SparkSession, sql: str) -> str:
     return _SYSTEM_RUNTIME_RE.sub(mount, sql)
 
 
+def _presto_type_name(spark_type: str) -> str:
+    """Spark simpleString -> Presto type spelling (inverse of _TYPE_RENAMES)."""
+    base = {
+        "string": "varchar",
+        "binary": "varbinary",
+        "float": "real",
+        "int": "integer",
+        "timestamp": "timestamp(6)",
+        "timestamp_ntz": "timestamp(6)",
+    }
+    t = spark_type.strip()
+    m = re.fullmatch(r"array<(.+)>", t)
+    if m:
+        return f"array({_presto_type_name(m.group(1))})"
+    m = re.fullmatch(r"map<([^,]+),(.+)>", t)
+    if m:
+        return f"map({_presto_type_name(m.group(1))}, {_presto_type_name(m.group(2))})"
+    return base.get(t, t)
+
+
 def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
     """Run one metadata statement; raises ValueError on unknown syntax."""
     mgr = _manager()
@@ -189,6 +209,20 @@ def execute_statement(spark: SparkSession, sql: str) -> DataFrame:
             raise ValueError(f"prepared statement {name!r} not found")
         del _PREPARED[name]
         return spark.createDataFrame([(name, "DEALLOCATED")], "name string, status string")
+
+    m = re.fullmatch(r"SHOW\s+CREATE\s+(?:TABLE|VIEW)\s+([\w.]+)", s, re.IGNORECASE)
+    if m:
+        # ShowCreate.java renders reconstructed DDL in Presto type spellings;
+        # here the DDL is synthesized from the resolved Spark schema with the
+        # inverse of the transpiler's type mapping.
+        name = m.group(1)
+        df = _resolve_table(spark, name)
+        cols = ",\n".join(
+            f"   {f.name} {_presto_type_name(f.dataType.simpleString())}"
+            for f in df.schema.fields
+        )
+        ddl = f"CREATE TABLE {name.split('.')[-1]} (\n{cols}\n)\nWITH (\n   format = 'PARQUET'\n)"
+        return spark.createDataFrame([(ddl,)], "`Create Table` string")
 
     m = re.fullmatch(
         r"(?:SHOW\s+COLUMNS\s+FROM|DESCRIBE|DESC)\s+([\w.]+)", s, re.IGNORECASE

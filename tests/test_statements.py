@@ -157,3 +157,19 @@ def test_role_dcl_errors(spark):
     for stmt in ("GRANT SELECT ON t TO alice", "REVOKE SELECT ON t FROM alice", "SET ROLE admin"):
         with pytest.raises(ValueError, match="access control"):
             presto_sql(spark, stmt)
+
+
+def test_show_create_table(spark, sf_dir, mounted):
+    out = presto_sql(spark, "SHOW CREATE TABLE lineitem").collect()
+    assert len(out) == 1
+    ddl = out[0][0]
+    assert ddl.startswith("CREATE TABLE lineitem (")
+    assert "l_orderkey bigint" in ddl
+    assert "l_quantity double" in ddl or "l_quantity decimal" in ddl
+    assert "l_shipdate timestamp(6)" in ddl
+    assert "format = 'PARQUET'" in ddl
+    # round-trip sanity: every column of the resolved table appears
+    from lyft_presto_spark.session import load_table
+
+    for f in load_table(spark, sf_dir, "lineitem").schema.fields:
+        assert f.name in ddl
