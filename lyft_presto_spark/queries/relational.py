@@ -1426,3 +1426,45 @@ ORDER BY user_id, event_id
 )
 def op_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _RANGE_INTERVAL_SPARK, ("events",))
+
+
+# --- JOIN USING / NATURAL JOIN (SqlBase.g4:211-231 joinCriteria) -----------
+
+_JOIN_USING_SQL = """
+SELECT n_nationkey, n_name, count(*) AS n_customers
+FROM (SELECT c_nationkey AS n_nationkey, c_custkey FROM customer) c
+JOIN nation USING (n_nationkey)
+GROUP BY n_nationkey, n_name
+ORDER BY n_nationkey
+"""
+
+
+@query(
+    "op_join_using",
+    oracle=_JOIN_USING_SQL,
+    doc="JOIN ... USING (coalesced single key column in the output — the "
+    "grammar's joinCriteria USING branch). Same text runs on both engines.",
+    tags=("join",),
+)
+def op_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _JOIN_USING_SQL, ("customer", "nation"))
+
+
+_JOIN_NATURAL_SQL = """
+SELECT r_name, count(*) AS n_nations
+FROM (SELECT n_name, n_regionkey AS r_regionkey FROM nation) n
+NATURAL JOIN region
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+@query(
+    "op_join_natural",
+    oracle=_JOIN_NATURAL_SQL,
+    doc="NATURAL JOIN (implicit equi-keys from shared column names). Same "
+    "text on both engines; the single shared column is the join key.",
+    tags=("join",),
+)
+def op_join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _JOIN_NATURAL_SQL, ("nation", "region"))

@@ -80,3 +80,33 @@ def table_stats(spark: SparkSession, table: str) -> dict[str, str]:
         if r["col_name"] == "Statistics":
             out["statistics"] = r["data_type"]
     return out
+
+
+def create_view(spark: SparkSession, name: str, select_sql: str) -> None:
+    """CREATE [OR REPLACE] VIEW (logical — stored plan, no data copy).
+
+    Reference: CreateView.java / ViewDefinition — a view is a named query
+    re-expanded at analysis time; Spark temp views are the same contract
+    scoped to the session (a metastore-backed deployment would use
+    CREATE VIEW on a persistent catalog).
+    """
+    spark.sql(f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {select_sql}")
+
+
+def drop_view(spark: SparkSession, name: str) -> None:
+    """DROP VIEW (DropView.java)."""
+    spark.sql(f"DROP VIEW IF EXISTS {name}")
+
+
+def alter_table_add_columns(spark: SparkSession, table: str, cols: str) -> None:
+    """ALTER TABLE ... ADD COLUMNS (AddColumn.java) on a catalog table.
+
+    New columns read as NULL in existing files (parquet schema evolution) —
+    the same contract the reference's Hive connector provides.
+    """
+    spark.sql(f"ALTER TABLE {table} ADD COLUMNS ({cols})")
+
+
+def alter_table_rename(spark: SparkSession, table: str, to: str) -> None:
+    """ALTER TABLE ... RENAME TO (RenameTable.java)."""
+    spark.sql(f"ALTER TABLE {table} RENAME TO {to}")

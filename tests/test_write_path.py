@@ -88,3 +88,44 @@ def test_partitioned_ctas_prunes(spark, nation, tmp_path):
     assert "n_regionkey" in formatted_plan(df)
     assert df.count() == nation.filter("n_regionkey = 1").count()
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_view_ddl_roundtrip(spark, sf_dir):
+    """CREATE VIEW re-expands at analysis time; DROP removes it."""
+    from lyft_presto_spark.session import register_tables
+    from lyft_presto_spark.sources.write_path import create_view, drop_view
+
+    register_tables(spark, sf_dir)
+    create_view(spark, "big_orders_v", "SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 100")
+    n = spark.table("big_orders_v").count()
+    direct = spark.sql("SELECT count(*) AS n FROM orders WHERE o_totalprice > 100").collect()[0].n
+    assert n == direct > 0
+    # view tracks the underlying data definition, not a snapshot
+    create_view(spark, "big_orders_v", "SELECT o_orderkey FROM orders WHERE o_totalprice > 200")
+    assert spark.table("big_orders_v").columns == ["o_orderkey"]
+    drop_view(spark, "big_orders_v")
+    assert "big_orders_v" not in [t.name for t in spark.catalog.listTables()]
+
+
+def test_alter_table_add_columns_and_rename(spark, sf_dir, tmp_path_factory):
+    """Schema evolution: added columns read NULL from pre-existing files."""
+    from lyft_presto_spark.session import load_table
+    from lyft_presto_spark.sources.write_path import (
+        alter_table_add_columns,
+        alter_table_rename,
+        ctas,
+    )
+
+    loc = str(tmp_path_factory.mktemp("alter_tbl")) + "/t"
+    spark.sql("DROP TABLE IF EXISTS alter_src")
+    spark.sql("DROP TABLE IF EXISTS alter_dst")
+    ctas(spark, load_table(spark, sf_dir, "region"), "alter_src", loc)
+    alter_table_add_columns(spark, "alter_src", "r_comment STRING, r_score DOUBLE")
+    df = spark.table("alter_src")
+    assert {"r_comment", "r_score"} <= set(df.columns)
+    row = df.limit(1).collect()[0]
+    assert row.r_comment is None and row.r_score is None
+    alter_table_rename(spark, "alter_src", "alter_dst")
+    tables = [t.name for t in spark.catalog.listTables()]
+    assert "alter_dst" in tables and "alter_src" not in tables
+    spark.sql("DROP TABLE IF EXISTS alter_dst")
