@@ -129,3 +129,56 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, tmp_path_facto
     b = sorted(map(tuple, batch.collect()))
     assert len(s) == len(b) > 0
     assert s == b
+
+
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path_factory):
+    """Stop/restart with a checkpoint neither loses nor duplicates input.
+
+    The exactly-once contract a production pipeline rests on: run 1 drains
+    the first half of the files and stops; run 2 restarts from the same
+    checkpointLocation after the second half lands and must produce exactly
+    the batch-equivalent totals — file-source offsets + sink commit log do
+    the dedup, no operator help needed.
+    """
+    import os
+    import shutil
+
+    base = tmp_path_factory.mktemp("events_ckpt")
+    src, ckpt, out = str(base / "src"), str(base / "ckpt"), str(base / "out")
+    os.makedirs(src)
+
+    ev = load_table(spark, sf_dir, "events").withColumn("ts", F.expr("unix_micros(ts) * 1000"))
+    half1 = ev.filter("event_id % 2 = 0")
+    half2 = ev.filter("event_id % 2 = 1")
+    stage = str(base / "stage1")
+    half1.coalesce(2).write.parquet(stage)
+    for f in os.listdir(stage):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stage, f), os.path.join(src, "a_" + f))
+
+    def run_once():
+        q = (
+            stream_events(spark, src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # drains half 1, commits offsets, stops
+    n_after_first = spark.read.parquet(out).count()
+    assert n_after_first == half1.count()
+
+    stage2 = str(base / "stage2")
+    half2.coalesce(2).write.parquet(stage2)
+    for f in os.listdir(stage2):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(stage2, f), os.path.join(src, "b_" + f))
+
+    run_once()  # restart from checkpoint: processes ONLY the new files
+    got = spark.read.parquet(out)
+    assert got.count() == ev.count()  # no loss, no duplicates
+    dec_sum = F.sum(F.col("value").cast("decimal(18,2)"))  # order-independent exact total
+    assert got.select(dec_sum).collect()[0][0] == ev.select(dec_sum).collect()[0][0]
