@@ -25,8 +25,23 @@ def count_exchanges(df: DataFrame) -> int:
 
     The scale budget for an operator is expressed in shuffles: e.g. a grouped
     aggregation should cost exactly one, a broadcast join zero on the big side.
+
+    Spark 4.1's ``formatted`` output lists the operator tree ("Exchange (13)")
+    separately from each node's detail block, whose Arguments line carries the
+    partitioning — so count detail blocks, falling back to the older inline
+    spelling for robustness. BroadcastExchange is deliberately NOT counted:
+    replicating a small side is the cheap alternative to a shuffle.
     """
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", formatted_plan(df)))
+    plan = formatted_plan(df)
+    n = len(
+        re.findall(
+            r"\(\d+\) Exchange\b[^(]*?\n\s*Input.*?\n\s*Arguments: (?:hashpartitioning|rangepartitioning)",
+            plan,
+        )
+    )
+    if n == 0:  # pre-4.x inline format
+        n = len(re.findall(r"\bExchange (?:hashpartitioning|rangepartitioning)", plan))
+    return n
 
 
 def assert_pushed_filters(df: DataFrame, *fragments: str) -> None:

@@ -157,3 +157,29 @@ def test_streaming_enriched_join_broadcasts_dim(spark, sf_dir):
     assert_broadcast_join(df, expect=True)
     assert count_exchanges(df) <= 2
     assert_no_cartesian(df)
+
+
+def test_exchange_counter_sees_real_shuffles(spark, sf_dir):
+    # Regression guard for the counter itself: Spark 4.1 moved partitioning
+    # info out of the tree line into per-node Arguments blocks, which made
+    # the old regex count 0 everywhere — every budget assertion passed
+    # vacuously. q1 provably shuffles (partial -> final agg), so the counter
+    # must see at least one exchange here.
+    assert count_exchanges(QS["tpch_q1"].spark(spark, sf_dir)) >= 1
+
+
+def test_attribution_join_is_equi_with_bounded_shuffles(spark, sf_dir):
+    # The stream-stream join's batch twin: user_id equi-join with the time
+    # range as a post-join filter — degrading to a nested-loop over all
+    # (click, purchase) pairs would be quadratic at scale.
+    df = QS["events_click_attribution"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_exchanges(df) <= 3  # join + agg (+ output sort)
+
+
+def test_boilerplate_strip_shuffle_budget(spark, sf_dir):
+    # explode -> frequency hash-agg -> equi-join back -> grouped reassembly:
+    # text crosses the network as (doc_id, chunk) exactly once per stage.
+    df = QS["text_boilerplate_strip"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_exchanges(df) <= 4
