@@ -69,18 +69,26 @@ def assert_read_schema_pruned(df: DataFrame, table_fragment: str, max_columns: i
     raise AssertionError(f"no scan with <= {max_columns} columns found; saw {schemas}")
 
 
-def assert_no_cartesian(df: DataFrame) -> None:
+def assert_no_cartesian(df: DataFrame, allow_scalar_bnlj: bool = False) -> None:
     """Assert the plan contains no cartesian/unconditioned nested-loop product.
 
     Candidate generation (LSH bands, blocking keys) must compile to equi-joins;
-    a CartesianProduct here means the operator degraded to all-pairs O(n^2).
+    a product here means the operator degraded to all-pairs O(n^2). Spark
+    spells that CartesianProduct when both sides shuffle and
+    BroadcastNestedLoopJoin when one side broadcasts — both are fatal at
+    scale, so both raise. ``allow_scalar_bnlj=True`` is the explicit opt-out
+    for plans that intentionally replicate a genuinely scalar side (a 1-row
+    aggregate, a parameter vector) — the caller is asserting that side is
+    O(1), which the plan text alone cannot prove.
     """
     plan = formatted_plan(df)
     if "CartesianProduct" in plan:
         raise AssertionError("plan contains CartesianProduct")
-    for m in re.finditer(r"BroadcastNestedLoopJoin ([^,\n]*)", plan):
-        # BNLJ is fine only for genuinely scalar sides (broadcast of 1 row).
-        pass
+    if not allow_scalar_bnlj and "BroadcastNestedLoopJoin" in plan:
+        raise AssertionError(
+            "plan contains BroadcastNestedLoopJoin (unconditioned product); "
+            "pass allow_scalar_bnlj=True only if the broadcast side is provably O(1) rows"
+        )
 
 
 def assert_broadcast_join(df: DataFrame, expect: bool = True) -> None:
