@@ -1184,50 +1184,61 @@ def fn_approx_most_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     merge(qdigest) — re-aggregatable percentiles) ---
 
 
-def _quantile_rollup_sql(d: str) -> str:
+_QROLLUP_JOIN_SQL = """
+SELECT n_nationkey AS nk, n_regionkey AS rk, o_totalprice AS v
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def _quantile_rollup_sql(d: str, joined: str = "joined") -> str:
     # Two-level mergeable estimation: per-nation fixed-width histograms are
     # the "sketches"; region level merges by summing bucket counts — the
     # re-aggregation property qdigest exists for. Every step is engine-
     # portable integer arithmetic, so the merged estimate AND the exact
     # median are both value-checked (no tautology).
+    #
+    # Shape notes (exchange budget): the fact join feeds BOTH the histogram
+    # and the exact median; Spark inlines CTEs, so the Spark caller passes a
+    # staged temp view instead (one join, not two). The per-region total is
+    # an unbounded window over the same partitioning as the cumsum — no
+    # extra aggregate + re-join for totals.
     exact = "percentile(v, 0.5)" if d == "spark" else "quantile_cont(v, 0.5)"
+    with_joined = (
+        "" if joined != "joined" else f"joined AS ({_QROLLUP_JOIN_SQL}),\n"
+    )
     return f"""
-WITH joined AS (
-    SELECT n_nationkey AS nk, n_regionkey AS rk, o_totalprice AS v
-    FROM orders
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation ON c_nationkey = n_nationkey
-),
-nat_hist AS (
+WITH {with_joined}nat_hist AS (
     SELECT nk, rk, CAST(floor(v / 25000) AS BIGINT) AS b, count(*) AS cnt
-    FROM joined GROUP BY 1, 2, 3
+    FROM {joined} GROUP BY 1, 2, 3
 ),
 region_hist AS (
     SELECT rk, b, CAST(sum(cnt) AS BIGINT) AS cnt FROM nat_hist GROUP BY 1, 2
 ),
-tot AS (SELECT rk, CAST(sum(cnt) AS BIGINT) AS n FROM region_hist GROUP BY 1),
 cum AS (
-    SELECT rk, b, sum(cnt) OVER (PARTITION BY rk ORDER BY b) AS cum
+    SELECT rk, b,
+           sum(cnt) OVER (PARTITION BY rk ORDER BY b) AS cum,
+           sum(cnt) OVER (PARTITION BY rk) AS n
     FROM region_hist
 ),
-med_bucket AS (
-    SELECT cum.rk, min(b) AS med_b
-    FROM cum JOIN tot ON cum.rk = tot.rk
-    WHERE cum * 2 >= n
-    GROUP BY cum.rk
+med AS (
+    SELECT rk,
+           CAST(max(n) AS BIGINT) AS n,
+           min(CASE WHEN cum * 2 >= n THEN b END) AS med_b
+    FROM cum GROUP BY rk
 ),
 exact_med AS (
-    SELECT rk, round({exact}, 4) AS median_exact FROM joined GROUP BY rk
+    SELECT rk, round({exact}, 4) AS median_exact FROM {joined} GROUP BY rk
 )
 SELECT m.rk AS region,
-       t.n AS n_orders,
+       m.n AS n_orders,
        m.med_b AS median_bucket,
        CAST(m.med_b * 25000 + 12500 AS DOUBLE) AS median_est,
        e.median_exact,
        abs(CAST(m.med_b * 25000 + 12500 AS DOUBLE) - e.median_exact) <= 12500.0
            AS est_within_half_bucket
-FROM med_bucket m
-JOIN tot t ON m.rk = t.rk
+FROM med m
 JOIN exact_med e ON m.rk = e.rk
 ORDER BY region
 """
@@ -1244,9 +1255,16 @@ ORDER BY region
     tags=("functions",),
 )
 def fn_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(
-        spark, sf_dir, _quantile_rollup_sql("spark"), ("orders", "customer", "nation")
+    from ..operators.staging import staged
+
+    joined = staged(
+        spark,
+        sf_dir,
+        "qrollup_joined",
+        lambda: sql_over(spark, sf_dir, _QROLLUP_JOIN_SQL, ("orders", "customer", "nation")),
     )
+    joined.createOrReplaceTempView("qrollup_joined")
+    return spark.sql(_quantile_rollup_sql("spark", joined="qrollup_joined"))
 
 
 # --- spooky_hash_v2 known-answer tests (VarbinaryFunctions.java spooky;

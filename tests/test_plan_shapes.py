@@ -183,3 +183,13 @@ def test_boilerplate_strip_shuffle_budget(spark, sf_dir):
     df = QS["text_boilerplate_strip"].spark(spark, sf_dir)
     assert_no_cartesian(df)
     assert count_exchanges(df) <= 4
+
+
+def test_quantile_rollup_stages_join_once(spark, sf_dir):
+    # The fact join feeds both the histogram and the exact median; staged
+    # once (operators/staging.py), not inlined twice by CTE expansion. The
+    # per-region total rides the cumsum's window partitioning. Was 11
+    # exchanges with double-join + total-reaggregation; budget pins <= 6.
+    df = QS["fn_quantile_rollup"].spark(spark, sf_dir)
+    assert count_exchanges(df) <= 6
+    assert_no_cartesian(df)
