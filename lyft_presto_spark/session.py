@@ -117,9 +117,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     # Defensive: a caller-provided session (e.g. the driver's) may not carry
-    # build_session's configs. nanosAsLong is a runtime SQL conf — set it here
-    # so a TIMESTAMP(NANOS) events.parquet is readable from any session.
+    # build_session's configs. These are runtime SQL confs — set them here so
+    # any session reads fixtures identically: nanosAsLong makes a
+    # TIMESTAMP(NANOS) events.parquet readable, and the UTC session zone is
+    # what makes the NTZ->TIMESTAMP relabel below an instant-preserving cast
+    # (and keeps every timestamp comparison DuckDB-oracle-parity).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(table_path(sf_dir, name))
     # Timestamp normalization: every engine call site assumes ts columns are
     # TIMESTAMP (instant, session TZ pinned UTC). Fixture regenerations have

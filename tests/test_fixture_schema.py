@@ -74,3 +74,39 @@ def test_required_columns_exist(spark, sf_dir, table, required):
     cols = set(load_table(spark, sf_dir, table).columns)
     missing = required - cols
     assert not missing, f"{table} lost required columns {missing}; present: {sorted(cols)}"
+
+
+def test_load_table_pins_utc_on_foreign_sessions(spark, sf_dir):
+    """A caller session with a non-UTC zone still reads correct instants.
+
+    The driver provides its own session; if it carried e.g. America/New_York,
+    an NTZ->TIMESTAMP cast would shift wall clocks by the zone offset and
+    every events_* oracle row would silently disagree. load_table must pin
+    UTC before normalizing.
+    """
+    from lyft_presto_spark.session import _TABLE_CACHE, session_key
+
+    original = spark.conf.get("spark.sql.session.timeZone")
+    key_prefix = session_key(spark)
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        # bust the cache so load_table re-reads under the foreign zone
+        for k in [k for k in _TABLE_CACHE if k[0] == key_prefix]:
+            del _TABLE_CACHE[k]
+        lo = (
+            load_table(spark, sf_dir, "events")
+            .selectExpr("min(unix_micros(ts)) AS lo")
+            .collect()[0]
+            .lo
+        )
+        import duckdb
+
+        want = duckdb.sql(
+            f"SELECT min(epoch_us(ts)) FROM read_parquet('{table_path(sf_dir, 'events')}')"
+        ).fetchone()[0]
+        assert lo == want
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"  # pinned
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original)
+        for k in [k for k in _TABLE_CACHE if k[0] == key_prefix]:
+            del _TABLE_CACHE[k]
