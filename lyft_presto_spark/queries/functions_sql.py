@@ -1788,3 +1788,140 @@ ORDER BY o_orderpriority
 )
 def fn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _ENTROPY_SPARK, ("orders",))
+
+
+# --- DataSketches parity: theta set digests + KLL quantile sketches --------
+#
+# The reference's mergeable-sketch families map onto Spark 4.1's bundled
+# Apache DataSketches functions:
+#  - SetDigestFunctions.java (make_set_digest / merge_set_digest /
+#    intersection_cardinality) -> theta_sketch_agg / theta_union /
+#    theta_intersection / theta_sketch_estimate
+#  - QuantileDigestFunctions.java (qdigest_agg / merge / value_at_quantile)
+#    -> kll_sketch_agg_double / kll_merge_agg_double /
+#    kll_sketch_get_quantile_double
+# Theta estimates are EXACT below the sketch's retention threshold (~4k
+# distinct at default lgK), which holds at the oracle scales (sf<=0.01), so
+# every cardinality column is value-checked, not just bounded. KLL
+# compaction is randomized, so the estimate itself is never emitted — only
+# exact-checkable stats plus a generous-tolerance boolean, the same pattern
+# as fn_approx_agg.
+
+_THETA_SPARK = """
+WITH sk AS (
+  SELECT n_regionkey AS rk,
+         theta_sketch_agg(c_custkey DIV 2) AS s,
+         count(DISTINCT c_custkey DIV 2) AS exact_card
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_regionkey
+)
+SELECT a.rk AS region_a, b.rk AS region_b,
+       CAST(round(theta_sketch_estimate(a.s)) AS BIGINT) AS card_a,
+       a.exact_card AS exact_a,
+       CAST(round(theta_sketch_estimate(theta_union(a.s, b.s))) AS BIGINT) AS card_union,
+       CAST(round(theta_sketch_estimate(theta_intersection(a.s, b.s))) AS BIGINT) AS card_intersect
+FROM sk a JOIN sk b ON a.rk < b.rk
+ORDER BY region_a, region_b
+"""
+
+_THETA_DUCK = """
+WITH buckets AS (
+  SELECT n_regionkey AS rk, c_custkey // 2 AS b
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+),
+card AS (SELECT rk, count(DISTINCT b) AS exact_card FROM buckets GROUP BY rk),
+pairs AS (
+  SELECT a.rk AS region_a, b.rk AS region_b FROM card a JOIN card b ON a.rk < b.rk
+),
+u AS (
+  SELECT p.region_a, p.region_b, count(DISTINCT x.b) AS card_union
+  FROM pairs p JOIN buckets x ON x.rk IN (p.region_a, p.region_b)
+  GROUP BY p.region_a, p.region_b
+),
+i AS (
+  SELECT p.region_a, p.region_b, count(*) AS card_intersect
+  FROM pairs p
+  LEFT JOIN (
+    SELECT DISTINCT xa.b, xa.rk AS ra, xb.rk AS rb
+    FROM buckets xa JOIN buckets xb ON xa.b = xb.b AND xa.rk < xb.rk
+  ) ov ON ov.ra = p.region_a AND ov.rb = p.region_b
+  WHERE ov.b IS NOT NULL
+  GROUP BY p.region_a, p.region_b
+)
+SELECT u.region_a AS region_a, u.region_b AS region_b,
+       c.exact_card AS card_a,
+       c.exact_card AS exact_a,
+       u.card_union,
+       COALESCE(i.card_intersect, 0) AS card_intersect
+FROM u
+JOIN card c ON c.rk = u.region_a
+LEFT JOIN i ON i.region_a = u.region_a AND i.region_b = u.region_b
+ORDER BY u.region_a, u.region_b
+"""
+
+
+@query(
+    "fn_theta_setdigest",
+    oracle=_THETA_DUCK,
+    doc="Mergeable set digests (SetDigestFunctions.java make_set_digest/"
+    "merge_set_digest/intersection_cardinality) via theta sketches: "
+    "per-region sketches over bucketed custkeys, pairwise union and "
+    "intersection cardinalities — exact below the retention threshold, so "
+    "every column is value-checked against DuckDB's exact distinct counts.",
+    tags=("functions", "aggregates"),
+)
+def fn_theta_setdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _THETA_SPARK, ("customer", "nation"))
+
+
+_KLL_SPARK = """
+WITH sk AS (
+  SELECT c_nationkey AS nk,
+         kll_sketch_agg_double(CAST(c_acctbal AS DOUBLE), 800) AS s,
+         count(*) AS n
+  FROM customer GROUP BY c_nationkey
+),
+merged AS (
+  SELECT kll_merge_agg_double(s) AS gs, CAST(sum(n) AS BIGINT) AS n_customers,
+         count(*) AS n_sketches
+  FROM sk
+),
+exact AS (
+  SELECT round(percentile(CAST(c_acctbal AS DOUBLE), 0.5), 2) AS median_exact,
+         round(percentile(CAST(c_acctbal AS DOUBLE), 0.9), 2) AS p90_exact
+  FROM customer
+)
+SELECT m.n_customers,
+       m.n_sketches,
+       e.median_exact,
+       e.p90_exact,
+       abs(kll_sketch_get_quantile_double(m.gs, 0.5) - e.median_exact)
+           <= 0.10 * (abs(e.median_exact) + 1.0) AS median_within_tol,
+       abs(kll_sketch_get_quantile_double(m.gs, 0.9) - e.p90_exact)
+           <= 0.10 * (abs(e.p90_exact) + 1.0) AS p90_within_tol
+FROM merged m CROSS JOIN exact e
+"""
+
+_KLL_DUCK = """
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_sketches,
+       round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.5), 2) AS median_exact,
+       round(quantile_cont(CAST(c_acctbal AS DOUBLE), 0.9), 2) AS p90_exact,
+       TRUE AS median_within_tol,
+       TRUE AS p90_within_tol
+FROM customer
+"""
+
+
+@query(
+    "fn_kll_quantile",
+    oracle=_KLL_DUCK,
+    doc="Mergeable quantile sketches (QuantileDigestFunctions.java "
+    "qdigest_agg/merge/value_at_quantile) via KLL: per-nation sketches "
+    "merged once, median/p90 read from the merged sketch. Exact columns "
+    "value-checked; sketch estimates asserted within tolerance (KLL "
+    "compaction is randomized, so the raw estimate is never hashed).",
+    tags=("functions", "aggregates"),
+)
+def fn_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _KLL_SPARK, ("customer",))
