@@ -608,8 +608,17 @@ DELTAS = {
     "asserted against the reference's own test vectors.",
     "approx_most_frequent": "Computed exactly (groupBy-count + top-k window; "
     "see fn_approx_most_frequent) — a valid refinement of the sketch bounds.",
-    "qdigest/merge": "Re-aggregatable percentiles expressed as mergeable "
-    "histogram rollups (fn_quantile_rollup); no sketch binary interchange.",
+    "qdigest/merge": "Re-aggregatable percentiles expressed two ways: "
+    "mergeable histogram rollups (fn_quantile_rollup) and true DataSketches "
+    "KLL sketches (fn_kll_quantile). No qdigest binary interchange — "
+    "sketches built in one engine cannot be read by the other.",
+    "make_set_digest/merge_set_digest/intersection_cardinality": "Modeled "
+    "with DataSketches theta sketches (theta_sketch_agg/theta_union/"
+    "theta_intersection, fn_theta_setdigest) — the same mergeable "
+    "union/intersection algebra; SetDigest binaries are not interchangeable.",
+    "decimal division": "Result scale rules differ (Presto caps at 38 with "
+    "its own scale formula; Spark adjusts precision/scale on overflow) — "
+    "cast explicitly when migrating precision-sensitive divisions.",
     "split": "Presto's delimiter is a literal string; Spark's is a regex. "
     "Plain-text delimiters (',', ';', '=') behave identically; regex "
     "metacharacters ('|', '.') must be escaped when migrating.",
