@@ -28,11 +28,16 @@ memory ownership lives with the coordinator, not the query text.
 from __future__ import annotations
 
 import os
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _STAGED: dict[tuple[str, str, str], DataFrame] = {}
+# Guards the get-or-create: a concurrent session (Spark is thread-safe;
+# services issue queries from thread pools) racing two builds of the same
+# artifact would persist twice and leak the losing copy until session end.
+_LOCK = threading.Lock()
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -51,8 +56,11 @@ def staged(
     key = (_session_key(spark), os.path.abspath(sf_dir), name)
     df = _STAGED.get(key)
     if df is None:
-        df = build().persist()
-        _STAGED[key] = df
+        with _LOCK:
+            df = _STAGED.get(key)  # double-checked: loser of the race reuses
+            if df is None:
+                df = build().persist()
+                _STAGED[key] = df
     return df
 
 
@@ -62,13 +70,14 @@ def release_staged(spark: SparkSession | None = None) -> int:
     With ``spark`` given, only that session's artifacts are dropped; with
     None, everything (safe: unpersist on a stopped session is ignored).
     """
-    if spark is not None:
-        sk = _session_key(spark)
-        keys = [k for k in _STAGED if k[0] == sk]
-    else:
-        keys = list(_STAGED)
-    for k in keys:
-        df = _STAGED.pop(k)
+    with _LOCK:
+        if spark is not None:
+            sk = _session_key(spark)
+            keys = [k for k in _STAGED if k[0] == sk]
+        else:
+            keys = list(_STAGED)
+        dfs = [_STAGED.pop(k) for k in keys]
+    for df in dfs:
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 — session already stopped

@@ -56,3 +56,31 @@ def test_session_key_is_stable_and_cache_key_material(spark, sf_dir):
     df1 = load_table(spark, sf_dir, "nation")
     df2 = load_table(spark, sf_dir, "nation")
     assert df1 is df2  # cache hit on the applicationId-keyed entry
+
+
+def test_staged_concurrent_get_or_create_builds_once(spark, sf_dir):
+    """A thread-pool race on the same artifact must persist exactly one copy."""
+    import threading
+
+    release_staged(spark)
+    calls = {"n": 0}
+    lock = threading.Lock()
+
+    def build():
+        with lock:
+            calls["n"] += 1
+        return spark.range(1000).select(F.col("id").alias("v"))
+
+    results = [None] * 8
+
+    def worker(i):
+        results[i] = staged(spark, sf_dir, "race_artifact", build)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert calls["n"] == 1
+    assert all(r is results[0] for r in results)  # one shared persisted DF
+    release_staged(spark)
