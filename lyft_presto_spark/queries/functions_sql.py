@@ -1801,8 +1801,11 @@ def fn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    -> kll_sketch_agg_double / kll_merge_agg_double /
 #    kll_sketch_get_quantile_double
 # Theta estimates are EXACT below the sketch's retention threshold (~4k
-# distinct at default lgK), which holds at the oracle scales (sf<=0.01), so
-# every cardinality column is value-checked, not just bounded. KLL
+# distinct at default lgK). The bucket space is FIXED (custkey % 1800) so
+# per-region and pairwise-union cardinalities stay under the threshold at
+# EVERY scale factor — the sf0.1 sweep caught the unbounded DIV 2 version
+# drifting into estimate mode (4744 vs 4746) — and every cardinality
+# column is value-checked, not just bounded. KLL
 # compaction is randomized, so the estimate itself is never emitted — only
 # exact-checkable stats plus a generous-tolerance boolean, the same pattern
 # as fn_approx_agg.
@@ -1810,8 +1813,8 @@ def fn_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _THETA_SPARK = """
 WITH sk AS (
   SELECT n_regionkey AS rk,
-         theta_sketch_agg(c_custkey DIV 2) AS s,
-         count(DISTINCT c_custkey DIV 2) AS exact_card
+         theta_sketch_agg(c_custkey % 1800) AS s,
+         count(DISTINCT c_custkey % 1800) AS exact_card
   FROM customer JOIN nation ON c_nationkey = n_nationkey
   GROUP BY n_regionkey
 )
@@ -1826,7 +1829,7 @@ ORDER BY region_a, region_b
 
 _THETA_DUCK = """
 WITH buckets AS (
-  SELECT n_regionkey AS rk, c_custkey // 2 AS b
+  SELECT n_regionkey AS rk, c_custkey % 1800 AS b
   FROM customer JOIN nation ON c_nationkey = n_nationkey
 ),
 card AS (SELECT rk, count(DISTINCT b) AS exact_card FROM buckets GROUP BY rk),
