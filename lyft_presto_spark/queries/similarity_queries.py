@@ -176,3 +176,49 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, emb.filter(f"vec_id <> {QUERY_VEC_ID}"), key=f"{sf_dir}:no_query_vec", k=16
     )
     return ivf_topk(assigned, centroids, query_vec, top_k=TOP_K, nprobe=4)
+
+
+# --- batch kNN join (many-query top-k) -------------------------------------
+
+KNN_K = 5
+KNN_QUERY_STRIDE = 100  # query set = vec_id % stride == 0 (bounded sample)
+
+
+def _knn_join_sql(dialect: str) -> str:
+    cos = S.cosine("e.embedding", "q.q_emb", dialect)
+    return f"""
+WITH q AS (
+    SELECT vec_id AS q_id, embedding AS q_emb
+    FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+),
+scored AS (
+    SELECT q.q_id, e.vec_id, e.label, {cos} AS cosine_sim
+    FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, label, cosine_sim,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cosine_sim DESC, vec_id) AS rn
+    FROM scored
+)
+SELECT q_id, rn AS rank, vec_id, label, round(cosine_sim, 6) AS cosine_sim
+FROM ranked WHERE rn <= {KNN_K}
+ORDER BY q_id, rank
+"""
+
+
+@query(
+    "sim_knn_join",
+    oracle=_knn_join_sql("duck"),
+    doc="Batch kNN join: top-k cosine neighbors for EVERY vector in a "
+    "bounded query set (the many-query generalization of sim_topk — the "
+    "clustering/dedup-candidate input shape). The query side broadcasts "
+    "(bounded sample, never the corpus); scoring is one pass over the "
+    "corpus with the Arrow-batched cosine; per-query top-k is a window "
+    "over q_id. Scale path for unbounded query sets is the IVF index "
+    "(operators/ivf.py) probed per query.",
+    tags=("similarity",),
+)
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S.register_vector_udfs(spark)
+    return sql_over(spark, sf_dir, _knn_join_sql("spark"), ("embeddings",))
