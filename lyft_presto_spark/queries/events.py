@@ -388,3 +388,47 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- error-burst detection (ordered per-key sequence pattern) --------------
+
+_BURSTS_SQL_SPARK = """
+WITH errs AS (SELECT user_id, ts FROM events WHERE event_type = 'error'),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts > lag(ts) OVER w + INTERVAL '10' MINUTE
+              THEN 1 ELSE 0 END AS new_chain
+  FROM errs WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+chains AS (
+  SELECT user_id, sum(new_chain) OVER (PARTITION BY user_id ORDER BY ts) AS chain_id
+  FROM flagged
+),
+per_chain AS (
+  SELECT user_id, chain_id, count(*) AS chain_len
+  FROM chains GROUP BY user_id, chain_id
+)
+SELECT user_id,
+       count(*) AS n_bursts,
+       CAST(max(chain_len) AS BIGINT) AS max_burst_len,
+       CAST(sum(chain_len) AS BIGINT) AS errors_in_bursts
+FROM per_chain WHERE chain_len >= 3
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+_BURSTS_SQL_DUCK = _BURSTS_SQL_SPARK.replace("INTERVAL '10' MINUTE", "INTERVAL '10 minutes'")
+
+
+@query(
+    "events_error_bursts",
+    oracle=_BURSTS_SQL_DUCK,
+    doc="Error-burst detection: chains of 'error' events each within 10 min "
+    "of the previous, per user; bursts are chains of length >= 3 "
+    "(lag-gap-cumsum, the sequence-pattern shape). Batch twin of "
+    "streaming/burst_stream.py's stateful detector.",
+    tags=("events", "streaming"),
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _BURSTS_SQL_SPARK, ("events",))

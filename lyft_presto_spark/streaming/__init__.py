@@ -14,6 +14,7 @@ from .events_stream import (
     stream_events,
     tumbling_counts,
 )
+from .burst_stream import burst_stream
 from .join_stream import attribution_pairs
 from .sessionize_stream import sessionize_stream
 
@@ -24,4 +25,5 @@ __all__ = [
     "run_availablenow_to_memory",
     "sessionize_stream",
     "attribution_pairs",
+    "burst_stream",
 ]

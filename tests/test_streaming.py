@@ -182,3 +182,85 @@ def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path_factory):
     assert got.count() == ev.count()  # no loss, no duplicates
     dec_sum = F.sum(F.col("value").cast("decimal(18,2)"))  # order-independent exact total
     assert got.select(dec_sum).collect()[0][0] == ev.select(dec_sum).collect()[0][0]
+
+
+def test_burst_stream_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming burst detector == batch lag-gap-cumsum twin on one dataset.
+
+    The fixture has ~1 error per user (no bursts), so the test synthesizes a
+    dataset with known structure: users 0..49 get a 4-error burst (5-min
+    spacing) followed by a lone error 2 h later (which closes the burst and
+    leaves only a length-1 chain open at drain — below BURST_MIN, so nothing
+    is lost by never flushing it); users 50..59 get 2-chains that must NOT
+    count. Batch side = the registered query's SQL over the same data.
+    """
+    import os
+    import shutil
+
+    from lyft_presto_spark.queries.events import _BURSTS_SQL_SPARK
+    from lyft_presto_spark.streaming import burst_stream
+
+    base_us = 1_700_000_000_000_000
+    rows = []
+    eid = 0
+    for u in range(50):  # one genuine 4-burst + a lone closer
+        for j in range(4):
+            rows.append((eid, (base_us + u * 10_000_000 + j * 300_000_000) * 1000, u)); eid += 1
+        rows.append((eid, (base_us + u * 10_000_000 + 2 * 3_600_000_000) * 1000, u)); eid += 1
+    for u in range(50, 60):  # 2-chains: below BURST_MIN
+        for j in range(2):
+            rows.append((eid, (base_us + u * 10_000_000 + j * 300_000_000) * 1000, u)); eid += 1
+
+    synth = spark.createDataFrame(
+        [(e, t, u, "error", 1.0, "{}") for (e, t, u) in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    src_dir = str(tmp_path_factory.mktemp("events_burst_stream"))
+    # The operator's documented contract is per-key time-ordered ARRIVAL
+    # (Kafka's per-key partition order). Model it deterministically: 8
+    # time-slice files with strictly increasing mtimes, so the file source
+    # (oldest-first) feeds two 4-file micro-batches in time order — a
+    # random file split would hand batch 2 events OLDER than batch 1 state,
+    # which no gap-chain operator can fold without watermark buffering.
+    import time as _time
+
+    slices = synth.repartitionByRange(8, "ts")
+    stage = str(tmp_path_factory.mktemp("burst_slices"))
+    os.makedirs(src_dir, exist_ok=True)
+    slices.write.mode("overwrite").parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    now = _time.time()
+    for i, f in enumerate(parts):
+        dst = os.path.join(src_dir, f"slice_{i:02d}.parquet")
+        shutil.copy(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i, now + i))
+
+    result = burst_stream(stream_events(spark, src_dir))
+    q = (
+        result.writeStream.format("memory")
+        .queryName("stream_bursts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = (
+        spark.table("stream_bursts")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.max("burst_len").cast("long").alias("max_burst_len"),
+            F.sum("burst_len").cast("long").alias("errors_in_bursts"),
+        )
+    )
+
+    synth.withColumn("ts", F.expr("timestamp_micros(ts div 1000)")).createOrReplaceTempView(
+        "burst_synth"
+    )
+    batch = spark.sql(_BURSTS_SQL_SPARK.replace("FROM events", "FROM burst_synth"))
+
+    s = sorted(map(tuple, streamed.collect()))
+    b = sorted(map(tuple, batch.collect()))
+    assert len(s) == len(b) == 50
+    assert s == b
+    assert all(r[1:] == (1, 4, 4) for r in s)  # exactly one 4-burst per user
