@@ -193,3 +193,17 @@ def test_quantile_rollup_stages_join_once(spark, sf_dir):
     df = QS["fn_quantile_rollup"].spark(spark, sf_dir)
     assert count_exchanges(df) <= 6
     assert_no_cartesian(df)
+
+
+def test_knn_join_broadcasts_bounded_query_side(spark, sf_dir):
+    # The kNN join's product is INTENTIONAL and bounded: the query side is a
+    # stride sample (|corpus|/100 rows), broadcast against one corpus pass.
+    # allow_scalar_bnlj documents that boundedness; the big side must never
+    # be the build side, and the per-query top-k adds one window exchange.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["sim_knn_join"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df, allow_scalar_bnlj=True)
+    assert "BroadcastExchange" in plan  # query side replicates, corpus streams
+    assert count_exchanges(df) <= 2  # window on q_id (+ output sort)
