@@ -584,6 +584,10 @@ REWRITE: dict[str, "str | RewriteFn"] = {
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
 DELTAS = {
+    "array subscript": "Presto arr[n] is 1-based and raises out-of-bounds; the "
+    "transpiler rewrites integer-literal subscripts to try_element_at(arr, n) "
+    "(1-based, preserving every in-bounds value) but an out-of-bounds ordinal "
+    "yields NULL instead of Presto's error.",
     "ln": "Presto ln(0) = -Infinity, ln(<0) = NaN; Spark ln(<=0) = NULL.",
     "map": "2-arg map() is rewritten as the Presto two-array constructor; "
     "Spark's flat 2-arg map(k, v) form must be spelled map_from_entries or "
@@ -728,6 +732,60 @@ def _rewrite_array_literals(sql: str) -> str:
         sql = sql[: m.start()] + "array(" + sql[m.end() : i - 1] + ")" + sql[i:]
 
 
+_SUBSCRIPT = re.compile(r"\[\s*(\d+)\s*\]")
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """Presto ordinal subscript ``expr[n]`` -> Spark ``element_at(expr, n)``.
+
+    Presto's ``[]`` is 1-based on arrays (ArraySubscriptOperator.java:60) and
+    key-lookup on maps; Spark's ``[]`` is 0-based on arrays, so passing the
+    subscript through would silently shift every array ordinal by one.
+    ``element_at`` is 1-based on arrays and key-lookup on maps — Presto's
+    ``[]`` semantics for both. (The downstream REWRITE pass turns it into
+    ``try_element_at``, so an out-of-bounds ordinal yields NULL where Presto
+    raises — the in-bounds values agree; documented in DELTAS.) Only
+    integer-literal subscripts are rewritten: string-key map subscripts are
+    masked literals at this stage (never pure digits) and already agree
+    between engines. Runs on masked SQL after ARRAY[...] constructors are
+    gone, so every remaining ``[n]`` is a subscript. Chained subscripts
+    ``a[1][2]`` unwrap across re-scans.
+    """
+    while True:
+        m = _SUBSCRIPT.search(sql)
+        if m is None:
+            return sql
+        # Walk backwards over the base expression the subscript applies to:
+        # a (possibly qualified) identifier, a call/paren group, or a chain
+        # of both (``f(x)[1]``, ``element_at(a, 1)[2]``).
+        i = m.start()
+        while i > 0 and sql[i - 1].isspace():
+            i -= 1
+        j = i
+        while j > 0:
+            ch = sql[j - 1]
+            if ch in ")]":
+                opener = "(" if ch == ")" else "["
+                depth = 0
+                while j > 0:
+                    j -= 1
+                    if sql[j] == ch:
+                        depth += 1
+                    elif sql[j] == opener:
+                        depth -= 1
+                        if depth == 0:
+                            break
+                continue  # keep walking: the function name before the parens
+            if ch.isalnum() or ch in "_.$\x00":
+                j -= 1
+                continue
+            break
+        base = sql[j:i]
+        if not base:
+            return sql  # stray bracket; leave untouched rather than mangle
+        sql = f"{sql[:j]}element_at({base}, {m.group(1)}){sql[m.end():]}"
+
+
 def transpile(sql: str) -> str:
     """Rewrite Presto-dialect SQL into Spark SQL.
 
@@ -738,6 +796,7 @@ def transpile(sql: str) -> str:
     """
     out, lits = _mask_literals(sql)
     out = _rewrite_array_literals(out)
+    out = _rewrite_subscripts(out)
     for name, rw in REWRITE.items():
         pos = 0
         while True:

@@ -34,10 +34,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 _STAGED: dict[tuple[str, str, str], DataFrame] = {}
-# Guards the get-or-create: a concurrent session (Spark is thread-safe;
-# services issue queries from thread pools) racing two builds of the same
-# artifact would persist twice and leak the losing copy until session end.
+# _LOCK guards the maps only and is never held across build(): builds of
+# unrelated artifacts (different names/sessions) must not serialize behind
+# one slow plan construction, and a build that re-enters staged() for a
+# *different* artifact must not deadlock (ADVICE r3). Same-key callers block
+# on each other via a per-key lock so a race can't persist twice and leak
+# the losing copy until session end.
 _LOCK = threading.Lock()
+_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
 
 
 def _session_key(spark: SparkSession) -> str:
@@ -55,11 +59,18 @@ def staged(
     """Get-or-create the persisted artifact ``name`` for (session, sf_dir)."""
     key = (_session_key(spark), os.path.abspath(sf_dir), name)
     df = _STAGED.get(key)
-    if df is None:
-        with _LOCK:
-            df = _STAGED.get(key)  # double-checked: loser of the race reuses
-            if df is None:
-                df = build().persist()
+    if df is not None:
+        return df
+    with _LOCK:
+        df = _STAGED.get(key)  # double-checked: loser of the race reuses
+        if df is not None:
+            return df
+        key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
+    with key_lock:  # only same-key callers wait; build() runs outside _LOCK
+        df = _STAGED.get(key)
+        if df is None:
+            df = build().persist()
+            with _LOCK:
                 _STAGED[key] = df
     return df
 
@@ -77,6 +88,8 @@ def release_staged(spark: SparkSession | None = None) -> int:
         else:
             keys = list(_STAGED)
         dfs = [_STAGED.pop(k) for k in keys]
+        for k in keys:
+            _KEY_LOCKS.pop(k, None)
     for df in dfs:
         try:
             df.unpersist()

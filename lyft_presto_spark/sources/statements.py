@@ -137,10 +137,40 @@ def _presto_type_name(spark_type: str) -> str:
     m = re.fullmatch(r"array<(.+)>", t)
     if m:
         return f"array({_presto_type_name(m.group(1))})"
-    m = re.fullmatch(r"map<([^,]+),(.+)>", t)
+    m = re.fullmatch(r"map<(.+)>", t)
     if m:
-        return f"map({_presto_type_name(m.group(1))}, {_presto_type_name(m.group(2))})"
+        # Split at the TOP-LEVEL comma: key types can themselves contain
+        # commas (map<decimal(10,2),string>), so a first-comma split renders
+        # malformed DDL (ADVICE r3).
+        k, v = _split_top_level(m.group(1), limit=2)
+        return f"map({_presto_type_name(k)}, {_presto_type_name(v)})"
+    m = re.fullmatch(r"struct<(.+)>", t)
+    if m:
+        fields = []
+        for field in _split_top_level(m.group(1)):
+            name, _, ftype = field.partition(":")
+            fields.append(f"{name.strip()} {_presto_type_name(ftype)}")
+        return f"row({', '.join(fields)})"
     return base.get(t, t)
+
+
+def _split_top_level(s: str, limit: int = 0) -> list[str]:
+    """Split on commas at bracket depth 0 (over ``<>()``); at most ``limit``
+    parts when given (the tail keeps its commas)."""
+    parts: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(s):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+            if limit and len(parts) == limit - 1:
+                break
+    parts.append(s[start:].strip())
+    return parts
 
 
 def execute_statement(spark: SparkSession, sql: str) -> DataFrame:

@@ -272,8 +272,31 @@ class TestScalarCompatWave3:
         assert transpile("SELECT cardinality(ARRAY[ARRAY[1], ARRAY[2]])") == (
             "SELECT cardinality(array(array(1), array(2)))"
         )
-        # subscript brackets untouched
+        # string-key map subscripts untouched (masked literal, same semantics)
         assert transpile("SELECT m['k']") == "SELECT m['k']"
+
+    def test_ordinal_subscript_is_one_based(self, spark):
+        # Presto arr[n] is 1-based; Spark [] is 0-based — the transpiler must
+        # rewrite so ARRAY[10,20][1] returns 10, not 20 (ADVICE r3).
+        assert transpile("SELECT ARRAY[10, 20][1]") == (
+            "SELECT try_element_at(array(10, 20), 1)"
+        )
+        assert spark.sql(transpile("SELECT ARRAY[10, 20][1] AS v")).collect()[0].v == 10
+        # chained subscripts unwrap outside-in
+        assert spark.sql(
+            transpile("SELECT ARRAY[ARRAY[1, 2], ARRAY[3, 4]][2][1] AS v")
+        ).collect()[0].v == 3
+        # qualified-name and call bases
+        assert transpile("SELECT t.arr[3]") == "SELECT try_element_at(t.arr, 3)"
+        assert transpile("SELECT split(s, ',')[1]") == (
+            "SELECT try_element_at(split(s, ','), 1)"
+        )
+        # integer map keys: element_at is key-lookup on maps, same as Presto []
+        assert spark.sql(
+            transpile("SELECT map(ARRAY[7], ARRAY['x'])[7] AS v")
+        ).collect()[0].v == "x"
+        # non-literal subscripts pass through (documented in DELTAS)
+        assert transpile("SELECT arr[i]") == "SELECT arr[i]"
 
     def test_map_two_array_constructor(self):
         assert transpile("SELECT map(ARRAY['a'], ARRAY[1])") == (

@@ -84,3 +84,36 @@ def test_staged_concurrent_get_or_create_builds_once(spark, sf_dir):
     assert calls["n"] == 1
     assert all(r is results[0] for r in results)  # one shared persisted DF
     release_staged(spark)
+
+
+def test_staged_unrelated_builds_do_not_serialize(spark, sf_dir):
+    """A slow build of one artifact must not block another key's build,
+    and a build that re-enters staged() for a different artifact must not
+    deadlock (ADVICE r3: build() ran under the single global lock)."""
+    import threading
+
+    release_staged(spark)
+    slow_started = threading.Event()
+    fast_done = threading.Event()
+
+    def slow_build():
+        slow_started.set()
+        # Deadlock probe: re-enter staged() for a different key mid-build.
+        staged(spark, sf_dir, "nested_artifact", lambda: spark.range(5).toDF("v"))
+        # If fast_build serialized behind us this wait would time out.
+        assert fast_done.wait(timeout=30), "unrelated build serialized behind slow build"
+        return spark.range(10).toDF("v")
+
+    def fast_build():
+        return spark.range(10).toDF("v")
+
+    t = threading.Thread(
+        target=lambda: staged(spark, sf_dir, "slow_artifact", slow_build)
+    )
+    t.start()
+    assert slow_started.wait(timeout=30)
+    staged(spark, sf_dir, "fast_artifact", fast_build)  # must not block
+    fast_done.set()
+    t.join(timeout=60)
+    assert not t.is_alive()
+    assert release_staged(spark) >= 3

@@ -173,3 +173,17 @@ def test_show_create_table(spark, sf_dir, mounted):
 
     for f in load_table(spark, sf_dir, "lineitem").schema.fields:
         assert f.name in ddl
+
+
+def test_presto_type_name_nested_types():
+    """Map keys with commas and struct fields render valid Presto DDL (ADVICE r3)."""
+    from lyft_presto_spark.sources.statements import _presto_type_name
+
+    assert _presto_type_name("map<decimal(10,2),string>") == "map(decimal(10,2), varchar)"
+    assert _presto_type_name("map<string,array<int>>") == "map(varchar, array(integer))"
+    assert _presto_type_name("struct<a:int,b:map<decimal(10,2),string>>") == (
+        "row(a integer, b map(decimal(10,2), varchar))"
+    )
+    assert _presto_type_name("array<struct<x:double,y:double>>") == (
+        "array(row(x double, y double))"
+    )

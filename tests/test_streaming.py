@@ -264,3 +264,62 @@ def test_burst_stream_matches_batch(spark, sf_dir, tmp_path_factory):
     assert len(s) == len(b) == 50
     assert s == b
     assert all(r[1:] == (1, 4, 4) for r in s)  # exactly one 4-burst per user
+
+
+def test_burst_stream_idle_timeout_flushes_tail_burst(spark, tmp_path_factory):
+    """A tail burst with NO later event from its user must still flush once
+    other keys advance the watermark past its gap (ADVICE r3: NoTimeout left
+    such chains unemitted forever and retained their state forever)."""
+    import os
+    import shutil
+    import time as _time
+
+    from lyft_presto_spark.streaming import burst_stream
+    from lyft_presto_spark.streaming.events_stream import stream_events
+
+    base_us = 1_700_000_000_000_000
+    rows = []
+    # user 0: a 4-burst (5-min spacing) and nothing else — previously stuck open.
+    for j in range(4):
+        rows.append((j, (base_us + j * 300_000_000) * 1000, 0))
+    # user 1: activity 6 h later in a LATER slice — advances the watermark
+    # (10-min delay) far past user 0's last_error + gap.
+    rows.append((4, (base_us + 6 * 3_600_000_000) * 1000, 1))
+
+    synth = spark.createDataFrame(
+        [(e, t, u, "error", 1.0, "{}") for (e, t, u) in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    src_dir = str(tmp_path_factory.mktemp("events_burst_timeout"))
+    stage = str(tmp_path_factory.mktemp("burst_timeout_slices"))
+    synth.repartitionByRange(2, "ts").write.mode("overwrite").parquet(stage)
+    parts = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    now = _time.time()
+    os.makedirs(src_dir, exist_ok=True)
+    for i, f in enumerate(parts):
+        dst = os.path.join(src_dir, f"slice_{i:02d}.parquet")
+        shutil.copy(os.path.join(stage, f), dst)
+        os.utime(dst, (now + i, now + i))
+
+    # maxFilesPerTrigger=4 would merge both slices into one batch, leaving the
+    # watermark at 0 while user 0's group is processed; force 1 file per batch
+    # so the second slice's watermark fires user 0's timeout.
+    raw = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    )
+    q = (
+        burst_stream(raw)
+        .writeStream.format("memory")
+        .queryName("stream_bursts_timeout")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("stream_bursts_timeout").select("user_id", "burst_len").collect()}
+    assert got == {(0, 4)}  # the tail burst flushed via the event-time timeout
