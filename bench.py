@@ -71,7 +71,13 @@ def main() -> None:
     # Measured passes are interleaved round-robin (pass 1 runs every query,
     # then pass 2, ...) so a transient ambient-load spike inflates at most one
     # sample per query instead of poisoning every sample of whichever query it
-    # lands on — the per-query median then discards it.
+    # lands on — the per-query median then discards it. Each pass starts at a
+    # rotated offset: with a fixed order the same query opens every pass and
+    # alone absorbs whatever the pass boundary costs (post-pass GC, cache
+    # churn) in ALL of its samples, which the median cannot discard — r3's q1
+    # measured 1.35x its r1 wall purely from that position (VERDICT r3 perf
+    # note). Rotation spreads the boundary cost across queries, at most one
+    # sample each.
     samples: dict[str, list[float]] = {n: [] for n in names}
     broken: dict[str, str] = {}
     for name in names:  # prewarm pass (parquet footer cache, codegen)
@@ -80,8 +86,9 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — a broken query shouldn't kill the bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             broken[name] = str(e)
-    for _ in range(RUNS):
-        for name in names:
+    for i in range(RUNS):
+        offset = (i * max(len(names) // RUNS, 1)) % max(len(names), 1)
+        for name in names[offset:] + names[:offset]:
             if name in broken:
                 continue
             t0 = time.perf_counter()
