@@ -27,12 +27,16 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # Core operator paths, one representative per physical machinery
-    "op_join_left", "op_join_semi", "op_join_anti", "op_join_nonequi",
+    # Core operator paths, one representative per physical machinery.
+    # op_join_anti / op_join_nonequi yielded their slots in r4: anti-join
+    # machinery is already driver-proven by tpch_q21/q22 (both scored) and
+    # nonequi by op_asof_join; the freed slots give the new geo family
+    # driver-green rows (VERDICT r3 next-round #1).
+    "op_join_left", "op_join_semi",
     "op_agg_multi_distinct", "op_agg_grouping_sets",
     "op_window_frames", "op_window_topn_per_group",
     "op_intersect_all", "op_unnest", "op_lateral", "op_subquery_correlated",
-    "op_asof_join",
+    "op_asof_join", "op_spatial_bbox_join", "fn_geo_bingtile",
     # Scalar/aggregate function families
     "fn_string", "fn_datetime_patterns", "fn_json", "fn_array_hof",
     "fn_hll_merge",
@@ -55,6 +59,7 @@ def all_queries() -> dict[str, Query]:
     from . import similarity_queries  # noqa: F401
     from . import dedup_queries  # noqa: F401
     from . import multimodal_queries  # noqa: F401
+    from . import geo_queries  # noqa: F401
 
     missing = [n for n in DRIVER_SCORED_HEAD if n not in REGISTRY]
     if missing:  # a rename must update the head list, loudly

@@ -1,0 +1,176 @@
+"""Planar geospatial core (functions/geo.py) against the reference's own
+test vectors (TestBingTileFunctions.java, TestGeoFunctions.java), plus the
+grid-blocked spatial-join plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lyft_presto_spark.functions import geo as G
+from lyft_presto_spark.plans.inspect import assert_no_cartesian
+from lyft_presto_spark.queries import all_queries
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+class TestBingTileVectors:
+    """Vectors from TestBingTileFunctions.java:79-105."""
+
+    def test_bing_tile_at(self, spark):
+        t = _one(spark, G.bing_tile_at(F.lit(30.12), F.lit(60.0), 15))
+        assert (t.x, t.y, t.zoom) == (21845, 13506, 15)
+        t = _one(spark, G.bing_tile_at(F.lit(0.0), F.lit(-0.002), 1))
+        assert (t.x, t.y) == (0, 1)
+        t = _one(spark, G.bing_tile_at(F.lit(1.0 / 512), F.lit(0.0), 1))
+        assert (t.x, t.y) == (1, 0)
+        t = _one(spark, G.bing_tile_at(F.lit(1.0 / 512), F.lit(0.0), 9))
+        assert (t.x, t.y) == (256, 255)
+
+    def test_quadkey_encode(self, spark):
+        tile = F.struct(F.lit(3).alias("x"), F.lit(5).alias("y"), F.lit(3).alias("zoom"))
+        assert _one(spark, G.bing_tile_quadkey(tile, 3)) == "213"
+        tile = F.struct(F.lit(21845).alias("x"), F.lit(13506).alias("y"), F.lit(15).alias("zoom"))
+        assert _one(spark, G.bing_tile_quadkey(tile, 15)) == "123030123010121"
+
+    def test_quadkey_decode_roundtrip(self, spark):
+        t = _one(spark, G.bing_tile_from_quadkey(F.lit("123030123010121"), 15))
+        assert (t.x, t.y, t.zoom) == (21845, 13506, 15)
+        t = _one(spark, G.bing_tile_from_quadkey(F.lit("213"), 3))
+        assert (t.x, t.y) == (3, 5)
+
+    def test_zoom_bounds(self):
+        with pytest.raises(ValueError):
+            G.bing_tile_at(F.lit(0.0), F.lit(0.0), 0)
+        with pytest.raises(ValueError):
+            G.bing_tile_at(F.lit(0.0), F.lit(0.0), 24)
+
+    def test_corner_inverts_tile(self, spark):
+        # The upper-left corner of tile(x, y) maps back into that tile (or
+        # its boundary neighbor); spot-check the reference formula's shape:
+        # corner of tile y=0 is the max latitude, x=0 is lon -180.
+        c = _one(
+            spark,
+            G.bing_tile_corner(
+                F.struct(F.lit(0).alias("x"), F.lit(0).alias("y"), F.lit(3).alias("zoom")), 3
+            ),
+        )
+        assert c.lon == -180.0
+        assert abs(c.lat - 85.05112878) < 1e-6  # the Mercator clip latitude
+
+
+class TestGreatCircle:
+    """Vectors from TestGeoFunctions.java:814-817 (Nashville-LA, Boston pair)."""
+
+    def test_reference_vectors(self, spark):
+        d = _one(
+            spark,
+            G.great_circle_distance(F.lit(36.12), F.lit(-86.67), F.lit(33.94), F.lit(-118.40)),
+        )
+        assert d == pytest.approx(2886.448973436703, rel=1e-12)
+        # symmetric
+        d2 = _one(
+            spark,
+            G.great_circle_distance(F.lit(33.94), F.lit(-118.40), F.lit(36.12), F.lit(-86.67)),
+        )
+        assert d2 == pytest.approx(d, rel=1e-12)
+        d3 = _one(
+            spark,
+            G.great_circle_distance(F.lit(42.3601), F.lit(-71.0589), F.lit(42.4430), F.lit(-71.2290)),
+        )
+        assert d3 == pytest.approx(16.73469743457461, rel=1e-12)
+        assert _one(
+            spark, G.great_circle_distance(F.lit(36.12), F.lit(-86.67), F.lit(36.12), F.lit(-86.67))
+        ) == 0.0
+
+
+class TestPointOps:
+    def test_point_xy_distance(self, spark):
+        p1 = G.st_point(F.lit(1.5), F.lit(2.5))
+        p2 = G.st_point(F.lit(4.5), F.lit(6.5))
+        assert _one(spark, G.st_x(p1)) == 1.5
+        assert _one(spark, G.st_y(p1)) == 2.5
+        assert _one(spark, G.st_distance(p1, p2)) == 5.0  # 3-4-5
+
+    def test_contains_strict_interior(self, spark):
+        env = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0))
+        inside = G.st_point(F.lit(5.0), F.lit(5.0))
+        boundary = G.st_point(F.lit(0.0), F.lit(5.0))
+        outside = G.st_point(F.lit(-1.0), F.lit(5.0))
+        assert _one(spark, G.st_contains_envelope(env, inside)) is True
+        # OGC/reference rule: a boundary point is NOT contained
+        assert _one(spark, G.st_contains_envelope(env, boundary)) is False
+        assert _one(spark, G.st_contains_envelope(env, outside)) is False
+
+
+class TestSqlGeneratorsAgree:
+    """The dual-dialect SQL snippets must equal the Column API on Spark (the
+    DuckDB side is proven by the oracle gate)."""
+
+    def test_tile_and_quadkey_sql(self, spark):
+        row = spark.sql(
+            f"""
+            SELECT {G.bing_tile_x_sql("60.0", 15, "spark")} AS x,
+                   {G.bing_tile_y_sql("30.12", 15, "spark")} AS y
+            """
+        ).collect()[0]
+        assert (row.x, row.y) == (21845, 13506)
+        qk = spark.sql(
+            f"SELECT {G.quadkey_sql('21845', '13506', 15, 'spark')} AS qk"
+        ).collect()[0].qk
+        assert qk == "123030123010121"
+        qk_lit = "'123030123010121'"
+        dx = spark.sql(
+            f"SELECT {G.quadkey_decode_sql(qk_lit, 15, 'x', 'spark')} AS v"
+        ).collect()[0].v
+        assert dx == 21845
+
+    def test_great_circle_sql(self, spark):
+        d = spark.sql(
+            f"SELECT {G.great_circle_sql('36.12', '-86.67', '33.94', '-118.40')} AS d"
+        ).collect()[0].d
+        assert d == pytest.approx(2886.448973436703, rel=1e-12)
+
+
+class TestSpatialJoinShape:
+    def test_spatial_joins_have_no_cartesian(self, spark, sf_dir):
+        """Both spatial joins must be cell equi-joins, never cross products —
+        the shape that survives 1M zones x 10B points (SCALE.md discipline)."""
+        qs = all_queries()
+        assert_no_cartesian(qs["op_spatial_bbox_join"].spark(spark, sf_dir))
+        assert_no_cartesian(qs["op_spatial_distance_join"].spark(spark, sf_dir))
+
+    def test_bbox_join_matches_naive(self, spark, sf_dir):
+        """Grid blocking must be lossless: same pairs as the naive all-pairs
+        containment (small-scale exhaustive check)."""
+        qs = all_queries()
+        blocked = {
+            (r.zone_id, r.n_points, r.sum_custkey)
+            for r in qs["op_spatial_bbox_join"].spark(spark, sf_dir).collect()
+        }
+        from lyft_presto_spark.queries.geo_queries import (
+            _POINTS,
+            _ZONES,
+            ZONE_HALF_H,
+            ZONE_HALF_W,
+        )
+        from lyft_presto_spark.queries.registry import sql_over
+
+        naive = sql_over(
+            spark,
+            sf_dir,
+            f"""
+            WITH pts AS ({_POINTS}), zones AS ({_ZONES})
+            SELECT zone_id, count(*) AS n_points, CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+            FROM zones JOIN pts
+              ON pts.lon > zones.cx - {ZONE_HALF_W} AND pts.lon < zones.cx + {ZONE_HALF_W}
+             AND pts.lat > zones.cy - {ZONE_HALF_H} AND pts.lat < zones.cy + {ZONE_HALF_H}
+            GROUP BY zone_id
+            """,
+            ("customer", "nation"),
+        )
+        assert blocked == {(r.zone_id, r.n_points, r.sum_custkey) for r in naive.collect()}
