@@ -43,6 +43,7 @@ RUNS = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 3)
 HEADLINE_PREFIXES = ("tpch_",)
 HEADLINE_EXTRAS = (
     "events_tumbling_window",
+    "events_tumbling_window_hll",
     "events_sessionize",
     "text_quality_score",
     "dedup_exact",

@@ -65,6 +65,38 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _tumbling_sql("spark"), ("events",))
 
 
+_TUMBLING_HLL_SQL = f"""
+SELECT {_bucket("spark", secs=3600)} AS window_start,
+       event_type,
+       count(*) AS n_events,
+       approx_count_distinct(user_id) AS approx_users,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+@query(
+    "events_tumbling_window_hll",
+    oracle=None,  # HLL estimates are engine-specific; error-bounded vs the
+    # exact twin in tests/test_hll_rollup.py, plan pinned to a single
+    # non-Expand shuffle there too.
+    doc="Hourly rollup with HLL distinct users — the 100 TB-preferred twin "
+    "of events_tumbling_window: exact count(DISTINCT) costs an extra "
+    "exchange keyed by (bucket, type, user_id), a shuffle that scales with "
+    "distinct-user cardinality, while the HLL register is fixed-size per "
+    "group and partial-aggregates map-side, so the plan is ONE ordinary "
+    "hash-agg shuffle. Same shape the streaming twin uses "
+    "(streaming/events_stream.py tumbling_counts); for re-aggregatable "
+    "sketch rollups see fn_hll_merge (queries/functions_sql.py). "
+    "Approximation analog: ApproximateCountDistinctAggregation.java:44.",
+    tags=("events",),
+)
+def events_tumbling_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _TUMBLING_HLL_SQL, ("events",))
+
+
 def _sessionize_sql(d: str) -> str:
     # Microsecond precision on both sides (Spark unix_timestamp truncates to
     # whole seconds, which would misclassify events near the gap boundary).

@@ -1,0 +1,106 @@
+"""ML plugin queries: train/score pipelines over the embeddings fixture.
+
+Mirrors presto-ml's user surface (MLFunctions.java ``classify``/``regress``
++ the ``learn_*`` aggregates) the way its own tests do
+(TestLearnAggregations.java trains on synthetic separable data and asserts
+prediction quality): the fixture embeddings carry no learnable relation to
+their ``label`` column (verified — centroid accuracy is chance), so the
+training target is derived deterministically FROM the features, giving a
+known-recoverable relationship whose recovery the tests bound.
+
+Rows-only for the driver's oracle (iterative training is not
+SQL-expressible — same contract as sim_topk_ivf); accuracy/recovery bounds
+live in tests/test_ml.py. Output columns follow the sketch discipline from
+the verify recipe: exact integers plus tolerance BOOLEANS, never raw solver
+floats, so result snapshots stay byte-stable.
+
+Scale: training is one MLlib job (LBFGS / closed-form WLS over
+treeAggregate partials); scoring is ``model.transform`` — a map-side JVM
+projection with zero shuffle, so the scoring path scales to any corpus the
+scan scales to. Train-once/score-many via operators/ml.cached_model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import ml as M
+from .registry import query, t
+
+# Binary target: sign of the sum of the first 8 embedding dims — linear in
+# the features, so logistic regression must separate it (margin rows aside).
+_CLS_TARGET = "CAST(aggregate(slice(embedding, 1, 8), 0.0D, (a, x) -> a + CAST(x AS DOUBLE)) > 0 AS DOUBLE)"
+# Regression target: exact linear form 3*x1 - 2*x2 + 0.5*x3 + 7 (no noise) —
+# closed-form WLS must recover coefficients and intercept to float precision.
+_REG_TARGET = (
+    "3.0D * CAST(element_at(embedding, 1) AS DOUBLE)"
+    " - 2.0D * CAST(element_at(embedding, 2) AS DOUBLE)"
+    " + 0.5D * CAST(element_at(embedding, 3) AS DOUBLE) + 7.0D"
+)
+REG_COEFS = (3.0, -2.0, 0.5)
+REG_INTERCEPT = 7.0
+
+
+def _cls_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    base = t(spark, sf_dir, "embeddings").withColumn("target", F.expr(_CLS_TARGET))
+    return base.filter("vec_id % 5 != 0"), base.filter("vec_id % 5 = 0")
+
+
+@query(
+    "ml_classify",
+    oracle=None,  # iterative training — accuracy-bounded in tests/test_ml.py
+    doc="learn_classifier + classify analog (MLFunctions.java:47, "
+    "LearnClassifierAggregation.java): MLlib logistic regression trained on "
+    "a held-in split against a linearly-separable derived target, scored on "
+    "the held-out split via one vectorized JVM transform (no per-row UDF). "
+    "Returns the confusion matrix — the evaluate_classifier_predictions "
+    "shape (EvaluateClassifierPredictionsAggregation.java).",
+    tags=("ml",),
+)
+def ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _cls_split(spark, sf_dir)
+    model = M.cached_model(
+        spark, f"{sf_dir}:ml_classify", lambda: M.learn_classifier(train, "target", "embedding")
+    )
+    scored = M.classify(test, model, "embedding")
+    return (
+        scored.groupBy(
+            F.col("target").cast("bigint").alias("actual"),
+            F.col("prediction").cast("bigint").alias("predicted"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("actual", "predicted")
+    )
+
+
+@query(
+    "ml_regress",
+    oracle=None,  # iterative training — recovery-bounded in tests/test_ml.py
+    doc="learn_regressor + regress analog (MLFunctions.java:79, "
+    "LearnRegressorAggregation.java): MLlib linear regression "
+    "(solver='normal', closed-form WLS — deterministic) trained on a "
+    "held-in split against an exact linear target, scored held-out. Output "
+    "is exact counts plus tolerance booleans (coefficient/intercept "
+    "recovery, RMSE bound) so the result is engine-stable.",
+    tags=("ml",),
+)
+def ml_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = t(spark, sf_dir, "embeddings").withColumn("target", F.expr(_REG_TARGET))
+    train = base.filter("vec_id % 5 != 0")
+    test = base.filter("vec_id % 5 = 0")
+    model = M.cached_model(
+        spark, f"{sf_dir}:ml_regress", lambda: M.learn_regressor(train, "target", "embedding")
+    )
+    coefs = model.coefficients.toArray()
+    recovered = all(
+        abs(coefs[i] - REG_COEFS[i]) < 1e-3 for i in range(3)
+    ) and all(abs(c) < 1e-3 for c in coefs[3:])
+    intercept_ok = abs(model.intercept - REG_INTERCEPT) < 1e-3
+    scored = M.regress(test, model, "embedding")
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        (F.sqrt(F.avg(F.pow(F.col("prediction") - F.col("target"), 2))) < 1e-3).alias("rmse_ok"),
+        F.lit(recovered).alias("coefs_ok"),
+        F.lit(intercept_ok).alias("intercept_ok"),
+    )
