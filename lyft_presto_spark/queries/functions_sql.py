@@ -1928,3 +1928,63 @@ FROM customer
 )
 def fn_kll_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _KLL_SPARK, ("customer",))
+
+
+def _ipaddress_sql(d: str) -> str:
+    """ip4<->bigint codecs and CIDR membership as codegen arithmetic.
+
+    The reference models IPs as a dedicated type (presto-spi IpAddressType.java)
+    with casts from/to varchar; the engine models them as STRING plus these
+    helpers (COVERAGE.md §1.2), the common warehouse idiom. Prefix checks are
+    literal power-of-two integer divisions — no string ops on the hot path.
+    """
+    idiv = "div" if d == "spark" else "//"
+    str_t = "STRING" if d == "spark" else "VARCHAR"
+    o1, o2, o3, o4 = (
+        f"(ip_num {idiv} 16777216) % 256",
+        f"(ip_num {idiv} 65536) % 256",
+        f"(ip_num {idiv} 256) % 256",
+        "ip_num % 256",
+    )
+    parse_back = (
+        "CAST(split_part(ip_str, '.', 1) AS BIGINT) * 16777216"
+        " + CAST(split_part(ip_str, '.', 2) AS BIGINT) * 65536"
+        " + CAST(split_part(ip_str, '.', 3) AS BIGINT) * 256"
+        " + CAST(split_part(ip_str, '.', 4) AS BIGINT)"
+    )
+    return f"""
+WITH src AS (
+    SELECT c_custkey,
+           (c_custkey * 2654435761) % 4294967296 AS ip_num
+    FROM customer
+    WHERE c_custkey % 13 = 0
+),
+ips AS (
+    SELECT c_custkey, ip_num,
+           concat(CAST({o1} AS {str_t}), '.', CAST({o2} AS {str_t}), '.',
+                  CAST({o3} AS {str_t}), '.', CAST({o4} AS {str_t})) AS ip_str
+    FROM src
+)
+SELECT c_custkey,
+       ip_str,
+       ip_num AS ip4_to_bigint,
+       ({parse_back}) = ip_num AS roundtrip_ok,
+       (ip_num {idiv} 16777216) = 10 AS in_10_0_0_0_8,
+       (ip_num {idiv} 1048576) = 2753 AS in_172_16_0_0_12,
+       (ip_num {idiv} 65536) = 49320 AS in_192_168_0_0_16
+FROM ips
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_ipaddress",
+    oracle=_ipaddress_sql("duck"),
+    doc="ipaddress niche (IpAddressType.java + varchar casts): bigint->dotted "
+    "quad, dotted quad->bigint round-trip, and CIDR-contains for /8, /12, "
+    "/16 prefixes via literal power-of-two integer division — pure codegen, "
+    "no regex/UDF. uuid() is covered by the transpiler (functions/presto.py).",
+    tags=("functions",),
+)
+def fn_ipaddress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _ipaddress_sql("spark"), ("customer",))

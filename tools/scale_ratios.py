@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Per-query scale-stability ratios: catch accidental O(n^2) before the bench.
+
+Runs the bench headline set at two scale factors (default sf0.01 -> sf0.1,
+10x data) and records the wall-clock ratio per query in RATIOS.json. A query
+whose wall scales super-linearly (ratio > ALERT for 10x data) is flagged —
+the early-warning for a plan that silently degraded to all-pairs or lost a
+pushdown (VERDICT r3 next-round #5). Run AFTER correctness sweeps, alone on
+the box (CPU contention poisons ratios the same way it poisons the bench).
+
+Known-superlinear-by-contract queries are exempted with the reason recorded:
+their SEMANTICS grow faster than the input (pairwise stats within blocks),
+which is a documented property, not a regression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE_EXTRAS, HEADLINE_PREFIXES, force  # noqa: E402
+from lyft_presto_spark.operators.staging import release_staged  # noqa: E402
+from lyft_presto_spark.queries import all_queries  # noqa: E402
+from lyft_presto_spark.session import build_session  # noqa: E402
+
+SF_A = os.environ.get("SPARK_GRAFT_RATIO_SF_A", "/root/testdata/sf0.01")
+SF_B = os.environ.get("SPARK_GRAFT_RATIO_SF_B", "/root/testdata/sf0.1")
+ALERT = float(os.environ.get("SPARK_GRAFT_RATIO_ALERT", "15"))
+# Wall floor: below this, fixed overhead (session, planning, task dispatch)
+# dominates and the ratio measures noise, not scaling.
+FLOOR_S = 0.5
+
+# Queries whose semantics are super-linear in the input by design.
+EXEMPT = {
+    "sim_pairs_blocked": "pairwise stats within label blocks — O(sum block^2) by contract",
+}
+
+
+def main() -> None:
+    queries = all_queries()
+    names = [n for n in sorted(queries) if n.startswith(HEADLINE_PREFIXES)]
+    names += [n for n in HEADLINE_EXTRAS if n in queries]
+
+    spark = build_session(app_name="lyft_presto_spark_ratios")
+    spark.range(1_000_000).selectExpr("sum(id) AS s").collect()
+
+    def wall(name: str, sf: str) -> float:
+        force(queries[name].spark(spark, sf))  # prewarm (codegen, footers)
+        t0 = time.perf_counter()
+        force(queries[name].spark(spark, sf))
+        return time.perf_counter() - t0
+
+    out: dict[str, dict] = {}
+    alerts: list[str] = []
+    for name in names:
+        try:
+            ta, tb = wall(name, SF_A), wall(name, SF_B)
+        except Exception as e:  # noqa: BLE001
+            out[name] = {"error": str(e)[:200]}
+            alerts.append(name)
+            continue
+        ratio = tb / ta if ta > 0 else float("inf")
+        flagged = ratio > ALERT and tb > FLOOR_S and name not in EXEMPT
+        out[name] = {
+            "wall_a": round(ta, 4),
+            "wall_b": round(tb, 4),
+            "ratio": round(ratio, 2),
+            "flagged": flagged,
+            **({"exempt": EXEMPT[name]} if name in EXEMPT else {}),
+        }
+        if flagged:
+            alerts.append(name)
+        release_staged(spark)
+
+    doc = {
+        "sf_a": SF_A,
+        "sf_b": SF_B,
+        "alert_threshold": ALERT,
+        "alerts": alerts,
+        "queries": out,
+    }
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RATIOS.json")
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"wrote {path}; alerts: {alerts or 'none'}")
+    spark.stop()
+    if alerts:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
