@@ -161,6 +161,54 @@ def bing_tile_corner(tile: Column, zoom: int) -> Column:
     return F.struct(lat.alias("lat"), lon.alias("lon"))
 
 
+def bing_tiles_around(lat: Column, lon: Column, zoom: int) -> Column:
+    """The 3x3 tile neighborhood of the point, clipped at map edges — the
+    candidate cover for radius probes (bing_tiles_around,
+    BingTileFunctions.java:169). Element order matches the reference's
+    x-major iteration; no antimeridian wrap (same as the reference's 3x3
+    overload)."""
+    t = bing_tile_at(lat, lon, zoom)
+    max_idx = (1 << zoom) - 1
+    tiles = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            tiles.append(
+                F.struct(
+                    (t["x"] + dx).alias("x"),
+                    (t["y"] + dy).alias("y"),
+                    F.lit(zoom).cast("int").alias("zoom"),
+                )
+            )
+    return F.filter(
+        F.array(*tiles),
+        lambda s: (s["x"] >= 0) & (s["x"] <= max_idx) & (s["y"] >= 0) & (s["y"] <= max_idx),
+    )
+
+
+def st_point_from_wkt(wkt: Column) -> Column:
+    """Parse ``POINT (x y)`` well-known text into a point struct
+    (stGeometryFromText/stPoint round-trip, the point case of
+    GeoFunctions.java stGeometryFromText). Non-point WKT yields NULL coords
+    (full WKT is the Esri surface — out of scope)."""
+    num = r"(-?[0-9]+(?:\.[0-9]+)?(?:[eE][-+]?[0-9]+)?)"
+    pat = r"^\s*POINT\s*\(\s*" + num + r"\s+" + num + r"\s*\)\s*$"
+    x = F.regexp_extract(wkt, pat, 1)
+    y = F.regexp_extract(wkt, pat, 2)
+    return F.struct(
+        F.when(x != "", x.cast("double")).alias("x"),
+        F.when(y != "", y.cast("double")).alias("y"),
+    )
+
+
+def st_as_text(p: Column) -> Column:
+    """Render a point struct as WKT (stAsText, point case). Note: double
+    formatting follows Spark's cast-to-string (``60.0``), where the
+    reference's Esri writer trims integral doubles (``60``)."""
+    return F.concat(
+        F.lit("POINT ("), p["x"].cast("string"), F.lit(" "), p["y"].cast("string"), F.lit(")")
+    )
+
+
 # --- dual-dialect SQL generators (oracle parity) ----------------------------
 
 

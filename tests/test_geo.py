@@ -63,6 +63,54 @@ class TestBingTileVectors:
         assert abs(c.lat - 85.05112878) < 1e-6  # the Mercator clip latitude
 
 
+class TestBingTilesAround:
+    """Vectors from TestBingTileFunctions.java:245-293 (quadkey renderings
+    of the 3x3 neighborhood, edge-clipped)."""
+
+    def _around_quadkeys(self, spark, lat, lon, zoom):
+        arr = _one(spark, G.bing_tiles_around(F.lit(lat), F.lit(lon), zoom))
+        return [
+            _one(
+                spark,
+                G.bing_tile_quadkey(
+                    F.struct(F.lit(t.x).alias("x"), F.lit(t.y).alias("y"), F.lit(zoom).alias("zoom")),
+                    zoom,
+                ),
+            )
+            for t in arr
+        ]
+
+    def test_interior_point(self, spark):
+        assert self._around_quadkeys(spark, 30.12, 60.0, 1) == ["0", "2", "1", "3"]
+        assert self._around_quadkeys(spark, 30.12, 60.0, 15) == [
+            "123030123010102", "123030123010120", "123030123010122",
+            "123030123010103", "123030123010121", "123030123010123",
+            "123030123010112", "123030123010130", "123030123010132",
+        ]
+
+    def test_corner_clipping(self, spark):
+        assert self._around_quadkeys(spark, -85.05112878, -180.0, 1) == ["0", "2", "1", "3"]
+        assert self._around_quadkeys(spark, -85.05112878, -180.0, 3) == [
+            "220", "222", "221", "223",
+        ]
+
+
+class TestWktPoint:
+    def test_parse_reference_vector(self, spark):
+        # TestGeoFunctions.java:430 — ST_X/ST_Y of 'POINT (1.5 2.5)'
+        p = G.st_point_from_wkt(F.lit("POINT (1.5 2.5)"))
+        assert _one(spark, G.st_x(p)) == 1.5
+        assert _one(spark, G.st_y(p)) == 2.5
+
+    def test_roundtrip_and_nonpoint(self, spark):
+        p = G.st_point(F.lit(-122.3321), F.lit(47.6062))
+        back = G.st_point_from_wkt(G.st_as_text(p))
+        assert _one(spark, G.st_x(back)) == -122.3321
+        assert _one(spark, G.st_y(back)) == 47.6062
+        bad = G.st_point_from_wkt(F.lit("LINESTRING (0 0, 1 1)"))
+        assert _one(spark, G.st_x(bad)) is None
+
+
 class TestGreatCircle:
     """Vectors from TestGeoFunctions.java:814-817 (Nashville-LA, Boston pair)."""
 
