@@ -209,6 +209,195 @@ def st_as_text(p: Column) -> Column:
     )
 
 
+# --- linestrings / polygon rings (array<struct<x,y>> geometry) ---------------
+#
+# The reference's full polygon surface is the Esri library
+# (GeoFunctions.java); the measurable core — lengths, shoelace areas,
+# centroids, envelopes, ray-cast containment, WKT codecs for LINESTRING and
+# single-ring POLYGON — is pure arithmetic over the vertex list. Geometry
+# representation: array<struct<x:double, y:double>>, computed per-row with
+# codegen higher-order functions (transform/zip_with/aggregate). No UDF, no
+# explode+window+regroup: a 100 TB scan computes every measure in the same
+# stage as the scan, with zero shuffles.
+#
+# Scope bounds (documented in COVERAGE.md): single exterior ring only (no
+# holes, no multi-geometries) — the subset a blocking/filtering pipeline
+# actually evaluates; hole-aware variants compose from the same primitives
+# (contains(outer) AND NOT contains(hole)).
+
+
+def _num_sql(s: Column) -> Column:
+    return s.cast("double")
+
+
+def st_line_from_wkt(wkt: Column, kind: str = "LINESTRING") -> Column:
+    """Parse ``LINESTRING (x y, ...)`` or single-ring ``POLYGON ((x y, ...))``
+    WKT into array<struct<x,y>> (stGeometryFromText, GeoFunctions.java:173 —
+    the non-Esri-dependent cases). Polygon rings are auto-closed when the WKT
+    omits the closing vertex, matching the Esri reader's behavior
+    (TestGeoFunctions.java stArea accepts open rings). Non-matching WKT
+    yields NULL."""
+    if kind == "POLYGON":
+        pat = r"^\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$"
+    elif kind == "LINESTRING":
+        pat = r"^\s*LINESTRING\s*\(\s*(.*?)\s*\)\s*$"
+    else:  # pragma: no cover - caller bug
+        raise ValueError(f"unsupported WKT kind: {kind}")
+    body = F.regexp_extract(wkt, pat, 1)
+    pts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda s: F.struct(
+            _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 1)).alias("x"),
+            _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 2)).alias("y"),
+        ),
+    )
+    if kind == "POLYGON":
+        first = F.element_at(pts, 1)
+        last = F.element_at(pts, -1)
+        pts = F.when(
+            (first["x"] == last["x"]) & (first["y"] == last["y"]), pts
+        ).otherwise(F.concat(pts, F.array(first)))
+    return F.when(body != "", pts)
+
+
+def st_line_as_text(line: Column, kind: str = "LINESTRING") -> Column:
+    """Render array<struct<x,y>> back to WKT (stAsText, line/ring case)."""
+    body = F.array_join(
+        F.transform(
+            line, lambda p: F.concat(p["x"].cast("string"), F.lit(" "), p["y"].cast("string"))
+        ),
+        ", ",
+    )
+    if kind == "POLYGON":
+        return F.concat(F.lit("POLYGON (("), body, F.lit("))"))
+    return F.concat(F.lit("LINESTRING ("), body, F.lit(")"))
+
+
+def st_num_points(line: Column) -> Column:
+    """Vertex count (stNumPoints, GeoFunctions.java — counts the closing
+    vertex of a ring when present, like the Esri path iterator)."""
+    return F.size(line)
+
+
+def st_is_closed(line: Column) -> Column:
+    """First vertex equals last (stIsClosed)."""
+    first, last = F.element_at(line, 1), F.element_at(line, -1)
+    return (first["x"] == last["x"]) & (first["y"] == last["y"])
+
+
+def st_start_point(line: Column) -> Column:
+    return F.element_at(line, 1)
+
+
+def st_end_point(line: Column) -> Column:
+    return F.element_at(line, -1)
+
+
+def st_point_n(line: Column, n: Column | int) -> Column:
+    """1-based vertex access (stPointN; Presto indexes from 1)."""
+    return F.element_at(line, n)
+
+
+def _edges(line: Column) -> Column:
+    """Consecutive vertex pairs as array<struct<a,b>> — the shared spine of
+    every measure below. slice+zip_with stays inside codegen."""
+    n = F.size(line)
+    return F.zip_with(
+        F.slice(line, 1, n - 1),
+        F.slice(line, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def st_length(line: Column) -> Column:
+    """Sum of segment lengths (stLength for a linestring; ring perimeter)."""
+    return F.aggregate(
+        _edges(line),
+        F.lit(0.0),
+        lambda acc, e: acc + st_distance(e["a"], e["b"]),
+    )
+
+
+def st_signed_area(ring: Column) -> Column:
+    """Shoelace signed area of a closed ring (positive = counter-clockwise)."""
+    return (
+        F.aggregate(
+            _edges(ring),
+            F.lit(0.0),
+            lambda acc, e: acc + (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+        )
+        / F.lit(2.0)
+    )
+
+
+def st_area(ring: Column) -> Column:
+    """Polygon area (stArea, GeoFunctions.java:236 — Esri computes the same
+    shoelace magnitude for a simple ring)."""
+    return F.abs(st_signed_area(ring))
+
+
+def st_centroid_ring(ring: Column) -> Column:
+    """Area-weighted polygon centroid (stCentroid, polygon case):
+    C = sum((v_i + v_{i+1}) * cross_i) / (6 * signed_area)."""
+    six_a = F.lit(6.0) * st_signed_area(ring)
+    cx = F.aggregate(
+        _edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["a"]["x"] + e["b"]["x"])
+        * (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+    cy = F.aggregate(
+        _edges(ring),
+        F.lit(0.0),
+        lambda acc, e: acc
+        + (e["a"]["y"] + e["b"]["y"])
+        * (e["a"]["x"] * e["b"]["y"] - e["b"]["x"] * e["a"]["y"]),
+    )
+    return F.struct((cx / six_a).alias("x"), (cy / six_a).alias("y"))
+
+
+def st_xmin(line: Column) -> Column:
+    return F.array_min(F.transform(line, lambda p: p["x"]))
+
+
+def st_xmax(line: Column) -> Column:
+    return F.array_max(F.transform(line, lambda p: p["x"]))
+
+
+def st_ymin(line: Column) -> Column:
+    return F.array_min(F.transform(line, lambda p: p["y"]))
+
+
+def st_ymax(line: Column) -> Column:
+    return F.array_max(F.transform(line, lambda p: p["y"]))
+
+
+def st_envelope_of(line: Column) -> Column:
+    """Bounding box of a vertex list (stEnvelope/stEnvelopeAsPts)."""
+    return st_envelope(st_xmin(line), st_ymin(line), st_xmax(line), st_ymax(line))
+
+
+def st_contains_ring(ring: Column, p: Column) -> Column:
+    """Ray-cast point-in-polygon for a closed simple ring (stContains,
+    polygon/point case). Casts a ray toward +x and counts edge crossings;
+    odd = interior. The half-open bound pairing ``(ay > py) != (by > py)``
+    counts a vertex hit exactly once. Points exactly ON an edge follow the
+    crossing arithmetic (not contained on horizontal boundaries — matching
+    the strict-interior OGC rule for the envelope case above)."""
+    px, py = p["x"], p["y"]
+
+    def step(acc: Column, e: Column) -> Column:
+        ax, ay = e["a"]["x"], e["a"]["y"]
+        bx, by = e["b"]["x"], e["b"]["y"]
+        crosses = ((ay > py) != (by > py)) & (
+            px < (bx - ax) * (py - ay) / (by - ay) + ax
+        )
+        return acc + F.when(crosses, 1).otherwise(0)
+
+    return F.aggregate(_edges(ring), F.lit(0), step) % 2 == 1
+
+
 # --- dual-dialect SQL generators (oracle parity) ----------------------------
 
 
@@ -281,3 +470,49 @@ def tile_corner_lon_sql(x: str, zoom: int) -> str:
     map_size = TILE_PIXELS << zoom
     x_axis = f"(least(greatest(({x}) * {TILE_PIXELS}e0, 0e0), {map_size}e0) / {map_size}e0 - 5e-1)"
     return f"(360e0 * {x_axis})"
+
+
+def varchar_sql(expr: str, dialect: str) -> str:
+    return f"CAST({expr} AS {'STRING' if dialect == 'spark' else 'VARCHAR'})"
+
+
+def wkt_line_points_sql(wkt: str, dialect: str) -> str:
+    """Parse a ``LINESTRING (x y, ...)`` column into an array of point structs
+    — each dialect's native HOF spelling of st_line_from_wkt."""
+    if dialect == "spark":
+        body = f"regexp_extract({wkt}, 'LINESTRING\\\\s*\\\\((.+)\\\\)', 1)"
+        return (
+            f"transform(split({body}, ','), s -> named_struct("
+            f"'x', CAST(element_at(split(trim(s), ' '), 1) AS DOUBLE), "
+            f"'y', CAST(element_at(split(trim(s), ' '), 2) AS DOUBLE)))"
+        )
+    body = f"regexp_extract({wkt}, 'LINESTRING\\s*\\((.+)\\)', 1)"
+    return (
+        f"list_transform(string_split({body}, ','), s -> struct_pack("
+        f"x := CAST(string_split(trim(s), ' ')[1] AS DOUBLE), "
+        f"y := CAST(string_split(trim(s), ' ')[2] AS DOUBLE)))"
+    )
+
+
+def line_length_sql(pts: str, dialect: str) -> str:
+    """Sum of segment lengths over an array<struct<x,y>> column."""
+    if dialect == "spark":
+        seg = (
+            f"zip_with(slice({pts}, 1, size({pts}) - 1), slice({pts}, 2, size({pts}) - 1), "
+            f"(a, b) -> sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)))"
+        )
+        return f"aggregate({seg}, CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    seg = (
+        f"list_transform(list_zip(list_slice({pts}, 1, len({pts}) - 1), "
+        f"list_slice({pts}, 2, len({pts}))), "
+        f"p -> sqrt((p[2].x - p[1].x) * (p[2].x - p[1].x) + (p[2].y - p[1].y) * (p[2].y - p[1].y)))"
+    )
+    return f"CAST(list_aggregate({seg}, 'sum') AS DOUBLE)"
+
+
+def line_elem_sql(pts: str, n: int, axis: str, dialect: str) -> str:
+    """1-based vertex coordinate access; n = -1 means the last vertex."""
+    if dialect == "spark":
+        return f"element_at({pts}, {n}).{axis}"
+    idx = f"len({pts})" if n == -1 else str(n)
+    return f"{pts}[{idx}].{axis}"

@@ -29,10 +29,13 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import geo as G
-from .registry import query, sql_over
+from .registry import query, sql_over, t
 
 ZOOM = 12
 CELL_DEG = 10
@@ -252,3 +255,240 @@ ORDER BY city_id
 )
 def op_spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _distance_join_sql("spark"), ("customer",))
+
+
+# --- polygon / linestring subset ---------------------------------------------
+#
+# Synthetic regular N-gons derived from nation keys: exact-integer centers and
+# radii, vertex angles (2*pi*i)/nv. Both engines compute the identical
+# expression; trig may differ in the last ULP, so measures round to 6 dp.
+
+_NGONS = """
+    SELECT n_nationkey AS poly_id,
+           5 + n_nationkey % 4 AS nv,
+           CAST((n_nationkey * 6151) % 34000 AS DOUBLE) / 100.0 - 170.0 AS cx,
+           CAST((n_nationkey * 9973) % 15000 AS DOUBLE) / 100.0 - 75.0 AS cy,
+           CAST(2 + n_nationkey % 4 AS DOUBLE) AS r
+    FROM nation
+"""
+
+# Shared vertex/edge spine: verts i = 0..nv-1 unrolled per row (explode of a
+# sequence — no index-table join, no broadcast); edges close the ring by
+# pairing the last vertex back to the first (coalesce(lead, first_value)).
+def _edges_cte(dialect: str) -> str:
+    if dialect == "spark":
+        unroll = "explode(sequence(0, nv - 1)) AS i"
+    else:
+        unroll = "unnest(range(0, nv)) AS i"
+    return f"""
+ngons AS ({_NGONS}),
+verts_base AS (
+    SELECT poly_id, nv, cx, cy, r, {unroll} FROM ngons
+),
+verts AS (
+    SELECT poly_id, nv, cx, cy, r, i,
+           cx + r * cos((2e0 * pi() * i) / nv) AS x,
+           cy + r * sin((2e0 * pi() * i) / nv) AS y
+    FROM verts_base
+),
+edges AS (
+    SELECT poly_id, nv, x, y,
+           coalesce(lead(x) OVER w, first_value(x) OVER w) AS x2,
+           coalesce(lead(y) OVER w, first_value(y) OVER w) AS y2
+    FROM verts
+    WINDOW w AS (PARTITION BY poly_id ORDER BY i)
+)"""
+
+
+def _polygon_measures_oracle() -> str:
+    # Shoelace area / perimeter / centroid / envelope via the unnest+window
+    # formulation — deliberately a DIFFERENT formulation than the Spark side's
+    # per-row array HOFs, so the oracle checks the arithmetic, not the string.
+    return f"""
+WITH {_edges_cte("duck")}
+SELECT poly_id,
+       CAST(nv + 1 AS BIGINT) AS num_points,
+       round(abs(sum(x * y2 - x2 * y)) / 2, 6) AS st_area,
+       round(sum(sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))), 6) AS st_perimeter,
+       round(sum((x + x2) * (x * y2 - x2 * y)) / (3 * sum(x * y2 - x2 * y)), 6) AS centroid_x,
+       round(sum((y + y2) * (x * y2 - x2 * y)) / (3 * sum(x * y2 - x2 * y)), 6) AS centroid_y,
+       round(min(x), 6) AS env_xmin,
+       round(max(y), 6) AS env_ymax
+FROM edges
+GROUP BY poly_id, nv
+ORDER BY poly_id
+"""
+
+
+@query(
+    "fn_geo_polygon_measures",
+    oracle=_polygon_measures_oracle(),
+    doc="Polygon measures over single-ring geometries as array<struct<x,y>>: "
+    "ST_Area (shoelace, GeoFunctions.java stArea), ST_Length perimeter "
+    "(stLength), ST_Centroid (stCentroid), ST_NumPoints, envelope corners "
+    "(stXMin/stYMax). Spark side computes every measure with per-row codegen "
+    "HOFs (transform/zip_with/aggregate) — zero shuffles, same stage as the "
+    "scan; the oracle recomputes via an unnest+window formulation, so the "
+    "match proves the arithmetic, not a shared string.",
+    tags=("geo",),
+)
+def fn_geo_polygon_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nv = F.col("nv").cast("double")
+    i_over_nv = lambda i: (F.lit(2 * math.pi) * i.cast("double")) / nv  # noqa: E731
+    vertex = lambda i: G.st_point(  # noqa: E731
+        F.col("cx") + F.col("r") * F.cos(i_over_nv(i)),
+        F.col("cy") + F.col("r") * F.sin(i_over_nv(i)),
+    )
+    open_ring = F.transform(F.sequence(F.lit(0), F.col("nv") - 1), vertex)
+    ring = F.concat(open_ring, F.array(F.element_at(open_ring, 1)))
+    base = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("poly_id"),
+        (F.lit(5) + F.col("n_nationkey") % 4).alias("nv"),
+        ((F.col("n_nationkey") * 6151) % 34000).cast("double").alias("cx_raw"),
+        ((F.col("n_nationkey") * 9973) % 15000).cast("double").alias("cy_raw"),
+        (F.lit(2) + F.col("n_nationkey") % 4).cast("double").alias("r"),
+    ).select(
+        "poly_id", "nv", "r",
+        (F.col("cx_raw") / F.lit(100.0) - F.lit(170.0)).alias("cx"),
+        (F.col("cy_raw") / F.lit(100.0) - F.lit(75.0)).alias("cy"),
+    )
+    withring = base.select("poly_id", ring.alias("ring"))
+    centroid = G.st_centroid_ring(F.col("ring"))
+    return withring.select(
+        "poly_id",
+        G.st_num_points(F.col("ring")).cast("long").alias("num_points"),
+        F.round(G.st_area(F.col("ring")), 6).alias("st_area"),
+        F.round(G.st_length(F.col("ring")), 6).alias("st_perimeter"),
+        F.round(centroid["x"], 6).alias("centroid_x"),
+        F.round(centroid["y"], 6).alias("centroid_y"),
+        F.round(G.st_xmin(F.col("ring")), 6).alias("env_xmin"),
+        F.round(G.st_ymax(F.col("ring")), 6).alias("env_ymax"),
+    ).orderBy("poly_id")
+
+
+# WKT linestrings built from exact-integer coordinates (3-4-5 segments), a
+# third of them explicitly closed back to the start vertex.
+def _wkt_src_sql(dialect: str) -> str:
+    v = lambda e: G.varchar_sql(e, dialect)  # noqa: E731
+    x1, y1 = "(n_nationkey * 3) % 7", "(n_nationkey * 5) % 11"
+    pts = (
+        f"{v(x1)}, ' ', {v(y1)}, ', ', "
+        f"{v(f'{x1} + 3')}, ' ', {v(f'{y1} + 4')}, ', ', "
+        f"{v(f'{x1} + 6')}, ' ', {v(f'{y1} + 8')}"
+    )
+    closer = f"CASE WHEN n_nationkey % 3 = 0 THEN concat(', ', {v(x1)}, ' ', {v(y1)}) ELSE '' END"
+    return f"""
+    SELECT n_nationkey AS id,
+           concat('LINESTRING (', {pts}, {closer}, ')') AS wkt
+    FROM nation
+"""
+
+
+def _wkt_line_oracle() -> str:
+    pts = G.wkt_line_points_sql("wkt", "duck")
+    return f"""
+WITH src AS ({_wkt_src_sql("duck")}),
+parsed AS (SELECT id, wkt, {pts} AS pts FROM src)
+SELECT id, wkt,
+       CAST(len(pts) AS BIGINT) AS num_points,
+       (pts[1].x = pts[len(pts)].x AND pts[1].y = pts[len(pts)].y) AS is_closed,
+       round({G.line_length_sql("pts", "duck")}, 6) AS st_length,
+       {G.line_elem_sql("pts", 1, "x", "duck")} AS start_x,
+       {G.line_elem_sql("pts", -1, "y", "duck")} AS end_y,
+       {G.line_elem_sql("pts", 2, "x", "duck")} AS point2_x
+FROM parsed
+ORDER BY id
+"""
+
+
+@query(
+    "fn_geo_wkt_linestring",
+    oracle=_wkt_line_oracle(),
+    doc="LINESTRING WKT codec + accessors (stGeometryFromText, stNumPoints, "
+    "stIsClosed, stLength, stStartPoint/stEndPoint, stPointN — "
+    "GeoFunctions.java): parse WKT built from exact-integer coordinates into "
+    "array<struct<x,y>> with codegen regexp/split/transform, then measure. "
+    "The oracle parses with DuckDB's native list HOFs — two independent "
+    "parsers must agree.",
+    tags=("geo",),
+)
+def fn_geo_wkt_linestring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _wkt_src_sql("spark"), ("nation",))
+    pts = G.st_line_from_wkt(F.col("wkt"), "LINESTRING")
+    parsed = src.select("id", "wkt", pts.alias("pts"))
+    return parsed.select(
+        "id",
+        "wkt",
+        G.st_num_points(F.col("pts")).cast("long").alias("num_points"),
+        G.st_is_closed(F.col("pts")).alias("is_closed"),
+        F.round(G.st_length(F.col("pts")), 6).alias("st_length"),
+        G.st_x(G.st_start_point(F.col("pts"))).alias("start_x"),
+        G.st_y(G.st_end_point(F.col("pts"))).alias("end_y"),
+        G.st_x(G.st_point_n(F.col("pts"), 2)).alias("point2_x"),
+    ).orderBy("id")
+
+
+def _polygon_join_sql(dialect: str) -> str:
+    # Blocking: the <=4 distinct corner cells of each polygon's bbox
+    # (r <= 5 < CELL_DEG) vs the point's single cell; then a cheap bbox
+    # prefilter; then the exact ray-cast refinement against the <=8 edges.
+    ids = [
+        _cell_id(_cell_x(x), _cell_x(y))
+        for x in ("cx - r", "cx + r")
+        for y in ("cy - r", "cy + r")
+    ]
+    if dialect == "spark":
+        cells = (
+            "SELECT poly_id, cx, cy, r, "
+            f"explode(array_distinct(array({', '.join(ids)}))) AS cell_id FROM ngons"
+        )
+    else:
+        cells = (
+            "SELECT poly_id, cx, cy, r, "
+            f"unnest(list_distinct([{', '.join(ids)}])) AS cell_id FROM ngons"
+        )
+    return f"""
+WITH {_edges_cte(dialect)},
+poly_cells AS ({cells}),
+pts AS ({_POINTS}),
+point_cells AS (
+    SELECT c_custkey, lon, lat, {_cell_id(_cell_x("lon"), _cell_x("lat"))} AS cell_id
+    FROM pts
+),
+cand AS (
+    SELECT z.poly_id, p.c_custkey, p.lon, p.lat
+    FROM poly_cells z JOIN point_cells p ON z.cell_id = p.cell_id
+    WHERE p.lon > z.cx - z.r AND p.lon < z.cx + z.r
+      AND p.lat > z.cy - z.r AND p.lat < z.cy + z.r
+),
+crossings AS (
+    SELECT c.poly_id, c.c_custkey,
+           sum(CASE WHEN ((e.y > c.lat) <> (e.y2 > c.lat))
+                     AND c.lon < (e.x2 - e.x) * (c.lat - e.y) / (e.y2 - e.y) + e.x
+                THEN 1 ELSE 0 END) AS k
+    FROM cand c JOIN edges e ON c.poly_id = e.poly_id
+    GROUP BY c.poly_id, c.c_custkey
+)
+SELECT poly_id,
+       count(*) AS n_inside,
+       CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+FROM crossings
+WHERE k % 2 = 1
+GROUP BY poly_id
+ORDER BY poly_id
+"""
+
+
+@query(
+    "op_spatial_polygon_join",
+    oracle=_polygon_join_sql("duck"),
+    doc="SpatialJoinNode with a true polygon ST_Contains predicate "
+    "(SpatialJoinNode.java:33 + GeoFunctions.java stContains, polygon/point): "
+    "grid-blocked candidates (polygon bbox corner cells vs the point's single "
+    "cell), bbox prefilter, then exact ray-cast crossing parity against the "
+    "polygon's edges. Candidate fanout is bounded by cells-per-polygon (<=4) "
+    "and edges-per-polygon (<=8) — never all-pairs.",
+    tags=("geo",),
+)
+def op_spatial_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _polygon_join_sql("spark"), ("customer", "nation"))

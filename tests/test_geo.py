@@ -184,6 +184,70 @@ class TestSqlGeneratorsAgree:
         assert d == pytest.approx(2886.448973436703, rel=1e-12)
 
 
+class TestPolygonOps:
+    """Polygon/linestring vectors from TestGeoFunctions.java (stArea:245,
+    stCentroid:208, stLength:330, stNumPoints/stIsClosed/stPointN)."""
+
+    def _square(self):
+        # Reference vector: ST_Area(POLYGON ((2 2, 2 6, 6 6, 6 2))) = 16 —
+        # note the open ring, auto-closed by the reader.
+        return G.st_line_from_wkt(F.lit("POLYGON ((2 2, 2 6, 6 6, 6 2))"), "POLYGON")
+
+    def test_area_reference_vectors(self, spark):
+        assert _one(spark, G.st_area(self._square())) == 16.0
+        # Closed spelling gives the same answer.
+        closed = G.st_line_from_wkt(
+            F.lit("POLYGON ((2 2, 2 6, 6 6, 6 2, 2 2))"), "POLYGON"
+        )
+        assert _one(spark, G.st_area(closed)) == 16.0
+
+    def test_centroid_triangle(self, spark):
+        # stCentroid of POLYGON ((1 1, 5 1, 3 4)) = POINT (3 2)
+        tri = G.st_line_from_wkt(F.lit("POLYGON ((1 1, 5 1, 3 4))"), "POLYGON")
+        c = _one(spark, G.st_centroid_ring(tri))
+        assert c.x == pytest.approx(3.0, abs=1e-12)
+        assert c.y == pytest.approx(2.0, abs=1e-12)
+
+    def test_length_and_accessors(self, spark):
+        # stLength(LINESTRING (0 0, 3 4)) = 5; accessors are 1-based.
+        line = G.st_line_from_wkt(F.lit("LINESTRING (0 0, 3 4, 3 9)"))
+        assert _one(spark, G.st_length(line)) == 10.0
+        assert _one(spark, G.st_num_points(line)) == 3
+        assert _one(spark, G.st_is_closed(line)) is False
+        assert _one(spark, G.st_x(G.st_start_point(line))) == 0.0
+        assert _one(spark, G.st_y(G.st_end_point(line))) == 9.0
+        assert _one(spark, G.st_x(G.st_point_n(line, 2))) == 3.0
+
+    def test_envelope_of(self, spark):
+        env = _one(spark, G.st_envelope_of(self._square()))
+        assert (env.xmin, env.ymin, env.xmax, env.ymax) == (2.0, 2.0, 6.0, 6.0)
+
+    def test_contains_ring_convex_and_concave(self, spark):
+        sq = self._square()
+        assert _one(spark, G.st_contains_ring(sq, G.st_point(F.lit(3.0), F.lit(3.0)))) is True
+        assert _one(spark, G.st_contains_ring(sq, G.st_point(F.lit(7.0), F.lit(3.0)))) is False
+        # Concave "C" shape: the notch interior is OUTSIDE.
+        c_shape = G.st_line_from_wkt(
+            F.lit("POLYGON ((0 0, 10 0, 10 2, 2 2, 2 8, 10 8, 10 10, 0 10))"), "POLYGON"
+        )
+        assert _one(spark, G.st_contains_ring(c_shape, G.st_point(F.lit(1.0), F.lit(5.0)))) is True
+        assert _one(spark, G.st_contains_ring(c_shape, G.st_point(F.lit(6.0), F.lit(5.0)))) is False
+        assert _one(spark, G.st_contains_ring(c_shape, G.st_point(F.lit(6.0), F.lit(1.0)))) is True
+
+    def test_wkt_roundtrip_and_reject(self, spark):
+        line = G.st_line_from_wkt(F.lit("LINESTRING (0.5 1.5, 2.5 3.5)"))
+        back = G.st_line_from_wkt(G.st_line_as_text(line))
+        assert _one(spark, G.st_length(back)) == _one(spark, G.st_length(line))
+        bad = G.st_line_from_wkt(F.lit("POINT (1 2)"))
+        assert _one(spark, G.st_num_points(bad)) is None
+
+    def test_signed_area_orientation(self, spark):
+        ccw = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4))"), "POLYGON")
+        cw = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 0 4, 4 4, 4 0))"), "POLYGON")
+        assert _one(spark, G.st_signed_area(ccw)) == 16.0
+        assert _one(spark, G.st_signed_area(cw)) == -16.0
+
+
 class TestSpatialJoinShape:
     def test_spatial_joins_have_no_cartesian(self, spark, sf_dir):
         """Both spatial joins must be cell equi-joins, never cross products —
@@ -191,6 +255,40 @@ class TestSpatialJoinShape:
         qs = all_queries()
         assert_no_cartesian(qs["op_spatial_bbox_join"].spark(spark, sf_dir))
         assert_no_cartesian(qs["op_spatial_distance_join"].spark(spark, sf_dir))
+        assert_no_cartesian(qs["op_spatial_polygon_join"].spark(spark, sf_dir))
+
+    def test_polygon_join_matches_naive(self, spark, sf_dir):
+        """Grid blocking must be lossless for the polygon join too: same
+        result as ray-casting every (point, polygon) pair."""
+        from lyft_presto_spark.queries.geo_queries import _POINTS, _edges_cte
+        from lyft_presto_spark.queries.registry import sql_over
+
+        qs = all_queries()
+        blocked = {
+            (r.poly_id, r.n_inside, r.sum_custkey)
+            for r in qs["op_spatial_polygon_join"].spark(spark, sf_dir).collect()
+        }
+        naive = sql_over(
+            spark,
+            sf_dir,
+            f"""
+            WITH {_edges_cte("spark")},
+            pts AS ({_POINTS}),
+            crossings AS (
+                SELECT e.poly_id, p.c_custkey,
+                       sum(CASE WHEN ((e.y > p.lat) <> (e.y2 > p.lat))
+                                 AND p.lon < (e.x2 - e.x) * (p.lat - e.y) / (e.y2 - e.y) + e.x
+                            THEN 1 ELSE 0 END) AS k
+                FROM pts p CROSS JOIN edges e
+                GROUP BY e.poly_id, p.c_custkey
+            )
+            SELECT poly_id, count(*) AS n_inside, CAST(sum(c_custkey) AS BIGINT) AS sum_custkey
+            FROM crossings WHERE k % 2 = 1
+            GROUP BY poly_id
+            """,
+            ("customer", "nation"),
+        )
+        assert blocked == {(r.poly_id, r.n_inside, r.sum_custkey) for r in naive.collect()}
 
     def test_bbox_join_matches_naive(self, spark, sf_dir):
         """Grid blocking must be lossless: same pairs as the naive all-pairs
