@@ -51,6 +51,7 @@ HEADLINE_EXTRAS = (
     "dedup_simhash",
     "sim_topk_bruteforce",
     "multimodal_features",
+    "op_spatial_bbox_join",
 )
 
 

@@ -492,3 +492,74 @@ ORDER BY poly_id
 )
 def op_spatial_polygon_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _polygon_join_sql("spark"), ("customer", "nation"))
+
+
+# --- convex hull aggregate ----------------------------------------------------
+#
+# Coordinates are EXACT integers-in-double (scaled lon/lat derivations), so
+# every orientation test is exact below 2^53 and both engines agree
+# bit-for-bit on which points are hull vertices — the only way hull_vertices
+# is a deterministic oracle column.
+
+_HULL_PTS = """
+    SELECT DISTINCT CAST(c_nationkey % 3 AS BIGINT) AS grp,
+           CAST((c_custkey * 7919) % 36000 AS DOUBLE) AS x,
+           CAST((c_custkey * 104729) % 16000 AS DOUBLE) AS y
+    FROM customer
+    WHERE c_custkey % 13 = 0
+"""
+
+_HULL_ORACLE = f"""
+WITH pts AS ({_HULL_PTS}),
+edges AS (
+    SELECT a.grp, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+    FROM pts a JOIN pts b ON a.grp = b.grp AND (a.x <> b.x OR a.y <> b.y)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts c
+        WHERE c.grp = a.grp
+          AND ( (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) < 0
+                OR ( (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+                     AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y) > 0
+                     AND (c.x - b.x) * (a.x - b.x) + (c.y - b.y) * (a.y - b.y) > 0 ) )
+    )
+),
+hull AS (
+    SELECT grp,
+           round(abs(sum(x1 * y2 - x2 * y1)) / 2, 6) AS hull_area,
+           round(sum(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))), 6) AS hull_perimeter,
+           CAST(count(*) AS INT) AS hull_vertices
+    FROM edges
+    GROUP BY grp
+),
+extent AS (
+    SELECT grp, min(x) AS env_xmin, max(y) AS env_ymax,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM pts
+    GROUP BY grp
+)
+SELECT h.grp, h.hull_area, h.hull_perimeter, h.hull_vertices,
+       e.env_xmin, e.env_ymax, e.n_points
+FROM hull h JOIN extent e ON h.grp = e.grp
+ORDER BY h.grp
+"""
+
+
+@query(
+    "geo_convex_hull_agg",
+    oracle=_HULL_ORACLE,
+    doc="convex_hull_agg + geometry-extent aggregate "
+    "(presto-geospatial ConvexHullAggregation / GeometryStateFactory.java): "
+    "two-level mergeable hull — local hulls per scan partition (mapInPandas, "
+    "no shuffle; hull-of-hulls is lossless), then one shuffle on the group "
+    "key and the final hull (applyInPandas). The oracle recomputes hulls via "
+    "an independent O(n^3) directed-hull-edge SQL formulation (an edge "
+    "qualifies iff no point lies strictly right and none collinear in its "
+    "interior), so area, perimeter AND vertex count must agree exactly — "
+    "exact-integer coordinates keep every orientation test deterministic.",
+    tags=("geo",),
+)
+def geo_convex_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.hull import convex_hull_agg
+
+    pts = sql_over(spark, sf_dir, _HULL_PTS, ("customer",))
+    return convex_hull_agg(pts, "grp", "x", "y").orderBy("grp")
