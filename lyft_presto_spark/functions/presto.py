@@ -584,6 +584,13 @@ REWRITE: dict[str, "str | RewriteFn"] = {
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
 DELTAS = {
+    "ST_AsText": "Double formatting follows Spark's cast-to-string (POINT "
+    "(60.0 30.0)) where the reference's Esri writer trims integral doubles "
+    "(POINT (60 30)); parse both spellings, compare geometries numerically.",
+    "ST_* geometry model": "Geometries are structs/arrays of doubles "
+    "(point struct, array<struct<x,y>> rings) — no WKB interchange, single "
+    "exterior rings only (holes/multi-geometries and curved ops are out of "
+    "scope; see COVERAGE.md geospatial section).",
     "array subscript": "Presto arr[n] is 1-based and raises out-of-bounds; the "
     "transpiler rewrites integer-literal subscripts to try_element_at(arr, n) "
     "(1-based, preserving every in-bounds value) but an out-of-bounds ordinal "
