@@ -185,6 +185,78 @@ def bing_tiles_around(lat: Column, lon: Column, zoom: int) -> Column:
     )
 
 
+def bing_tile(x: Column | int, y: Column | int, zoom: int) -> Column:
+    """Tile constructor from integer coordinates (bing_tile(x, y, zoom),
+    BingTileFunctions.java:86). Coordinate bounds are the caller's contract
+    (the reference raises; our struct is validated where consumed)."""
+    xc = x if isinstance(x, Column) else F.lit(x)
+    yc = y if isinstance(y, Column) else F.lit(y)
+    return F.struct(
+        xc.cast("long").alias("x"),
+        yc.cast("long").alias("y"),
+        F.lit(zoom).cast("int").alias("zoom"),
+    )
+
+
+def bing_tile_coordinates(tile: Column) -> Column:
+    """struct<x,y> accessor (bing_tile_coordinates, BingTileFunctions.java)."""
+    return F.struct(tile["x"].alias("x"), tile["y"].alias("y"))
+
+
+def bing_tile_zoom_level(tile: Column) -> Column:
+    """Zoom accessor (bing_tile_zoom_level)."""
+    return tile["zoom"]
+
+
+def bing_tile_polygon(tile: Column, zoom: int) -> Column:
+    """Tile footprint as a closed ring array<struct<x,y>> of lon/lat vertices
+    (bing_tile_polygon, BingTileFunctions.java:~200: tileXYToLatitudeLongitude
+    of the tile's corners). Vertex order: NW, NE, SE, SW, NW — x is
+    longitude, y latitude, matching the reference's Esri polygon."""
+    nw = bing_tile_corner(tile, zoom)
+    se = bing_tile_corner(
+        F.struct(
+            (tile["x"] + 1).alias("x"), (tile["y"] + 1).alias("y"), tile["zoom"].alias("zoom")
+        ),
+        zoom,
+    )
+    p = lambda lon, lat: F.struct(lon.alias("x"), lat.alias("y"))  # noqa: E731
+    return F.array(
+        p(nw["lon"], nw["lat"]),
+        p(se["lon"], nw["lat"]),
+        p(se["lon"], se["lat"]),
+        p(nw["lon"], se["lat"]),
+        p(nw["lon"], nw["lat"]),
+    )
+
+
+def geometry_to_bing_tiles(
+    xmin: Column, ymin: Column, xmax: Column, ymax: Column, zoom: int
+) -> Column:
+    """All tiles covering an envelope at ``zoom`` (geometry_to_bing_tiles,
+    BingTileFunctions.java:~430 — the envelope cover the reference computes
+    from the geometry's bounding box). Pure codegen: the x and y tile ranges
+    come from bing_tile_at of the corners, the cover is the cross product via
+    nested sequence/flatten. Cover size grows as the bbox span over tile
+    size — callers bound zoom the same way the reference's
+    checkLatitudeLongitudeBounds/tile-count guard does."""
+    nw = bing_tile_at(ymax, xmin, zoom)  # min x, min y tile
+    se = bing_tile_at(ymin, xmax, zoom)  # max x, max y tile
+    return F.flatten(
+        F.transform(
+            F.sequence(nw["x"], se["x"]),
+            lambda tx: F.transform(
+                F.sequence(nw["y"], se["y"]),
+                lambda ty: F.struct(
+                    tx.cast("long").alias("x"),
+                    ty.cast("long").alias("y"),
+                    F.lit(zoom).cast("int").alias("zoom"),
+                ),
+            ),
+        )
+    )
+
+
 def st_point_from_wkt(wkt: Column) -> Column:
     """Parse ``POINT (x y)`` well-known text into a point struct
     (stGeometryFromText/stPoint round-trip, the point case of

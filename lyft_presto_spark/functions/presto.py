@@ -468,6 +468,15 @@ REWRITE: dict[str, "str | RewriteFn"] = {
         "unhex(lpad(hex(CAST(reflect('java.lang.Float', 'floatToRawIntBits', "
         "CAST($1 AS FLOAT)) AS BIGINT) & 4294967295), 8, '0'))"
     ),
+    "from_ieee754_32": (
+        "CAST(reflect('java.lang.Float', 'intBitsToFloat', "
+        "CAST(reflect('java.lang.Integer', 'parseUnsignedInt', conv(hex($1), 16, 10)) "
+        "AS INT)) AS FLOAT)"
+    ),
+    # VarbinaryFunctions.java to/from_base64url: Java's Base64.getUrlEncoder()
+    # is the standard alphabet with '+/' swapped for '-_' (padding kept).
+    "to_base64url": "translate(base64($1), '+/', '-_')",
+    "from_base64url": "unbase64(translate($1, '-_', '+/'))",
     # VarbinaryFunctions.java big-endian encodings: hex already renders the
     # two's-complement bit pattern; parseUnsigned{Long,Int} folds it back to
     # the signed value without overflow (conv keeps it an unsigned string).

@@ -742,6 +742,58 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _json_sql("spark"), ("orders",))
 
 
+def _json_extras_sql(d: str) -> str:
+    # json_array_contains / json_array_get (incl. the negative "from the
+    # end" index) / json_size for both the array and object cases
+    # (JsonFunctions.java jsonArrayContains/jsonArrayGet/jsonSize).
+    doc = (
+        "concat('{\"order\": {\"key\": ', CAST(o_orderkey AS STRING), "
+        "', \"tags\": [\"', o_orderstatus, '\", \"', o_orderpriority, '\"]}}')"
+    )
+    if d == "spark":
+        return f"""
+WITH j AS (SELECT o_orderkey, o_orderstatus, {doc} AS doc FROM orders WHERE o_orderkey <= 200),
+a AS (SELECT o_orderkey, o_orderstatus, doc, get_json_object(doc, '$.order.tags') AS arr FROM j)
+SELECT o_orderkey,
+       array_contains(from_json(arr, 'array<string>'), 'F') AS contains_f,
+       array_contains(from_json(arr, 'array<string>'), o_orderstatus) AS contains_status,
+       element_at(from_json(arr, 'array<string>'), 1) AS get_0,
+       element_at(from_json(arr, 'array<string>'), -1) AS get_last,
+       CAST(json_array_length(arr) AS INT) AS size_arr,
+       CAST(size(json_object_keys(get_json_object(doc, '$.order'))) AS INT) AS size_obj
+FROM a
+ORDER BY o_orderkey
+"""
+    doc_duck = doc.replace("AS STRING", "AS VARCHAR")
+    return f"""
+WITH j AS (SELECT o_orderkey, o_orderstatus, {doc_duck} AS doc FROM orders WHERE o_orderkey <= 200),
+a AS (SELECT o_orderkey, o_orderstatus, doc, json_extract(doc, '$.order.tags') AS arr FROM j)
+SELECT o_orderkey,
+       list_contains(CAST(arr AS VARCHAR[]), 'F') AS contains_f,
+       list_contains(CAST(arr AS VARCHAR[]), o_orderstatus) AS contains_status,
+       json_extract_string(arr, '$[0]') AS get_0,
+       json_extract_string(arr, '$[' || CAST(json_array_length(arr) - 1 AS VARCHAR) || ']') AS get_last,
+       CAST(json_array_length(arr) AS INT) AS size_arr,
+       CAST(len(json_keys(doc, '$.order')) AS INT) AS size_obj
+FROM a
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "fn_json_extras",
+    oracle=_json_extras_sql("duck"),
+    doc="json_array_contains, json_array_get (0-based incl. negative "
+    "from-the-end index), json_size for array and object payloads "
+    "(JsonFunctions.java jsonArrayContains/jsonArrayGet/jsonSize): arrays "
+    "decode once via from_json, object member counts via json_object_keys — "
+    "all codegen, no UDF.",
+    tags=("functions",),
+)
+def fn_json_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _json_extras_sql("spark"), ("orders",))
+
+
 # --- MySQL / Joda datetime pattern translation (DateTimeFunctions.java:63) ---
 
 _DT_PATTERNS_PRESTO = """
@@ -1374,25 +1426,32 @@ def fn_array_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IEEE754_PRESTO = """
 SELECT o_orderkey,
        from_ieee754_64(to_ieee754_64(CAST(o_totalprice AS DOUBLE))) AS roundtrip,
+       CAST(from_ieee754_32(to_ieee754_32(CAST(o_totalprice AS REAL))) AS DOUBLE) AS roundtrip32,
        lower(to_hex(to_ieee754_64(CAST(1.0 AS DOUBLE)))) AS one_bits64,
        lower(to_hex(to_ieee754_32(CAST(1.0 AS DOUBLE)))) AS one_bits32,
        lower(to_hex(sha256(to_utf8('abc')))) AS sha256_abc,
        to_base64(to_utf8('presto')) AS b64,
+       to_base64url(to_utf8('ab?~')) AS b64url,
+       from_utf8(from_base64url(to_base64url(to_utf8(o_orderpriority)))) AS b64url_roundtrip,
        format('%05d/%s', o_orderkey, 'x') AS formatted
 FROM orders
 WHERE o_orderkey <= 200
 ORDER BY o_orderkey
 """
 
-# KAT oracle: the 1.0 bit patterns and sha256('abc') are published constants;
-# the round-trip must return the input exactly (bit-level identity).
+# KAT oracle: the 1.0 bit patterns, sha256('abc'), and the URL-safe base64 of
+# 'ab?~' (standard encoding 'YWI/fg==' -> '_' swap) are published constants;
+# the round-trips must return the input exactly (bit-level identity).
 _IEEE754_DUCK = """
 SELECT o_orderkey,
        CAST(o_totalprice AS DOUBLE) AS roundtrip,
+       CAST(CAST(o_totalprice AS REAL) AS DOUBLE) AS roundtrip32,
        '3ff0000000000000' AS one_bits64,
        '3f800000' AS one_bits32,
        'ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad' AS sha256_abc,
        'cHJlc3Rv' AS b64,
+       'YWI_fg==' AS b64url,
+       o_orderpriority AS b64url_roundtrip,
        lpad(CAST(o_orderkey AS VARCHAR), 5, '0') || '/x' AS formatted
 FROM orders
 WHERE o_orderkey <= 200

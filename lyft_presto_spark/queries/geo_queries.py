@@ -544,6 +544,65 @@ ORDER BY h.grp
 """
 
 
+_COVER_ZOOM = 10
+_DX, _DY = 0.2, 0.15
+
+
+def _tile_cover_oracle() -> str:
+    x1 = G.bing_tile_x_sql(f"lon - {_DX}", _COVER_ZOOM, "duck")
+    x2 = G.bing_tile_x_sql(f"lon + {_DX}", _COVER_ZOOM, "duck")
+    y1 = G.bing_tile_y_sql(f"lat + {_DY}", _COVER_ZOOM, "duck")  # north edge
+    y2 = G.bing_tile_y_sql(f"lat - {_DY}", _COVER_ZOOM, "duck")
+    return f"""
+WITH pts AS ({_POINTS}),
+ranges AS (
+    SELECT c_custkey, {x1} AS x1, {x2} AS x2, {y1} AS y1, {y2} AS y2
+    FROM pts WHERE c_custkey % 13 = 0
+)
+SELECT c_custkey,
+       CAST((x2 - x1 + 1) * (y2 - y1 + 1) AS BIGINT) AS n_tiles,
+       CAST(((x1 + x2) * (x2 - x1 + 1) // 2) * (y2 - y1 + 1) AS BIGINT) AS sum_x,
+       CAST(((y1 + y2) * (y2 - y1 + 1) // 2) * (x2 - x1 + 1) AS BIGINT) AS sum_y
+FROM ranges
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_tile_cover",
+    oracle=_tile_cover_oracle(),
+    doc="geometry_to_bing_tiles (BingTileFunctions.java, envelope cover): "
+    "each point's bbox expands to its covering tile set at zoom 10 via "
+    "nested sequence/flatten codegen — the Spark side explodes and "
+    "aggregates the actual tile structs (count + coordinate sums); the "
+    "oracle derives the same totals from closed-form arithmetic series over "
+    "the corner tiles, so the cover enumeration itself is what's checked.",
+    tags=("geo",),
+)
+def fn_geo_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = sql_over(
+        spark, sf_dir, f"SELECT * FROM ({_POINTS}) WHERE c_custkey % 13 = 0", ("customer",)
+    )
+    cover = G.geometry_to_bing_tiles(
+        F.col("lon") - _DX, F.col("lat") - _DY, F.col("lon") + _DX, F.col("lat") + _DY, _COVER_ZOOM
+    )
+    agg_axis = lambda axis: F.aggregate(  # noqa: E731
+        F.transform(F.col("cover"), lambda t: t[axis]),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+    return (
+        pts.select("c_custkey", cover.alias("cover"))
+        .select(
+            "c_custkey",
+            F.size("cover").cast("long").alias("n_tiles"),
+            agg_axis("x").alias("sum_x"),
+            agg_axis("y").alias("sum_y"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
 @query(
     "geo_convex_hull_agg",
     oracle=_HULL_ORACLE,

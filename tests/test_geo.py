@@ -184,6 +184,54 @@ class TestSqlGeneratorsAgree:
         assert d == pytest.approx(2886.448973436703, rel=1e-12)
 
 
+class TestBingTileExtras:
+    """bing_tile constructor/accessors, tile polygon, envelope cover
+    (BingTileFunctions.java bingTile/bingTileCoordinates/bingTileZoomLevel/
+    bingTilePolygon/geometryToBingTiles)."""
+
+    def test_constructor_and_accessors(self, spark):
+        t = G.bing_tile(21845, 13506, 15)
+        c = _one(spark, G.bing_tile_coordinates(t))
+        assert (c.x, c.y) == (21845, 13506)
+        assert _one(spark, G.bing_tile_zoom_level(t)) == 15
+
+    def test_tile_polygon_closed_and_contains_center(self, spark):
+        tile = G.bing_tile_at(F.lit(30.12), F.lit(60.0), 8)
+        poly = G.bing_tile_polygon(tile, 8)
+        assert _one(spark, G.st_is_closed(poly)) is True
+        assert _one(spark, G.st_num_points(poly)) == 5
+        # The generating point is interior to its own tile's footprint.
+        assert _one(
+            spark, G.st_contains_ring(poly, G.st_point(F.lit(60.0), F.lit(30.12)))
+        ) is True
+        # NW vertex equals the tile corner.
+        corner = _one(spark, G.bing_tile_corner(tile, 8))
+        start = _one(spark, G.st_start_point(poly))
+        assert (start.x, start.y) == (corner.lon, corner.lat)
+
+    def test_envelope_cover(self, spark):
+        # An envelope strictly inside one tile covers exactly that tile.
+        tiles = _one(
+            spark,
+            G.geometry_to_bing_tiles(F.lit(59.9), F.lit(30.0), F.lit(60.1), F.lit(30.2), 4),
+        )
+        assert len(tiles) == 1
+        # A wider envelope covers a contiguous x/y range incl. the corners'
+        # own tiles, each exactly once.
+        tiles = _one(
+            spark,
+            G.geometry_to_bing_tiles(F.lit(0.1), F.lit(0.1), F.lit(44.9), F.lit(40.0), 4),
+        )
+        coords = {(t.x, t.y) for t in tiles}
+        assert len(coords) == len(tiles)
+        xs = {x for x, _ in coords}
+        ys = {y for _, y in coords}
+        assert len(tiles) == len(xs) * len(ys)
+        nw = _one(spark, G.bing_tile_at(F.lit(40.0), F.lit(0.1), 4))
+        se = _one(spark, G.bing_tile_at(F.lit(0.1), F.lit(44.9), 4))
+        assert (nw.x, nw.y) in coords and (se.x, se.y) in coords
+
+
 class TestPolygonOps:
     """Polygon/linestring vectors from TestGeoFunctions.java (stArea:245,
     stCentroid:208, stLength:330, stNumPoints/stIsClosed/stPointN)."""
