@@ -29,6 +29,8 @@ per-row loop UDF.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -448,6 +450,52 @@ def st_ymax(line: Column) -> Column:
 def st_envelope_of(line: Column) -> Column:
     """Bounding box of a vertex list (stEnvelope/stEnvelopeAsPts)."""
     return st_envelope(st_xmin(line), st_ymin(line), st_xmax(line), st_ymax(line))
+
+
+def st_within(p: Column, ring: Column) -> Column:
+    """stWithin(point, polygon) — the argument-swapped contains."""
+    return st_contains_ring(ring, p)
+
+
+def st_intersects_envelopes(a: Column, b: Column) -> Column:
+    """stIntersects for two envelopes: boundary contact counts (OGC
+    intersects is the complement of disjoint)."""
+    return (
+        (a["xmin"] <= b["xmax"])
+        & (b["xmin"] <= a["xmax"])
+        & (a["ymin"] <= b["ymax"])
+        & (b["ymin"] <= a["ymax"])
+    )
+
+
+def st_disjoint_envelopes(a: Column, b: Column) -> Column:
+    """stDisjoint = NOT intersects."""
+    return ~st_intersects_envelopes(a, b)
+
+
+def st_equals_points(p: Column, q: Column) -> Column:
+    """stEquals, point case (coordinate identity)."""
+    return (p["x"] == q["x"]) & (p["y"] == q["y"])
+
+
+def st_exterior_ring(ring: Column) -> Column:
+    """stExteriorRing — identity in the single-exterior-ring model."""
+    return ring
+
+
+def st_buffer_point(p: Column, r: Column, n: int = 32) -> Column:
+    """stBuffer, point case, as a regular ``n``-gon ring approximating the
+    round buffer (the reference's Esri buffer is curved — DELTAS documents
+    the approximation). Vertex i sits at angle 2*pi*i/n on the circumcircle;
+    the closing vertex repeats i=0 via (i mod n), so the ring closes
+    bit-exactly. n=32 keeps the area within 0.65% of pi*r^2; raise n where
+    that matters."""
+    idx = F.sequence(F.lit(0), F.lit(n))
+    theta = lambda i: (F.lit(2 * math.pi) * (i % n)) / F.lit(float(n))  # noqa: E731
+    return F.transform(
+        idx,
+        lambda i: st_point(p["x"] + r * F.cos(theta(i)), p["y"] + r * F.sin(theta(i))),
+    )
 
 
 def st_contains_ring(ring: Column, p: Column) -> Column:

@@ -67,6 +67,9 @@ SAME = (
 
 # Same arguments, different Spark name.
 RENAME = {
+    # BitwiseAndAggregation/BitwiseOrAggregation.java — Spark's bit_and/bit_or.
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
     "strpos": "instr",  # both 1-based (StringFunctions.java stringPosition)
     "codepoint": "ascii",
     "json_extract_scalar": "get_json_object",  # JsonFunctions.java:64
@@ -593,6 +596,9 @@ REWRITE: dict[str, "str | RewriteFn"] = {
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
 DELTAS = {
+    "ST_Buffer": "Point buffers are regular 32-gon rings approximating the "
+    "Esri round buffer (area within 0.65% of pi*r^2; raise n in "
+    "st_buffer_point where tighter bounds matter).",
     "ST_AsText": "Double formatting follows Spark's cast-to-string (POINT "
     "(60.0 30.0)) where the reference's Esri writer trims integral doubles "
     "(POINT (60 30)); parse both spellings, compare geometries numerically.",

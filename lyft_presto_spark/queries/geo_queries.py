@@ -603,6 +603,86 @@ def fn_geo_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUF_N = 32
+
+
+def _buffer_oracle() -> str:
+    # Closed forms for a regular n-gon on circumradius r: area =
+    # (n/2) r^2 sin(2pi/n), perimeter = 2 n r sin(pi/n). Probe containment
+    # along the +x axis reduces to d < r (the boundary crosses +x exactly at
+    # the angle-0 vertex). The buffer's bbox is exactly [c +- r] (n divisible
+    # by 4 puts vertices on all four axes).
+    return f"""
+WITH g AS ({_NGONS}),
+src AS (
+    SELECT poly_id, cx, cy, CAST(1 + poly_id % 3 AS DOUBLE) AS r,
+           (CAST(poly_id % 15 AS DOUBLE) / 10 + 5e-2) AS d_frac
+    FROM g
+)
+SELECT poly_id,
+       round(({_BUF_N}e0 / 2) * r * r * sin(2e0 * pi() / {_BUF_N}), 6) AS buf_area,
+       round(2e0 * {_BUF_N} * r * sin(pi() / {_BUF_N}), 6) AS buf_perimeter,
+       CAST({_BUF_N} + 1 AS INT) AS buf_points,
+       (d_frac < 1e0) AS probe_within,
+       (cx - r <= 40e0 AND 0e0 <= cx + r AND cy - r <= 20e0 AND -20e0 <= cy + r)
+           AS intersects_env,
+       NOT (cx - r <= 40e0 AND 0e0 <= cx + r AND cy - r <= 20e0 AND -20e0 <= cy + r)
+           AS disjoint_env,
+       TRUE AS center_equals
+FROM src
+ORDER BY poly_id
+"""
+
+
+@query(
+    "fn_geo_buffer",
+    oracle=_buffer_oracle(),
+    doc="ST_Buffer (point case, regular-32-gon approximation of the round "
+    "buffer — GeoFunctions.java stBuffer; DELTAS documents the Esri-curve "
+    "delta), ST_Within, ST_Intersects/ST_Disjoint on envelopes, ST_Equals "
+    "(points): the Spark side builds the buffer ring with sequence/transform "
+    "codegen and measures it with the array HOFs + ray-cast containment; the "
+    "oracle checks against the regular-n-gon CLOSED FORMS (area = (n/2) r^2 "
+    "sin(2pi/n), perimeter = 2nr sin(pi/n)) and the analytic containment "
+    "rule, so the geometry construction is what's verified.",
+    tags=("geo",),
+)
+def fn_geo_buffer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(
+        spark,
+        sf_dir,
+        f"""
+        WITH g AS ({_NGONS})
+        SELECT poly_id, cx, cy, CAST(1 + poly_id % 3 AS DOUBLE) AS r,
+               (CAST(poly_id % 15 AS DOUBLE) / 10 + 5e-2) AS d_frac
+        FROM g
+        """,
+        ("nation",),
+    )
+    center = G.st_point(F.col("cx"), F.col("cy"))
+    buf = G.st_buffer_point(center, F.col("r"), _BUF_N)
+    probe = G.st_point(F.col("cx") + F.col("r") * F.col("d_frac"), F.col("cy"))
+    env = G.st_envelope(F.lit(0.0), F.lit(-20.0), F.lit(40.0), F.lit(20.0))
+    buf_env = G.st_envelope_of(F.col("buf"))
+    return (
+        src.select("poly_id", "cx", "cy", "r", "d_frac", buf.alias("buf"), probe.alias("probe"))
+        .select(
+            "poly_id",
+            F.round(G.st_area(F.col("buf")), 6).alias("buf_area"),
+            F.round(G.st_length(F.col("buf")), 6).alias("buf_perimeter"),
+            G.st_num_points(F.col("buf")).cast("int").alias("buf_points"),
+            G.st_within(F.col("probe"), F.col("buf")).alias("probe_within"),
+            G.st_intersects_envelopes(buf_env, env).alias("intersects_env"),
+            G.st_disjoint_envelopes(buf_env, env).alias("disjoint_env"),
+            G.st_equals_points(
+                G.st_start_point(G.st_exterior_ring(F.col("buf"))),
+                G.st_point(F.col("cx") + F.col("r"), F.col("cy")),
+            ).alias("center_equals"),
+        )
+        .orderBy("poly_id")
+    )
+
+
 @query(
     "geo_convex_hull_agg",
     oracle=_HULL_ORACLE,

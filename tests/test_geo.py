@@ -289,6 +289,32 @@ class TestPolygonOps:
         bad = G.st_line_from_wkt(F.lit("POINT (1 2)"))
         assert _one(spark, G.st_num_points(bad)) is None
 
+    def test_buffer_point(self, spark):
+        import math
+
+        buf = G.st_buffer_point(G.st_point(F.lit(10.0), F.lit(20.0)), F.lit(2.0), 64)
+        # 64-gon area/perimeter within 0.2% of the circle's.
+        assert _one(spark, G.st_area(buf)) == pytest.approx(math.pi * 4, rel=2e-3)
+        assert _one(spark, G.st_length(buf)) == pytest.approx(2 * math.pi * 2, rel=2e-3)
+        assert _one(spark, G.st_is_closed(buf)) is True
+        assert _one(spark, G.st_within(G.st_point(F.lit(10.5), F.lit(20.5)), buf)) is True
+        assert _one(spark, G.st_within(G.st_point(F.lit(13.0), F.lit(20.0)), buf)) is False
+        env = _one(spark, G.st_envelope_of(buf))
+        assert (env.xmin, env.ymin, env.xmax, env.ymax) == (8.0, 18.0, 12.0, 22.0)
+
+    def test_envelope_predicates(self, spark):
+        a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0))
+        b = G.st_envelope(F.lit(5.0), F.lit(5.0), F.lit(15.0), F.lit(15.0))
+        c = G.st_envelope(F.lit(11.0), F.lit(0.0), F.lit(20.0), F.lit(10.0))
+        touch = G.st_envelope(F.lit(10.0), F.lit(0.0), F.lit(20.0), F.lit(10.0))
+        assert _one(spark, G.st_intersects_envelopes(a, b)) is True
+        assert _one(spark, G.st_intersects_envelopes(a, c)) is False
+        assert _one(spark, G.st_disjoint_envelopes(a, c)) is True
+        # OGC intersects: boundary contact counts.
+        assert _one(spark, G.st_intersects_envelopes(a, touch)) is True
+        p, q = G.st_point(F.lit(1.5), F.lit(2.5)), G.st_point(F.lit(1.5), F.lit(2.5))
+        assert _one(spark, G.st_equals_points(p, q)) is True
+
     def test_signed_area_orientation(self, spark):
         ccw = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4))"), "POLYGON")
         cw = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 0 4, 4 4, 4 0))"), "POLYGON")
