@@ -1,12 +1,12 @@
-"""Planar geospatial core: ST_* point/envelope math + Bing tiles.
+"""Planar geospatial core: ST_* point/envelope/ring math + Bing tiles.
 
 The reference ships 68 ``ST_*`` scalars plus Bing tile functions
 (presto-geospatial/.../GeoFunctions.java, BingTileFunctions.java) backed by
-the Esri geometry library. Full geometry (polygons, buffers, unions) is
-Sedona territory and stays out of scope (SURVEY.md §2.6); this module
-implements the dependency-free planar subset — points, envelopes, distances,
-and the Bing tile quadkey algebra — as pure Spark codegen expressions, the
-shapes a 100 TB pipeline actually joins and filters on.
+the Esri geometry library. This module implements the dependency-free planar
+subset as pure Spark codegen expressions — the shapes a 100 TB pipeline
+actually joins, filters, and measures on. Curved computational geometry
+(round buffers, unions/intersections, Relate) stays out of scope → Sedona
+(SURVEY.md §2.6, COVERAGE.md).
 
 Surface (reference parity targets):
 - ``st_point/st_x/st_y``          — GeoFunctions.java stPoint/stX/stY
@@ -16,9 +16,19 @@ Surface (reference parity targets):
   reference implements)
 - ``great_circle_distance``       — BingTileFunctions.java:705 (same
   atan2 form, EARTH_RADIUS_KM = 6371.01)
-- ``bing_tile_at/bing_tile_quadkey/bing_tile_from_quadkey/
-  bing_tile_corner`` — BingTileFunctions.java:86-169,580-640 (map size
-  256·2^zoom, pixel truncation, base-4 quadkey interleave)
+- ``bing_tile/bing_tile_at/bing_tile_coordinates/bing_tile_zoom_level/
+  bing_tile_quadkey/bing_tile_from_quadkey/bing_tile_corner/
+  bing_tile_polygon/bing_tiles_around/geometry_to_bing_tiles``
+  — BingTileFunctions.java:86-169,580-640 (map size 256·2^zoom, pixel
+  truncation, base-4 quadkey interleave, envelope tile cover)
+- linestrings / single-ring polygons as ``array<struct<x,y>>`` with per-row
+  codegen HOFs: WKT parse/render (``st_line_from_wkt/st_line_as_text``),
+  ``st_num_points/st_is_closed/st_start_point/st_end_point/st_point_n``,
+  ``st_length``, ``st_area/st_signed_area`` (shoelace), ``st_centroid_ring``,
+  ``st_xmin/st_xmax/st_ymin/st_ymax/st_envelope_of``, ray-cast
+  ``st_contains_ring``/``st_within``, ``st_intersects_envelopes/
+  st_disjoint_envelopes``, ``st_equals_points``, ``st_exterior_ring``, and
+  ``st_buffer_point`` (regular n-gon buffer, see DELTAS)
 
 Every function also has a dual-dialect SQL generator (``*_sql``) so registry
 queries can run the identical arithmetic on Spark and the DuckDB oracle —
@@ -496,6 +506,36 @@ def st_buffer_point(p: Column, r: Column, n: int = 32) -> Column:
         idx,
         lambda i: st_point(p["x"] + r * F.cos(theta(i)), p["y"] + r * F.sin(theta(i))),
     )
+
+
+def line_locate_point(line: Column, p: Column) -> Column:
+    """Fraction of the linestring's length at the point nearest to ``p``
+    (GeoFunctions.java lineLocatePoint). Pure codegen argmin over edges:
+    per-edge the clamped projection parameter t, squared distance to the
+    projected point, and the cumulative length at that point; array_min on
+    struct(d2, len_at) picks the nearest (ties -> earliest along the line),
+    matching the reference's nearest-coordinate scan. NULL for degenerate
+    zero-length lines."""
+    px, py = p["x"], p["y"]
+    edges = _edges(line)
+    seglens = F.transform(edges, lambda e: st_distance(e["a"], e["b"]))
+    total = F.aggregate(seglens, F.lit(0.0), lambda a, v: a + v)
+
+    def per_edge(e: Column, i: Column) -> Column:
+        ax, ay = e["a"]["x"], e["a"]["y"]
+        abx, aby = e["b"]["x"] - ax, e["b"]["y"] - ay
+        ab2 = abx * abx + aby * aby
+        t_raw = ((px - ax) * abx + (py - ay) * aby) / ab2
+        t = F.when(ab2 == 0, F.lit(0.0)).otherwise(
+            F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+        )
+        qx, qy = ax + t * abx, ay + t * aby
+        d2 = (px - qx) * (px - qx) + (py - qy) * (py - qy)
+        prefix = F.aggregate(F.slice(seglens, 1, i), F.lit(0.0), lambda a, v: a + v)
+        return F.struct(d2.alias("d2"), (prefix + t * F.sqrt(ab2)).alias("len_at"))
+
+    best = F.array_min(F.transform(edges, per_edge))
+    return F.when(total > 0, best["len_at"] / total)
 
 
 def st_contains_ring(ring: Column, p: Column) -> Column:

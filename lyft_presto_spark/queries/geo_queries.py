@@ -603,6 +603,91 @@ def fn_geo_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _line_locate_oracle() -> str:
+    # Independent formulation: unnest the vertex list (CASE over an exploded
+    # index), lead() edges, per-edge clamped projection, windowed prefix
+    # lengths, argmin via row_number over (d2, len_at) — where the Spark
+    # side runs the per-row HOF argmin (functions/geo.py line_locate_point).
+    return """
+WITH src AS (
+    SELECT n_nationkey AS id,
+           CAST((n_nationkey * 3) % 7 AS DOUBLE) AS x1,
+           CAST((n_nationkey * 5) % 11 AS DOUBLE) AS y1,
+           3 + CASE WHEN n_nationkey % 3 = 0 THEN 1 ELSE 0 END AS n
+    FROM nation
+),
+idx AS (SELECT id, x1, y1, n, unnest(range(0, n)) AS i FROM src),
+verts AS (
+    SELECT id, x1, y1, i,
+           CASE WHEN i = 3 THEN x1 ELSE x1 + 3 * i END AS vx,
+           CASE WHEN i = 3 THEN y1 ELSE y1 + 4 * i END AS vy,
+           x1 + CAST(id % 7 AS DOUBLE) AS px,
+           y1 + 4 - CAST(id % 5 AS DOUBLE) AS py
+    FROM idx
+),
+steps AS (
+    SELECT id, px, py, i, vx, vy,
+           lag(vx) OVER w AS prevx, lag(vy) OVER w AS prevy,
+           lead(vx) OVER w AS bx, lead(vy) OVER w AS by2
+    FROM verts
+    WINDOW w AS (PARTITION BY id ORDER BY i)
+),
+edges AS (
+    SELECT id, px, py, i, vx AS ax, vy AS ay, bx, by2,
+           sum(CASE WHEN prevx IS NULL THEN 0e0
+                    ELSE sqrt((vx - prevx) * (vx - prevx) + (vy - prevy) * (vy - prevy)) END)
+               OVER (PARTITION BY id ORDER BY i) AS prefix_len
+    FROM steps
+),
+proj AS (
+    SELECT id, i, prefix_len,
+           (bx - ax) * (bx - ax) + (by2 - ay) * (by2 - ay) AS ab2,
+           least(greatest(((px - ax) * (bx - ax) + (py - ay) * (by2 - ay))
+                 / ((bx - ax) * (bx - ax) + (by2 - ay) * (by2 - ay)), 0e0), 1e0) AS t,
+           px, py, ax, ay, bx, by2
+    FROM edges WHERE bx IS NOT NULL
+),
+scored AS (
+    SELECT id, i, prefix_len, t, sqrt(ab2) AS seglen,
+           (px - (ax + t * (bx - ax))) * (px - (ax + t * (bx - ax)))
+             + (py - (ay + t * (by2 - ay))) * (py - (ay + t * (by2 - ay))) AS d2,
+           sum(sqrt(ab2)) OVER (PARTITION BY id) AS total
+    FROM proj
+),
+best AS (
+    SELECT id, (prefix_len + t * seglen) / total AS frac,
+           row_number() OVER (PARTITION BY id ORDER BY d2, prefix_len + t * seglen) AS rn
+    FROM scored
+)
+SELECT id, round(frac, 6) AS locate_frac
+FROM best WHERE rn = 1
+ORDER BY id
+"""
+
+
+@query(
+    "fn_geo_line_locate",
+    oracle=_line_locate_oracle(),
+    doc="line_locate_point (GeoFunctions.java lineLocatePoint): fraction of "
+    "the linestring's length at the nearest point to a probe. Spark side "
+    "parses the WKT and runs the per-row codegen HOF argmin over edges "
+    "(clamped projection, squared distance, cumulative length); the oracle "
+    "recomputes via an independent unnest+window+row_number formulation.",
+    tags=("geo",),
+)
+def fn_geo_line_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _wkt_src_sql("spark"), ("nation",))
+    pts = G.st_line_from_wkt(F.col("wkt"), "LINESTRING")
+    x1 = ((F.col("id") * 3) % 7).cast("double")
+    y1 = ((F.col("id") * 5) % 11).cast("double")
+    probe = G.st_point(x1 + (F.col("id") % 7).cast("double"), y1 + 4 - (F.col("id") % 5).cast("double"))
+    return (
+        src.select("id", G.line_locate_point(pts, probe).alias("frac"))
+        .select("id", F.round("frac", 6).alias("locate_frac"))
+        .orderBy("id")
+    )
+
+
 _BUF_N = 32
 
 

@@ -315,6 +315,24 @@ class TestPolygonOps:
         p, q = G.st_point(F.lit(1.5), F.lit(2.5)), G.st_point(F.lit(1.5), F.lit(2.5))
         assert _one(spark, G.st_equals_points(p, q)) is True
 
+    def test_line_locate_point(self, spark):
+        # Vectors mirror TestGeoFunctions.java lineLocatePoint cases.
+        line = G.st_line_from_wkt(F.lit("LINESTRING (0 0, 10 0, 10 10)"))
+        lp = lambda x, y: _one(  # noqa: E731
+            spark, G.line_locate_point(line, G.st_point(F.lit(x), F.lit(y)))
+        )
+        assert lp(0.0, 0.0) == 0.0
+        assert lp(10.0, 10.0) == 1.0
+        assert lp(5.0, 1.0) == pytest.approx(0.25)  # projects onto (5, 0)
+        assert lp(10.0, 5.0) == pytest.approx(0.75)
+        assert lp(-3.0, -4.0) == 0.0  # clamped before the start
+        # Equidistant from both edges (corner region): earliest edge wins.
+        assert lp(11.0, -1.0) == pytest.approx(0.5)
+        degenerate = G.st_line_from_wkt(F.lit("LINESTRING (2 3, 2 3)"))
+        assert _one(
+            spark, G.line_locate_point(degenerate, G.st_point(F.lit(0.0), F.lit(0.0)))
+        ) is None
+
     def test_signed_area_orientation(self, spark):
         ccw = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4))"), "POLYGON")
         cw = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 0 4, 4 4, 4 0))"), "POLYGON")
