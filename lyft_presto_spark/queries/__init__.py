@@ -31,8 +31,10 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # op_join_anti / op_join_nonequi yielded their slots in r4: anti-join
     # machinery is already driver-proven by tpch_q21/q22 (both scored) and
     # nonequi by op_asof_join; the freed slots give the new geo family
-    # driver-green rows (VERDICT r3 next-round #1).
-    "op_join_left", "op_join_semi",
+    # driver-green rows (VERDICT r3 next-round #1). op_join_left yielded its
+    # slot to the polygon-geometry subfamily later in r4: left-outer hash
+    # machinery is already driver-proven by tpch_q13 (scored).
+    "op_join_semi", "fn_geo_polygon_measures",
     "op_agg_multi_distinct", "op_agg_grouping_sets",
     "op_window_frames", "op_window_topn_per_group",
     "op_intersect_all", "op_unnest", "op_lateral", "op_subquery_correlated",
