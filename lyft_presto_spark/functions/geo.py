@@ -488,6 +488,23 @@ def st_equals_points(p: Column, q: Column) -> Column:
     return (p["x"] == q["x"]) & (p["y"] == q["y"])
 
 
+def st_intersection_envelopes(a: Column, b: Column) -> Column:
+    """stIntersection for two envelopes: the overlap rectangle, NULL when
+    disjoint (the reference returns the empty geometry)."""
+    out = st_envelope(
+        F.greatest(a["xmin"], b["xmin"]),
+        F.greatest(a["ymin"], b["ymin"]),
+        F.least(a["xmax"], b["xmax"]),
+        F.least(a["ymax"], b["ymax"]),
+    )
+    return F.when(st_intersects_envelopes(a, b), out)
+
+
+def st_is_empty(line: Column) -> Column:
+    """stIsEmpty for a vertex-list geometry (NULL parse or zero vertices)."""
+    return F.coalesce(F.size(line) == 0, F.lit(True))
+
+
 def st_exterior_ring(ring: Column) -> Column:
     """stExteriorRing — identity in the single-exterior-ring model."""
     return ring

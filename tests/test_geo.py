@@ -315,6 +315,16 @@ class TestPolygonOps:
         p, q = G.st_point(F.lit(1.5), F.lit(2.5)), G.st_point(F.lit(1.5), F.lit(2.5))
         assert _one(spark, G.st_equals_points(p, q)) is True
 
+    def test_envelope_intersection_and_empty(self, spark):
+        a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(10.0))
+        b = G.st_envelope(F.lit(5.0), F.lit(5.0), F.lit(15.0), F.lit(15.0))
+        c = G.st_envelope(F.lit(11.0), F.lit(0.0), F.lit(20.0), F.lit(10.0))
+        got = _one(spark, G.st_intersection_envelopes(a, b))
+        assert (got.xmin, got.ymin, got.xmax, got.ymax) == (5.0, 5.0, 10.0, 10.0)
+        assert _one(spark, G.st_intersection_envelopes(a, c)) is None
+        assert _one(spark, G.st_is_empty(G.st_line_from_wkt(F.lit("POINT (1 2)")))) is True
+        assert _one(spark, G.st_is_empty(G.st_line_from_wkt(F.lit("LINESTRING (0 0, 1 1)")))) is False
+
     def test_line_locate_point(self, spark):
         # Vectors mirror TestGeoFunctions.java lineLocatePoint cases.
         line = G.st_line_from_wkt(F.lit("LINESTRING (0 0, 10 0, 10 10)"))
