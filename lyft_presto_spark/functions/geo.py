@@ -311,7 +311,10 @@ def st_as_text(p: Column) -> Column:
 
 
 def _num_sql(s: Column) -> Column:
-    return s.cast("double")
+    # try_cast, not cast: under the project's ANSI-on sessions a plain cast
+    # on a malformed coordinate token would throw CAST_INVALID_INPUT and
+    # kill the job; malformed WKT must degrade to NULL instead.
+    return s.try_cast("double")
 
 
 def st_line_from_wkt(wkt: Column, kind: str = "LINESTRING") -> Column:
@@ -322,9 +325,12 @@ def st_line_from_wkt(wkt: Column, kind: str = "LINESTRING") -> Column:
     (TestGeoFunctions.java stArea accepts open rings). Non-matching WKT
     yields NULL."""
     if kind == "POLYGON":
-        pat = r"^\s*POLYGON\s*\(\(\s*(.*?)\s*\)\)\s*$"
+        # [^()]* (not lazy .*?): a multi-ring polygon like
+        # POLYGON ((...), (...)) must NOT match — a lazy dot-star would
+        # capture across the inner ring boundary and yield tokens like "0)".
+        pat = r"^\s*POLYGON\s*\(\(\s*([^()]*?)\s*\)\)\s*$"
     elif kind == "LINESTRING":
-        pat = r"^\s*LINESTRING\s*\(\s*(.*?)\s*\)\s*$"
+        pat = r"^\s*LINESTRING\s*\(\s*([^()]*?)\s*\)\s*$"
     else:  # pragma: no cover - caller bug
         raise ValueError(f"unsupported WKT kind: {kind}")
     body = F.regexp_extract(wkt, pat, 1)
@@ -384,11 +390,15 @@ def st_point_n(line: Column, n: Column | int) -> Column:
 
 def _edges(line: Column) -> Column:
     """Consecutive vertex pairs as array<struct<a,b>> — the shared spine of
-    every measure below. slice+zip_with stays inside codegen."""
-    n = F.size(line)
+    every measure below. slice+zip_with stays inside codegen. The slice
+    length is clamped to >= 0 so an empty (non-NULL) vertex array — a valid
+    state per st_is_empty — yields zero edges instead of raising
+    INVALID_PARAMETER_VALUE; measures then return 0, matching the
+    reference's empty-geometry behavior."""
+    n = F.greatest(F.size(line) - 1, F.lit(0))
     return F.zip_with(
-        F.slice(line, 1, n - 1),
-        F.slice(line, 2, n - 1),
+        F.slice(line, 1, n),
+        F.slice(line, 2, n),
         lambda a, b: F.struct(a.alias("a"), b.alias("b")),
     )
 

@@ -74,10 +74,20 @@ def _hull_metrics(pts: list[tuple[float, float]]) -> tuple[float, float, int]:
     return area, perim, n
 
 
-def convex_hull_agg(df: DataFrame, key: str, xcol: str, ycol: str) -> DataFrame:
+def convex_hull_agg(
+    df: DataFrame, key: str, xcol: str, ycol: str, *, points_are_distinct: bool = False
+) -> DataFrame:
     """Per-``key`` convex hull metrics: hull_area, hull_perimeter,
     hull_vertices, plus the bbox extent (env_xmin/env_ymax — the
     geometry-extent aggregate) and n_points (distinct input points).
+
+    ``points_are_distinct=True`` declares that each (key, x, y) row appears
+    at most once in ``df`` (e.g. the caller already ran DISTINCT). Then
+    n_points is the sum of per-partition partial counts carried through the
+    same single shuffle — no extra scan. With the default ``False`` the
+    operator cannot merge partial distinct counts exactly (a point may
+    repeat across partitions), so it pays one documented extra cost: a
+    second scan of ``df`` plus a global distinct shuffle.
     """
 
     def _local(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -87,8 +97,10 @@ def convex_hull_agg(df: DataFrame, key: str, xcol: str, ycol: str) -> DataFrame:
             frames = []
             for k, g in pdf.groupby(key, sort=False):
                 hull = monotone_chain(g[xcol].to_numpy(), g[ycol].to_numpy())
-                # Distinct-point count must survive the reduction: hull
-                # drops interior points, so carry the partial count along.
+                # Hull drops interior points, so the partial distinct count
+                # must ride along. Emit it on the first hull row only (0 on
+                # the rest): the final stage sums the column, giving one
+                # partial per (scan partition, group).
                 npts = len(set(zip(g[xcol], g[ycol])))
                 frames.append(
                     pd.DataFrame(
@@ -96,7 +108,7 @@ def convex_hull_agg(df: DataFrame, key: str, xcol: str, ycol: str) -> DataFrame:
                             key: k,
                             "x": [p[0] for p in hull],
                             "y": [p[1] for p in hull],
-                            "part_points": npts,
+                            "part_points": [npts] + [0] * (len(hull) - 1),
                         }
                     )
                 )
@@ -119,6 +131,7 @@ def convex_hull_agg(df: DataFrame, key: str, xcol: str, ycol: str) -> DataFrame:
                     "hull_vertices": nvert,
                     "env_xmin": float(pdf["x"].min()),
                     "env_ymax": float(pdf["y"].max()),
+                    "n_points": int(pdf["part_points"].sum()),
                 }
             ]
         )
@@ -127,17 +140,18 @@ def convex_hull_agg(df: DataFrame, key: str, xcol: str, ycol: str) -> DataFrame:
         _final,
         schema=(
             f"{key} bigint, hull_area double, hull_perimeter double, "
-            "hull_vertices int, env_xmin double, env_ymax double"
+            "hull_vertices int, env_xmin double, env_ymax double, n_points bigint"
         ),
     )
-    # Distinct-point count: exact, one extra column via the same shuffle key.
-    # NOTE: local-hull dedup makes sum(part_points) an overcount only if a
-    # point repeats across partitions; count it from the raw side instead
-    # (cheap: the raw distinct agg shares the shuffle key and broadcasts).
+    if points_are_distinct:
+        return hulls
+    # General case: partial counts can double-count a point that repeats
+    # across partitions, so recount exactly from the raw side. Documented
+    # cost: one extra scan + a global distinct shuffle on (key, x, y).
     counts = (
         df.select(key, xcol, ycol)
         .distinct()
         .groupBy(key)
         .agg(F.count("*").cast("long").alias("n_points"))
     )
-    return hulls.join(F.broadcast(counts), key)
+    return hulls.drop("n_points").join(F.broadcast(counts), key)

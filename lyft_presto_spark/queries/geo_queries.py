@@ -19,7 +19,7 @@ Scale notes (100 TB):
   Never all-pairs — the same banding discipline as the LSH dedup join, and
   the planar analog of the reference's KdbTree-partitioned spatial join
   (SpatialJoinOperator.java:41). Plan shape pinned by
-  tests/test_plan_shapes.py::test_spatial_join_has_no_cartesian.
+  tests/test_geo.py::test_spatial_joins_have_no_cartesian.
 - Cell width (10 deg) must exceed the zone rectangle span so each zone
   covers <= 4 cells; a production tuning knob, fixed here.
 - Antimeridian wrap is not handled (a zone straddling lon 180 misses
@@ -786,4 +786,6 @@ def geo_convex_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.hull import convex_hull_agg
 
     pts = sql_over(spark, sf_dir, _HULL_PTS, ("customer",))
-    return convex_hull_agg(pts, "grp", "x", "y").orderBy("grp")
+    # _HULL_PTS is SELECT DISTINCT, so the mergeable partial-count path is
+    # exact — no second scan, one shuffle total.
+    return convex_hull_agg(pts, "grp", "x", "y", points_are_distinct=True).orderBy("grp")

@@ -289,6 +289,30 @@ class TestPolygonOps:
         bad = G.st_line_from_wkt(F.lit("POINT (1 2)"))
         assert _one(spark, G.st_num_points(bad)) is None
 
+    def test_multi_ring_and_malformed_wkt_degrade_to_null(self, spark):
+        # A polygon with a hole must NOT half-match (the lazy-regex bug made
+        # vertex tokens like '0)' and the ANSI cast killed the job).
+        holed = G.st_line_from_wkt(
+            F.lit("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (2 2, 3 2, 3 3, 2 2))"),
+            "POLYGON",
+        )
+        assert _one(spark, G.st_num_points(holed)) is None
+        multi = G.st_line_from_wkt(F.lit("LINESTRING (0 0, (1 1))"))
+        assert _one(spark, G.st_num_points(multi)) is None
+        # Non-numeric coordinates: ANSI session must not throw; the parse
+        # degrades (NULL coordinates) instead of CAST_INVALID_INPUT.
+        junk = G.st_line_from_wkt(F.lit("LINESTRING (a b, 1 1)"))
+        got = _one(spark, F.element_at(junk, 1))
+        assert got.x is None and got.y is None
+
+    def test_measures_on_empty_geometry(self, spark):
+        # Empty (non-NULL) vertex array is a valid state (st_is_empty): the
+        # measures must return 0, not raise INVALID_PARAMETER_VALUE.
+        empty = F.expr("CAST(array() AS array<struct<x:double,y:double>>)")
+        assert _one(spark, G.st_length(empty)) == 0.0
+        assert _one(spark, G.st_area(empty)) == 0.0
+        assert _one(spark, G.st_num_points(empty)) == 0
+
     def test_buffer_point(self, spark):
         import math
 

@@ -72,6 +72,23 @@ class TestConvexHullAgg:
         assert (row.env_xmin, row.env_ymax) == (0.0, 4.0)
         assert row.n_points == 5
 
+    def test_distinct_fast_path_matches_recount(self, spark):
+        """points_are_distinct=True must give the same n_points as the
+        recount path when the input really is distinct — across many
+        partitions (partial counts merge through the single shuffle)."""
+        rows = [(i % 2, float(i), float(i * i % 97)) for i in range(200)]
+        df = spark.createDataFrame(rows, "grp bigint, x double, y double").repartition(9)
+        fast = {tuple(r) for r in convex_hull_agg(df, "grp", "x", "y", points_are_distinct=True).collect()}
+        slow = {tuple(r) for r in convex_hull_agg(df, "grp", "x", "y").collect()}
+        assert fast == slow
+
+    def test_recount_path_dedups_cross_partition(self, spark):
+        """Default path: a point duplicated across partitions counts once."""
+        rows = [(1, 0.0, 0.0), (1, 4.0, 0.0), (1, 4.0, 4.0), (1, 0.0, 0.0)]
+        df = spark.createDataFrame(rows, "grp bigint, x double, y double").repartition(4)
+        row = convex_hull_agg(df, "grp", "x", "y").collect()[0]
+        assert row.n_points == 3
+
     def test_no_collect_in_plan(self, spark):
         # Sanity: the aggregate is a plan, not a driver-side computation —
         # building it must not trigger any job.
