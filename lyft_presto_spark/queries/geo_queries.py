@@ -789,3 +789,84 @@ def geo_convex_hull_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _HULL_PTS is SELECT DISTINCT, so the mergeable partial-count path is
     # exact — no second scan, one shuffle total.
     return convex_hull_agg(pts, "grp", "x", "y", points_are_distinct=True).orderBy("grp")
+
+
+# --- Data-adaptive (KdbTree) spatial partitioning -------------------------
+
+_KDB_ORACLE = f"""
+WITH pts AS ({_POINTS}),
+zones AS ({_ZONES}),
+rects AS (
+    SELECT zone_id,
+           cx - {ZONE_HALF_W} AS xmin, cx + {ZONE_HALF_W} AS xmax,
+           cy - {ZONE_HALF_H} AS ymin, cy + {ZONE_HALF_H} AS ymax
+    FROM zones
+)
+SELECT z.zone_id,
+       count(*) AS n_points,
+       CAST(sum(p.c_custkey) AS BIGINT) AS sum_custkey
+FROM rects z JOIN pts p
+  ON p.lon > z.xmin AND p.lon < z.xmax
+ AND p.lat > z.ymin AND p.lat < z.ymax
+GROUP BY z.zone_id
+ORDER BY z.zone_id
+"""
+
+
+@query(
+    "op_spatial_kdb_join",
+    oracle=_KDB_ORACLE,
+    doc="SpatialJoinNode routed by the spatial_partitioning/KdbTree analog "
+    "(SpatialPartitioningAggregateFunction.java:29, KdbTree.java:272, "
+    "SpatialJoinOperator.java:41): leaf boundaries are LEARNED from a "
+    "deterministic bounded sample (median splits on the longer side), "
+    "compiled to codegen expressions — points descend the tree via a nested "
+    "when-chain, zones enumerate overlapping leaves via a literal-array "
+    "filter — and the leaf id is the equi-join key; the exact containment "
+    "predicate refines. Unlike the fixed 10-degree grid, per-leaf candidate "
+    "counts stay bounded under clustered geodata. The oracle is the direct "
+    "range join: partitioning only generates candidates, never changes the "
+    "result.",
+    tags=("geo",),
+)
+def op_spatial_kdb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.spatial_partition import learn_partitioning
+
+    pts = sql_over(spark, sf_dir, _POINTS, ("customer",))
+    zones = sql_over(spark, sf_dir, _ZONES, ("nation",)).select(
+        "zone_id",
+        (F.col("cx") - ZONE_HALF_W).alias("xmin"),
+        (F.col("cx") + ZONE_HALF_W).alias("xmax"),
+        (F.col("cy") - ZONE_HALF_H).alias("ymin"),
+        (F.col("cy") + ZONE_HALF_H).alias("ymax"),
+    )
+    # max_items_per_node is sized so the tree splits even at the smallest
+    # test fixture (sf0.001, 150 points): a single-leaf tree would make
+    # leaf_id a literal and Catalyst would fold the equi-join into a
+    # cross product — exactly what the no-cartesian pin forbids.
+    part = learn_partitioning(
+        pts, "lon", "lat", sample_key="c_custkey", sample_mod=1, max_items_per_node=16
+    )
+    p = pts.withColumn("leaf_id", part.leaf_id_expr(F.col("lon"), F.col("lat")))
+    z = zones.withColumn(
+        "leaf_id",
+        F.explode(
+            part.covering_leaf_ids_expr(
+                F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
+            )
+        ),
+    )
+    joined = z.join(p, "leaf_id").where(
+        (F.col("lon") > F.col("xmin"))
+        & (F.col("lon") < F.col("xmax"))
+        & (F.col("lat") > F.col("ymin"))
+        & (F.col("lat") < F.col("ymax"))
+    )
+    return (
+        joined.groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("c_custkey").cast("long").alias("sum_custkey"),
+        )
+        .orderBy("zone_id")
+    )

@@ -382,6 +382,7 @@ class TestSpatialJoinShape:
         assert_no_cartesian(qs["op_spatial_bbox_join"].spark(spark, sf_dir))
         assert_no_cartesian(qs["op_spatial_distance_join"].spark(spark, sf_dir))
         assert_no_cartesian(qs["op_spatial_polygon_join"].spark(spark, sf_dir))
+        assert_no_cartesian(qs["op_spatial_kdb_join"].spark(spark, sf_dir))
 
     def test_polygon_join_matches_naive(self, spark, sf_dir):
         """Grid blocking must be lossless for the polygon join too: same
