@@ -703,3 +703,115 @@ def line_elem_sql(pts: str, n: int, axis: str, dialect: str) -> str:
         return f"element_at({pts}, {n}).{axis}"
     idx = f"len({pts})" if n == -1 else str(n)
     return f"{pts}[{idx}].{axis}"
+
+
+# --- WKB codecs (ST_AsBinary / ST_GeomFromBinary) --------------------------
+# GeoFunctions.java stAsBinary/stGeomFromBinary, for the planar model's
+# geometry kinds: POINT (struct<x,y>), LINESTRING and single-ring POLYGON
+# (array<struct<x,y>>). Standard OGC WKB, little-endian (byte-order mark
+# 0x01 — the variant Presto emits): pure byte arithmetic via hex strings and
+# java.lang reflection bit-casts, the same JVM-side discipline as
+# to/from_ieee754_* in functions/presto.py. Zero Python UDFs; malformed or
+# out-of-scope WKB (big-endian, multi-ring, other types) degrades to NULL.
+
+
+def _rev_bytes_hex(h: Column, nbytes: int) -> Column:
+    """Reverse the byte order of a fixed-width hex string."""
+    return F.concat(*[F.substring(h, 2 * i + 1, 2) for i in reversed(range(nbytes))])
+
+
+def _le_hex_u32(n: Column) -> Column:
+    return _rev_bytes_hex(F.lpad(F.hex(n.cast("bigint")), 8, "0"), 4)
+
+
+def _le_hex_double(x: Column) -> Column:
+    bits = F.reflect(
+        F.lit("java.lang.Double"), F.lit("doubleToRawLongBits"), x.cast("double")
+    ).cast("bigint")
+    return _rev_bytes_hex(F.lpad(F.hex(bits), 16, "0"), 8)
+
+
+def _le_u32_at(b: Column, pos: int) -> Column:
+    h = _rev_bytes_hex(F.hex(F.substring(b, pos, 4)), 4)
+    return F.conv(h, 16, 10).cast("bigint")
+
+
+def _le_double_at(b: Column, pos: Column) -> Column:
+    h = _rev_bytes_hex(F.hex(F.substring(b, pos, 8)), 8)
+    bits = F.reflect(
+        F.lit("java.lang.Long"), F.lit("parseUnsignedLong"), F.conv(h, 16, 10)
+    ).cast("bigint")
+    return F.reflect(F.lit("java.lang.Double"), F.lit("longBitsToDouble"), bits).cast(
+        "double"
+    )
+
+
+def st_as_binary(geom: Column, kind: str = "POINT") -> Column:
+    """Geometry -> little-endian WKB (stAsBinary, GeoFunctions.java).
+
+    POINT: 21 bytes (1 + 4 + 2x8). LINESTRING: 9 + 16n. POLYGON: one
+    exterior ring, 13 + 16n; the ring is emitted as stored (the caller's
+    array already carries the closing vertex per st_line_from_wkt)."""
+    if kind == "POINT":
+        body = F.concat(
+            F.lit("0101000000"), _le_hex_double(geom["x"]), _le_hex_double(geom["y"])
+        )
+        return F.unhex(body)
+    coords = F.array_join(
+        F.transform(
+            geom, lambda p: F.concat(_le_hex_double(p["x"]), _le_hex_double(p["y"]))
+        ),
+        "",
+    )
+    n = _le_hex_u32(F.size(geom))
+    if kind == "LINESTRING":
+        return F.unhex(F.concat(F.lit("0102000000"), n, coords))
+    if kind == "POLYGON":
+        return F.unhex(
+            F.concat(F.lit("0103000000"), _le_hex_u32(F.lit(1)), n, coords)
+        )
+    raise ValueError(f"unsupported WKB kind: {kind}")  # pragma: no cover
+
+
+def st_point_from_binary(b: Column) -> Column:
+    """WKB -> struct<x,y> (stGeomFromBinary, point case). NULL unless the
+    buffer is exactly a little-endian WKB point."""
+    ok = (F.length(b) == 21) & (F.hex(F.substring(b, 1, 5)) == "0101000000")
+    return F.when(
+        ok,
+        F.struct(
+            _le_double_at(b, F.lit(6)).alias("x"),
+            _le_double_at(b, F.lit(14)).alias("y"),
+        ),
+    )
+
+
+def st_line_from_binary(b: Column) -> Column:
+    """WKB -> array<struct<x,y>> for LINESTRING and single-ring POLYGON
+    (stGeomFromBinary). The declared point count must agree with the buffer
+    length (n is derived from the length and cross-checked against the
+    header, so a lying header can never drive the decode loop); big-endian,
+    multi-ring, and other geometry types yield NULL."""
+    head = F.hex(F.substring(b, 1, 5))
+    is_line = head == F.lit("0102000000")
+    is_poly = (head == F.lit("0103000000")) & (_le_u32_at(b, 6) == 1)
+    start = F.when(is_line, F.lit(10)).otherwise(F.lit(14))
+    header_n = F.when(is_line, _le_u32_at(b, 6)).otherwise(_le_u32_at(b, 10))
+    n = (F.length(b) - (start - 1)) / 16
+
+    def points(start_col: Column, n_col: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), n_col.cast("int") - 1),
+            lambda i: F.struct(
+                _le_double_at(b, start_col + i * 16).alias("x"),
+                _le_double_at(b, start_col + i * 16 + 8).alias("y"),
+            ),
+        )
+
+    ok = (
+        (is_line | is_poly)
+        & (n == header_n)
+        & (header_n >= 1)
+        & ((F.length(b) - (start - 1)) % 16 == 0)
+    )
+    return F.when(ok, points(start, header_n))

@@ -870,3 +870,253 @@ def op_spatial_kdb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone_id")
     )
+
+
+# --- geometry_union_agg analog (planar rectangle/ring-on-grid union) ------
+
+# Integer coordinates: every area below is exact in both engines, so the two
+# independent algorithms (sweep-line vs cell-dissolve) must agree bit-for-bit.
+_URECTS = """
+    SELECT s_suppkey AS geom_id,
+           CAST(s_nationkey AS BIGINT) AS grp,
+           CAST((s_suppkey * 13) % 40 AS BIGINT) AS x1,
+           CAST((s_suppkey * 13) % 40 + 4 + (s_suppkey * 7) % 12 AS BIGINT) AS x2,
+           CAST((s_suppkey * 17) % 30 AS BIGINT) AS y1,
+           CAST((s_suppkey * 17) % 30 + 3 + (s_suppkey * 11) % 10 AS BIGINT) AS y2
+    FROM supplier
+"""
+
+# Exact union area per group by plane sweep: x-strips between consecutive
+# boundary coordinates, then classic gaps-and-islands interval union of the
+# y-ranges inside each strip. Pure ANSI windows — runs verbatim in Spark AND
+# DuckDB, so it serves as the engine side of one query and the independent
+# oracle of the other.
+_UNION_SWEEP_SQL = f"""
+WITH rects AS ({_URECTS}),
+bounds AS (
+    SELECT grp, x1 AS x FROM rects
+    UNION
+    SELECT grp, x2 AS x FROM rects
+),
+strips AS (
+    SELECT grp, x AS xa, LEAD(x) OVER (PARTITION BY grp ORDER BY x) AS xb
+    FROM bounds
+),
+sr AS (
+    SELECT s.grp, s.xa, s.xb, r.y1, r.y2
+    FROM strips s JOIN rects r
+      ON s.grp = r.grp AND r.x1 <= s.xa AND r.x2 >= s.xb
+    WHERE s.xb IS NOT NULL
+),
+flagged AS (
+    SELECT grp, xa, xb, y1, y2,
+           CASE WHEN y1 > MAX(y2) OVER (
+                    PARTITION BY grp, xa ORDER BY y1, y2
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                THEN 1 ELSE 0 END AS brk
+    FROM sr
+),
+islands AS (
+    SELECT grp, xa, xb, y1, y2,
+           SUM(brk) OVER (PARTITION BY grp, xa ORDER BY y1, y2
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+    FROM flagged
+),
+cover AS (
+    SELECT grp, xa, xb, isl, MAX(y2) - MIN(y1) AS ylen
+    FROM islands GROUP BY grp, xa, xb, isl
+),
+area AS (
+    SELECT grp, CAST(SUM(ylen * (xb - xa)) AS BIGINT) AS union_area
+    FROM cover GROUP BY grp
+),
+env AS (
+    SELECT grp, COUNT(*) AS n_geoms,
+           MIN(x1) AS env_xmin, MIN(y1) AS env_ymin,
+           MAX(x2) AS env_xmax, MAX(y2) AS env_ymax
+    FROM rects GROUP BY grp
+)
+SELECT e.grp, e.n_geoms, e.env_xmin, e.env_ymin, e.env_xmax, e.env_ymax,
+       a.union_area
+FROM env e JOIN area a ON e.grp = a.grp
+ORDER BY e.grp
+"""
+
+# Cell-dissolve union area (DuckDB spelling, for the oracle side).
+_UNION_GRID_DUCK = f"""
+WITH rects AS ({_URECTS}),
+xs AS (
+    SELECT grp, y1, y2, unnest(generate_series(x1, x2 - 1)) AS gx FROM rects
+),
+ys AS (
+    SELECT grp, gx, unnest(generate_series(y1, y2 - 1)) AS gy FROM xs
+),
+cells AS (SELECT DISTINCT grp, gx, gy FROM ys),
+area AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS union_area FROM cells GROUP BY grp),
+env AS (
+    SELECT grp, COUNT(*) AS n_geoms,
+           MIN(x1) AS env_xmin, MIN(y1) AS env_ymin,
+           MAX(x2) AS env_xmax, MAX(y2) AS env_ymax
+    FROM rects GROUP BY grp
+)
+SELECT e.grp, e.n_geoms, e.env_xmin, e.env_ymin, e.env_xmax, e.env_ymax,
+       a.union_area
+FROM env e JOIN area a ON e.grp = a.grp
+ORDER BY e.grp
+"""
+
+
+@query(
+    "geo_union_agg",
+    oracle=_UNION_SWEEP_SQL,
+    doc="geometry_union_agg analog for the planar model "
+    "(presto-geospatial/.../aggregation/GeometryUnionAgg.java:37, Esri union "
+    "replaced by dissolve-on-grid): each geometry explodes to its covering "
+    "unit cells, duplicate cells dissolve in a two-level mergeable hash agg "
+    "(partial per scan partition, final on the group key — the hull.py "
+    "discipline), and the dissolved cell count IS the exact union area at "
+    "integer coordinates. Envelope-union (min/max agg) rides the same "
+    "shuffle. The oracle recomputes union area via an INDEPENDENT algorithm "
+    "— an ANSI sweep-line (x-strips + gaps-and-islands interval union) — so "
+    "agreement is cross-algorithm, not cross-dialect. Cell resolution is the "
+    "100 TB knob: cells-per-geometry bounds the explode fan-out.",
+    tags=("geo",),
+)
+def geo_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = sql_over(spark, sf_dir, _URECTS, ("supplier",))
+    cells = rects.select(
+        "grp",
+        F.explode(F.sequence(F.col("x1"), F.col("x2") - 1)).alias("gx"),
+        "y1",
+        "y2",
+    ).select("grp", "gx", F.explode(F.sequence(F.col("y1"), F.col("y2") - 1)).alias("gy"))
+    # Dissolve: two-level — groupBy(grp, gx, gy) is the partial dedup (map-side
+    # combine collapses duplicates before the shuffle), count per grp is final.
+    dissolved = cells.groupBy("grp", "gx", "gy").agg(F.count(F.lit(1)).alias("mult"))
+    area = dissolved.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("union_area"))
+    env = rects.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_geoms"),
+        F.min("x1").alias("env_xmin"),
+        F.min("y1").alias("env_ymin"),
+        F.max("x2").alias("env_xmax"),
+        F.max("y2").alias("env_ymax"),
+    )
+    return env.join(area, "grp").orderBy("grp")
+
+
+@query(
+    "geo_union_area_sweep",
+    oracle=_UNION_GRID_DUCK,
+    doc="Exact rectangle-union area per group via plane sweep (the other "
+    "half of the geometry_union_agg pair): x-strips between consecutive "
+    "boundary coordinates (window LEAD), gaps-and-islands interval union of "
+    "y-ranges per strip (running-max window + island sum) — O(n^2) work "
+    "bounded per group, one shuffle on the group key, no explode fan-out. "
+    "The oracle dissolves unit cells (independent algorithm). Use this form "
+    "when geometries per group are few but large (cell fan-out would "
+    "dominate); use geo_union_agg when they are many but small.",
+    tags=("geo",),
+)
+def geo_union_area_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _UNION_SWEEP_SQL, ("supplier",))
+
+
+# --- WKB codecs ------------------------------------------------------------
+
+_WKB_SRC = """
+    SELECT c_custkey,
+           CAST((c_custkey * 7919) % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon,
+           CAST((c_custkey * 104729) % 16000 AS DOUBLE) / 100.0 - 80.0 AS lat,
+           CAST(c_custkey % 7 + 1 AS DOUBLE) AS a,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) AS b,
+           CAST(c_custkey % 9 + 1 AS DOUBLE) AS s
+    FROM customer
+    WHERE c_custkey % 9 = 0
+"""
+
+# The oracle is the closed form: WKB encode->decode->measure must reproduce
+# the source coordinates and the exact integer measures (L-path length a+b,
+# square area s^2), plus the fixed header bytes and buffer lengths the OGC
+# little-endian layout dictates. DuckDB cannot bit-cast doubles, so the
+# byte-level layout itself is pinned by TestWkbCodecs' public OGC vectors;
+# the oracle proves the codec is lossless end-to-end on real data.
+_WKB_ORACLE = f"""
+WITH src AS ({_WKB_SRC})
+SELECT c_custkey,
+       21 AS pt_wkb_len,
+       '0101000000' AS pt_hex_prefix,
+       lon AS rt_x,
+       lat AS rt_y,
+       57 AS line_wkb_len,
+       a + b AS rt_line_len,
+       93 AS poly_wkb_len,
+       s * s AS rt_poly_area
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_wkb",
+    oracle=_WKB_ORACLE,
+    doc="ST_AsBinary / ST_GeomFromBinary (GeoFunctions.java stAsBinary/"
+    "stGeomFromBinary) for point, linestring, and single-ring polygon: OGC "
+    "little-endian WKB as pure byte arithmetic — hex-string assembly plus "
+    "java.lang reflection bit-casts (the to/from_ieee754 discipline), zero "
+    "Python UDFs. The query encodes geometries derived from customer keys, "
+    "decodes them back, and measures the decoded geometry; the oracle is "
+    "the closed form (coordinates, a+b path length, s^2 square area) plus "
+    "the layout-dictated lengths/headers. Byte-level format pinned "
+    "separately against public OGC vectors (tests/test_geo.py "
+    "TestWkbCodecs).",
+    tags=("geo",),
+)
+def fn_geo_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _WKB_SRC, ("customer",))
+    # L-path (0,0) -> (a,0) -> (a,b): length is exactly a + b.
+    line = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(F.col("a"), F.lit(0.0)),
+        G.st_point(F.col("a"), F.col("b")),
+    )
+    # Closed square ring of side s: area is exactly s^2.
+    ring = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(F.col("s"), F.lit(0.0)),
+        G.st_point(F.col("s"), F.col("s")),
+        G.st_point(F.lit(0.0), F.col("s")),
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+    )
+    # Staged selects, deliberately: the reflect() bit-casts inside the WKB
+    # codecs are flagged nondeterministic, so Catalyst will not
+    # common-subexpression-eliminate them — a single flat projection would
+    # inline the whole encoder into every decode/measure use and blow the
+    # 64 KB generated-method limit. Materializing each wkb buffer and each
+    # decoded geometry once keeps the expression tree linear (CollapseProject
+    # refuses to merge projects that would duplicate nondeterministic exprs).
+    encoded = src.select(
+        "c_custkey",
+        G.st_as_binary(G.st_point(F.col("lon"), F.col("lat")), "POINT").alias("pt_wkb"),
+        G.st_as_binary(line, "LINESTRING").alias("line_wkb"),
+        G.st_as_binary(ring, "POLYGON").alias("poly_wkb"),
+    )
+    decoded = encoded.select(
+        "c_custkey",
+        "pt_wkb",
+        "line_wkb",
+        "poly_wkb",
+        G.st_point_from_binary(F.col("pt_wkb")).alias("rt_pt"),
+        G.st_line_from_binary(F.col("line_wkb")).alias("rt_line"),
+        G.st_line_from_binary(F.col("poly_wkb")).alias("rt_poly"),
+    )
+    return decoded.select(
+        "c_custkey",
+        F.length("pt_wkb").cast("int").alias("pt_wkb_len"),
+        F.substring(F.hex("pt_wkb"), 1, 10).alias("pt_hex_prefix"),
+        F.col("rt_pt")["x"].alias("rt_x"),
+        F.col("rt_pt")["y"].alias("rt_y"),
+        F.length("line_wkb").cast("int").alias("line_wkb_len"),
+        G.st_length(F.col("rt_line")).alias("rt_line_len"),
+        F.length("poly_wkb").cast("int").alias("poly_wkb_len"),
+        G.st_area(F.col("rt_poly")).alias("rt_poly_area"),
+    ).orderBy("c_custkey")

@@ -447,3 +447,62 @@ class TestSpatialJoinShape:
             ("customer", "nation"),
         )
         assert blocked == {(r.zone_id, r.n_points, r.sum_custkey) for r in naive.collect()}
+
+
+class TestWkbCodecs:
+    """WKB byte format pinned against public OGC vectors (the same bytes
+    GeoFunctions.java stAsBinary emits: little-endian, byte-order mark 01)."""
+
+    def test_point_known_vector(self, spark):
+        wkb = G.st_as_binary(G.st_point(F.lit(1.0), F.lit(2.0)), "POINT")
+        assert (
+            _one(spark, F.hex(wkb))
+            == "0101000000000000000000F03F0000000000000040"
+        )
+        back = G.st_point_from_binary(wkb)
+        assert _one(spark, back["x"]) == 1.0
+        assert _one(spark, back["y"]) == 2.0
+
+    def test_point_negative_and_fractional(self, spark):
+        p = G.st_point(F.lit(-122.3321), F.lit(47.6062))
+        back = G.st_point_from_binary(G.st_as_binary(p, "POINT"))
+        assert _one(spark, back["x"]) == -122.3321
+        assert _one(spark, back["y"]) == 47.6062
+
+    def test_linestring_roundtrip_and_header(self, spark):
+        line = G.st_line_from_wkt(F.lit("LINESTRING (0 0, 3 4, 3 9)"))
+        wkb = G.st_as_binary(line, "LINESTRING")
+        assert _one(spark, F.length(wkb)) == 9 + 16 * 3
+        assert _one(spark, F.substring(F.hex(wkb), 1, 18)) == "010200000003000000"
+        back = G.st_line_from_binary(wkb)
+        assert _one(spark, G.st_length(back)) == _one(spark, G.st_length(line))
+        assert _one(spark, G.st_num_points(back)) == 3
+
+    def test_polygon_roundtrip(self, spark):
+        ring = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4))"), "POLYGON")
+        wkb = G.st_as_binary(ring, "POLYGON")
+        # auto-closed ring: 5 vertices; 1 + 4 + 4 (nrings) + 4 (n) + 5*16
+        assert _one(spark, F.length(wkb)) == 13 + 16 * 5
+        assert _one(spark, F.substring(F.hex(wkb), 1, 26)) == "01030000000100000005000000"
+        back = G.st_line_from_binary(wkb)
+        assert _one(spark, G.st_area(back)) == 16.0
+        assert _one(spark, G.st_is_closed(back)) is True
+
+    def test_malformed_wkb_degrades_to_null(self, spark):
+        # Big-endian mark, lying header count, truncated buffer, wrong type.
+        assert _one(spark, G.st_point_from_binary(F.unhex(F.lit("00" * 21)))) is None
+        lying = "0102000000" + "99000000" + "0" * 32  # header says 153 points, has 1
+        assert _one(spark, G.st_line_from_binary(F.unhex(F.lit(lying)))) is None
+        truncated = "0101000000" + "00" * 8
+        assert _one(spark, G.st_point_from_binary(F.unhex(F.lit(truncated)))) is None
+        multiring = "0103000000" + "02000000" + "00" * 16
+        assert _one(spark, G.st_line_from_binary(F.unhex(F.lit(multiring)))) is None
+        assert _one(spark, G.st_line_from_binary(F.lit(None).cast("binary"))) is None
+
+    def test_wkb_is_codegen_no_python(self, spark):
+        df = spark.range(4).select((F.col("id") * 1.0).alias("x"), (F.col("id") * 2.0).alias("y"))
+        out = df.select(
+            G.st_point_from_binary(G.st_as_binary(G.st_point(F.col("x"), F.col("y")), "POINT")).alias("p")
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
