@@ -21,6 +21,19 @@ from .registry import REGISTRY, Query, query
 # per family: fn_*, events_*, text_*, dedup_*, sim_*, multimodal_*.
 # Everything else still registers and is oracle-checked locally
 # (tests/test_queries_oracle.py); this only chooses the driver's sample.
+#
+# ROTATION POLICY (VERDICT r4 next-round #5): each round, ~5-8 non-TPC-H
+# slots whose physical machinery already has driver-green evidence in a
+# prior CORRECTNESS_r*.json rotate out in favor of rows the driver has
+# NEVER scored, so driver-green evidence accumulates across the full
+# registry round over round while every family keeps >= 1 scored row.
+# r5 rotation — out (prior driver-green round in parens) -> in (never
+# scored): op_spatial_bbox_join (r4) -> op_spatial_kdb_join;
+# fn_geo_polygon_measures (r4) -> fn_geo_wkb; fn_json (r1-r4) ->
+# geo_union_agg; fn_string (r1-r4) -> fn_stats_agg; events_tumbling_window
+# (r1-r4) -> events_funnel; text_quality_score (r1-r4) -> text_pii_scrub;
+# dedup_simhash (r4) -> dedup_cluster_canonical; sim_topk_signbucket (r4)
+# -> sim_knn_join.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (cheap, core evidence)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
@@ -28,25 +41,19 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # Core operator paths, one representative per physical machinery.
-    # op_join_anti / op_join_nonequi yielded their slots in r4: anti-join
-    # machinery is already driver-proven by tpch_q21/q22 (both scored) and
-    # nonequi by op_asof_join; the freed slots give the new geo family
-    # driver-green rows (VERDICT r3 next-round #1). op_join_left yielded its
-    # slot to the polygon-geometry subfamily later in r4: left-outer hash
-    # machinery is already driver-proven by tpch_q13 (scored).
-    "op_join_semi", "fn_geo_polygon_measures",
+    "op_join_semi", "fn_geo_wkb",
     "op_agg_multi_distinct", "op_agg_grouping_sets",
     "op_window_frames", "op_window_topn_per_group",
     "op_intersect_all", "op_unnest", "op_lateral", "op_subquery_correlated",
-    "op_asof_join", "op_spatial_bbox_join", "fn_geo_bingtile",
+    "op_asof_join", "op_spatial_kdb_join", "fn_geo_bingtile",
     # Scalar/aggregate function families
-    "fn_string", "fn_datetime_patterns", "fn_json", "fn_array_hof",
+    "fn_stats_agg", "fn_datetime_patterns", "geo_union_agg", "fn_array_hof",
     "fn_hll_merge",
     # Extension families — ≥1 driver-green row each
-    "events_tumbling_window", "events_sessionize",
-    "text_quality_score", "text_decontaminate",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "sim_topk_bruteforce", "sim_topk_signbucket",
+    "events_funnel", "events_sessionize",
+    "text_pii_scrub", "text_decontaminate",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_cluster_canonical",
+    "sim_topk_bruteforce", "sim_knn_join",
     "multimodal_features",
 )
 
