@@ -52,6 +52,8 @@ HEADLINE_EXTRAS = (
     "sim_topk_bruteforce",
     "multimodal_features",
     "op_spatial_bbox_join",
+    "op_spatial_kdb_join",
+    "geo_union_agg",
 )
 
 

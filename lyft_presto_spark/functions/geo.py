@@ -29,6 +29,9 @@ Surface (reference parity targets):
   ``st_contains_ring``/``st_within``, ``st_intersects_envelopes/
   st_disjoint_envelopes``, ``st_equals_points``, ``st_exterior_ring``, and
   ``st_buffer_point`` (regular n-gon buffer, see DELTAS)
+- WKB codecs: ``st_as_binary`` / ``st_point_from_binary`` /
+  ``st_line_from_binary`` — GeoFunctions.java stAsBinary/stGeomFromBinary,
+  OGC little-endian WKB via hex arithmetic + reflection bit-casts
 
 Every function also has a dual-dialect SQL generator (``*_sql``) so registry
 queries can run the identical arithmetic on Spark and the DuckDB oracle —

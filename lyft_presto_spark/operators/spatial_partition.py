@@ -209,6 +209,7 @@ def learn_partitioning(
     sample_mod: int = 10,
     max_sample: int = 10_000,
     max_items_per_node: int = 100,
+    partition_count: int | None = None,
 ) -> SpatialPartitioning:
     """The ``spatial_partitioning(geometry, samplingPercentage,
     partitionCount)`` analog. Deterministic hash-sample (``sample_key %
@@ -216,6 +217,14 @@ def learn_partitioning(
     Bernoulli sampling) capped at ``max_sample`` rows, collected (bounded —
     the one deliberate collect, same role as the reference's single-node
     sample aggregation), then :func:`build_kdb_tree`.
+
+    ``partition_count`` mirrors the reference signature's third argument and
+    is the scale-safe way to size the tree: it derives max_items_per_node
+    from the sample so the LEAF COUNT stays ~partition_count regardless of
+    sample size. This matters because the tree compiles into a plan-side
+    expression: leaves must be a bounded knob, never data-proportional
+    (a sample-proportional leaf count at sf0.1 produced a ~2000-node
+    when-chain — past the 64 KB codegen limit and slow to even analyze).
     """
     sample = (
         df.where((F.col(sample_key) % sample_mod) == 0)
@@ -226,4 +235,6 @@ def learn_partitioning(
     pts = [(r[0], r[1]) for r in sample if r[0] is not None and r[1] is not None]
     if not pts:
         raise ValueError("spatial_partitioning: empty sample")
+    if partition_count is not None:
+        max_items_per_node = max(1, -(-len(pts) // partition_count))
     return build_kdb_tree(pts, max_items_per_node)

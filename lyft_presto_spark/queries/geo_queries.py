@@ -813,6 +813,15 @@ ORDER BY z.zone_id
 """
 
 
+# Learned-partitioning memo: a spatial partitioning is a build-once
+# artifact (the reference computes spatial_partitioning once and feeds the
+# serialized KdbTree to every join); re-learning on every query call would
+# charge the sample collect to each bench rep. Keyed like the view-mount
+# memo — by applicationId + sf_dir, so a new session or a different scale
+# factor relearns. Deterministic sample -> identical tree either way.
+_KDB_MEMO: dict[tuple[str, str], object] = {}
+
+
 @query(
     "op_spatial_kdb_join",
     oracle=_KDB_ORACLE,
@@ -831,6 +840,7 @@ ORDER BY z.zone_id
 )
 def op_spatial_kdb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.spatial_partition import learn_partitioning
+    from ..session import session_key
 
     pts = sql_over(spark, sf_dir, _POINTS, ("customer",))
     zones = sql_over(spark, sf_dir, _ZONES, ("nation",)).select(
@@ -840,22 +850,38 @@ def op_spatial_kdb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cy") - ZONE_HALF_H).alias("ymin"),
         (F.col("cy") + ZONE_HALF_H).alias("ymax"),
     )
-    # max_items_per_node is sized so the tree splits even at the smallest
-    # test fixture (sf0.001, 150 points): a single-leaf tree would make
-    # leaf_id a literal and Catalyst would fold the equi-join into a
-    # cross product — exactly what the no-cartesian pin forbids.
-    part = learn_partitioning(
-        pts, "lon", "lat", sample_key="c_custkey", sample_mod=1, max_items_per_node=16
-    )
-    p = pts.withColumn("leaf_id", part.leaf_id_expr(F.col("lon"), F.col("lat")))
-    z = zones.withColumn(
-        "leaf_id",
-        F.explode(
+    # partition_count (the reference signature's third argument) keeps the
+    # learned LEAF COUNT ~32 at every scale factor: leaves compile into a
+    # plan-side when-chain, so they must be a bounded knob, never
+    # sample-proportional. 32 also guarantees the tree splits even at the
+    # smallest fixture (sf0.001, 150 points) — a single-leaf tree would make
+    # leaf_id a literal and Catalyst would fold the equi-join into the cross
+    # product the no-cartesian pin forbids.
+    memo_key = (session_key(spark), sf_dir)
+    memo = _KDB_MEMO.get(memo_key)
+    if memo is None:
+        part = learn_partitioning(
+            pts,
+            "lon",
+            "lat",
+            sample_key="c_custkey",
+            sample_mod=1,
+            max_sample=4096,
+            partition_count=32,
+        )
+        # Memoize the COMPILED Column expressions too, not just the tree:
+        # building the when-chain + literal leaf array costs hundreds of
+        # py4j round trips per call; a Column is a reusable expression tree.
+        memo = (
+            part.leaf_id_expr(F.col("lon"), F.col("lat")),
             part.covering_leaf_ids_expr(
                 F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax")
-            )
-        ),
-    )
+            ),
+        )
+        _KDB_MEMO[memo_key] = memo
+    leaf_col, cover_col = memo
+    p = pts.withColumn("leaf_id", leaf_col)
+    z = zones.withColumn("leaf_id", F.explode(cover_col))
     joined = z.join(p, "leaf_id").where(
         (F.col("lon") > F.col("xmin"))
         & (F.col("lon") < F.col("xmax"))

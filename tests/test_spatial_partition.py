@@ -166,3 +166,19 @@ class TestLearnPartitioning:
         )
         with pytest.raises(ValueError, match="empty sample"):
             learn_partitioning(df, "x", "y", sample_key="k")
+
+
+class TestPartitionCount:
+    def test_partition_count_bounds_leaves(self, spark):
+        """Leaf count must track partition_count, not sample size — the tree
+        compiles into a plan-side expression, so leaves are a bounded knob."""
+        df = spark.range(20000).select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 7919) % 3600 / 10.0 - 180.0).cast("double").alias("x"),
+            ((F.col("id") * 104729) % 1600 / 10.0 - 80.0).cast("double").alias("y"),
+        )
+        part = learn_partitioning(
+            df, "x", "y", sample_key="k", sample_mod=1, max_sample=8192, partition_count=32
+        )
+        # Median splits round leaves to at most ~2x the requested count.
+        assert 16 <= len(part.leaves) <= 64

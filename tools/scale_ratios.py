@@ -39,11 +39,34 @@ EXEMPT = {
     "sim_pairs_blocked": "pairwise stats within label blocks — O(sum block^2) by contract",
 }
 
+# Local-only rows sampled into the ratio sweep beyond the benched headline
+# set (VERDICT r4 next-round #6): every extension family is represented so
+# a scale regression in a non-benched operator still trips the guard.
+RATIO_EXTRAS = (
+    # geo
+    "fn_geo_point_distance", "fn_geo_polygon_measures", "fn_geo_tile_cover",
+    "fn_geo_wkb", "op_spatial_kdb_join", "op_spatial_distance_join",
+    "op_spatial_polygon_join", "geo_convex_hull_agg", "geo_union_agg",
+    "geo_union_area_sweep",
+    # text
+    "text_pii_scrub", "text_decontaminate", "text_fingerprint",
+    "text_langid_confusion", "text_bpe_token_count",
+    # events
+    "events_funnel", "events_retention", "events_click_attribution",
+    # ml
+    "ml_classify", "ml_regress",
+    # similarity / dedup
+    "sim_knn_join", "dedup_cluster_canonical", "dedup_ngram_jaccard",
+    # scalar/aggregate function families
+    "fn_stats_agg", "fn_array_hof", "fn_histogram",
+)
+
 
 def main() -> None:
     queries = all_queries()
     names = [n for n in sorted(queries) if n.startswith(HEADLINE_PREFIXES)]
     names += [n for n in HEADLINE_EXTRAS if n in queries]
+    names += [n for n in RATIO_EXTRAS if n in queries and n not in names]
 
     spark = build_session(app_name="lyft_presto_spark_ratios")
     spark.range(1_000_000).selectExpr("sum(id) AS s").collect()
