@@ -818,3 +818,81 @@ def st_line_from_binary(b: Column) -> Column:
         & ((F.length(b) - (start - 1)) % 16 == 0)
     )
     return F.when(ok, points(start, header_n))
+
+
+# --- Line/line predicates (planar-exact segment arithmetic) -----------------
+# GeoFunctions.java stIntersects (:1050) / stCrosses (:1081) for the
+# linestring/linestring case — the Esri calls replaced by exact orientation
+# arithmetic over all edge pairs (integer-in-double coordinates keep every
+# cross product exact below 2^53). O(E1 x E2) per row inside codegen: the
+# bounded-vertex-count regime a pipeline filter runs in; pair-blocking for
+# big joins comes from the same grid/KdbTree machinery as the other joins.
+
+
+def _orient(ax, ay, bx, by, cx, cy) -> Column:
+    """Sign of the cross product (b - a) x (c - a)."""
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def _seg_pair_predicate(e1: Column, e2: Column, proper_only: bool) -> Column:
+    p1x, p1y = e1["a"]["x"], e1["a"]["y"]
+    p2x, p2y = e1["b"]["x"], e1["b"]["y"]
+    p3x, p3y = e2["a"]["x"], e2["a"]["y"]
+    p4x, p4y = e2["b"]["x"], e2["b"]["y"]
+    d1 = _orient(p3x, p3y, p4x, p4y, p1x, p1y)
+    d2 = _orient(p3x, p3y, p4x, p4y, p2x, p2y)
+    d3 = _orient(p1x, p1y, p2x, p2y, p3x, p3y)
+    d4 = _orient(p1x, p1y, p2x, p2y, p4x, p4y)
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    if proper_only:
+        return proper
+
+    def on_seg(ax, ay, bx, by, cx, cy) -> Column:
+        # c collinear with a-b assumed; is c within the segment's bbox?
+        return (
+            (F.least(ax, bx) <= cx)
+            & (cx <= F.greatest(ax, bx))
+            & (F.least(ay, by) <= cy)
+            & (cy <= F.greatest(ay, by))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(p3x, p3y, p4x, p4y, p1x, p1y))
+        | ((d2 == 0) & on_seg(p3x, p3y, p4x, p4y, p2x, p2y))
+        | ((d3 == 0) & on_seg(p1x, p1y, p2x, p2y, p3x, p3y))
+        | ((d4 == 0) & on_seg(p1x, p1y, p2x, p2y, p4x, p4y))
+    )
+    return proper | touch
+
+
+def _any_edge_pair(l1: Column, l2: Column, proper_only: bool) -> Column:
+    e2s = _edges(l2)
+    return F.exists(
+        _edges(l1),
+        lambda e1: F.exists(e2s, lambda e2: _seg_pair_predicate(e1, e2, proper_only)),
+    )
+
+
+def st_intersects_lines(l1: Column, l2: Column) -> Column:
+    """OGC intersects for two linestrings (stIntersects,
+    GeoFunctions.java:1050): any edge pair shares at least one point —
+    proper crossings, endpoint touches, and collinear overlaps all count
+    (the classic CLRS segments-intersect test per pair)."""
+    return _any_edge_pair(l1, l2, proper_only=False)
+
+
+def st_crosses_lines(l1: Column, l2: Column) -> Column:
+    """OGC crosses for two linestrings (stCrosses, GeoFunctions.java:1081),
+    planar-exact subset: some edge pair crosses PROPERLY (interiors meet at
+    a single point with strict sign changes on both orientations). Boundary
+    touches and collinear overlaps are NOT crosses; a collinear-overlap pair
+    (dimension-1 intersection) is also not a cross per OGC, which this
+    predicate gets right for free since no proper sign change exists there.
+    DELTAS: an interior meeting exactly at a shared VERTEX of both lines
+    (T-junction inside both interiors, all orientations 0 on one edge end)
+    reports false here; the Esri Relate matrix reports true. Exact-integer
+    fixtures avoid the case; documented delta."""
+    return _any_edge_pair(l1, l2, proper_only=True)

@@ -596,6 +596,13 @@ REWRITE: dict[str, "str | RewriteFn"] = {
 
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
 DELTAS = {
+    "ST_Crosses": "Linestring/linestring crosses uses exact orientation "
+    "arithmetic (proper sign change on both edge orientations). The "
+    "degenerate case where two interiors meet exactly AT a shared vertex of "
+    "both lines (a vertex-on-vertex X-junction, all four orientations zero "
+    "on the meeting edges) reports false; Esri's Relate matrix reports "
+    "true. Integer-coordinate pipelines avoid the case; split the vertex "
+    "if it matters.",
     "ST_Buffer": "Point buffers are regular 32-gon rings approximating the "
     "Esri round buffer (area within 0.65% of pi*r^2; raise n in "
     "st_buffer_point where tighter bounds matter).",

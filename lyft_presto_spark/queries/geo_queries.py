@@ -1146,3 +1146,73 @@ def fn_geo_wkb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("poly_wkb").cast("int").alias("poly_wkb_len"),
         G.st_area(F.col("rt_poly")).alias("rt_poly_area"),
     ).orderBy("c_custkey")
+
+
+# --- Line/line predicates --------------------------------------------------
+
+_LINE_PRED_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 12 AS DOUBLE) AS k1,
+           CAST(c_custkey % 2 AS DOUBLE) AS k2,
+           CAST(c_custkey % 8 AS DOUBLE) AS h
+    FROM customer
+    WHERE c_custkey % 6 = 0
+"""
+
+# Closed-form oracle: the fixtures are constructed so each predicate's truth
+# is a key inequality. Pair 1: horizontal (0,0)-(10,0) vs vertical
+# (k1,-1)-(k1,k2): intersects iff k1 in [0,10]; crosses iff the crossing is
+# proper (k2=1 and k1 strictly interior) — k2=0 is a T-junction touch (L2's
+# endpoint ON L1's interior), which OGC counts as intersects but not
+# crosses. Pair 2: zigzag (0,0)-(3,4)-(6,0) vs horizontal (0,h)-(6,h):
+# intersects iff h <= 4 (h=4 touches the apex vertex, h=0 touches both base
+# endpoints); crosses iff 0 < h < 4 (proper interior crossings on both
+# slanted edges).
+_LINE_PRED_ORACLE = f"""
+WITH src AS ({_LINE_PRED_SRC})
+SELECT c_custkey,
+       (k1 <= 10) AS vert_intersects,
+       (k2 = 1 AND k1 > 0 AND k1 < 10) AS vert_crosses,
+       (h <= 4) AS zig_intersects,
+       (h > 0 AND h < 4) AS zig_crosses
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_line_predicates",
+    oracle=_LINE_PRED_ORACLE,
+    doc="ST_Intersects / ST_Crosses for linestring pairs (GeoFunctions.java "
+    "stIntersects:1050, stCrosses:1081 — Esri Relate replaced by exact "
+    "orientation arithmetic over all edge pairs, the CLRS segments-intersect "
+    "test as codegen HOFs; integer-in-double coordinates keep every cross "
+    "product exact). The fixture constructs proper crossings, T-junction "
+    "touches, vertex touches, and clean misses from key arithmetic; the "
+    "oracle is the closed-form truth of each case. See DELTAS for the "
+    "shared-vertex interior-meeting edge case.",
+    tags=("geo",),
+)
+def fn_geo_line_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _LINE_PRED_SRC, ("customer",))
+    base = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
+    )
+    vert = F.array(
+        G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
+    )
+    zig = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(F.lit(3.0), F.lit(4.0)),
+        G.st_point(F.lit(6.0), F.lit(0.0)),
+    )
+    horiz = F.array(
+        G.st_point(F.lit(0.0), F.col("h")), G.st_point(F.lit(6.0), F.col("h"))
+    )
+    return src.select(
+        "c_custkey",
+        G.st_intersects_lines(base, vert).alias("vert_intersects"),
+        G.st_crosses_lines(base, vert).alias("vert_crosses"),
+        G.st_intersects_lines(zig, horiz).alias("zig_intersects"),
+        G.st_crosses_lines(zig, horiz).alias("zig_crosses"),
+    ).orderBy("c_custkey")

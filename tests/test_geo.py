@@ -506,3 +506,52 @@ class TestWkbCodecs:
         )
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestLineLinePredicates:
+    """ST_Intersects/ST_Crosses for linestring pairs (stIntersects:1050,
+    stCrosses:1081) — exact orientation arithmetic, every OGC case class."""
+
+    def _pred(self, spark, w1, w2):
+        l1 = G.st_line_from_wkt(F.lit(w1))
+        l2 = G.st_line_from_wkt(F.lit(w2))
+        return (
+            _one(spark, G.st_intersects_lines(l1, l2)),
+            _one(spark, G.st_crosses_lines(l1, l2)),
+        )
+
+    def test_proper_cross(self, spark):
+        assert self._pred(
+            spark, "LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)"
+        ) == (True, True)
+
+    def test_t_junction_touch(self, spark):
+        # Endpoint of one line ON the other's interior: intersects, not crosses.
+        assert self._pred(
+            spark, "LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 0)"
+        ) == (True, False)
+
+    def test_endpoint_to_endpoint_touch(self, spark):
+        assert self._pred(
+            spark, "LINESTRING (0 0, 10 0)", "LINESTRING (10 0, 20 5)"
+        ) == (True, False)
+
+    def test_collinear_overlap(self, spark):
+        # Dimension-1 intersection: intersects, and NOT crosses per OGC.
+        assert self._pred(
+            spark, "LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)"
+        ) == (True, False)
+
+    def test_disjoint_parallel_and_far(self, spark):
+        assert self._pred(
+            spark, "LINESTRING (0 0, 10 0)", "LINESTRING (0 1, 10 1)"
+        ) == (False, False)
+        assert self._pred(
+            spark, "LINESTRING (0 0, 10 0)", "LINESTRING (20 20, 30 30)"
+        ) == (False, False)
+
+    def test_multi_edge_zigzag(self, spark):
+        zig = "LINESTRING (0 0, 3 4, 6 0)"
+        assert self._pred(spark, zig, "LINESTRING (0 2, 6 2)") == (True, True)
+        assert self._pred(spark, zig, "LINESTRING (0 4, 6 4)") == (True, False)  # apex touch
+        assert self._pred(spark, zig, "LINESTRING (0 5, 6 5)") == (False, False)
