@@ -32,6 +32,12 @@ Surface (reference parity targets):
 - WKB codecs: ``st_as_binary`` / ``st_point_from_binary`` /
   ``st_line_from_binary`` — GeoFunctions.java stAsBinary/stGeomFromBinary,
   OGC little-endian WKB via hex arithmetic + reflection bit-casts
+- line/line predicates: ``st_intersects_lines`` / ``st_crosses_lines`` —
+  stIntersects/stCrosses, exact orientation arithmetic over edge pairs
+- multi-ring polygons (holes): ``st_polygon_from_wkt/st_polygon_as_wkt/
+  st_num_interior_rings/st_interior_ring_n/st_polygon_area/
+  st_polygon_contains/st_polygon_perimeter`` — the holed-polygon
+  composition of the single-ring primitives
 
 Every function also has a dual-dialect SQL generator (``*_sql``) so registry
 queries can run the identical arithmetic on Spark and the DuckDB oracle —
@@ -896,3 +902,103 @@ def st_crosses_lines(l1: Column, l2: Column) -> Column:
     reports false here; the Esri Relate matrix reports true. Exact-integer
     fixtures avoid the case; documented delta."""
     return _any_edge_pair(l1, l2, proper_only=True)
+
+
+# --- Multi-ring polygons (holes) -------------------------------------------
+# GeoFunctions.java stGeometryFromText polygon-with-holes case +
+# stNumInteriorRing/stInteriorRingN (:520), stArea (:236, Esri subtracts
+# hole areas), stContains for holed polygons. Representation:
+# array<array<struct<x,y>>> — ring 1 is the exterior, the rest are holes.
+# Everything composes from the single-ring primitives, as pure codegen:
+# area = outer - sum(holes); contains = in outer AND in no hole (the
+# exact composition the module docstring promised).
+
+
+def _parse_ring_body(body: Column) -> Column:
+    """Comma-separated "x y" pairs -> array<struct<x,y>>, auto-closed."""
+    pts = F.transform(
+        F.split(body, r"\s*,\s*"),
+        lambda s: F.struct(
+            _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 1)).alias("x"),
+            _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 2)).alias("y"),
+        ),
+    )
+    first = F.element_at(pts, 1)
+    last = F.element_at(pts, -1)
+    return F.when(
+        (first["x"] == last["x"]) & (first["y"] == last["y"]), pts
+    ).otherwise(F.concat(pts, F.array(first)))
+
+
+def st_polygon_from_wkt(wkt: Column) -> Column:
+    """Parse ``POLYGON ((outer), (hole1), ...)`` into array of rings
+    (stGeometryFromText, multi-ring polygon case). Non-polygon or malformed
+    WKT yields NULL; each ring is auto-closed like st_line_from_wkt."""
+    shell = F.regexp_extract(wkt, r"^\s*POLYGON\s*\(\s*(\(.*\))\s*\)\s*$", 1)
+    bodies = F.regexp_extract_all(shell, F.lit(r"\(([^()]*)\)"), 1)
+    ok = (shell != "") & (F.size(bodies) >= 1)
+    # The shell must be exactly the rings and separators — reject nesting
+    # deeper than one level (e.g. MULTIPOLYGON spellings) by checking the
+    # de-ringed residue contains only commas and whitespace.
+    residue = F.regexp_replace(shell, r"\(([^()]*)\)", "")
+    ok = ok & F.regexp_like(residue, F.lit(r"^[\s,]*$"))
+    return F.when(ok, F.transform(bodies, _parse_ring_body))
+
+
+def st_polygon_as_wkt(rings: Column) -> Column:
+    """Render rings back to multi-ring POLYGON WKT (stAsText)."""
+    ring_txt = F.transform(
+        rings,
+        lambda ring: F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(
+                    ring,
+                    lambda p: F.concat(
+                        p["x"].cast("string"), F.lit(" "), p["y"].cast("string")
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        ),
+    )
+    return F.concat(F.lit("POLYGON ("), F.array_join(ring_txt, ", "), F.lit(")"))
+
+
+def st_num_interior_rings(rings: Column) -> Column:
+    """stNumInteriorRing (GeoFunctions.java:520)."""
+    return F.greatest(F.size(rings) - 1, F.lit(0))
+
+
+def st_interior_ring_n(rings: Column, n: Column | int) -> Column:
+    """stInteriorRingN — 1-based, Presto indexing."""
+    return F.element_at(rings, (n if isinstance(n, Column) else F.lit(n)) + 1)
+
+
+def _holes(rings: Column) -> Column:
+    return F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
+
+
+def st_polygon_area(rings: Column) -> Column:
+    """stArea for a holed polygon: exterior shoelace minus hole shoelaces
+    (Esri computes the same for valid polygons — holes inside the shell,
+    no overlaps)."""
+    hole_area = F.aggregate(
+        _holes(rings), F.lit(0.0), lambda acc, ring: acc + st_area(ring)
+    )
+    return st_area(F.element_at(rings, 1)) - hole_area
+
+
+def st_polygon_contains(rings: Column, p: Column) -> Column:
+    """stContains(polygon-with-holes, point): ray-cast in the exterior ring
+    AND in none of the holes."""
+    outer = st_contains_ring(F.element_at(rings, 1), p)
+    in_hole = F.exists(_holes(rings), lambda hole: st_contains_ring(hole, p))
+    return outer & ~in_hole
+
+
+def st_polygon_perimeter(rings: Column) -> Column:
+    """Sum of all ring lengths (stLength of a polygon boundary — the Esri
+    boundary length includes hole rings)."""
+    return F.aggregate(rings, F.lit(0.0), lambda acc, ring: acc + st_length(ring))

@@ -1216,3 +1216,73 @@ def fn_geo_line_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_intersects_lines(zig, horiz).alias("zig_intersects"),
         G.st_crosses_lines(zig, horiz).alias("zig_crosses"),
     ).orderBy("c_custkey")
+
+
+# --- Multi-ring polygons (holes) ------------------------------------------
+
+_HOLES_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 6 + 5 AS DOUBLE) AS s,
+           CAST(c_custkey % 3 + 1 AS DOUBLE) AS t
+    FROM customer
+    WHERE c_custkey % 8 = 0
+"""
+
+# Closed-form oracle for the donut built from key arithmetic: outer square
+# side s (5..10), square hole (1,1)-(1+t,1+t) with t (1..3) — always inside
+# the shell. Area, boundary length, ring count, and two probes ((0.5,0.5)
+# in the shell outside the hole; (1.5,1.5) always inside the hole) are all
+# closed forms of s and t.
+_HOLES_ORACLE = f"""
+WITH src AS ({_HOLES_SRC})
+SELECT c_custkey,
+       1 AS n_holes,
+       s * s - t * t AS poly_area,
+       4 * s + 4 * t AS poly_perimeter,
+       t * t AS hole_area,
+       TRUE AS shell_contained,
+       FALSE AS hole_contained
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_polygon_holes",
+    oracle=_HOLES_ORACLE,
+    doc="Multi-ring polygons: WKT parse of POLYGON ((shell), (hole)) "
+    "(stGeometryFromText holed case), stNumInteriorRing/stInteriorRingN "
+    "(GeoFunctions.java:520), stArea with hole subtraction (:236), boundary "
+    "length incl. hole rings, and holed ray-cast containment (in shell AND "
+    "in no hole) — the composition of single-ring primitives the planar "
+    "model promised, all codegen HOFs over array<array<struct<x,y>>>. The "
+    "WKT string is assembled per row from key arithmetic so the parser is "
+    "actually exercised; the oracle is the closed form in s and t.",
+    tags=("geo",),
+)
+def fn_geo_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _HOLES_SRC, ("customer",))
+    s, t_ = F.col("s"), F.col("t")
+
+    def n(c: F.Column) -> F.Column:
+        return c.cast("int").cast("string")
+
+    wkt = F.concat(
+        F.lit("POLYGON ((0 0, "), n(s), F.lit(" 0, "), n(s), F.lit(" "), n(s),
+        F.lit(", 0 "), n(s), F.lit(", 0 0), (1 1, "), n(1 + t_), F.lit(" 1, "),
+        n(1 + t_), F.lit(" "), n(1 + t_), F.lit(", 1 "), n(1 + t_), F.lit(", 1 1))"),
+    )
+    parsed = src.select("c_custkey", "s", "t", G.st_polygon_from_wkt(wkt).alias("rings"))
+    return parsed.select(
+        "c_custkey",
+        G.st_num_interior_rings(F.col("rings")).cast("int").alias("n_holes"),
+        G.st_polygon_area(F.col("rings")).alias("poly_area"),
+        G.st_polygon_perimeter(F.col("rings")).alias("poly_perimeter"),
+        G.st_area(G.st_interior_ring_n(F.col("rings"), 1)).alias("hole_area"),
+        G.st_polygon_contains(
+            F.col("rings"), G.st_point(F.lit(0.5), F.lit(0.5))
+        ).alias("shell_contained"),
+        G.st_polygon_contains(
+            F.col("rings"), G.st_point(F.lit(1.5), F.lit(1.5))
+        ).alias("hole_contained"),
+    ).orderBy("c_custkey")

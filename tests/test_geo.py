@@ -555,3 +555,60 @@ class TestLineLinePredicates:
         assert self._pred(spark, zig, "LINESTRING (0 2, 6 2)") == (True, True)
         assert self._pred(spark, zig, "LINESTRING (0 4, 6 4)") == (True, False)  # apex touch
         assert self._pred(spark, zig, "LINESTRING (0 5, 6 5)") == (False, False)
+
+
+class TestPolygonWithHoles:
+    """Multi-ring polygons (stGeometryFromText holed case,
+    stNumInteriorRing/stInteriorRingN:520, stArea hole subtraction)."""
+
+    DONUT = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+
+    def test_parse_and_accessors(self, spark):
+        rings = G.st_polygon_from_wkt(F.lit(self.DONUT))
+        assert _one(spark, F.size(rings)) == 2
+        assert _one(spark, G.st_num_interior_rings(rings)) == 1
+        hole = G.st_interior_ring_n(rings, 1)
+        assert _one(spark, G.st_area(hole)) == 16.0
+
+    def test_area_and_perimeter(self, spark):
+        rings = G.st_polygon_from_wkt(F.lit(self.DONUT))
+        assert _one(spark, G.st_polygon_area(rings)) == 100.0 - 16.0
+        assert _one(spark, G.st_polygon_perimeter(rings)) == 40.0 + 16.0
+
+    def test_contains_respects_holes(self, spark):
+        rings = G.st_polygon_from_wkt(F.lit(self.DONUT))
+        probe = lambda x, y: _one(  # noqa: E731
+            spark, G.st_polygon_contains(rings, G.st_point(F.lit(x), F.lit(y)))
+        )
+        assert probe(1.0, 1.0) is True  # in shell, outside hole
+        assert probe(5.0, 5.0) is False  # inside the hole
+        assert probe(11.0, 5.0) is False  # outside the shell
+
+    def test_multi_hole_and_open_rings(self, spark):
+        # Two holes; rings left open (auto-closed like the Esri reader).
+        wkt = "POLYGON ((0 0, 12 0, 12 12, 0 12), (1 1, 3 1, 3 3, 1 3), (8 8, 10 8, 10 10, 8 10))"
+        rings = G.st_polygon_from_wkt(F.lit(wkt))
+        assert _one(spark, G.st_num_interior_rings(rings)) == 2
+        assert _one(spark, G.st_polygon_area(rings)) == 144.0 - 4.0 - 4.0
+
+    def test_single_ring_degenerates_gracefully(self, spark):
+        rings = G.st_polygon_from_wkt(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4))"))
+        assert _one(spark, G.st_num_interior_rings(rings)) == 0
+        assert _one(spark, G.st_polygon_area(rings)) == 16.0
+        assert _one(
+            spark, G.st_polygon_contains(rings, G.st_point(F.lit(2.0), F.lit(2.0)))
+        ) is True
+
+    def test_roundtrip_wkt(self, spark):
+        rings = G.st_polygon_from_wkt(F.lit(self.DONUT))
+        back = G.st_polygon_from_wkt(G.st_polygon_as_wkt(rings))
+        assert _one(spark, G.st_polygon_area(back)) == 84.0
+        assert _one(spark, G.st_num_interior_rings(back)) == 1
+
+    def test_malformed_yields_null(self, spark):
+        for bad in (
+            "LINESTRING (0 0, 1 1)",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1)), ((2 2, 3 2, 3 3)))",
+            "POLYGON ()",
+        ):
+            assert _one(spark, F.size(G.st_polygon_from_wkt(F.lit(bad)))) in (None, -1)
