@@ -38,6 +38,9 @@ Surface (reference parity targets):
   st_num_interior_rings/st_interior_ring_n/st_polygon_area/
   st_polygon_contains/st_polygon_perimeter`` — the holed-polygon
   composition of the single-ring primitives
+- self-intersection + crossings: ``st_is_simple_line`` / ``st_is_ring`` /
+  ``st_segment_intersection`` / ``st_line_crossings`` — stIsSimple:472,
+  stIsRing:829, the point case of stIntersection:1019
 
 Every function also has a dual-dialect SQL generator (``*_sql``) so registry
 queries can run the identical arithmetic on Spark and the DuckDB oracle —
@@ -1002,3 +1005,97 @@ def st_polygon_perimeter(rings: Column) -> Column:
     """Sum of all ring lengths (stLength of a polygon boundary — the Esri
     boundary length includes hole rings)."""
     return F.aggregate(rings, F.lit(0.0), lambda acc, ring: acc + st_length(ring))
+
+
+# --- Self-intersection (ST_IsSimple / ST_IsRing) and crossing points -------
+# GeoFunctions.java stIsSimple (:472), stIsRing (:829), and the proper-
+# crossing case of stIntersection — all reusing the exact segment
+# arithmetic above. Edge pairs are enumerated with an index sequence so
+# adjacency (shared vertex) can be told apart from a genuine self-cross.
+
+
+def _indexed_edges(line: Column) -> Column:
+    e = _edges(line)
+    return F.zip_with(
+        F.sequence(F.lit(1), F.greatest(F.size(e), F.lit(1))),
+        e,
+        lambda i, ed: F.struct(i.alias("i"), ed.alias("e")),
+    )
+
+
+def st_is_simple_line(line: Column, closed: bool = False) -> Column:
+    """stIsSimple for a linestring (GeoFunctions.java:472): no two
+    NON-ADJACENT edges intersect, and adjacent edges meet only at their
+    shared vertex (a backtracking overlap — next edge doubling back along
+    the previous one — is a self-intersection). ``closed=True`` treats the
+    first and last edge as adjacent (ring case)."""
+    ie = _indexed_edges(line)
+    n = F.size(ie)
+
+    def backtracks(v: Column, far1: Column, far2: Column) -> Column:
+        # Two edges sharing exactly vertex v overlap iff their far endpoints
+        # leave v in collinear, same-signed directions (the next edge doubles
+        # back along the previous one).
+        collinear = (
+            _orient(v["x"], v["y"], far1["x"], far1["y"], far2["x"], far2["y"]) == 0
+        )
+        same_dir = (
+            (far1["x"] - v["x"]) * (far2["x"] - v["x"])
+            + (far1["y"] - v["y"]) * (far2["y"] - v["y"])
+        ) > 0
+        return collinear & same_dir
+
+    def bad_pair(a: Column, b: Column) -> Column:
+        seq_adj = b["i"] - a["i"] == 1  # shared vertex: a.e.b == b.e.a
+        cyc_adj = F.lit(closed) & (a["i"] == 1) & (b["i"] == n)  # a.e.a == b.e.b
+        cross = _seg_pair_predicate(a["e"], b["e"], proper_only=False)
+        return (
+            F.when(seq_adj, backtracks(a["e"]["b"], a["e"]["a"], b["e"]["b"]))
+            .when(cyc_adj, backtracks(a["e"]["a"], a["e"]["b"], b["e"]["a"]))
+            .otherwise(cross)
+        )
+
+    return ~F.exists(
+        ie,
+        lambda a: F.exists(
+            ie, lambda b: (b["i"] > a["i"]) & bad_pair(a, b)
+        ),
+    )
+
+
+def st_is_ring(line: Column) -> Column:
+    """stIsRing (GeoFunctions.java:829): closed AND simple (cyclic
+    adjacency)."""
+    return st_is_closed(line) & st_is_simple_line(line, closed=True)
+
+
+def st_segment_intersection(e1: Column, e2: Column) -> Column:
+    """The intersection point of two properly-crossing segments (the
+    point-output case of stIntersection, GeoFunctions.java:1019); NULL if
+    the segments do not cross properly. Exact parametric form:
+    p1 + s (p2 - p1) with s from the standard determinant ratio."""
+    p1x, p1y = e1["a"]["x"], e1["a"]["y"]
+    p2x, p2y = e1["b"]["x"], e1["b"]["y"]
+    p3x, p3y = e2["a"]["x"], e2["a"]["y"]
+    p4x, p4y = e2["b"]["x"], e2["b"]["y"]
+    denom = (p2x - p1x) * (p4y - p3y) - (p2y - p1y) * (p4x - p3x)
+    s = ((p3x - p1x) * (p4y - p3y) - (p3y - p1y) * (p4x - p3x)) / denom
+    return F.when(
+        _seg_pair_predicate(e1, e2, proper_only=True),
+        F.struct(
+            (p1x + s * (p2x - p1x)).alias("x"), (p1y + s * (p2y - p1y)).alias("y")
+        ),
+    )
+
+
+def st_line_crossings(l1: Column, l2: Column) -> Column:
+    """All proper crossing points between two linestrings, in l1-edge-major
+    order (the multi-point output of stIntersection for crossing lines)."""
+    e2s = _edges(l2)
+    pts = F.flatten(
+        F.transform(
+            _edges(l1),
+            lambda e1: F.transform(e2s, lambda e2: st_segment_intersection(e1, e2)),
+        )
+    )
+    return F.filter(pts, lambda p: p.isNotNull())

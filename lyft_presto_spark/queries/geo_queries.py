@@ -1286,3 +1286,87 @@ def fn_geo_polygon_holes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rings"), G.st_point(F.lit(1.5), F.lit(1.5))
         ).alias("hole_contained"),
     ).orderBy("c_custkey")
+
+
+# --- ST_IsSimple / ST_IsRing / crossing points -----------------------------
+
+_SIMPLE_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 5 AS DOUBLE) AS m,
+           CAST(c_custkey % 2 AS DOUBLE) AS b,
+           CAST(c_custkey % 12 AS DOUBLE) AS k1,
+           CAST(c_custkey % 2 AS DOUBLE) AS k2,
+           (c_custkey % 3 = 0) AS make_bowtie
+    FROM customer
+    WHERE c_custkey % 7 = 0
+"""
+
+# Closed forms: the polyline (0 0, 5 0, m b) backtracks (not simple) exactly
+# when b = 0 (third vertex collinear, m < 5 always); the ring is the unit
+# square unless make_bowtie, whose crossed vertex order self-intersects; the
+# vertical (k1,-1)-(k1,k2) crosses the base (0,0)-(10,0) properly iff k2 = 1
+# and k1 strictly interior, at exactly (k1, 0).
+_SIMPLE_ORACLE = f"""
+WITH src AS ({_SIMPLE_SRC})
+SELECT c_custkey,
+       (b = 1) AS line_simple,
+       (NOT make_bowtie) AS ring_ok,
+       CASE WHEN k2 = 1 AND k1 > 0 AND k1 < 10 THEN k1 END AS cross_x,
+       CASE WHEN k2 = 1 AND k1 > 0 AND k1 < 10 THEN 0.0 END AS cross_y,
+       CASE WHEN k2 = 1 AND k1 > 0 AND k1 < 10 THEN 1 ELSE 0 END AS n_crossings
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_simple_ring",
+    oracle=_SIMPLE_ORACLE,
+    doc="ST_IsSimple (GeoFunctions.java:472), ST_IsRing (:829), and the "
+    "proper-crossing point output of ST_Intersection (:1019): exact "
+    "orientation arithmetic with indexed edge pairs so adjacency (shared "
+    "vertices, incl. the ring's cyclic first/last pair) is told apart from "
+    "a genuine self-cross; backtracking collinear turns are correctly "
+    "non-simple. Fixtures are key-constructed backtracks, bowties, squares, "
+    "and verticals; the oracle is the closed-form truth of each.",
+    tags=("geo",),
+)
+def fn_geo_simple_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _SIMPLE_SRC, ("customer",))
+    polyline = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(F.lit(5.0), F.lit(0.0)),
+        G.st_point(F.col("m"), F.col("b")),
+    )
+    square = [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0)]
+    ring = F.when(
+        F.col("make_bowtie"),
+        F.array(*[G.st_point(F.lit(x), F.lit(y)) for x, y in square]
+                + [G.st_point(F.lit(0.0), F.lit(0.0))]),
+    ).otherwise(
+        F.array(
+            G.st_point(F.lit(0.0), F.lit(0.0)),
+            G.st_point(F.lit(4.0), F.lit(0.0)),
+            G.st_point(F.lit(4.0), F.lit(4.0)),
+            G.st_point(F.lit(0.0), F.lit(4.0)),
+            G.st_point(F.lit(0.0), F.lit(0.0)),
+        )
+    )
+    base = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
+    )
+    vert = F.array(
+        G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
+    )
+    crossings = G.st_line_crossings(base, vert)
+    # F.get, not element_at: ANSI element_at throws on the empty (no
+    # crossing) array; get returns NULL out of bounds.
+    first = F.get(crossings, 0)
+    return src.select(
+        "c_custkey",
+        G.st_is_simple_line(polyline).alias("line_simple"),
+        G.st_is_ring(ring).alias("ring_ok"),
+        first["x"].alias("cross_x"),
+        first["y"].alias("cross_y"),
+        F.size(crossings).cast("int").alias("n_crossings"),
+    ).orderBy("c_custkey")

@@ -612,3 +612,59 @@ class TestPolygonWithHoles:
             "POLYGON ()",
         ):
             assert _one(spark, F.size(G.st_polygon_from_wkt(F.lit(bad)))) in (None, -1)
+
+
+class TestSimpleRingAndCrossings:
+    """stIsSimple (:472), stIsRing (:829), and proper-crossing points
+    (stIntersection point case)."""
+
+    def _line(self, w):
+        return G.st_line_from_wkt(F.lit(w))
+
+    def test_simple_polyline(self, spark):
+        assert _one(spark, G.st_is_simple_line(self._line("LINESTRING (0 0, 5 0, 5 5)"))) is True
+
+    def test_self_crossing_bowtie(self, spark):
+        bow = self._line("LINESTRING (0 0, 4 4, 4 0, 0 4)")
+        assert _one(spark, G.st_is_simple_line(bow)) is False
+
+    def test_backtracking_is_not_simple(self, spark):
+        back = self._line("LINESTRING (0 0, 5 0, 3 0)")
+        assert _one(spark, G.st_is_simple_line(back)) is False
+        # A sharp-but-noncollinear turn IS simple.
+        sharp = self._line("LINESTRING (0 0, 5 0, 3 1)")
+        assert _one(spark, G.st_is_simple_line(sharp)) is True
+
+    def test_is_ring(self, spark):
+        square = G.st_line_from_wkt(F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4))"), "POLYGON")
+        assert _one(spark, G.st_is_ring(square)) is True
+        open_line = self._line("LINESTRING (0 0, 4 0, 4 4)")
+        assert _one(spark, G.st_is_ring(open_line)) is False
+        bowtie_ring = G.st_line_from_wkt(
+            F.lit("POLYGON ((0 0, 4 4, 4 0, 0 4))"), "POLYGON"
+        )
+        assert _one(spark, G.st_is_ring(bowtie_ring)) is False
+
+    def test_segment_intersection_point(self, spark):
+        e1 = F.struct(
+            G.st_point(F.lit(0.0), F.lit(0.0)).alias("a"),
+            G.st_point(F.lit(10.0), F.lit(0.0)).alias("b"),
+        )
+        e2 = F.struct(
+            G.st_point(F.lit(4.0), F.lit(-2.0)).alias("a"),
+            G.st_point(F.lit(4.0), F.lit(6.0)).alias("b"),
+        )
+        p = _one(spark, G.st_segment_intersection(e1, e2))
+        assert (p.x, p.y) == (4.0, 0.0)
+        # Parallel: NULL
+        e3 = F.struct(
+            G.st_point(F.lit(0.0), F.lit(1.0)).alias("a"),
+            G.st_point(F.lit(10.0), F.lit(1.0)).alias("b"),
+        )
+        assert _one(spark, G.st_segment_intersection(e1, e3)) is None
+
+    def test_line_crossings_multi_edge(self, spark):
+        zig = self._line("LINESTRING (0 0, 3 4, 6 0)")
+        horiz = self._line("LINESTRING (0 2, 6 2)")
+        pts = _one(spark, G.st_line_crossings(zig, horiz))
+        assert [(p.x, p.y) for p in pts] == [(1.5, 2.0), (4.5, 2.0)]
