@@ -32,8 +32,10 @@ Surface (reference parity targets):
 - WKB codecs: ``st_as_binary`` / ``st_point_from_binary`` /
   ``st_line_from_binary`` — GeoFunctions.java stAsBinary/stGeomFromBinary,
   OGC little-endian WKB via hex arithmetic + reflection bit-casts
-- line/line predicates: ``st_intersects_lines`` / ``st_crosses_lines`` —
-  stIntersects/stCrosses, exact orientation arithmetic over edge pairs
+- line/line predicates: ``st_intersects_lines`` / ``st_crosses_lines`` /
+  ``st_touches_lines`` / ``st_collinear_overlap_lines`` —
+  stIntersects/stCrosses/stTouches, exact orientation arithmetic over
+  edge pairs
 - multi-ring polygons (holes): ``st_polygon_from_wkt/st_polygon_as_wkt/
   st_num_interior_rings/st_interior_ring_n/st_polygon_area/
   st_polygon_contains/st_polygon_perimeter`` — the holed-polygon
@@ -1099,3 +1101,44 @@ def st_line_crossings(l1: Column, l2: Column) -> Column:
         )
     )
     return F.filter(pts, lambda p: p.isNotNull())
+
+
+def st_collinear_overlap_lines(l1: Column, l2: Column) -> Column:
+    """True iff some edge pair is collinear with a positive-length overlap
+    (a dimension-1 intersection — the case that separates OGC touches from
+    a mere shared point)."""
+    e2s = _edges(l2)
+
+    def pair(e1: Column, e2: Column) -> Column:
+        p1x, p1y = e1["a"]["x"], e1["a"]["y"]
+        p2x, p2y = e1["b"]["x"], e1["b"]["y"]
+        p3x, p3y = e2["a"]["x"], e2["a"]["y"]
+        p4x, p4y = e2["b"]["x"], e2["b"]["y"]
+        collinear = (
+            (_orient(p1x, p1y, p2x, p2y, p3x, p3y) == 0)
+            & (_orient(p1x, p1y, p2x, p2y, p4x, p4y) == 0)
+        )
+        # Positive-length interval overlap on either axis (the degenerate
+        # axis of an axis-aligned pair fails strictly; the other carries it).
+        over_x = F.greatest(F.least(p1x, p2x), F.least(p3x, p4x)) < F.least(
+            F.greatest(p1x, p2x), F.greatest(p3x, p4x)
+        )
+        over_y = F.greatest(F.least(p1y, p2y), F.least(p3y, p4y)) < F.least(
+            F.greatest(p1y, p2y), F.greatest(p3y, p4y)
+        )
+        return collinear & (over_x | over_y)
+
+    return F.exists(_edges(l1), lambda e1: F.exists(e2s, lambda e2: pair(e1, e2)))
+
+
+def st_touches_lines(l1: Column, l2: Column) -> Column:
+    """OGC touches for two linestrings (stTouches, GeoFunctions.java:1165,
+    planar-exact subset): the lines intersect, but only at isolated points
+    that are not interior-interior crossings — intersects AND NOT crosses
+    AND no positive-length collinear overlap. Vertex-grazing crossings
+    classify as touches (the documented ST_Crosses delta)."""
+    return (
+        st_intersects_lines(l1, l2)
+        & ~st_crosses_lines(l1, l2)
+        & ~st_collinear_overlap_lines(l1, l2)
+    )

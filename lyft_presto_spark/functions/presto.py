@@ -597,12 +597,14 @@ REWRITE: dict[str, "str | RewriteFn"] = {
 # Semantic deltas a migrating user must know (pinned by the conformance corpus).
 DELTAS = {
     "ST_Crosses": "Linestring/linestring crosses uses exact orientation "
-    "arithmetic (proper sign change on both edge orientations). The "
-    "degenerate case where two interiors meet exactly AT a shared vertex of "
-    "both lines (a vertex-on-vertex X-junction, all four orientations zero "
-    "on the meeting edges) reports false; Esri's Relate matrix reports "
-    "true. Integer-coordinate pipelines avoid the case; split the vertex "
-    "if it matters.",
+    "arithmetic (proper sign change on both edge orientations). A crossing "
+    "that passes exactly THROUGH A VERTEX of either line (vertex-grazing: "
+    "some orientation is zero at the meeting point, e.g. a line through a "
+    "zigzag's apex) classifies as a touch here — crosses=false, "
+    "touches=true — while the strict OGC/Esri Relate matrix reports "
+    "crosses=true when both interiors meet. Split the vertex if the strict "
+    "classification matters; proper crossings, endpoint touches, and "
+    "collinear overlaps classify identically to the reference.",
     "ST_Buffer": "Point buffers are regular 32-gon rings approximating the "
     "Esri round buffer (area within 0.65% of pi*r^2; raise n in "
     "st_buffer_point where tighter bounds matter).",

@@ -1370,3 +1370,61 @@ def fn_geo_simple_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         first["y"].alias("cross_y"),
         F.size(crossings).cast("int").alias("n_crossings"),
     ).orderBy("c_custkey")
+
+
+# --- ST_Touches ------------------------------------------------------------
+
+_TOUCH_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 12 AS DOUBLE) AS k1,
+           CAST(c_custkey % 2 AS DOUBLE) AS k2,
+           CAST(c_custkey % 15 AS DOUBLE) AS c
+    FROM customer
+    WHERE c_custkey % 5 = 0
+"""
+
+# Closed forms. Vertical (k1,-1)-(k1,k2) vs base (0,0)-(10,0): touches iff
+# they intersect without a proper cross = k1 in [0,10] minus the proper
+# window (k2=1 AND 0<k1<10). Collinear (c,0)-(c+5,0) vs base: positive
+# overlap iff c < 10 (not a touch), single-point contact iff c = 10
+# (a touch), disjoint iff c > 10.
+_TOUCH_ORACLE = f"""
+WITH src AS ({_TOUCH_SRC})
+SELECT c_custkey,
+       (k1 <= 10 AND NOT (k2 = 1 AND k1 > 0 AND k1 < 10)) AS vert_touches,
+       (c = 10) AS coll_touches,
+       (c <= 10) AS coll_intersects
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_line_touches",
+    oracle=_TOUCH_ORACLE,
+    doc="ST_Touches for linestring pairs (stTouches, GeoFunctions.java:1165, "
+    "planar-exact subset): intersects AND NOT crosses AND no positive-length "
+    "collinear overlap — endpoint and T-junction contacts are touches, "
+    "proper crossings and dimension-1 overlaps are not (vertex-grazing "
+    "delta documented under ST_Crosses in DELTAS). Fixtures: verticals "
+    "sweeping touch/cross/miss and collinear segments sweeping "
+    "overlap/point-contact/disjoint; closed-form oracle.",
+    tags=("geo",),
+)
+def fn_geo_line_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _TOUCH_SRC, ("customer",))
+    base = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
+    )
+    vert = F.array(
+        G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
+    )
+    coll = F.array(
+        G.st_point(F.col("c"), F.lit(0.0)), G.st_point(F.col("c") + 5.0, F.lit(0.0))
+    )
+    return src.select(
+        "c_custkey",
+        G.st_touches_lines(base, vert).alias("vert_touches"),
+        G.st_touches_lines(base, coll).alias("coll_touches"),
+        G.st_intersects_lines(base, coll).alias("coll_intersects"),
+    ).orderBy("c_custkey")

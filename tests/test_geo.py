@@ -668,3 +668,31 @@ class TestSimpleRingAndCrossings:
         horiz = self._line("LINESTRING (0 2, 6 2)")
         pts = _one(spark, G.st_line_crossings(zig, horiz))
         assert [(p.x, p.y) for p in pts] == [(1.5, 2.0), (4.5, 2.0)]
+
+
+class TestTouchesLines:
+    """stTouches (GeoFunctions.java:1165), linestring pair, planar-exact."""
+
+    def _pred(self, spark, w1, w2):
+        l1, l2 = G.st_line_from_wkt(F.lit(w1)), G.st_line_from_wkt(F.lit(w2))
+        return _one(spark, G.st_touches_lines(l1, l2))
+
+    def test_endpoint_and_t_junction_touch(self, spark):
+        assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (10 0, 20 5)") is True
+        assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 0)") is True
+
+    def test_proper_cross_is_not_touch(self, spark):
+        assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (5 -5, 5 5)") is False
+
+    def test_collinear_positive_overlap_is_not_touch(self, spark):
+        assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (5 0, 15 0)") is False
+        # Collinear meeting only at one endpoint: a touch.
+        assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (10 0, 20 0)") is True
+
+    def test_vertical_collinear_overlap(self, spark):
+        # Degenerate x-interval: the y-axis carries the overlap test.
+        assert self._pred(spark, "LINESTRING (3 0, 3 10)", "LINESTRING (3 5, 3 15)") is False
+        assert self._pred(spark, "LINESTRING (3 0, 3 10)", "LINESTRING (3 10, 3 20)") is True
+
+    def test_disjoint_is_not_touch(self, spark):
+        assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (0 5, 10 5)") is False
