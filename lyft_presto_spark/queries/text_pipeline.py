@@ -627,3 +627,104 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 )
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _BOILERPLATE_SPARK, ("documents",))
+
+
+_CHUNK, _STRIDE = 30, 20  # tokens per chunk, stride (overlap = 10)
+
+
+def _chunk_sql(d: str) -> str:
+    toks = T.tokens("text", d)
+    if d == "spark":
+        sl = f"slice(t, chunk_id * {_STRIDE} + 1, {_CHUNK})"
+    else:
+        sl = f"list_slice(t, chunk_id * {_STRIDE} + 1, chunk_id * {_STRIDE} + {_CHUNK})"
+    n_chunks = (
+        f"CASE WHEN n <= {_CHUNK} THEN 1 "
+        f"ELSE CAST(ceil((n - {_CHUNK}) / CAST({_STRIDE} AS DOUBLE)) AS INT) + 1 END"
+    )
+    if d == "spark":
+        chunks = f"""
+chunks AS (
+    SELECT doc_id, n, explode(sequence(0, n_chunks - 1)) AS chunk_id, t
+    FROM meta
+)"""
+    else:
+        chunks = f"""
+chunks AS (
+    SELECT doc_id, n, unnest(generate_series(0, n_chunks - 1)) AS chunk_id, t
+    FROM meta
+)"""
+    size = T.array_size("ct", d)
+    join = "array_join(ct, ' ')" if d == "spark" else "list_aggregate(ct, 'string_agg', ' ')"
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {toks} AS t FROM documents
+),
+meta AS (
+    SELECT doc_id, t, {T.array_size("t", d)} AS n,
+           {n_chunks} AS n_chunks
+    FROM toks
+),{chunks},
+sliced AS (
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id, {sl} AS ct FROM chunks
+)
+SELECT doc_id, chunk_id,
+       CAST({size} AS INT) AS chunk_tokens,
+       {join} AS chunk_text
+FROM sliced
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query(
+    "text_chunk_overlap",
+    oracle=_chunk_sql("duck"),
+    doc="Overlapping document chunking (the context-window preprocessing "
+    "step every LLM training pipeline runs): tokenize once map-side, "
+    "explode a per-doc chunk-index sequence, slice token windows of "
+    f"{_CHUNK} with stride {_STRIDE}, reassemble chunk text. Pure codegen "
+    "(explode+slice+array_join); rows scale as n_tokens/stride per doc with "
+    "no shuffle before the final ordering; the oracle runs the identical "
+    "windowing in DuckDB list algebra.",
+    tags=("text",),
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _chunk_sql("spark"), ("documents",))
+
+
+def _stratified_sql(d: str) -> str:
+    # Deterministic per-row keep decision: a portable multiplicative hash of
+    # doc_id against a per-source rate — identical in both engines (exact
+    # integer arithmetic, doc_id * 2654435761 < 2^63 at any realistic scale).
+    rate = (
+        "CASE CAST(substr(source, 4) AS INT) % 4 "
+        "WHEN 0 THEN 1000 WHEN 1 THEN 500 WHEN 2 THEN 250 ELSE 100 END"
+    )
+    keep = f"(doc_id * 2654435761) % 1000 < {rate}"
+    return f"""
+WITH flagged AS (
+    SELECT source, doc_id, ({keep}) AS kept FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "text_stratified_sample",
+    oracle=_stratified_sql("duck"),
+    doc="Deterministic stratified sampling toward per-source mixture rates "
+    "(domain re-weighting before training): keep decision is a portable "
+    "multiplicative hash of doc_id vs a per-source permille rate — "
+    "reproducible across engines/runs/partitionings unlike Bernoulli "
+    "sampling, one map-side pass, aggregation shuffles only grouped "
+    "scalars. kept_id_sum pins the exact kept SET, not just its size.",
+    tags=("text",),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _stratified_sql("spark"), ("documents",))
