@@ -182,3 +182,59 @@ class TestPartitionCount:
         )
         # Median splits round leaves to at most ~2x the requested count.
         assert 16 <= len(part.leaves) <= 64
+
+
+class TestKdbProperties:
+    """Property-based invariants over random point sets (pure Python — no
+    Spark session, so these run in milliseconds)."""
+
+    def test_random_point_sets_partition_and_bound(self):
+        from hypothesis import given, settings, strategies as st
+
+        coord = st.integers(min_value=-1000, max_value=1000)
+        pts_strategy = st.lists(
+            st.tuples(coord, coord), min_size=1, max_size=300
+        )
+
+        @settings(max_examples=60, deadline=None)
+        @given(pts_strategy, st.integers(min_value=1, max_value=40))
+        def prop(raw, max_items):
+            pts = [(float(x), float(y)) for x, y in raw]
+            part = build_kdb_tree(pts, max_items_per_node=max_items)
+            # 1. Every input point descends to exactly one leaf whose
+            #    rectangle contains it under the half-open convention.
+            from collections import Counter
+
+            occ = Counter()
+            for p in pts:
+                lid = part.leaf_id_for_point(*p)
+                lf = part.leaves[lid]
+                assert lf.xmin < p[0] <= lf.xmax or (
+                    lf.xmin == float("-inf") and p[0] <= lf.xmax
+                )
+                assert lf.ymin < p[1] <= lf.ymax or (
+                    lf.ymin == float("-inf") and p[1] <= lf.ymax
+                )
+                occ[lid] += 1
+            # 2. Occupancy bound holds wherever a split was possible. A leaf
+            #    may only exceed max_items when BOTH axes are unsplittable —
+            #    the median-up values all equal (KdbTree.trySplit's skip-
+            #    duplicates rule), exactly the reference's fallback-to-leaf.
+            def unsplittable(vals):
+                s = sorted(vals)
+                mid = (len(s) - 1) // 2
+                return all(v == s[mid] for v in s[mid:])
+
+            for lid, cnt in occ.items():
+                if cnt > max_items:
+                    members = [
+                        p for p in pts if part.leaf_id_for_point(*p) == lid
+                    ]
+                    assert unsplittable([m[0] for m in members])
+                    assert unsplittable([m[1] for m in members])
+
+        prop()
+
+    def test_leaf_ids_are_dense(self):
+        part = build_kdb_tree(_clustered_points(), max_items_per_node=25)
+        assert sorted(lf.leaf_id for lf in part.leaves) == list(range(len(part.leaves)))

@@ -47,10 +47,12 @@ RATIO_EXTRAS = (
     "fn_geo_point_distance", "fn_geo_polygon_measures", "fn_geo_tile_cover",
     "fn_geo_wkb", "op_spatial_kdb_join", "op_spatial_distance_join",
     "op_spatial_polygon_join", "geo_convex_hull_agg", "geo_union_agg",
-    "geo_union_area_sweep",
+    "geo_union_area_sweep", "fn_geo_line_predicates", "fn_geo_polygon_holes",
+    "fn_geo_simple_ring", "fn_geo_line_touches",
     # text
     "text_pii_scrub", "text_decontaminate", "text_fingerprint",
-    "text_langid_confusion", "text_bpe_token_count",
+    "text_langid_confusion", "text_bpe_token_count", "text_chunk_overlap",
+    "text_stratified_sample",
     # events
     "events_funnel", "events_retention", "events_click_attribution",
     # ml
