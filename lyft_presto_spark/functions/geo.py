@@ -1142,3 +1142,81 @@ def st_touches_lines(l1: Column, l2: Column) -> Column:
         & ~st_crosses_lines(l1, l2)
         & ~st_collinear_overlap_lines(l1, l2)
     )
+
+
+# --- Multi-geometries (MULTIPOINT / MULTILINESTRING) and type sniffing -----
+# GeoFunctions.java stNumGeometries (:659), stGeometryN (:738),
+# stGeometryType (:1194) for the collection kinds the planar model carries:
+# MULTIPOINT -> array<point>, MULTILINESTRING -> array<array<point>>.
+# Same regexp + HOF discipline as the holed-polygon parse.
+
+
+def st_multipoint_from_wkt(wkt: Column) -> Column:
+    """Parse ``MULTIPOINT (x y, x y, ...)`` (also the parenthesized
+    ``MULTIPOINT ((x y), (x y))`` OGC spelling) into array<struct<x,y>>."""
+    body = F.regexp_extract(wkt, r"^\s*MULTIPOINT\s*\(\s*(.*?)\s*\)\s*$", 1)
+    cleaned = F.regexp_replace(body, r"[()]", "")
+    pts = F.transform(
+        F.split(cleaned, r"\s*,\s*"),
+        lambda s: F.struct(
+            _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 1)).alias("x"),
+            _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 2)).alias("y"),
+        ),
+    )
+    return F.when(body != "", pts)
+
+
+def st_multiline_from_wkt(wkt: Column) -> Column:
+    """Parse ``MULTILINESTRING ((...), (...))`` into an array of linestrings
+    (each array<struct<x,y>>, not auto-closed — lines, not rings)."""
+    shell = F.regexp_extract(
+        wkt, r"^\s*MULTILINESTRING\s*\(\s*(\(.*\))\s*\)\s*$", 1
+    )
+    bodies = F.regexp_extract_all(shell, F.lit(r"\(([^()]*)\)"), 1)
+    residue = F.regexp_replace(shell, r"\(([^()]*)\)", "")
+    ok = (shell != "") & (F.size(bodies) >= 1) & F.regexp_like(
+        residue, F.lit(r"^[\s,]*$")
+    )
+    lines = F.transform(
+        bodies,
+        lambda b: F.transform(
+            F.split(b, r"\s*,\s*"),
+            lambda s: F.struct(
+                _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 1)).alias("x"),
+                _num_sql(F.element_at(F.split(F.trim(s), r"\s+"), 2)).alias("y"),
+            ),
+        ),
+    )
+    return F.when(ok, lines)
+
+
+def st_num_geometries(collection: Column) -> Column:
+    """stNumGeometries (:659) — element count of a parsed collection."""
+    return F.size(collection)
+
+
+def st_geometry_n(collection: Column, n: Column | int) -> Column:
+    """stGeometryN (:738) — 1-based, NULL out of range (the reference
+    returns null for out-of-bounds indices)."""
+    return F.get(collection, (n if isinstance(n, Column) else F.lit(n)) - 1)
+
+
+def st_multiline_length(lines: Column) -> Column:
+    """stLength of a MULTILINESTRING: sum of member lengths."""
+    return F.aggregate(lines, F.lit(0.0), lambda acc, ln: acc + st_length(ln))
+
+
+def st_geometry_type_wkt(wkt: Column) -> Column:
+    """stGeometryType (:1194) from the WKT tag: returns the reference's
+    exact spellings (ST_Point, ST_LineString, ST_Polygon, ST_MultiPoint,
+    ST_MultiLineString, ST_MultiPolygon, ST_GeomCollection)."""
+    tag = F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))
+    return (
+        F.when(tag == "POINT", F.lit("ST_Point"))
+        .when(tag == "LINESTRING", F.lit("ST_LineString"))
+        .when(tag == "POLYGON", F.lit("ST_Polygon"))
+        .when(tag == "MULTIPOINT", F.lit("ST_MultiPoint"))
+        .when(tag == "MULTILINESTRING", F.lit("ST_MultiLineString"))
+        .when(tag == "MULTIPOLYGON", F.lit("ST_MultiPolygon"))
+        .when(tag == "GEOMETRYCOLLECTION", F.lit("ST_GeomCollection"))
+    )

@@ -1428,3 +1428,71 @@ def fn_geo_line_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_touches_lines(base, coll).alias("coll_touches"),
         G.st_intersects_lines(base, coll).alias("coll_intersects"),
     ).orderBy("c_custkey")
+
+
+# --- Multi-geometries ------------------------------------------------------
+
+_MULTI_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 7 + 1 AS DOUBLE) AS a,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) AS b,
+           CAST(c_custkey % 4 + 2 AS INT) AS k
+    FROM customer
+    WHERE c_custkey % 11 = 0
+"""
+
+_MULTI_ORACLE = f"""
+WITH src AS ({_MULTI_SRC})
+SELECT c_custkey,
+       k AS n_points,
+       1.0 AS pt2_x,
+       a + b AS total_length,
+       2 AS n_lines,
+       'ST_MultiPoint' AS mp_type,
+       'ST_MultiLineString' AS ml_type
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_multi_geometry",
+    oracle=_MULTI_ORACLE,
+    doc="Multi-geometry accessors: stNumGeometries (GeoFunctions.java:659), "
+    "stGeometryN (:738, 1-based, NULL out of range), stGeometryType "
+    "(:1194, the reference's exact ST_* spellings) over MULTIPOINT and "
+    "MULTILINESTRING parsed from per-row assembled WKT — the collection "
+    "kinds the planar model carries, same regexp+HOF discipline as the "
+    "holed-polygon parse. Closed-form oracle (k points, axis-aligned "
+    "segment lengths a and b).",
+    tags=("geo",),
+)
+def fn_geo_multi_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _MULTI_SRC, ("customer",))
+    # MULTIPOINT (0 0, 1 1, ..., k-1 k-1), assembled per row.
+    mp_body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("k") - 1),
+            lambda i: F.concat(i.cast("string"), F.lit(" "), i.cast("string")),
+        ),
+        ", ",
+    )
+    mp_wkt = F.concat(F.lit("MULTIPOINT ("), mp_body, F.lit(")"))
+    ml_wkt = F.concat(
+        F.lit("MULTILINESTRING ((0 0, "),
+        F.col("a").cast("int").cast("string"),
+        F.lit(" 0), (5 1, 5 "),
+        (F.lit(1) + F.col("b")).cast("int").cast("string"),
+        F.lit("))"),
+    )
+    mp = G.st_multipoint_from_wkt(mp_wkt)
+    ml = G.st_multiline_from_wkt(ml_wkt)
+    return src.select(
+        "c_custkey",
+        G.st_num_geometries(mp).cast("int").alias("n_points"),
+        G.st_geometry_n(mp, 2)["x"].alias("pt2_x"),
+        G.st_multiline_length(ml).alias("total_length"),
+        G.st_num_geometries(ml).cast("int").alias("n_lines"),
+        G.st_geometry_type_wkt(mp_wkt).alias("mp_type"),
+        G.st_geometry_type_wkt(ml_wkt).alias("ml_type"),
+    ).orderBy("c_custkey")

@@ -696,3 +696,41 @@ class TestTouchesLines:
 
     def test_disjoint_is_not_touch(self, spark):
         assert self._pred(spark, "LINESTRING (0 0, 10 0)", "LINESTRING (0 5, 10 5)") is False
+
+
+class TestMultiGeometries:
+    """stNumGeometries (:659), stGeometryN (:738), stGeometryType (:1194)."""
+
+    def test_multipoint_both_spellings(self, spark):
+        a = G.st_multipoint_from_wkt(F.lit("MULTIPOINT (1 2, 3 4, 5 6)"))
+        b = G.st_multipoint_from_wkt(F.lit("MULTIPOINT ((1 2), (3 4), (5 6))"))
+        assert _one(spark, G.st_num_geometries(a)) == 3
+        assert _one(spark, G.st_num_geometries(b)) == 3
+        p2 = _one(spark, G.st_geometry_n(a, 2))
+        assert (p2.x, p2.y) == (3.0, 4.0)
+        assert _one(spark, G.st_geometry_n(a, 4)) is None  # out of range -> NULL
+        assert _one(spark, G.st_multipoint_from_wkt(F.lit("POINT (1 2)"))) is None
+
+    def test_multilinestring(self, spark):
+        ml = G.st_multiline_from_wkt(
+            F.lit("MULTILINESTRING ((0 0, 3 4), (10 0, 10 5, 14 5))")
+        )
+        assert _one(spark, G.st_num_geometries(ml)) == 2
+        assert _one(spark, G.st_multiline_length(ml)) == 5.0 + 9.0
+        first = G.st_geometry_n(ml, 1)
+        assert _one(spark, G.st_length(first)) == 5.0
+        assert _one(spark, G.st_multiline_from_wkt(F.lit("LINESTRING (0 0, 1 1)"))) is None
+
+    def test_geometry_type(self, spark):
+        cases = {
+            "POINT (1 2)": "ST_Point",
+            "LINESTRING (0 0, 1 1)": "ST_LineString",
+            "POLYGON ((0 0, 1 0, 1 1))": "ST_Polygon",
+            "MULTIPOINT (1 2)": "ST_MultiPoint",
+            "MULTILINESTRING ((0 0, 1 1))": "ST_MultiLineString",
+            "MULTIPOLYGON (((0 0, 1 0, 1 1)))": "ST_MultiPolygon",
+            "GEOMETRYCOLLECTION (POINT (1 2))": "ST_GeomCollection",
+        }
+        for wkt, expect in cases.items():
+            assert _one(spark, G.st_geometry_type_wkt(F.lit(wkt))) == expect
+        assert _one(spark, G.st_geometry_type_wkt(F.lit("NOT WKT 1 2"))) is None
