@@ -1220,3 +1220,51 @@ def st_geometry_type_wkt(wkt: Column) -> Column:
         .when(tag == "MULTIPOLYGON", F.lit("ST_MultiPolygon"))
         .when(tag == "GEOMETRYCOLLECTION", F.lit("ST_GeomCollection"))
     )
+
+
+def st_multipoint_as_binary(pts: Column) -> Column:
+    """MULTIPOINT -> little-endian WKB (geometry type 4): header + count +
+    each member as a complete nested point WKB, per OGC."""
+    body = F.array_join(
+        F.transform(
+            pts,
+            lambda p: F.concat(
+                F.lit("0101000000"), _le_hex_double(p["x"]), _le_hex_double(p["y"])
+            ),
+        ),
+        "",
+    )
+    return F.unhex(F.concat(F.lit("0104000000"), _le_hex_u32(F.size(pts)), body))
+
+
+def st_multipoint_from_binary(b: Column) -> Column:
+    """WKB MULTIPOINT -> array<struct<x,y>>. Nested point WKBs have a fixed
+    21-byte stride, so the decode loop is driven by the buffer length and
+    cross-checked against the header count and each member's point header;
+    any mismatch yields NULL."""
+    head_ok = F.hex(F.substring(b, 1, 5)) == F.lit("0104000000")
+    header_n = _le_u32_at(b, 6)
+    n = (F.length(b) - 9) / 21
+
+    def point_at(i: Column) -> Column:
+        start = i * 21 + 10
+        return F.struct(
+            _le_double_at(b, start + 5).alias("x"),
+            _le_double_at(b, start + 13).alias("y"),
+        )
+
+    members_ok = F.forall(
+        F.sequence(F.lit(0), header_n.cast("int") - 1),
+        lambda i: F.hex(F.substring(b, i * 21 + 10, 5)) == F.lit("0101000000"),
+    )
+    ok = (
+        head_ok
+        & (n == header_n)
+        & (header_n >= 1)
+        & ((F.length(b) - 9) % 21 == 0)
+        & members_ok
+    )
+    return F.when(
+        ok,
+        F.transform(F.sequence(F.lit(0), header_n.cast("int") - 1), point_at),
+    )

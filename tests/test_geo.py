@@ -734,3 +734,23 @@ class TestMultiGeometries:
         for wkt, expect in cases.items():
             assert _one(spark, G.st_geometry_type_wkt(F.lit(wkt))) == expect
         assert _one(spark, G.st_geometry_type_wkt(F.lit("NOT WKT 1 2"))) is None
+
+
+class TestMultipointWkb:
+    def test_roundtrip_and_header(self, spark):
+        mp = G.st_multipoint_from_wkt(F.lit("MULTIPOINT (1 2, 3 4)"))
+        wkb = G.st_multipoint_as_binary(mp)
+        assert _one(spark, F.length(wkb)) == 9 + 2 * 21
+        assert _one(spark, F.substring(F.hex(wkb), 1, 18)) == "010400000002000000"
+        back = G.st_multipoint_from_binary(wkb)
+        assert _one(spark, G.st_num_geometries(back)) == 2
+        p = _one(spark, G.st_geometry_n(back, 2))
+        assert (p.x, p.y) == (3.0, 4.0)
+
+    def test_malformed_degrades_to_null(self, spark):
+        # Wrong outer type, lying count, corrupt member header.
+        assert _one(spark, G.st_multipoint_from_binary(F.unhex(F.lit("00" * 30)))) is None
+        lying = "0104000000" + "05000000" + "0101000000" + "00" * 16
+        assert _one(spark, G.st_multipoint_from_binary(F.unhex(F.lit(lying)))) is None
+        badmember = "0104000000" + "01000000" + "0102000000" + "00" * 16
+        assert _one(spark, G.st_multipoint_from_binary(F.unhex(F.lit(badmember)))) is None
