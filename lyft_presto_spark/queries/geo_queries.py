@@ -3,10 +3,13 @@
 The largest reference surface previously at zero coverage (VERDICT r3
 "What's missing" #1): presto-geospatial's GeoFunctions.java (ST_* scalars)
 and BingTileFunctions.java, plus SpatialJoinNode.java's two join predicates
-(contains, distance-within). Full polygon geometry stays out of scope
-(Sedona territory, SURVEY.md §2.6); everything here is the dependency-free
-planar subset as pure SQL arithmetic, oracle-checked against DuckDB running
-the identical expressions.
+(contains, distance-within). Everything here is the dependency-free planar
+subset as pure SQL arithmetic — through r5 that includes line/line
+predicates, holed polygons, multi-geometries, WKT+WKB codecs, IsSimple/
+IsRing, union aggregates, and the learned KdbTree partitioning; only the
+curved Esri surface (general polygon Union/Intersection, Relate) stays out
+of scope (Sedona territory, COVERAGE.md). Oracle-checked against DuckDB
+running identical expressions, independent formulations, or closed forms.
 
 The fixtures carry no coordinates, so every query derives deterministic
 lat/lon from integer keys (exact rationals — identical in both engines);
