@@ -1268,3 +1268,292 @@ def st_multipoint_from_binary(b: Column) -> Column:
         ok,
         F.transform(F.sequence(F.lit(0), header_n.cast("int") - 1), point_at),
     )
+
+
+# --- MULTIPOLYGON ----------------------------------------------------------
+# GeoFunctions.java stGeometryFromText MULTIPOLYGON case + the accessors
+# that dispatch over it (stNumGeometries:659, stGeometryN:738, stArea:236
+# sums members, stContains any-member). Representation: one more nesting
+# level over the holed polygon — array<array<array<struct<x,y>>>> =
+# polygons -> rings -> points. Parsing is the same anchored-regexp + split
+# discipline: strip the outermost "((( ... )))", split polygons on the
+# ")) , ((" separator, rings on ") , (" — all codegen, zero UDFs.
+
+
+def st_multipolygon_from_wkt(wkt: Column) -> Column:
+    """Parse ``MULTIPOLYGON (((shell), (hole)), ((shell)))`` into an array
+    of holed polygons (each ``array<array<struct<x,y>>>``). Non-matching or
+    malformed WKT yields NULL; rings auto-close like st_polygon_from_wkt."""
+    inner = F.regexp_extract(
+        wkt, r"^\s*MULTIPOLYGON\s*\(\s*\(\s*\((.*)\)\s*\)\s*\)\s*$", 1
+    )
+    poly_bodies = F.split(inner, r"\)\s*\)\s*,\s*\(\s*\(")
+    ring_bodies = F.transform(poly_bodies, lambda pb: F.split(pb, r"\)\s*,\s*\("))
+    # Well-formed input leaves no parens in any ring body after both splits;
+    # a stray paren means over/under-nesting (e.g. a GEOMETRYCOLLECTION
+    # spelling) and the whole parse degrades to NULL, same contract as the
+    # POLYGON parser.
+    ok = (inner != "") & F.forall(
+        ring_bodies,
+        lambda rings: F.forall(rings, lambda rb: ~F.regexp_like(rb, F.lit(r"[()]"))),
+    )
+    return F.when(
+        ok, F.transform(ring_bodies, lambda rings: F.transform(rings, _parse_ring_body))
+    )
+
+
+def st_multipolygon_as_wkt(polys: Column) -> Column:
+    """Render back to MULTIPOLYGON WKT (stAsText)."""
+    poly_txt = F.transform(
+        polys,
+        lambda rings: F.concat(
+            F.lit("("),
+            F.array_join(
+                F.transform(
+                    rings,
+                    lambda ring: F.concat(
+                        F.lit("("),
+                        F.array_join(
+                            F.transform(
+                                ring,
+                                lambda p: F.concat(
+                                    p["x"].cast("string"),
+                                    F.lit(" "),
+                                    p["y"].cast("string"),
+                                ),
+                            ),
+                            ", ",
+                        ),
+                        F.lit(")"),
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit(")"),
+        ),
+    )
+    return F.concat(F.lit("MULTIPOLYGON ("), F.array_join(poly_txt, ", "), F.lit(")"))
+
+
+def st_multipolygon_area(polys: Column) -> Column:
+    """stArea of a MULTIPOLYGON: sum of member (hole-subtracted) areas —
+    Esri sums path areas the same way for valid disjoint members."""
+    return F.aggregate(
+        polys, F.lit(0.0), lambda acc, rings: acc + st_polygon_area(rings)
+    )
+
+
+def st_multipolygon_perimeter(polys: Column) -> Column:
+    """Boundary length of a MULTIPOLYGON: sum of member ring lengths."""
+    return F.aggregate(
+        polys, F.lit(0.0), lambda acc, rings: acc + st_polygon_perimeter(rings)
+    )
+
+
+def st_multipolygon_contains(polys: Column, p: Column) -> Column:
+    """stContains(multipolygon, point): contained by any member (members of
+    a valid multipolygon are disjoint, so any-member is exact)."""
+    return F.exists(polys, lambda rings: st_polygon_contains(rings, p))
+
+
+# --- Accessors / constructors / envelope predicates ------------------------
+# GeoFunctions.java stDimension (:434), stCoordinateDimension (:426),
+# stEnvelopeAsPts (:965), stBoundary (:939), stLineString (:160),
+# stMultiPoint (:200), stPoints (:1240), stOverlaps (:1138). All planar
+# codegen over the WKT tag or the vertex array.
+
+
+def st_dimension_wkt(wkt: Column) -> Column:
+    """stDimension from the WKT tag: 0 for (MULTI)POINT, 1 for
+    (MULTI)LINESTRING, 2 for (MULTI)POLYGON; NULL for unknown tags."""
+    tag = F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))
+    return (
+        F.when(tag.isin("POINT", "MULTIPOINT"), F.lit(0))
+        .when(tag.isin("LINESTRING", "MULTILINESTRING"), F.lit(1))
+        .when(tag.isin("POLYGON", "MULTIPOLYGON"), F.lit(2))
+    )
+
+
+def st_coordinate_dimension_wkt(wkt: Column) -> Column:
+    """stCoordinateDimension: the planar model carries xy only, so every
+    recognized geometry has coordinate dimension 2 (the Esri 2D case)."""
+    return F.when(st_dimension_wkt(wkt).isNotNull(), F.lit(2))
+
+
+def st_envelope_as_pts(line: Column) -> Column:
+    """stEnvelopeAsPts: [lower-left, upper-right] corner points of the
+    envelope; NULL for an empty or NULL geometry (deserializeEnvelope
+    returns null there)."""
+    return F.when(
+        F.size(line) >= 1,
+        F.array(
+            F.struct(st_xmin(line).alias("x"), st_ymin(line).alias("y")),
+            F.struct(st_xmax(line).alias("x"), st_ymax(line).alias("y")),
+        ),
+    )
+
+
+def st_boundary_line(line: Column) -> Column:
+    """stBoundary of a linestring: the endpoint MULTIPOINT — empty for a
+    closed ring (a cycle has no boundary) and for LINESTRING EMPTY (the
+    reference special-cases EMPTY_MULTIPOINT at GeoFunctions.java:942).
+    slice(line, 1, 0) is the empty array of the line's own element type."""
+    return F.when(
+        (F.size(line) < 2) | st_is_closed(line),
+        F.slice(line, 1, 0),
+    ).otherwise(F.array(st_start_point(line), st_end_point(line)))
+
+
+def st_boundary_polygon(rings: Column) -> Column:
+    """stBoundary of a (holed) polygon: all rings as a MULTILINESTRING —
+    the identity on the rings representation (exterior first)."""
+    return rings
+
+
+def st_points_of(line: Column) -> Column:
+    """stPoints (:1240): the vertex list of a linestring — the identity in
+    the array<point> model, kept for API parity."""
+    return line
+
+
+def st_points_multiline(lines: Column) -> Column:
+    """stPoints over a MULTILINESTRING: concatenated member vertices."""
+    return F.flatten(lines)
+
+
+def st_linestring_of(points: Column) -> Column:
+    """stLineString (:160): build a linestring from an array of points.
+    The reference throws INVALID_FUNCTION_ARGUMENT on a null/empty member
+    or consecutive duplicate points; this planar twin degrades to NULL
+    instead (ANSI-safe pipelines must not die on one bad row — DELTAS)."""
+    dupes = F.exists(
+        F.zip_with(
+            F.slice(points, 1, F.greatest(F.size(points) - 1, F.lit(0))),
+            F.slice(points, 2, F.greatest(F.size(points) - 1, F.lit(0))),
+            lambda a, b: (a["x"] == b["x"]) & (a["y"] == b["y"]),
+        ),
+        lambda d: d,
+    )
+    has_null = F.exists(points, lambda p: p.isNull() | p["x"].isNull() | p["y"].isNull())
+    return F.when(~dupes & ~has_null, points)
+
+
+def st_multipoint_of(points: Column) -> Column:
+    """stMultiPoint (:200): MULTIPOINT from an array of points; NULL on a
+    null/empty member (reference throws — DELTAS) or an empty array (the
+    reference rejects building an empty multipoint)."""
+    has_null = F.exists(points, lambda p: p.isNull() | p["x"].isNull() | p["y"].isNull())
+    return F.when((F.size(points) >= 1) & ~has_null, points)
+
+
+def st_overlaps_envelopes(a: Column, b: Column) -> Column:
+    """stOverlaps (:1138) for envelopes: interiors intersect but neither
+    contains the other (equal envelopes contain each other -> false, per
+    OGC overlaps on same-dimension geometries)."""
+    a_in_b = (
+        (a["xmin"] >= b["xmin"]) & (a["xmax"] <= b["xmax"])
+        & (a["ymin"] >= b["ymin"]) & (a["ymax"] <= b["ymax"])
+    )
+    b_in_a = (
+        (b["xmin"] >= a["xmin"]) & (b["xmax"] <= a["xmax"])
+        & (b["ymin"] >= a["ymin"]) & (b["ymax"] <= a["ymax"])
+    )
+    # Proper interior intersection: strict inequalities so edge-touching
+    # envelopes (shared boundary only) are touches, not overlaps.
+    interiors = (
+        (a["xmin"] < b["xmax"]) & (b["xmin"] < a["xmax"])
+        & (a["ymin"] < b["ymax"]) & (b["ymin"] < a["ymax"])
+    )
+    return interiors & ~a_in_b & ~b_in_a
+
+
+# --- Validity (ST_IsValid / geometry_invalid_reason) -----------------------
+# GeoFunctions.java stIsValid (:490) / invalidReason (:500): the reference
+# walks Esri's isSimpleOGC and maps its NonSimpleResult.Reason to fixed
+# strings (NON_SIMPLE_REASONS, GeoFunctions.java:125). The planar twin
+# performs the checks expressible over the vertex array — degenerate
+# (zero-length) segments, repeated points, ring self-intersection, and a
+# hole escaping its shell — and reuses the reference's exact reason
+# spellings. Reasons the Esri walk can distinguish but the planar model
+# cannot (Self-tangency vs Cracking) collapse to "Self-intersection"
+# (DELTAS). Check order mirrors severity, not Esri's internal walk order.
+
+
+def _consecutive_dupes(line: Column) -> Column:
+    n = F.greatest(F.size(line) - 1, F.lit(0))
+    return F.exists(
+        F.zip_with(
+            F.slice(line, 1, n),
+            F.slice(line, 2, n),
+            lambda a, b: (a["x"] == b["x"]) & (a["y"] == b["y"]),
+        ),
+        lambda d: d,
+    )
+
+
+def geometry_invalid_reason_line(line: Column) -> Column:
+    """invalidReason for a linestring: NULL when valid. A zero-length
+    segment (consecutive duplicate vertices) is Esri's DegenerateSegments;
+    fewer than 2 points cannot form a segment at all."""
+    return (
+        F.when(line.isNull(), F.lit(None).cast("string"))
+        .when(F.size(line) < 2, F.lit("Degenerate segments"))
+        .when(_consecutive_dupes(line), F.lit("Degenerate segments"))
+    )
+
+
+def geometry_invalid_reason_ring(ring: Column) -> Column:
+    """invalidReason for one polygon ring: NULL when valid. Open rings are
+    auto-closed by the parser, so the checks are on the closed form: a ring
+    needs >= 4 vertices (3 distinct), no repeated interior vertices, and no
+    self-intersection under cyclic adjacency."""
+    return (
+        F.when(ring.isNull(), F.lit(None).cast("string"))
+        .when(F.size(ring) < 4, F.lit("Degenerate segments"))
+        .when(_consecutive_dupes(ring), F.lit("Repeated points"))
+        .when(~st_is_simple_line(ring, closed=True), F.lit("Self-intersection"))
+    )
+
+
+def geometry_invalid_reason_polygon(rings: Column) -> Column:
+    """invalidReason for a holed polygon: first failing ring's reason, else
+    'Disconnected interior' when a hole vertex escapes the shell (the
+    planar stand-in for Esri's OGCDisconnectedInterior — DELTAS), else
+    NULL (valid)."""
+    ring_reasons = F.filter(
+        F.transform(rings, geometry_invalid_reason_ring),
+        lambda r: r.isNotNull(),
+    )
+    shell = F.element_at(rings, 1)
+    hole_escapes = F.exists(
+        _holes(rings),
+        lambda hole: F.exists(
+            hole,
+            lambda p: ~st_contains_ring(shell, p)
+            # Hole vertices ON the shell boundary are tangency, not escape;
+            # the ray-cast's boundary-exclusive rule would misread them, so
+            # only strictly-outside-the-envelope escapes count as
+            # disconnection in the planar check.
+            & (
+                (p["x"] < st_xmin(shell)) | (p["x"] > st_xmax(shell))
+                | (p["y"] < st_ymin(shell)) | (p["y"] > st_ymax(shell))
+            ),
+        ),
+    )
+    return (
+        F.when(rings.isNull(), F.lit(None).cast("string"))
+        .when(F.size(ring_reasons) > 0, F.element_at(ring_reasons, 1))
+        .when(hole_escapes, F.lit("Disconnected interior"))
+    )
+
+
+def st_is_valid_line(line: Column) -> Column:
+    """stIsValid (:490), linestring case."""
+    return F.when(line.isNotNull(), geometry_invalid_reason_line(line).isNull())
+
+
+def st_is_valid_polygon(rings: Column) -> Column:
+    """stIsValid (:490), (holed-)polygon case."""
+    return F.when(
+        rings.isNotNull(), geometry_invalid_reason_polygon(rings).isNull()
+    )

@@ -612,9 +612,24 @@ DELTAS = {
     "(60.0 30.0)) where the reference's Esri writer trims integral doubles "
     "(POINT (60 30)); parse both spellings, compare geometries numerically.",
     "ST_* geometry model": "Geometries are structs/arrays of doubles "
-    "(point struct, array<struct<x,y>> rings) — no WKB interchange, single "
-    "exterior rings only (holes/multi-geometries and curved ops are out of "
-    "scope; see COVERAGE.md geospatial section).",
+    "(point struct, array<struct<x,y>> linestrings/rings, one nesting "
+    "level per composite: holed polygons, MULTIPOINT/MULTILINESTRING/"
+    "MULTIPOLYGON). WKT and WKB codecs round-trip the model; "
+    "GEOMETRYCOLLECTION and the curved Esri ops (general polygon "
+    "Union/Intersection, Relate) are out of scope — see COVERAGE.md "
+    "geospatial section.",
+    "ST_LineString / ST_MultiPoint": "The reference throws "
+    "INVALID_FUNCTION_ARGUMENT on a null/empty member point or consecutive "
+    "duplicate vertices; the planar constructors return NULL instead so an "
+    "ANSI-on pipeline degrades per-row rather than dying (st_linestring_of/"
+    "st_multipoint_of, functions/geo.py).",
+    "geometry_invalid_reason": "Planar validity reuses the reference's "
+    "NON_SIMPLE_REASONS spellings (GeoFunctions.java:125) for the checks "
+    "expressible over the vertex array: 'Degenerate segments', 'Repeated "
+    "points', 'Self-intersection', and 'Disconnected interior' (a hole "
+    "escaping its shell's envelope). Esri's finer split (Self-tangency vs "
+    "Cracking, tolerance-based Clustering) collapses into those; the "
+    "'at or near (x y)' location suffix is not emitted.",
     "array subscript": "Presto arr[n] is 1-based and raises out-of-bounds; the "
     "transpiler rewrites integer-literal subscripts to try_element_at(arr, n) "
     "(1-based, preserving every in-bounds value) but an out-of-bounds ordinal "

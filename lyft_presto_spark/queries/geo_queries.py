@@ -1499,3 +1499,256 @@ def fn_geo_multi_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_geometry_type_wkt(mp_wkt).alias("mp_type"),
         G.st_geometry_type_wkt(ml_wkt).alias("ml_type"),
     ).orderBy("c_custkey")
+
+
+# --- MULTIPOLYGON ----------------------------------------------------------
+
+_MPOLY_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 7 + 2 AS DOUBLE) AS s,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) AS t,
+           (c_custkey % 3 = 0) AS with_hole
+    FROM customer
+    WHERE c_custkey % 13 = 0
+"""
+
+# Closed forms: member 1 is the s-square at the origin (minus the unit hole
+# (1..2)^2 when with_hole), member 2 the t-square at x=20. s >= 2 keeps the
+# hole strictly inside the shell.
+_MPOLY_ORACLE = f"""
+WITH src AS ({_MPOLY_SRC})
+SELECT c_custkey,
+       2 AS n_polys,
+       s * s - CASE WHEN with_hole THEN 1.0 ELSE 0.0 END + t * t AS total_area,
+       4 * s + CASE WHEN with_hole THEN 4.0 ELSE 0.0 END + 4 * t AS total_perimeter,
+       TRUE AS contains_shell_pt,
+       NOT with_hole AS contains_hole_pt,
+       (t >= 2) AS contains_member2,
+       t * t AS member2_area,
+       TRUE AS roundtrip_ok,
+       'ST_MultiPolygon' AS mp_type
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_multipolygon",
+    oracle=_MPOLY_ORACLE,
+    doc="MULTIPOLYGON: WKT parse (stGeometryFromText multipolygon case), "
+    "stNumGeometries/stGeometryN dispatch, stArea summing hole-subtracted "
+    "member areas (GeoFunctions.java:236), boundary length over all rings, "
+    "any-member stContains, stGeometryType's ST_MultiPolygon spelling, and "
+    "a render->parse roundtrip — one more nesting level over the holed "
+    "polygon, all codegen HOFs over array<array<array<struct<x,y>>>>. WKT "
+    "assembled per row from key arithmetic so the two-level parser is "
+    "actually exercised; closed-form oracle in s, t, with_hole.",
+    tags=("geo",),
+)
+def fn_geo_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _MPOLY_SRC, ("customer",))
+
+    def n(c: F.Column) -> F.Column:
+        return c.cast("int").cast("string")
+
+    s, t_ = F.col("s"), F.col("t")
+    member1 = F.concat(
+        F.lit("((0 0, "), n(s), F.lit(" 0, "), n(s), F.lit(" "), n(s),
+        F.lit(", 0 "), n(s), F.lit(", 0 0)"),
+        F.when(
+            F.col("with_hole"), F.lit(", (1 1, 2 1, 2 2, 1 2, 1 1)")
+        ).otherwise(F.lit("")),
+        F.lit(")"),
+    )
+    member2 = F.concat(
+        F.lit("((20 0, "), n(20 + t_), F.lit(" 0, "), n(20 + t_), F.lit(" "),
+        n(t_), F.lit(", 20 "), n(t_), F.lit(", 20 0))"),
+    )
+    wkt = F.concat(F.lit("MULTIPOLYGON ("), member1, F.lit(", "), member2, F.lit(")"))
+    mp = G.st_multipolygon_from_wkt(wkt)
+    reparsed = G.st_multipolygon_from_wkt(G.st_multipolygon_as_wkt(mp))
+    return src.select(
+        "c_custkey",
+        G.st_num_geometries(mp).cast("int").alias("n_polys"),
+        G.st_multipolygon_area(mp).alias("total_area"),
+        G.st_multipolygon_perimeter(mp).alias("total_perimeter"),
+        G.st_multipolygon_contains(mp, G.st_point(F.lit(0.5), F.lit(0.5))).alias(
+            "contains_shell_pt"
+        ),
+        G.st_multipolygon_contains(mp, G.st_point(F.lit(1.5), F.lit(1.5))).alias(
+            "contains_hole_pt"
+        ),
+        G.st_multipolygon_contains(mp, G.st_point(F.lit(20.5), F.lit(1.5))).alias(
+            "contains_member2"
+        ),
+        G.st_polygon_area(G.st_geometry_n(mp, 2)).alias("member2_area"),
+        (G.st_multipolygon_area(reparsed) == G.st_multipolygon_area(mp)).alias(
+            "roundtrip_ok"
+        ),
+        G.st_geometry_type_wkt(wkt).alias("mp_type"),
+    ).orderBy("c_custkey")
+
+
+# --- Accessors / constructors / envelope overlaps --------------------------
+
+_ACCESSOR_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 6 + 1 AS DOUBLE) AS a,
+           CAST(c_custkey % 4 AS DOUBLE) AS b,
+           (c_custkey % 2 = 0) AS alt
+    FROM customer
+    WHERE c_custkey % 17 = 0
+"""
+
+# Closed forms. st_linestring_of(0 0, a 0, a b) hits the consecutive-dup
+# guard exactly when b = 0 (the 2nd and 3rd points coincide). The envelope
+# of (0 0, a 0, a 3) has upper-right (a, 3); its boundary is the two open
+# endpoints while the closed a-square's boundary multipoint is empty.
+# Envelope (b,b)-(b+4,b+4) vs (0,0)-(4,4): equal at b=0 (not overlaps),
+# partial overlap for 0 < b < 4 (b in 1..3).
+_ACCESSOR_ORACLE = f"""
+WITH src AS ({_ACCESSOR_SRC})
+SELECT c_custkey,
+       (b = 0) AS constructor_rejects_dupes,
+       CASE WHEN alt THEN 1 ELSE 0 END AS dim,
+       2 AS coord_dim,
+       a AS env_ur_x,
+       3.0 AS env_ur_y,
+       2 AS n_boundary_open,
+       0 AS n_boundary_ring,
+       a AS boundary_end_x,
+       (b > 0) AS env_overlaps,
+       6 AS n_points_flat
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_accessors",
+    oracle=_ACCESSOR_ORACLE,
+    doc="Accessor/constructor batch: stDimension (GeoFunctions.java:434) "
+    "and stCoordinateDimension (:426) from the geometry tag, stEnvelopeAsPts "
+    "(:965, [lower-left, upper-right]), stBoundary (:939 — endpoint "
+    "multipoint for open lines, empty for rings), the stLineString "
+    "constructor (:160, NULL instead of throw on consecutive duplicates — "
+    "DELTAS), stPoints over a multilinestring (:1240), and stOverlaps "
+    "(:1138) on envelopes with equal/contained/edge-touch excluded per "
+    "OGC. Closed-form oracle in a, b, alt.",
+    tags=("geo",),
+)
+def fn_geo_accessors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _ACCESSOR_SRC, ("customer",))
+    a, b = F.col("a"), F.col("b")
+    pts = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(a, F.lit(0.0)),
+        G.st_point(a, b),
+    )
+    line = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(a, F.lit(0.0)),
+        G.st_point(a, F.lit(3.0)),
+    )
+    ring = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(a, F.lit(0.0)),
+        G.st_point(a, a),
+        G.st_point(F.lit(0.0), a),
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+    )
+    wkt = F.when(F.col("alt"), F.lit("LINESTRING (0 0, 1 1)")).otherwise(
+        F.lit("MULTIPOINT (0 0, 1 1)")
+    )
+    env_a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(4.0), F.lit(4.0))
+    env_b = G.st_envelope(b, b, b + 4.0, b + 4.0)
+    return src.select(
+        "c_custkey",
+        G.st_linestring_of(pts).isNull().alias("constructor_rejects_dupes"),
+        G.st_dimension_wkt(wkt).cast("int").alias("dim"),
+        G.st_coordinate_dimension_wkt(wkt).cast("int").alias("coord_dim"),
+        F.element_at(G.st_envelope_as_pts(line), 2)["x"].alias("env_ur_x"),
+        F.element_at(G.st_envelope_as_pts(line), 2)["y"].alias("env_ur_y"),
+        F.size(G.st_boundary_line(line)).cast("int").alias("n_boundary_open"),
+        F.size(G.st_boundary_line(ring)).cast("int").alias("n_boundary_ring"),
+        F.element_at(G.st_boundary_line(line), 2)["x"].alias("boundary_end_x"),
+        G.st_overlaps_envelopes(env_a, env_b).alias("env_overlaps"),
+        F.size(G.st_points_multiline(F.array(line, G.st_points_of(line)))).cast(
+            "int"
+        ).alias("n_points_flat"),
+    ).orderBy("c_custkey")
+
+
+# --- Validity --------------------------------------------------------------
+
+_VALIDITY_SRC = """
+    SELECT c_custkey,
+           (c_custkey % 3 = 0) AS bowtie,
+           (c_custkey % 5 = 0) AS rep,
+           (c_custkey % 2 = 0) AS esc,
+           (c_custkey % 7 = 0) AS dup
+    FROM customer
+    WHERE c_custkey % 9 = 0
+"""
+
+# Closed forms mirror the engine's documented check order: repeated points
+# are reported before self-intersection (a row can set both flags; CASE
+# order resolves identically in both engines).
+_VALIDITY_ORACLE = f"""
+WITH src AS ({_VALIDITY_SRC})
+SELECT c_custkey,
+       CASE WHEN rep THEN 'Repeated points'
+            WHEN bowtie THEN 'Self-intersection' END AS ring_reason,
+       NOT (rep OR bowtie) AS ring_valid,
+       CASE WHEN esc THEN 'Disconnected interior' END AS poly_reason,
+       NOT esc AS poly_valid,
+       CASE WHEN dup THEN 'Degenerate segments' END AS line_reason,
+       NOT dup AS line_valid
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_validity",
+    oracle=_VALIDITY_ORACLE,
+    doc="ST_IsValid (GeoFunctions.java:490) and geometry_invalid_reason "
+    "(:500) — planar twins of the Esri isSimpleOGC walk using the "
+    "reference's exact NON_SIMPLE_REASONS spellings (:125): 'Repeated "
+    "points', 'Self-intersection', 'Degenerate segments', 'Disconnected "
+    "interior' (hole escaping its shell). Fixtures are key-selected "
+    "bowties, repeated-vertex rings, escaping holes, and zero-length "
+    "segments; closed-form oracle over the same flags.",
+    tags=("geo",),
+)
+def fn_geo_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _VALIDITY_SRC, ("customer",))
+
+    def ring_of(*pts: tuple[float, float]) -> F.Column:
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+        )
+
+    good = ring_of((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    bowtie = ring_of((0, 0), (4, 4), (4, 0), (0, 4), (0, 0))
+    repeated = ring_of((0, 0), (4, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    ring = (
+        F.when(F.col("rep"), repeated)
+        .when(F.col("bowtie"), bowtie)
+        .otherwise(good)
+    )
+    hole_in = ring_of((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+    hole_out = ring_of((10, 10), (11, 10), (11, 11), (10, 11), (10, 10))
+    poly = F.array(good, F.when(F.col("esc"), hole_out).otherwise(hole_in))
+    line = F.when(
+        F.col("dup"), ring_of((0, 0), (0, 0), (2, 0))
+    ).otherwise(ring_of((0, 0), (1, 1), (2, 0)))
+    return src.select(
+        "c_custkey",
+        G.geometry_invalid_reason_ring(ring).alias("ring_reason"),
+        G.st_is_valid_polygon(F.array(ring)).alias("ring_valid"),
+        G.geometry_invalid_reason_polygon(poly).alias("poly_reason"),
+        G.st_is_valid_polygon(poly).alias("poly_valid"),
+        G.geometry_invalid_reason_line(line).alias("line_reason"),
+        G.st_is_valid_line(line).alias("line_valid"),
+    ).orderBy("c_custkey")

@@ -754,3 +754,134 @@ class TestMultipointWkb:
         assert _one(spark, G.st_multipoint_from_binary(F.unhex(F.lit(lying)))) is None
         badmember = "0104000000" + "01000000" + "0102000000" + "00" * 16
         assert _one(spark, G.st_multipoint_from_binary(F.unhex(F.lit(badmember)))) is None
+
+
+class TestMultipolygon:
+    """MULTIPOLYGON parse/measure/contains (stGeometryFromText multipolygon
+    case + stArea:236 member sum + any-member stContains)."""
+
+    def _mp(self, w):
+        return G.st_multipolygon_from_wkt(F.lit(w))
+
+    def test_two_members_with_hole(self, spark):
+        w = ("MULTIPOLYGON (((0 0, 6 0, 6 6, 0 6, 0 0), "
+             "(1 1, 2 1, 2 2, 1 2, 1 1)), ((10 0, 11 0, 11 1, 10 1, 10 0)))")
+        mp = self._mp(w)
+        assert _one(spark, G.st_num_geometries(mp)) == 2
+        assert _one(spark, G.st_multipolygon_area(mp)) == pytest.approx(36.0 - 1.0 + 1.0)
+        assert _one(spark, G.st_multipolygon_perimeter(mp)) == pytest.approx(24 + 4 + 4)
+        # in the hole -> not contained; in member 2 -> contained
+        assert _one(spark, G.st_multipolygon_contains(mp, G.st_point(F.lit(1.5), F.lit(1.5)))) is False
+        assert _one(spark, G.st_multipolygon_contains(mp, G.st_point(F.lit(10.5), F.lit(0.5)))) is True
+
+    def test_open_rings_autoclose(self, spark):
+        mp = self._mp("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4)))")
+        assert _one(spark, G.st_multipolygon_area(mp)) == pytest.approx(16.0)
+
+    def test_roundtrip(self, spark):
+        w = "MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)), ((8 8, 9 8, 9 9, 8 9, 8 8)))"
+        mp = self._mp(w)
+        again = G.st_multipolygon_from_wkt(G.st_multipolygon_as_wkt(mp))
+        assert _one(spark, G.st_multipolygon_area(again)) == pytest.approx(17.0)
+        assert _one(spark, G.st_num_geometries(again)) == 2
+
+    def test_malformed_yields_null(self, spark):
+        for w in (
+            "MULTIPOLYGON ((0 0, 1 0, 1 1))",  # polygon-depth nesting
+            "POLYGON ((0 0, 1 0, 1 1, 0 0))",  # wrong tag
+            "MULTIPOLYGON (((0 0, (1 1), 2 2)))",  # stray nesting
+            "garbage",
+        ):
+            assert _one(spark, self._mp(w)) is None
+
+    def test_geometry_n_out_of_range(self, spark):
+        mp = self._mp("MULTIPOLYGON (((0 0, 4 0, 4 4, 0 4, 0 0)))")
+        assert _one(spark, G.st_geometry_n(mp, 2)) is None
+
+
+class TestAccessorsAndConstructors:
+    """stDimension/stCoordinateDimension/stEnvelopeAsPts/stBoundary/
+    stLineString/stMultiPoint/stOverlaps planar twins."""
+
+    def _pts(self, *pts):
+        return F.array(*[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts])
+
+    def test_dimension_by_tag(self, spark):
+        for w, d in [("POINT (1 2)", 0), ("MULTIPOINT (0 0)", 0),
+                     ("LINESTRING (0 0, 1 1)", 1), ("MULTILINESTRING ((0 0, 1 1))", 1),
+                     ("POLYGON ((0 0, 1 0, 1 1, 0 0))", 2), ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)))", 2)]:
+            assert _one(spark, G.st_dimension_wkt(F.lit(w))) == d
+            assert _one(spark, G.st_coordinate_dimension_wkt(F.lit(w))) == 2
+        assert _one(spark, G.st_dimension_wkt(F.lit("NONSENSE (1)"))) is None
+
+    def test_envelope_as_pts_corners(self, spark):
+        line = self._pts((3, -1), (0, 5), (2, 2))
+        pts = _one(spark, G.st_envelope_as_pts(line))
+        assert (pts[0].x, pts[0].y, pts[1].x, pts[1].y) == (0.0, -1.0, 3.0, 5.0)
+        assert _one(spark, G.st_envelope_as_pts(F.slice(line, 1, 0))) is None
+
+    def test_boundary(self, spark):
+        open_line = self._pts((0, 0), (4, 0), (4, 3))
+        ring = self._pts((0, 0), (4, 0), (4, 4), (0, 0))
+        b = _one(spark, G.st_boundary_line(open_line))
+        assert [(p.x, p.y) for p in b] == [(0.0, 0.0), (4.0, 3.0)]
+        assert _one(spark, F.size(G.st_boundary_line(ring))) == 0
+        assert _one(spark, F.size(G.st_boundary_line(F.slice(ring, 1, 0)))) == 0
+
+    def test_linestring_constructor_guards(self, spark):
+        ok = self._pts((0, 0), (1, 0), (1, 1))
+        dupes = self._pts((0, 0), (0, 0), (1, 1))
+        assert _one(spark, G.st_linestring_of(ok)) is not None
+        assert _one(spark, G.st_linestring_of(dupes)) is None
+        assert _one(spark, G.st_multipoint_of(F.slice(ok, 1, 0))) is None
+        assert _one(spark, F.size(G.st_multipoint_of(ok))) == 3
+
+    def test_overlaps_envelopes(self, spark):
+        def env(x0, y0, x1, y1):
+            return G.st_envelope(F.lit(float(x0)), F.lit(float(y0)), F.lit(float(x1)), F.lit(float(y1)))
+        a = env(0, 0, 4, 4)
+        assert _one(spark, G.st_overlaps_envelopes(a, env(2, 2, 6, 6))) is True
+        assert _one(spark, G.st_overlaps_envelopes(a, env(0, 0, 4, 4))) is False  # equal
+        assert _one(spark, G.st_overlaps_envelopes(a, env(1, 1, 2, 2))) is False  # contained
+        assert _one(spark, G.st_overlaps_envelopes(a, env(4, 0, 8, 4))) is False  # edge touch
+        assert _one(spark, G.st_overlaps_envelopes(a, env(9, 9, 10, 10))) is False  # disjoint
+
+
+class TestValidity:
+    """ST_IsValid / geometry_invalid_reason with the reference's
+    NON_SIMPLE_REASONS spellings (GeoFunctions.java:125)."""
+
+    def _pts(self, *pts):
+        return F.array(*[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts])
+
+    def test_ring_reasons(self, spark):
+        good = self._pts((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        bowtie = self._pts((0, 0), (4, 4), (4, 0), (0, 4), (0, 0))
+        repeated = self._pts((0, 0), (4, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        tiny = self._pts((0, 0), (1, 0), (0, 0))
+        assert _one(spark, G.geometry_invalid_reason_ring(good)) is None
+        assert _one(spark, G.geometry_invalid_reason_ring(bowtie)) == "Self-intersection"
+        assert _one(spark, G.geometry_invalid_reason_ring(repeated)) == "Repeated points"
+        assert _one(spark, G.geometry_invalid_reason_ring(tiny)) == "Degenerate segments"
+
+    def test_polygon_hole_escape(self, spark):
+        shell = self._pts((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        hole_in = self._pts((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+        hole_out = self._pts((10, 10), (11, 10), (11, 11), (10, 11), (10, 10))
+        assert _one(spark, G.geometry_invalid_reason_polygon(F.array(shell, hole_in))) is None
+        assert _one(spark, G.geometry_invalid_reason_polygon(F.array(shell, hole_out))) == "Disconnected interior"
+        assert _one(spark, G.st_is_valid_polygon(F.array(shell, hole_in))) is True
+
+    def test_bad_ring_reported_before_hole_escape(self, spark):
+        bowtie = self._pts((0, 0), (4, 4), (4, 0), (0, 4), (0, 0))
+        hole_out = self._pts((10, 10), (11, 10), (11, 11), (10, 11), (10, 10))
+        assert _one(spark, G.geometry_invalid_reason_polygon(F.array(bowtie, hole_out))) == "Self-intersection"
+
+    def test_line_reasons(self, spark):
+        ok = self._pts((0, 0), (1, 1), (2, 0))
+        dup = self._pts((0, 0), (0, 0), (2, 0))
+        short = self._pts((0, 0))
+        assert _one(spark, G.geometry_invalid_reason_line(ok)) is None
+        assert _one(spark, G.geometry_invalid_reason_line(dup)) == "Degenerate segments"
+        assert _one(spark, G.geometry_invalid_reason_line(short)) == "Degenerate segments"
+        assert _one(spark, G.st_is_valid_line(ok)) is True
