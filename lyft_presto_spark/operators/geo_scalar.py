@@ -1,0 +1,117 @@
+"""Per-row geometry scalars that need real loops: ST_ConvexHull,
+simplify_geometry.
+
+GeoFunctions.java stConvexHull (:411) and simplifyGeometry (:856) are the
+only planar ``ST_*`` scalars whose published algorithms are inherently
+iterative per row (a hull stack; Douglas-Peucker's recursive split), so
+they live outside ``functions/geo.py`` (pure codegen, zero UDFs) as
+Arrow-batched pandas UDFs — one Python invocation per ~10k-row batch over
+numpy arrays, never row-at-a-time Python in the hot path. The hull math is
+shared with the ``convex_hull_agg`` two-level aggregate
+(``operators/hull.py`` monotone_chain), so the scalar and the aggregate
+agree vertex-for-vertex on exact-integer coordinates.
+
+Semantics vs the reference (DELTAS):
+- ``st_convex_hull``: point and empty inputs return the input unchanged
+  (stConvexHull:414-418); >= 3 non-collinear points return the closed hull
+  ring counter-clockwise from the lexicographic minimum; collinear inputs
+  return the degenerate out-and-back cycle the aggregate also produces.
+- ``simplify_geometry``: distance tolerance 0 returns the input unchanged
+  (simplifyGeometry:866); the reference THROWS on negative/NaN tolerance,
+  this twin returns NULL (ANSI-on pipelines degrade per-row). The
+  reference delegates to Esri's generalize (Douglas-Peucker); this is the
+  published Douglas-Peucker directly, endpoints always kept.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from .hull import monotone_chain
+
+_GEOM_TYPE = "array<struct<x:double,y:double>>"
+
+
+def _hull_one(pts: list) -> list | None:
+    if pts is None:
+        return None
+    xy = [(p["x"], p["y"]) for p in pts if p is not None]
+    if len(xy) <= 1:
+        return [{"x": x, "y": y} for x, y in xy]
+    hull = monotone_chain([p[0] for p in xy], [p[1] for p in xy])
+    cycle = hull + [hull[0]] if len(hull) >= 2 else hull
+    return [{"x": x, "y": y} for x, y in cycle]
+
+
+def st_convex_hull(points: Column) -> Column:
+    """stConvexHull (GeoFunctions.java:411) over ``array<struct<x,y>>``:
+    the closed hull cycle (counter-clockwise, collinear boundary points
+    kept — same chain as convex_hull_agg). The UDF is built at call time:
+    pandas_udf parses its DDL return type against the active session, so a
+    module-level decorator would fail before any session exists."""
+
+    @pandas_udf(_GEOM_TYPE)
+    def _hull_udf(col: pd.Series) -> pd.Series:
+        return col.map(_hull_one)
+
+    return _hull_udf(points)
+
+
+def _dp_keep(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask, iterative stack (no recursion limit)."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        sx, sy, ex, ey = xs[i], ys[i], xs[j], ys[j]
+        mx, my = xs[i + 1 : j], ys[i + 1 : j]
+        dx, dy = ex - sx, ey - sy
+        seg_len = math.hypot(dx, dy)
+        if seg_len == 0.0:  # closed span: plain distance to the point
+            dist = np.hypot(mx - sx, my - sy)
+        else:
+            dist = np.abs((mx - sx) * dy - (my - sy) * dx) / seg_len
+        k = int(np.argmax(dist))
+        if dist[k] > tol:
+            mid = i + 1 + k
+            keep[mid] = True
+            stack.append((i, mid))
+            stack.append((mid, j))
+    return keep
+
+
+def _simplify_one(pts: list, tol: float) -> list | None:
+    if pts is None or tol is None or math.isnan(tol) or tol < 0:
+        return None
+    if tol == 0 or len(pts) <= 2:
+        return pts
+    xs = np.asarray([p["x"] for p in pts], dtype=np.float64)
+    ys = np.asarray([p["y"] for p in pts], dtype=np.float64)
+    keep = _dp_keep(xs, ys, tol)
+    return [p for p, k in zip(pts, keep) if k]
+
+
+def simplify_geometry(line: Column, tolerance: Column | float) -> Column:
+    """simplifyGeometry (GeoFunctions.java:856): Douglas-Peucker with the
+    given distance tolerance; endpoints always kept, tolerance 0 is the
+    identity, negative/NaN tolerance yields NULL (reference throws —
+    DELTAS)."""
+
+    @pandas_udf(_GEOM_TYPE)
+    def _simplify_udf(col: pd.Series, tol: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_simplify_one(p, t) for p, t in zip(col, tol)], index=col.index
+        )
+
+    tol = tolerance if isinstance(tolerance, Column) else F.lit(float(tolerance))
+    return _simplify_udf(line, tol.cast("double"))

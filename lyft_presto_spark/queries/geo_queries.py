@@ -1752,3 +1752,74 @@ def fn_geo_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.geometry_invalid_reason_line(line).alias("line_reason"),
         G.st_is_valid_line(line).alias("line_valid"),
     ).orderBy("c_custkey")
+
+
+# --- Scalar convex hull + simplify -----------------------------------------
+
+_HULL_SIMPLIFY_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) AS s,
+           CAST(c_custkey % 3 AS DOUBLE) AS amp
+    FROM customer
+    WHERE c_custkey % 19 = 0
+"""
+
+# Closed forms: the hull of the s-square's corners plus one strictly
+# interior point is the square — 4 vertices + the closing vertex = 5, area
+# s^2. Douglas-Peucker at tolerance 1.5 over the zigzag
+# (0 0, 1 amp, 2 0, 3 amp, 4 0): the apex-to-chord distance is amp, so
+# amp <= 1 collapses to the endpoints (n=2); amp = 2 keeps the first apex,
+# and both remaining interior points sit 4/sqrt(13) ~ 1.109 < 1.5 from the
+# (1,2)-(4,0) chord, so exactly 3 points survive.
+_HULL_SIMPLIFY_ORACLE = f"""
+WITH src AS ({_HULL_SIMPLIFY_SRC})
+SELECT c_custkey,
+       5 AS n_hull,
+       s * s AS hull_area,
+       CASE WHEN amp = 2 THEN 3 ELSE 2 END AS n_simplified,
+       TRUE AS tol0_identity
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_hull_simplify",
+    oracle=_HULL_SIMPLIFY_ORACLE,
+    doc="Scalar ST_ConvexHull (GeoFunctions.java:411) and simplify_geometry "
+    "(:856, Douglas-Peucker): the two planar scalars that need per-row "
+    "loops, as Arrow-batched pandas UDFs (operators/geo_scalar.py) sharing "
+    "the monotone chain with convex_hull_agg so scalar and aggregate agree "
+    "vertex-for-vertex. The hull output feeds the codegen st_area measure "
+    "directly (UDF produces the standard geometry type). Closed-form "
+    "oracle in s (square side) and amp (zigzag amplitude).",
+    tags=("geo",),
+)
+def fn_geo_hull_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _HULL_SIMPLIFY_SRC, ("customer",))
+    s, amp = F.col("s"), F.col("amp")
+    # Interior point listed first: the hull must sort, not trust input order.
+    cloud = F.array(
+        G.st_point(F.lit(0.5), F.lit(0.25)),
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(s, F.lit(0.0)),
+        G.st_point(s, s),
+        G.st_point(F.lit(0.0), s),
+    )
+    zig = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(F.lit(1.0), amp),
+        G.st_point(F.lit(2.0), F.lit(0.0)),
+        G.st_point(F.lit(3.0), amp),
+        G.st_point(F.lit(4.0), F.lit(0.0)),
+    )
+    hull = GS.st_convex_hull(cloud)
+    return src.select(
+        "c_custkey",
+        F.size(hull).cast("int").alias("n_hull"),
+        G.st_area(hull).alias("hull_area"),
+        F.size(GS.simplify_geometry(zig, 1.5)).cast("int").alias("n_simplified"),
+        (GS.simplify_geometry(zig, 0.0) == zig).alias("tol0_identity"),
+    ).orderBy("c_custkey")

@@ -885,3 +885,63 @@ class TestValidity:
         assert _one(spark, G.geometry_invalid_reason_line(dup)) == "Degenerate segments"
         assert _one(spark, G.geometry_invalid_reason_line(short)) == "Degenerate segments"
         assert _one(spark, G.st_is_valid_line(ok)) is True
+
+
+class TestScalarHullAndSimplify:
+    """operators/geo_scalar.py: stConvexHull (:411) and simplifyGeometry
+    (:856) as Arrow-batched pandas UDFs."""
+
+    def _pts(self, *pts):
+        return F.array(*[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts])
+
+    def test_hull_of_cloud(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        cloud = self._pts((1, 1), (0, 0), (4, 0), (2, 3), (4, 4), (0, 4), (3, 2))
+        hull = _one(spark, GS.st_convex_hull(cloud))
+        assert [(p.x, p.y) for p in hull] == [
+            (0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)
+        ]
+        assert _one(spark, G.st_area(GS.st_convex_hull(cloud))) == pytest.approx(16.0)
+
+    def test_hull_degenerate_inputs(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        one = self._pts((2, 3))
+        assert [(p.x, p.y) for p in _one(spark, GS.st_convex_hull(one))] == [(2.0, 3.0)]
+        assert _one(spark, GS.st_convex_hull(F.slice(one, 1, 0))) == []
+        # collinear: out-and-back cycle, area 0 — same as convex_hull_agg
+        coll = self._pts((0, 0), (2, 2), (1, 1))
+        assert _one(spark, G.st_area(GS.st_convex_hull(coll))) == pytest.approx(0.0)
+
+    def test_hull_matches_aggregate_chain(self, spark):
+        # Scalar and aggregate share monotone_chain: same vertex set.
+        from lyft_presto_spark.operators import geo_scalar as GS
+        from lyft_presto_spark.operators.hull import monotone_chain
+        pts = [(0, 0), (5, 1), (3, 7), (1, 4), (2, 2), (4, 5), (5, 7), (0, 6)]
+        expected = monotone_chain([p[0] for p in pts], [p[1] for p in pts])
+        got = _one(spark, GS.st_convex_hull(self._pts(*pts)))
+        assert [(p.x, p.y) for p in got[:-1]] == [(float(x), float(y)) for x, y in expected]
+
+    def test_simplify_tolerance_sweep(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        zig = self._pts((0, 0), (1, 2), (2, 0), (3, 2), (4, 0))
+        assert len(_one(spark, GS.simplify_geometry(zig, 0.0))) == 5  # identity
+        s = _one(spark, GS.simplify_geometry(zig, 1.5))
+        assert [(p.x, p.y) for p in s] == [(0.0, 0.0), (1.0, 2.0), (4.0, 0.0)]
+        s = _one(spark, GS.simplify_geometry(zig, 2.5))
+        assert [(p.x, p.y) for p in s] == [(0.0, 0.0), (4.0, 0.0)]
+
+    def test_simplify_guards(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        zig = self._pts((0, 0), (1, 2), (2, 0))
+        assert _one(spark, GS.simplify_geometry(zig, -1.0)) is None
+        assert _one(spark, GS.simplify_geometry(zig, float("nan"))) is None
+        two = self._pts((0, 0), (4, 0))
+        assert len(_one(spark, GS.simplify_geometry(two, 99.0))) == 2
+
+    def test_simplify_closed_ring_span(self, spark):
+        # First == last vertex: the zero-length chord branch must not div/0.
+        from lyft_presto_spark.operators import geo_scalar as GS
+        ring = self._pts((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        s = _one(spark, GS.simplify_geometry(ring, 1.0))
+        assert [(p.x, p.y) for p in s][0] == (0.0, 0.0)
+        assert len(s) >= 3  # far corners survive any sane tolerance
