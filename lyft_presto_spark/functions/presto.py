@@ -623,6 +623,15 @@ DELTAS = {
     "duplicate vertices; the planar constructors return NULL instead so an "
     "ANSI-on pipeline degrades per-row rather than dying (st_linestring_of/"
     "st_multipoint_of, functions/geo.py).",
+    "ST_Intersection (polygon case)": "Polygon/polygon intersection is the "
+    "published Sutherland-Hodgman clip (st_intersection_convex): exact for "
+    "a CONVEX clip ring; a non-convex subject clips correctly except that "
+    "disconnected pieces come back joined by degenerate bridge edges, and "
+    "a pure edge/corner contact yields a degenerate zero-area ring or the "
+    "empty ring where the reference returns a LINESTRING/POINT geometry. "
+    "ST_Union/ST_SymDifference/ST_Difference ship as exact AREA analogs by "
+    "inclusion-exclusion; the union GEOMETRY of arbitrary polygons stays "
+    "out of scope (COVERAGE.md).",
     "geometry_invalid_reason": "Planar validity reuses the reference's "
     "NON_SIMPLE_REASONS spellings (GeoFunctions.java:125) for the checks "
     "expressible over the vertex array: 'Degenerate segments', 'Repeated "

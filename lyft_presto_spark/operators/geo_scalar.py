@@ -115,3 +115,121 @@ def simplify_geometry(line: Column, tolerance: Column | float) -> Column:
 
     tol = tolerance if isinstance(tolerance, Column) else F.lit(float(tolerance))
     return _simplify_udf(line, tol.cast("double"))
+
+
+# --- Convex polygon intersection (Sutherland-Hodgman) ----------------------
+# GeoFunctions.java stIntersection (:1019) delegates the polygon/polygon
+# case to Esri's general clipper. The planar twin implements the published
+# Sutherland-Hodgman algorithm: exact for a CONVEX clip polygon (and the
+# convex/convex pairs a blocking pipeline intersects after a bbox
+# prefilter); a non-convex SUBJECT is clipped correctly except that
+# disconnected results come back joined by degenerate bridge edges — the
+# documented S-H limitation (DELTAS). Union / symmetric-difference AREAS
+# then follow by inclusion-exclusion without ever materializing the
+# non-convex union geometry.
+
+
+def _close(ring: list[tuple[float, float]]) -> list[tuple[float, float]]:
+    return ring + [ring[0]] if ring and ring[-1] != ring[0] else ring
+
+
+def _open_ccw(ring: list) -> list[tuple[float, float]]:
+    """Struct ring -> open vertex list, counter-clockwise."""
+    xy = [(p["x"], p["y"]) for p in ring if p is not None]
+    if len(xy) >= 2 and xy[0] == xy[-1]:
+        xy = xy[:-1]
+    area2 = sum(
+        xy[i][0] * xy[(i + 1) % len(xy)][1] - xy[(i + 1) % len(xy)][0] * xy[i][1]
+        for i in range(len(xy))
+    )
+    return xy[::-1] if area2 < 0 else xy
+
+
+def _clip_one(subject: list, clip: list) -> list | None:
+    if subject is None or clip is None:
+        return None
+    out = _open_ccw(subject)
+    cl = _open_ccw(clip)
+    if len(out) < 3 or len(cl) < 3:
+        return []
+    for i in range(len(cl)):
+        ax, ay = cl[i]
+        bx, by = cl[(i + 1) % len(cl)]
+        inp, out = out, []
+        if not inp:
+            break
+
+        def inside(p: tuple[float, float]) -> bool:
+            # left-of (or on) the CCW clip edge a->b
+            return (bx - ax) * (p[1] - ay) - (by - ay) * (p[0] - ax) >= 0
+
+        def cross_pt(p: tuple[float, float], q: tuple[float, float]):
+            # t along p->q where cross(b-a, p + t(q-p) - a) = 0
+            dcx, dcy = bx - ax, by - ay
+            dpx, dpy = q[0] - p[0], q[1] - p[1]
+            denom = dcx * dpy - dcy * dpx
+            t = (dcy * (p[0] - ax) - dcx * (p[1] - ay)) / denom
+            return (p[0] + t * dpx, p[1] + t * dpy)
+
+        for j in range(len(inp)):
+            cur, prv = inp[j], inp[j - 1]
+            if inside(cur):
+                if not inside(prv):
+                    out.append(cross_pt(prv, cur))
+                out.append(cur)
+            elif inside(prv):
+                out.append(cross_pt(prv, cur))
+    # collapse consecutive duplicates the clip can introduce at vertices
+    dedup: list[tuple[float, float]] = []
+    for p in out:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) >= 2 and dedup[0] == dedup[-1]:
+        dedup.pop()
+    if len(dedup) < 3:
+        return []
+    return [{"x": x, "y": y} for x, y in _close(dedup)]
+
+
+def st_intersection_convex(subject: Column, clip: Column) -> Column:
+    """stIntersection (:1019), polygon case with a convex clip ring:
+    Sutherland-Hodgman, returning the closed CCW intersection ring (empty
+    array when disjoint, NULL on NULL input)."""
+
+    @pandas_udf(_GEOM_TYPE)
+    def _clip_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_clip_one(a, b) for a, b in zip(s, c)], index=s.index
+        )
+
+    return _clip_udf(subject, clip)
+
+
+def st_intersection_area_convex(a: Column, b: Column) -> Column:
+    """Area of the convex-clip intersection (stIntersection + stArea)."""
+    from ..functions.geo import st_area
+
+    return st_area(st_intersection_convex(a, b))
+
+
+def st_union_area_convex(a: Column, b: Column) -> Column:
+    """stUnion area by inclusion-exclusion: |A| + |B| - |A∩B| — exact
+    without materializing the (possibly non-convex) union geometry
+    (GeoFunctions.java stUnion:675 area analog)."""
+    from ..functions.geo import st_area
+
+    return st_area(a) + st_area(b) - st_intersection_area_convex(a, b)
+
+
+def st_sym_difference_area_convex(a: Column, b: Column) -> Column:
+    """stSymDifference (:1099) area analog: |A| + |B| - 2|A∩B|."""
+    from ..functions.geo import st_area
+
+    return st_area(a) + st_area(b) - 2.0 * st_intersection_area_convex(a, b)
+
+
+def st_difference_area_convex(a: Column, b: Column) -> Column:
+    """stDifference (:1089) area analog: |A| - |A∩B|."""
+    from ..functions.geo import st_area
+
+    return st_area(a) - st_intersection_area_convex(a, b)

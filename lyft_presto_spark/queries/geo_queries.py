@@ -1823,3 +1823,81 @@ def fn_geo_hull_simplify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(GS.simplify_geometry(zig, 1.5)).cast("int").alias("n_simplified"),
         (GS.simplify_geometry(zig, 0.0) == zig).alias("tol0_identity"),
     ).orderBy("c_custkey")
+
+
+# --- Convex polygon intersection / union-by-inclusion-exclusion ------------
+
+_CLIP_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 8 AS DOUBLE) AS b,
+           (c_custkey % 2 = 0) AS use_tri
+    FROM customer
+    WHERE c_custkey % 23 = 0
+"""
+
+# Closed forms: A = (0..4)^2, B = (b..b+4)^2 overlap on a side of
+# max(0, 4-b): area (4-b)^2 for b < 4, empty from the b = 4 corner touch on
+# (Sutherland-Hodgman's degenerate contact collapses below 3 vertices).
+# The right triangle (0 0, 4 0, 0 4) lies inside A, so A clipped by it is
+# the triangle itself, area 8.
+_CLIP_ORACLE = f"""
+WITH src AS ({_CLIP_SRC})
+SELECT c_custkey,
+       CASE WHEN b < 4 THEN (4 - b) * (4 - b) ELSE 0.0 END AS inter_area,
+       CASE WHEN b < 4 THEN 5 ELSE 0 END AS n_inter,
+       32.0 - CASE WHEN b < 4 THEN (4 - b) * (4 - b) ELSE 0.0 END AS union_area,
+       32.0 - 2 * CASE WHEN b < 4 THEN (4 - b) * (4 - b) ELSE 0.0 END AS symdiff_area,
+       16.0 - CASE WHEN b < 4 THEN (4 - b) * (4 - b) ELSE 0.0 END AS diff_area,
+       8.0 AS tri_inter_area
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_clip",
+    oracle=_CLIP_ORACLE,
+    doc="Convex polygon ST_Intersection (GeoFunctions.java stIntersection "
+    ":1019, polygon case) via the published Sutherland-Hodgman clip "
+    "(operators/geo_scalar.py, Arrow-batched pandas UDF), plus "
+    "ST_Union/ST_SymDifference/ST_Difference AREA analogs by "
+    "inclusion-exclusion (stUnion:675, stSymDifference:1099, "
+    "stDifference:1089) — no union geometry ever materialized. Exact for "
+    "a convex clip ring; non-convex residue stays OOS (DELTAS). Fixtures "
+    "sweep overlap/corner-touch/disjoint square pairs and a triangle "
+    "clip; closed-form oracle in the offset b.",
+    tags=("geo",),
+)
+def fn_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _CLIP_SRC, ("customer",))
+    b = F.col("b")
+
+    def square(x0: F.Column, y0: F.Column) -> F.Column:
+        return F.array(
+            G.st_point(x0, y0),
+            G.st_point(x0 + 4.0, y0),
+            G.st_point(x0 + 4.0, y0 + 4.0),
+            G.st_point(x0, y0 + 4.0),
+            G.st_point(x0, y0),
+        )
+
+    a_ring = square(F.lit(0.0), F.lit(0.0))
+    b_ring = square(b, b)
+    tri = F.array(
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+        G.st_point(F.lit(4.0), F.lit(0.0)),
+        G.st_point(F.lit(0.0), F.lit(4.0)),
+        G.st_point(F.lit(0.0), F.lit(0.0)),
+    )
+    inter = GS.st_intersection_convex(a_ring, b_ring)
+    return src.select(
+        "c_custkey",
+        G.st_area(inter).alias("inter_area"),
+        F.size(inter).cast("int").alias("n_inter"),
+        GS.st_union_area_convex(a_ring, b_ring).alias("union_area"),
+        GS.st_sym_difference_area_convex(a_ring, b_ring).alias("symdiff_area"),
+        GS.st_difference_area_convex(a_ring, b_ring).alias("diff_area"),
+        G.st_area(GS.st_intersection_convex(a_ring, tri)).alias("tri_inter_area"),
+    ).orderBy("c_custkey")

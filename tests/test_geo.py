@@ -945,3 +945,51 @@ class TestScalarHullAndSimplify:
         s = _one(spark, GS.simplify_geometry(ring, 1.0))
         assert [(p.x, p.y) for p in s][0] == (0.0, 0.0)
         assert len(s) >= 3  # far corners survive any sane tolerance
+
+
+class TestConvexClip:
+    """Sutherland-Hodgman convex intersection + inclusion-exclusion areas
+    (stIntersection:1019 / stUnion:675 / stSymDifference:1099 area
+    analogs)."""
+
+    def _pts(self, *pts):
+        return F.array(*[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts])
+
+    def _sq(self, x0, y0, s=4):
+        return self._pts((x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0))
+
+    def test_partial_overlap(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        inter = GS.st_intersection_convex(self._sq(0, 0), self._sq(2, 2))
+        assert _one(spark, G.st_area(inter)) == pytest.approx(4.0)
+        assert _one(spark, GS.st_union_area_convex(self._sq(0, 0), self._sq(2, 2))) == pytest.approx(28.0)
+        assert _one(spark, GS.st_sym_difference_area_convex(self._sq(0, 0), self._sq(2, 2))) == pytest.approx(24.0)
+        assert _one(spark, GS.st_difference_area_convex(self._sq(0, 0), self._sq(2, 2))) == pytest.approx(12.0)
+
+    def test_orientation_normalized(self, spark):
+        # A clockwise-spelled clip ring must clip identically.
+        from lyft_presto_spark.operators import geo_scalar as GS
+        cw = self._pts((2, 2), (2, 6), (6, 6), (6, 2), (2, 2))
+        assert _one(spark, G.st_area(GS.st_intersection_convex(self._sq(0, 0), cw))) == pytest.approx(4.0)
+
+    def test_containment_and_disjoint(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        inner = self._sq(1, 1, s=1)
+        assert _one(spark, G.st_area(GS.st_intersection_convex(self._sq(0, 0), inner))) == pytest.approx(1.0)
+        assert _one(spark, G.st_area(GS.st_intersection_convex(inner, self._sq(0, 0)))) == pytest.approx(1.0)
+        assert _one(spark, F.size(GS.st_intersection_convex(self._sq(0, 0), self._sq(10, 10)))) == 0
+
+    def test_corner_touch_is_empty(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        assert _one(spark, F.size(GS.st_intersection_convex(self._sq(0, 0), self._sq(4, 4)))) == 0
+
+    def test_triangle_clip_both_ways(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        tri = self._pts((0, 0), (4, 0), (0, 4), (0, 0))
+        assert _one(spark, G.st_area(GS.st_intersection_convex(self._sq(0, 0), tri))) == pytest.approx(8.0)
+        assert _one(spark, G.st_area(GS.st_intersection_convex(tri, self._sq(0, 0)))) == pytest.approx(8.0)
+
+    def test_null_degrades(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+        nul = F.lit(None).cast("array<struct<x:double,y:double>>")
+        assert _one(spark, GS.st_intersection_convex(nul, self._sq(0, 0))) is None
