@@ -1557,3 +1557,133 @@ def st_is_valid_polygon(rings: Column) -> Column:
     return F.when(
         rings.isNotNull(), geometry_invalid_reason_polygon(rings).isNull()
     )
+
+
+# --- ST_Relate (DE-9IM) for envelope pairs ---------------------------------
+# GeoFunctions.java stRelate (:1153) delegates to Esri's full DE-9IM. The
+# planar twin computes the exact DE-9IM matrix for AXIS-ALIGNED ENVELOPE
+# pairs — the geometry class every blocking pipeline actually relates.
+# Decomposition: a box's interior is int_x × int_y, its boundary
+# (bnd_x × cl_y) ∪ (cl_x × bnd_y), its exterior the product complement
+# (ext_x × R) ∪ (R × ext_y); every matrix cell is an intersection of
+# unions of axis-part products, and dim(⋃ products) = max over nonempty
+# terms of the sum of per-axis 1D dims. So the whole matrix reduces to
+# nine 1D interval-part dimensions per axis — pure codegen, exact
+# arithmetic. Degenerate (zero-width/height) envelopes yield NULL (the
+# reference handles them as lower-dimensional geometries — DELTAS).
+
+
+def _interval_dims(a1: Column, a2: Column, b1: Column, b2: Column) -> dict:
+    """1D dims d[(p, q)] ∈ {-1 (empty), 0, 1} for parts p of [a1,a2] vs
+    parts q of [b1,b2], p/q ∈ {'i' (open interior), 'b' (endpoints),
+    'e' (exterior)}. Intervals assumed nondegenerate (a1 < a2, b1 < b2)."""
+
+    def d0(cond: Column) -> Column:
+        return F.when(cond, F.lit(0)).otherwise(F.lit(-1))
+
+    def d1(cond: Column) -> Column:
+        return F.when(cond, F.lit(1)).otherwise(F.lit(-1))
+
+    def inside(p: Column, lo: Column, hi: Column) -> Column:
+        return (p > lo) & (p < hi)
+
+    return {
+        ("i", "i"): d1(F.greatest(a1, b1) < F.least(a2, b2)),
+        ("i", "b"): d0(inside(b1, a1, a2) | inside(b2, a1, a2)),
+        ("i", "e"): d1((a1 < b1) | (a2 > b2)),
+        ("b", "i"): d0(inside(a1, b1, b2) | inside(a2, b1, b2)),
+        ("b", "b"): d0((a1 == b1) | (a1 == b2) | (a2 == b1) | (a2 == b2)),
+        ("b", "e"): d0((a1 < b1) | (a1 > b2) | (a2 < b1) | (a2 > b2)),
+        ("e", "i"): d1((b1 < a1) | (b2 > a2)),
+        ("e", "b"): d0((b1 < a1) | (b1 > a2) | (b2 < a1) | (b2 > a2)),
+        ("e", "e"): F.lit(1),  # both exteriors unbounded: always meet
+    }
+
+
+def st_relate_envelopes(a: Column, b: Column) -> Column:
+    """stRelate (:1153) for two non-degenerate envelopes: the 9-char
+    DE-9IM string, row-major over (interior, boundary, exterior) of A ×
+    the same of B; each char is the intersection dimension '0'/'1'/'2'
+    or 'F'."""
+    dx = _interval_dims(a["xmin"], a["xmax"], b["xmin"], b["xmax"])
+    dy = _interval_dims(a["ymin"], a["ymax"], b["ymin"], b["ymax"])
+
+    def term(px: Column, py: Column) -> Column:
+        # product-set dim: sum when both axis parts nonempty, else empty
+        return F.when((px >= 0) & (py >= 0), px + py).otherwise(F.lit(-1))
+
+    def mx(*cols) -> Column:
+        cols = [c if isinstance(c, Column) else F.lit(c) for c in cols]
+        return F.greatest(*cols) if len(cols) > 1 else cols[0]
+
+    # closures: cl(A-part) ∩ q = (i∪b) ∩ q, per axis
+    cx = {q: mx(dx[("i", q)], dx[("b", q)]) for q in ("i", "b", "e")}
+    cy = {q: mx(dy[("i", q)], dy[("b", q)]) for q in ("i", "b", "e")}
+    xc = {p: mx(dx[(p, "i")], dx[(p, "b")]) for p in ("i", "b", "e")}
+    yc = {p: mx(dy[(p, "i")], dy[(p, "b")]) for p in ("i", "b", "e")}
+    ccx = mx(dx[("i", "i")], dx[("i", "b")], dx[("b", "i")], dx[("b", "b")])
+    ccy = mx(dy[("i", "i")], dy[("i", "b")], dy[("b", "i")], dy[("b", "b")])
+    ONE, ZERO = F.lit(1), F.lit(0)
+
+    ii = term(dx[("i", "i")], dy[("i", "i")])
+    ib = mx(
+        term(dx[("i", "b")], yc["i"]),  # (iAx∩bBx) × (iAy∩clBy)
+        term(xc["i"], dy[("i", "b")]),  # (iAx∩clBx) × (iAy∩bBy)
+    )
+    ie = mx(
+        term(dx[("i", "e")], ONE),  # (iAx∩eBx) × iAy
+        term(ONE, dy[("i", "e")]),  # iAx × (iAy∩eBy)
+    )
+    bi = mx(
+        term(dx[("b", "i")], cy["i"]),  # (bAx∩iBx) × (clAy∩iBy)
+        term(cx["i"], dy[("b", "i")]),  # (clAx∩iBx) × (bAy∩iBy)
+    )
+    bb = mx(
+        term(dx[("b", "b")], ccy),                      # (bAx∩bBx) × (clAy∩clBy)
+        term(mx(dx[("b", "i")], dx[("b", "b")]),        # (bAx∩clBx) × (clAy∩bBy)
+             mx(dy[("i", "b")], dy[("b", "b")])),
+        term(mx(dx[("i", "b")], dx[("b", "b")]),        # (clAx∩bBx) × (bAy∩clBy)
+             mx(dy[("b", "i")], dy[("b", "b")])),
+        term(ccx, dy[("b", "b")]),                      # (clAx∩clBx) × (bAy∩bBy)
+    )
+    be = mx(
+        term(dx[("b", "e")], ONE),            # (bAx∩eBx) × clAy
+        term(ZERO, cy["e"]),                  # bAx × (clAy∩eBy)
+        term(cx["e"], ZERO),                  # (clAx∩eBx) × bAy
+        term(ONE, dy[("b", "e")]),            # clAx × (bAy∩eBy)
+    )
+    ei = mx(
+        term(dx[("e", "i")], ONE),  # (eAx∩iBx) × iBy
+        term(ONE, dy[("e", "i")]),  # iBx × (eAy∩iBy)
+    )
+    eb = mx(
+        term(dx[("e", "b")], ONE),            # (eAx∩bBx) × clBy
+        term(xc["e"], ZERO),                  # (eAx∩clBx) × bBy
+        term(ZERO, yc["e"]),                  # bBx × (eAy∩clBy)
+        term(ONE, dy[("e", "b")]),            # clBx × (eAy∩bBy)
+    )
+    ee = F.lit(2)  # the plane outside both (bounded) boxes is 2-dimensional
+
+    ch = [
+        F.when(c < 0, F.lit("F")).otherwise(c.cast("string"))
+        for c in (ii, ib, ie, bi, bb, be, ei, eb, ee)
+    ]
+    nondegenerate = (
+        (a["xmin"] < a["xmax"]) & (a["ymin"] < a["ymax"])
+        & (b["xmin"] < b["xmax"]) & (b["ymin"] < b["ymax"])
+    )
+    return F.when(nondegenerate, F.concat(*ch))
+
+
+def st_relate_matches(relate: Column, pattern: str) -> Column:
+    """The relate(g1, g2, pattern) predicate over a DE-9IM string:
+    'T' = any nonempty dim, 'F' = empty, '0'/'1'/'2' exact, '*' = any."""
+    if len(pattern) != 9:
+        raise ValueError("DE-9IM pattern must be 9 characters")
+    cond = F.lit(True)
+    for i, pc in enumerate(pattern):
+        if pc == "*":
+            continue
+        c = F.substring(relate, i + 1, 1)
+        cond = cond & ((c != "F") if pc == "T" else (c == pc))
+    return cond

@@ -632,6 +632,11 @@ DELTAS = {
     "ST_Union/ST_SymDifference/ST_Difference ship as exact AREA analogs by "
     "inclusion-exclusion; the union GEOMETRY of arbitrary polygons stays "
     "out of scope (COVERAGE.md).",
+    "ST_Relate": "The DE-9IM matrix is computed exactly for AXIS-ALIGNED "
+    "ENVELOPE pairs (st_relate_envelopes); arbitrary polygon pairs are not "
+    "supported (Esri residue -> Sedona). Degenerate (zero-extent) "
+    "envelopes yield NULL where the reference treats them as "
+    "lower-dimensional geometries.",
     "geometry_invalid_reason": "Planar validity reuses the reference's "
     "NON_SIMPLE_REASONS spellings (GeoFunctions.java:125) for the checks "
     "expressible over the vertex array: 'Degenerate segments', 'Repeated "

@@ -1901,3 +1901,67 @@ def fn_geo_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         GS.st_difference_area_convex(a_ring, b_ring).alias("diff_area"),
         G.st_area(GS.st_intersection_convex(a_ring, tri)).alias("tri_inter_area"),
     ).orderBy("c_custkey")
+
+
+# --- ST_Relate (DE-9IM) ----------------------------------------------------
+
+_RELATE_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 8 AS DOUBLE) AS b
+    FROM customer
+    WHERE c_custkey % 21 = 0
+"""
+
+# Closed forms are the literature-standard DE-9IM matrices for two
+# axis-aligned squares A = (0..4)^2 and B = (b..b+4)^2: Equals at b = 0,
+# area/area Overlaps for 0 < b < 4, corner point-touch at b = 4, Disjoint
+# beyond. The OGC named predicates follow from their published patterns.
+_RELATE_ORACLE = f"""
+WITH src AS ({_RELATE_SRC})
+SELECT c_custkey,
+       CASE WHEN b = 0 THEN '2FFF1FFF2'
+            WHEN b < 4 THEN '212101212'
+            WHEN b = 4 THEN 'FF2F01212'
+            ELSE 'FF2FF1212' END AS de9im,
+       (b = 0) AS is_equal,
+       (b > 0 AND b < 4) AS is_overlap,
+       (b = 4) AS is_touch,
+       (b <= 4) AS is_intersect
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_relate",
+    oracle=_RELATE_ORACLE,
+    doc="ST_Relate (GeoFunctions.java stRelate:1153) for envelope pairs: "
+    "the exact DE-9IM matrix from the product-space decomposition (box "
+    "interior/boundary/exterior as unions of axis-part products; cell dim "
+    "= max over terms of summed 1D dims) — pure codegen, no Esri. Plus "
+    "the relate(g1, g2, pattern) predicate with the OGC published "
+    "patterns: Equals T*F**FFF*, Overlaps T*T***T**, Touches "
+    "FT*/F**T*/F***T, Intersects = NOT Disjoint FF*FF****. Fixtures "
+    "sweep equal/overlap/corner-touch/disjoint square pairs; the oracle "
+    "is the literature matrix for each regime.",
+    tags=("geo",),
+)
+def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _RELATE_SRC, ("customer",))
+    b = F.col("b")
+    env_a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(4.0), F.lit(4.0))
+    env_b = G.st_envelope(b, b, b + 4.0, b + 4.0)
+    rel = G.st_relate_envelopes(env_a, env_b)
+    touch = (
+        G.st_relate_matches(rel, "FT*******")
+        | G.st_relate_matches(rel, "F**T*****")
+        | G.st_relate_matches(rel, "F***T****")
+    )
+    return src.select(
+        "c_custkey",
+        rel.alias("de9im"),
+        G.st_relate_matches(rel, "T*F**FFF*").alias("is_equal"),
+        G.st_relate_matches(rel, "T*T***T**").alias("is_overlap"),
+        touch.alias("is_touch"),
+        (~G.st_relate_matches(rel, "FF*FF****")).alias("is_intersect"),
+    ).orderBy("c_custkey")

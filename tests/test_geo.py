@@ -993,3 +993,65 @@ class TestConvexClip:
         from lyft_presto_spark.operators import geo_scalar as GS
         nul = F.lit(None).cast("array<struct<x:double,y:double>>")
         assert _one(spark, GS.st_intersection_convex(nul, self._sq(0, 0))) is None
+
+
+class TestRelateDe9im:
+    """DE-9IM for envelope pairs (stRelate:1153) against the
+    literature-standard matrices, plus the pattern predicate."""
+
+    def _env(self, x0, y0, x1, y1):
+        return G.st_envelope(F.lit(float(x0)), F.lit(float(y0)), F.lit(float(x1)), F.lit(float(y1)))
+
+    CASES = [
+        ((0, 0, 4, 4), "2FFF1FFF2"),    # equals
+        ((2, 2, 6, 6), "212101212"),    # area/area overlap
+        ((4, 4, 8, 8), "FF2F01212"),    # corner point-touch
+        ((5, 5, 9, 9), "FF2FF1212"),    # disjoint
+        ((1, 1, 2, 2), "212FF1FF2"),    # contains
+        ((-1, -1, 5, 5), "2FF1FF212"),  # within
+        ((4, 0, 8, 4), "FF2F11212"),    # shared-edge touch (BB dim 1)
+        ((0, 0, 2, 4), "212F11FF2"),    # inside sharing an edge
+    ]
+
+    def test_known_matrices(self, spark):
+        a = self._env(0, 0, 4, 4)
+        for box, want in self.CASES:
+            got = _one(spark, G.st_relate_envelopes(a, self._env(*box)))
+            assert got == want, f"{box}: {got} != {want}"
+
+    def test_transpose_symmetry(self, spark):
+        # relate(B, A) is the matrix transpose of relate(A, B).
+        a = self._env(0, 0, 4, 4)
+        t = [0, 3, 6, 1, 4, 7, 2, 5, 8]
+        for box, _ in self.CASES:
+            ab = _one(spark, G.st_relate_envelopes(a, self._env(*box)))
+            ba = _one(spark, G.st_relate_envelopes(self._env(*box), a))
+            assert ba == "".join(ab[i] for i in t), f"{box}: {ab} vs {ba}"
+
+    def test_pattern_predicate(self, spark):
+        a = self._env(0, 0, 4, 4)
+        rel = G.st_relate_envelopes(a, self._env(2, 2, 6, 6))
+        assert _one(spark, G.st_relate_matches(rel, "T*T***T**")) is True   # overlaps
+        assert _one(spark, G.st_relate_matches(rel, "T*F**FFF*")) is False  # equals
+        assert _one(spark, G.st_relate_matches(rel, "*********")) is True
+        with pytest.raises(ValueError):
+            G.st_relate_matches(rel, "TT")
+
+    def test_named_predicates_agree_with_primitives(self, spark):
+        # The DE-9IM-derived predicates must agree with the direct
+        # envelope primitives on a sweep of offsets.
+        a = self._env(0, 0, 4, 4)
+        for off in (0, 1, 3, 4, 5):
+            bx = self._env(off, off, off + 4, off + 4)
+            rel = G.st_relate_envelopes(a, bx)
+            via_rel = _one(spark, ~G.st_relate_matches(rel, "FF*FF****"))
+            direct = _one(spark, G.st_intersects_envelopes(a, bx))
+            assert via_rel == direct, f"off={off}"
+            assert _one(spark, G.st_relate_matches(rel, "T*T***T**")) == _one(
+                spark, G.st_overlaps_envelopes(a, bx)
+            ), f"off={off}"
+
+    def test_degenerate_yields_null(self, spark):
+        a = self._env(0, 0, 4, 4)
+        flat = self._env(1, 1, 1, 3)
+        assert _one(spark, G.st_relate_envelopes(a, flat)) is None
