@@ -985,6 +985,18 @@ def _holes(rings: Column) -> Column:
     return F.slice(rings, 2, F.greatest(F.size(rings) - 1, F.lit(0)))
 
 
+def st_interior_rings(rings: Column) -> Column:
+    """stInteriorRings (GeoFunctions.java:540): every ring after the
+    exterior, as an array of rings."""
+    return _holes(rings)
+
+
+def st_geometries(collection: Column) -> Column:
+    """stGeometries (:690): the member geometries of a collection — the
+    identity on the array representation, kept for API parity."""
+    return collection
+
+
 def st_polygon_area(rings: Column) -> Column:
     """stArea for a holed polygon: exterior shoelace minus hole shoelaces
     (Esri computes the same for valid polygons — holes inside the shell,

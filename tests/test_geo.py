@@ -1055,3 +1055,15 @@ class TestRelateDe9im:
         a = self._env(0, 0, 4, 4)
         flat = self._env(1, 1, 1, 3)
         assert _one(spark, G.st_relate_envelopes(a, flat)) is None
+
+
+def test_interior_rings_and_geometries_accessors(spark):
+    """stInteriorRings (:540) and stGeometries (:690) wrappers."""
+    ring = lambda *ps: F.array(*[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in ps])  # noqa: E731
+    shell = ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    hole = ring((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+    poly = F.array(shell, hole)
+    holes = _one(spark, G.st_interior_rings(poly))
+    assert len(holes) == 1 and len(holes[0]) == 5
+    assert _one(spark, F.size(G.st_interior_rings(F.array(shell)))) == 0
+    assert _one(spark, F.size(G.st_geometries(poly))) == 2
