@@ -1699,3 +1699,65 @@ def st_relate_matches(relate: Column, pattern: str) -> Column:
         c = F.substring(relate, i + 1, 1)
         cond = cond & ((c != "F") if pc == "T" else (c == pc))
     return cond
+
+
+# --- Spherical geography (to_spherical_geography / ST_Distance / ST_Area) --
+# GeoFunctions.java toSphericalGeography (:290), stSphericalDistance
+# (:1489, great-circle meters), stSphericalArea (:1519) — the published
+# spherical-excess sum (movable-type.co.uk/scripts/latlong.html, the exact
+# formula the reference cites): E = Σ 2·atan2(tan(Δλ/2)·(tan(φ₁/2) +
+# tan(φ₂/2)), 1 + tan(φ₁/2)·tan(φ₂/2)) over cyclic vertex pairs, area =
+# |E|·R². All codegen HOFs. The reference's pole-enclosure correction
+# (courseDelta ~ 0 → subtract 2π) is not implemented: polygons enclosing
+# a pole are out of the planar model's fixture range (DELTAS).
+
+EARTH_RADIUS_M = EARTH_RADIUS_KM * 1000.0  # GeoFunctions.java:124
+
+
+def to_spherical_geography(p: Column) -> Column:
+    """toSphericalGeography (:290): range-check lat/lon; out-of-range
+    yields NULL (the reference throws INVALID_FUNCTION_ARGUMENT — DELTAS)."""
+    ok = (
+        (p["y"] >= -90.0) & (p["y"] <= 90.0)
+        & (p["x"] >= -180.0) & (p["x"] <= 180.0)
+    )
+    return F.when(ok, p)
+
+
+def st_spherical_distance(p1: Column, p2: Column) -> Column:
+    """stSphericalDistance (:1489): great-circle distance in METERS between
+    two geography points (x = lon, y = lat) — greatCircleDistance × 1000."""
+    return great_circle_distance(p1["y"], p1["x"], p2["y"], p2["x"]) * 1000.0
+
+
+def st_spherical_excess(ring: Column) -> Column:
+    """Spherical excess (steradians) of a great-circle-edged ring — the
+    cyclic sum in computeSphericalExcess (:1549). The closing duplicate
+    vertex is dropped first; the sum pairs each vertex with its cyclic
+    predecessor, exactly the reference's last-point-first iteration."""
+    first, last = F.element_at(ring, 1), F.element_at(ring, -1)
+    n = F.size(ring)
+    opened = F.when(
+        (first["x"] == last["x"]) & (first["y"] == last["y"]) & (n >= 2),
+        F.slice(ring, 1, n - 1),
+    ).otherwise(ring)
+    m = F.size(opened)
+    rotated = F.concat(F.slice(opened, m, 1), F.slice(opened, 1, m - 1))
+
+    def term(cur: Column, prv: Column) -> Column:
+        t1 = F.tan(F.radians(prv["y"]) / 2)
+        t2 = F.tan(F.radians(cur["y"]) / 2)
+        dlon = F.radians(cur["x"]) - F.radians(prv["x"])
+        return 2.0 * F.atan2(F.tan(dlon / 2) * (t1 + t2), 1.0 + t1 * t2)
+
+    s = F.aggregate(
+        F.zip_with(opened, rotated, term), F.lit(0.0), lambda acc, t: acc + t
+    )
+    return F.when(m >= 3, F.abs(s))
+
+
+def st_spherical_area(ring: Column) -> Column:
+    """stSphericalArea (:1519) for a single-ring geography polygon:
+    |spherical excess| · R² in square meters (holes subtract via
+    st_spherical_excess composition, as the reference's per-path sign)."""
+    return st_spherical_excess(ring) * EARTH_RADIUS_M * EARTH_RADIUS_M

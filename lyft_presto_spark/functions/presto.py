@@ -632,6 +632,12 @@ DELTAS = {
     "ST_Union/ST_SymDifference/ST_Difference ship as exact AREA analogs by "
     "inclusion-exclusion; the union GEOMETRY of arbitrary polygons stays "
     "out of scope (COVERAGE.md).",
+    "SphericalGeography": "to_spherical_geography returns NULL on "
+    "out-of-range lat/lon (reference throws); ST_Area(geography) uses the "
+    "reference's own spherical-excess sum but omits the pole-enclosure "
+    "correction (courseDelta), so polygons enclosing a pole are "
+    "unsupported; only the point case of ST_Distance(geography) exists, "
+    "matching the reference's own TODO at stSphericalDistance:1497.",
     "ST_Relate": "The DE-9IM matrix is computed exactly for AXIS-ALIGNED "
     "ENVELOPE pairs (st_relate_envelopes); arbitrary polygon pairs are not "
     "supported (Esri residue -> Sedona). Degenerate (zero-extent) "

@@ -1965,3 +1965,91 @@ def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
         touch.alias("is_touch"),
         (~G.st_relate_matches(rel, "FF*FF****")).alias("is_intersect"),
     ).orderBy("c_custkey")
+
+
+# --- Spherical geography ---------------------------------------------------
+
+_SPHERE_SRC = """
+    SELECT c_custkey,
+           CAST((c_custkey * 13) % 120 AS DOUBLE) - 60.0 AS lon0,
+           CAST((c_custkey * 17) % 100 AS DOUBLE) / 2.0 - 25.0 AS lat0,
+           CAST(c_custkey % 7 + 1 AS DOUBLE) AS d,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) AS e
+    FROM customer
+    WHERE c_custkey % 27 = 0
+"""
+
+# Independent formulation: the engine sums the reference's spherical-excess
+# terms over cyclic vertex pairs (computeSphericalExcess); the oracle
+# derives the same excess from l'Huilier's theorem — haversine side
+# lengths a, b, c, then tan(E/4) = sqrt(tan(s/2)·tan((s-a)/2)·tan((s-b)/2)
+# ·tan((s-c)/2)). Two published formulas with different structure agreeing
+# to 9 decimals in steradians is the correctness claim.
+_SPHERE_ORACLE = f"""
+WITH src AS ({_SPHERE_SRC}),
+ang AS (
+    SELECT c_custkey, lon0, lat0, d, e,
+           2 * ASIN(SQRT(
+               POW(SIN(RADIANS(e) / 2), 2)
+               + COS(RADIANS(lat0)) * COS(RADIANS(lat0 + e))
+                 * POW(SIN(RADIANS(0.0) / 2), 2))) AS side_b,
+           2 * ASIN(SQRT(
+               POW(SIN(RADIANS(0.0) / 2), 2)
+               + COS(RADIANS(lat0)) * COS(RADIANS(lat0))
+                 * POW(SIN(RADIANS(d) / 2), 2))) AS side_c,
+           2 * ASIN(SQRT(
+               POW(SIN(RADIANS(e) / 2), 2)
+               + COS(RADIANS(lat0)) * COS(RADIANS(lat0 + e))
+                 * POW(SIN(RADIANS(d) / 2), 2))) AS side_a
+    FROM src
+),
+lh AS (
+    SELECT c_custkey, side_a, side_b, side_c,
+           (side_a + side_b + side_c) / 2 AS s
+    FROM ang
+)
+SELECT c_custkey,
+       ROUND(4 * ATAN(SQRT(
+           TAN(s / 2) * TAN((s - side_a) / 2)
+           * TAN((s - side_b) / 2) * TAN((s - side_c) / 2))), 9) AS excess_sr,
+       ROUND(4 * ATAN(SQRT(
+           TAN(s / 2) * TAN((s - side_a) / 2)
+           * TAN((s - side_b) / 2) * TAN((s - side_c) / 2)))
+           * 6371.01 * 6371.01, 3) AS area_sqkm,
+       ROUND(side_c * 6371.01 * 1000, 3) AS dist_m,
+       TRUE AS sg_ok
+FROM lh
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_spherical",
+    oracle=_SPHERE_ORACLE,
+    doc="Spherical geography: to_spherical_geography range gate "
+    "(GeoFunctions.java:290, NULL instead of throw — DELTAS), ST_Distance "
+    "in meters (stSphericalDistance:1489, greatCircleDistance × 1000), "
+    "and ST_Area via the published spherical-excess sum "
+    "(stSphericalArea:1519 / computeSphericalExcess:1549) as codegen "
+    "HOFs. The oracle recomputes the excess INDEPENDENTLY via l'Huilier's "
+    "theorem over haversine side lengths — structurally different "
+    "published math agreeing to 9 decimals in steradians. Fixture "
+    "triangles have one meridian and one parallel-free great-circle edge "
+    "in |lat| <= 30, far from the unimplemented pole-enclosure case.",
+    tags=("geo",),
+)
+def fn_geo_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _SPHERE_SRC, ("customer",))
+    lon0, lat0, d, e = F.col("lon0"), F.col("lat0"), F.col("d"), F.col("e")
+    v1 = G.st_point(lon0, lat0)
+    v2 = G.st_point(lon0 + d, lat0)
+    v3 = G.st_point(lon0, lat0 + e)
+    tri = F.array(v1, v2, v3, v1)
+    excess = G.st_spherical_excess(tri)
+    return src.select(
+        "c_custkey",
+        F.round(excess, 9).alias("excess_sr"),
+        F.round(excess * 6371.01 * 6371.01, 3).alias("area_sqkm"),
+        F.round(G.st_spherical_distance(v1, v2), 3).alias("dist_m"),
+        G.to_spherical_geography(v1).isNotNull().alias("sg_ok"),
+    ).orderBy("c_custkey")

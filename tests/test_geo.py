@@ -1067,3 +1067,50 @@ def test_interior_rings_and_geometries_accessors(spark):
     assert len(holes) == 1 and len(holes[0]) == 5
     assert _one(spark, F.size(G.st_interior_rings(F.array(shell)))) == 0
     assert _one(spark, F.size(G.st_geometries(poly))) == 2
+
+
+class TestSphericalGeography:
+    """to_spherical_geography / ST_Distance(geography) / ST_Area(geography)
+    (GeoFunctions.java:290,1489,1519) against closed-form sphere values."""
+
+    def _pts(self, *pts):
+        return F.array(*[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts])
+
+    def test_octant_triangle_excess(self, spark):
+        # (0,0) (90,0) (0,90) covers one octant: excess exactly pi/2.
+        octant = self._pts((0, 0), (90, 0), (0, 90), (0, 0))
+        assert _one(spark, G.st_spherical_excess(octant)) == pytest.approx(math.pi / 2)
+        assert _one(spark, G.st_spherical_area(octant)) == pytest.approx(
+            4 * math.pi * G.EARTH_RADIUS_M**2 / 8, rel=1e-12
+        )
+
+    def test_small_triangle_approaches_planar(self, spark):
+        tri = self._pts((0, 0), (1, 0), (0, 1), (0, 0))
+        planar = 0.5 * math.radians(1) ** 2
+        assert _one(spark, G.st_spherical_excess(tri)) == pytest.approx(planar, rel=1e-3)
+
+    def test_equator_to_pole_distance(self, spark):
+        d = _one(
+            spark,
+            G.st_spherical_distance(
+                G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(0.0), F.lit(90.0))
+            ),
+        )
+        assert d == pytest.approx(math.pi / 2 * G.EARTH_RADIUS_M, rel=1e-12)
+
+    def test_range_gate(self, spark):
+        ok = G.st_point(F.lit(12.0), F.lit(34.0))
+        bad_lon = G.st_point(F.lit(200.0), F.lit(0.0))
+        bad_lat = G.st_point(F.lit(0.0), F.lit(91.0))
+        assert _one(spark, G.to_spherical_geography(ok)) is not None
+        assert _one(spark, G.to_spherical_geography(bad_lon)) is None
+        assert _one(spark, G.to_spherical_geography(bad_lat)) is None
+
+    def test_open_ring_and_degenerate(self, spark):
+        # open spelling (no closing vertex) must equal the closed one
+        closed = self._pts((0, 0), (10, 0), (0, 10), (0, 0))
+        opened = self._pts((0, 0), (10, 0), (0, 10))
+        a = _one(spark, G.st_spherical_excess(closed))
+        b = _one(spark, G.st_spherical_excess(opened))
+        assert a == pytest.approx(b, rel=1e-12)
+        assert _one(spark, G.st_spherical_excess(self._pts((0, 0), (1, 1)))) is None
