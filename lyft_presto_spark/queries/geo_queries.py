@@ -1564,8 +1564,22 @@ def fn_geo_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("((20 0, "), n(20 + t_), F.lit(" 0, "), n(20 + t_), F.lit(" "),
         n(t_), F.lit(", 20 "), n(t_), F.lit(", 20 0))"),
     )
-    wkt = F.concat(F.lit("MULTIPOLYGON ("), member1, F.lit(", "), member2, F.lit(")"))
-    mp = G.st_multipolygon_from_wkt(wkt)
+    wkt_expr = F.concat(
+        F.lit("MULTIPOLYGON ("), member1, F.lit(", "), member2, F.lit(")")
+    )
+    # Two-stage select: the nested parse tree is large and referenced by
+    # eight output columns (plus the render->reparse roundtrip) — staging it
+    # as a named column keeps ONE copy in the plan instead of ~10
+    # (CollapseProject leaves non-cheap multiply-referenced aliases alone,
+    # SPARK-36718; same discipline as fn_geo_relate).
+    src = src.select(
+        "c_custkey",
+        F.col("s"),
+        F.col("t"),
+        wkt_expr.alias("wkt"),
+        G.st_multipolygon_from_wkt(wkt_expr).alias("mp"),
+    )
+    wkt, mp = F.col("wkt"), F.col("mp")
     reparsed = G.st_multipolygon_from_wkt(G.st_multipolygon_as_wkt(mp))
     return src.select(
         "c_custkey",
@@ -1743,14 +1757,24 @@ def fn_geo_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.when(
         F.col("dup"), ring_of((0, 0), (0, 0), (2, 0))
     ).otherwise(ring_of((0, 0), (1, 1), (2, 0)))
-    return src.select(
+    # Stage the reason strings once: each is a large self-intersection scan
+    # expression, and the is_valid twin is reason-IS-NULL — computing both
+    # from one staged column halves the plan (CollapseProject keeps
+    # non-cheap multiply-referenced aliases, SPARK-36718).
+    staged = src.select(
         "c_custkey",
         G.geometry_invalid_reason_ring(ring).alias("ring_reason"),
-        G.st_is_valid_polygon(F.array(ring)).alias("ring_valid"),
         G.geometry_invalid_reason_polygon(poly).alias("poly_reason"),
-        G.st_is_valid_polygon(poly).alias("poly_valid"),
         G.geometry_invalid_reason_line(line).alias("line_reason"),
-        G.st_is_valid_line(line).alias("line_valid"),
+    )
+    return staged.select(
+        "c_custkey",
+        F.col("ring_reason"),
+        F.col("ring_reason").isNull().alias("ring_valid"),
+        F.col("poly_reason"),
+        F.col("poly_reason").isNull().alias("poly_valid"),
+        F.col("line_reason"),
+        F.col("line_reason").isNull().alias("line_valid"),
     ).orderBy("c_custkey")
 
 
@@ -1951,15 +1975,23 @@ def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = F.col("b")
     env_a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(4.0), F.lit(4.0))
     env_b = G.st_envelope(b, b, b + 4.0, b + 4.0)
-    rel = G.st_relate_envelopes(env_a, env_b)
+    # Two-stage select: the DE-9IM expression tree is large, and every
+    # st_relate_matches call below would otherwise embed a full COPY of it
+    # into the plan (~20 copies -> multi-second analysis). Materializing it
+    # as a named column keeps one copy; CollapseProject leaves non-cheap
+    # multiply-referenced aliases alone (SPARK-36718).
+    staged = src.select(
+        "c_custkey", G.st_relate_envelopes(env_a, env_b).alias("de9im")
+    )
+    rel = F.col("de9im")
     touch = (
         G.st_relate_matches(rel, "FT*******")
         | G.st_relate_matches(rel, "F**T*****")
         | G.st_relate_matches(rel, "F***T****")
     )
-    return src.select(
+    return staged.select(
         "c_custkey",
-        rel.alias("de9im"),
+        rel,
         G.st_relate_matches(rel, "T*F**FFF*").alias("is_equal"),
         G.st_relate_matches(rel, "T*T***T**").alias("is_overlap"),
         touch.alias("is_touch"),
