@@ -168,6 +168,12 @@ def _clip_one(subject: list, clip: list) -> list | None:
             dcx, dcy = bx - ax, by - ay
             dpx, dpy = q[0] - p[0], q[1] - p[1]
             denom = dcx * dpy - dcy * dpx
+            if denom == 0.0:
+                # Segment parallel to (i.e. on) the clip line: float noise
+                # on a vertex that sits exactly on the line can flag one
+                # endpoint as marginally outside. Either endpoint is a
+                # valid "crossing" within rounding; keep p.
+                return p
             t = (dcy * (p[0] - ax) - dcx * (p[1] - ay)) / denom
             return (p[0] + t * dpx, p[1] + t * dpy)
 
