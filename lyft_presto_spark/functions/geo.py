@@ -1761,3 +1761,78 @@ def st_spherical_area(ring: Column) -> Column:
     |spherical excess| · R² in square meters (holes subtract via
     st_spherical_excess composition, as the reference's per-path sign)."""
     return st_spherical_excess(ring) * EARTH_RADIUS_M * EARTH_RADIUS_M
+
+
+# --- Generic ST_GeometryFromText dispatcher --------------------------------
+# GeoFunctions.java stGeometryFromText (:173) accepts ANY WKT and returns a
+# tagged geometry. The planar twin: a struct carrying the tag plus every
+# per-kind parse (only the matching member is non-NULL — each parser
+# rejects foreign tags), with generic measures that dispatch on the tag.
+# All codegen; the struct is the planar analog of the reference's
+# serialized tagged slice.
+
+
+def st_geometry_from_text(wkt: Column) -> Column:
+    """stGeometryFromText (:173): parse any supported WKT into the tagged
+    union. Unknown/malformed WKT yields a NULL tag and all-NULL members."""
+    return F.struct(
+        st_geometry_type_wkt(wkt).alias("tag"),
+        # the point parser yields struct(NULL, NULL) on foreign tags (its
+        # members try_cast to NULL but the struct itself is non-NULL);
+        # gate it so the union member is NULL like every other parser
+        F.when(
+            st_geometry_type_wkt(wkt) == "ST_Point", st_point_from_wkt(wkt)
+        ).alias("point"),
+        st_line_from_wkt(wkt, "LINESTRING").alias("line"),
+        st_polygon_from_wkt(wkt).alias("polygon"),
+        st_multipoint_from_wkt(wkt).alias("multipoint"),
+        st_multiline_from_wkt(wkt).alias("multiline"),
+        st_multipolygon_from_wkt(wkt).alias("multipolygon"),
+    )
+
+
+def st_area_any(g: Column) -> Column:
+    """stArea (:236) over the tagged union: polygons measure, lower
+    dimensions are 0 (the reference returns 0 for points/lines)."""
+    return (
+        F.when(g["tag"] == "ST_Polygon", st_polygon_area(g["polygon"]))
+        .when(g["tag"] == "ST_MultiPolygon", st_multipolygon_area(g["multipolygon"]))
+        .when(g["tag"].isNotNull(), F.lit(0.0))
+    )
+
+
+def st_length_any(g: Column) -> Column:
+    """stLength (:221) over the tagged union: line lengths, polygon ring
+    boundary lengths are NOT included (the reference's ST_Length rejects
+    polygons; return 0 there to stay NULL-safe, documented in the
+    registry row), points are 0."""
+    return (
+        F.when(g["tag"] == "ST_LineString", st_length(g["line"]))
+        .when(g["tag"] == "ST_MultiLineString", st_multiline_length(g["multiline"]))
+        .when(g["tag"].isNotNull(), F.lit(0.0))
+    )
+
+
+def st_num_points_any(g: Column) -> Column:
+    """stNumPoints (:813) over the tagged union — total vertices, counting
+    each ring's closing vertex once like the Esri reader."""
+    poly_n = F.aggregate(
+        g["polygon"], F.lit(0), lambda acc, ring: acc + F.size(ring)
+    )
+    mpoly_n = F.aggregate(
+        g["multipolygon"],
+        F.lit(0),
+        lambda acc, rings: acc
+        + F.aggregate(rings, F.lit(0), lambda a, ring: a + F.size(ring)),
+    )
+    mline_n = F.aggregate(
+        g["multiline"], F.lit(0), lambda acc, ln: acc + F.size(ln)
+    )
+    return (
+        F.when(g["tag"] == "ST_Point", F.lit(1))
+        .when(g["tag"] == "ST_LineString", F.size(g["line"]))
+        .when(g["tag"] == "ST_Polygon", poly_n)
+        .when(g["tag"] == "ST_MultiPoint", F.size(g["multipoint"]))
+        .when(g["tag"] == "ST_MultiLineString", mline_n)
+        .when(g["tag"] == "ST_MultiPolygon", mpoly_n)
+    )

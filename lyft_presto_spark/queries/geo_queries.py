@@ -2085,3 +2085,76 @@ def fn_geo_spherical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(G.st_spherical_distance(v1, v2), 3).alias("dist_m"),
         G.to_spherical_geography(v1).isNotNull().alias("sg_ok"),
     ).orderBy("c_custkey")
+
+
+# --- Generic ST_GeometryFromText -------------------------------------------
+
+_FROMTEXT_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 4 AS INT) AS kind,
+           CAST(c_custkey % 6 + 1 AS DOUBLE) AS a
+    FROM customer
+    WHERE c_custkey % 29 = 0
+"""
+
+_FROMTEXT_ORACLE = f"""
+WITH src AS ({_FROMTEXT_SRC})
+SELECT c_custkey,
+       CASE kind WHEN 0 THEN 'ST_Point' WHEN 1 THEN 'ST_LineString'
+                 WHEN 2 THEN 'ST_Polygon' ELSE 'ST_MultiPoint' END AS tag,
+       CASE kind WHEN 2 THEN a * a ELSE 0.0 END AS area,
+       CASE kind WHEN 1 THEN a ELSE 0.0 END AS len,
+       CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5
+                 ELSE CAST(a AS INT) END AS np
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_from_text",
+    oracle=_FROMTEXT_ORACLE,
+    doc="Generic ST_GeometryFromText (GeoFunctions.java:173): any WKT "
+    "parses into a tagged union struct (only the matching member parse is "
+    "non-NULL), with stArea/stLength/stNumPoints dispatching on the tag — "
+    "the planar analog of the reference's serialized tagged geometry. "
+    "Fixture rows rotate POINT/LINESTRING/POLYGON/MULTIPOINT per key with "
+    "closed-form measures.",
+    tags=("geo",),
+)
+def fn_geo_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _FROMTEXT_SRC, ("customer",))
+    a_int = F.col("a").cast("int").cast("string")
+    mp_body = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.col("a").cast("int") - 1),
+            lambda i: F.concat(i.cast("string"), F.lit(" "), i.cast("string")),
+        ),
+        ", ",
+    )
+    wkt = (
+        F.when(F.col("kind") == 0, F.lit("POINT (1 2)"))
+        .when(
+            F.col("kind") == 1,
+            F.concat(F.lit("LINESTRING (0 0, "), a_int, F.lit(" 0)")),
+        )
+        .when(
+            F.col("kind") == 2,
+            F.concat(
+                F.lit("POLYGON ((0 0, "), a_int, F.lit(" 0, "), a_int,
+                F.lit(" "), a_int, F.lit(", 0 "), a_int, F.lit(", 0 0))"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("MULTIPOINT ("), mp_body, F.lit(")")))
+    )
+    # One staged parse; the three measures dispatch on the staged struct
+    # (same plan-size discipline as fn_geo_relate).
+    staged = src.select("c_custkey", G.st_geometry_from_text(wkt).alias("g"))
+    g = F.col("g")
+    return staged.select(
+        "c_custkey",
+        g["tag"].alias("tag"),
+        G.st_area_any(g).alias("area"),
+        G.st_length_any(g).alias("len"),
+        G.st_num_points_any(g).cast("int").alias("np"),
+    ).orderBy("c_custkey")

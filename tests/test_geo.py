@@ -1114,3 +1114,37 @@ class TestSphericalGeography:
         b = _one(spark, G.st_spherical_excess(opened))
         assert a == pytest.approx(b, rel=1e-12)
         assert _one(spark, G.st_spherical_excess(self._pts((0, 0), (1, 1)))) is None
+
+
+class TestGeometryFromTextDispatcher:
+    """Generic stGeometryFromText (:173) tagged union + dispatching
+    measures."""
+
+    def _g(self, w):
+        return G.st_geometry_from_text(F.lit(w))
+
+    def test_tags_and_members(self, spark):
+        g = _one(spark, self._g("LINESTRING (0 0, 3 4)"))
+        assert g.tag == "ST_LineString" and g.point is None and len(g.line) == 2
+        g = _one(spark, self._g("POLYGON ((0 0, 1 0, 1 1, 0 0))"))
+        assert g.tag == "ST_Polygon" and g.line is None and len(g.polygon) == 1
+
+    def test_dispatching_measures(self, spark):
+        cases = [
+            ("POINT (1 2)", 0.0, 0.0, 1),
+            ("LINESTRING (0 0, 3 4)", 0.0, 5.0, 2),
+            ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 16.0, 0.0, 5),
+            ("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))", 35.0, 0.0, 10),
+            ("MULTILINESTRING ((0 0, 3 4), (0 0, 0 2))", 0.0, 7.0, 4),
+            ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))", 5.0, 0.0, 10),
+        ]
+        for w, area, length, np_ in cases:
+            g = self._g(w)
+            assert _one(spark, G.st_area_any(g)) == pytest.approx(area), w
+            assert _one(spark, G.st_length_any(g)) == pytest.approx(length), w
+            assert _one(spark, G.st_num_points_any(g)) == np_, w
+
+    def test_garbage_all_null(self, spark):
+        g = _one(spark, self._g("NONSENSE (1 2)"))
+        assert g.tag is None and g.point is None and g.polygon is None
+        assert _one(spark, G.st_area_any(self._g("garbage"))) is None
