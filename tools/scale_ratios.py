@@ -50,7 +50,7 @@ RATIO_EXTRAS = (
     "geo_union_area_sweep", "fn_geo_line_predicates", "fn_geo_polygon_holes",
     "fn_geo_simple_ring", "fn_geo_line_touches", "fn_geo_multipolygon",
     "fn_geo_accessors", "fn_geo_validity", "fn_geo_hull_simplify",
-    "fn_geo_clip", "fn_geo_relate", "fn_geo_spherical",
+    "fn_geo_clip", "fn_geo_relate", "fn_geo_spherical", "fn_geo_from_text",
     # text
     "text_pii_scrub", "text_decontaminate", "text_fingerprint",
     "text_langid_confusion", "text_bpe_token_count", "text_chunk_overlap",
