@@ -992,8 +992,12 @@ def st_interior_rings(rings: Column) -> Column:
 
 
 def st_geometries(collection: Column) -> Column:
-    """stGeometries (:690): the member geometries of a collection — the
-    identity on the array representation, kept for API parity."""
+    """stGeometries (:690): the member geometries of a MULTI-* collection —
+    the identity on the array representation. Only defined here for multi-*
+    inputs: applied to the holed-polygon representation (array of rings) it
+    returns the RINGS, whereas the reference returns a 1-element array
+    containing the polygon itself for non-multi geometries (DELTAS.md,
+    "ST_Geometries on non-collections")."""
     return collection
 
 
@@ -1802,10 +1806,10 @@ def st_area_any(g: Column) -> Column:
 
 
 def st_length_any(g: Column) -> Column:
-    """stLength (:221) over the tagged union: line lengths, polygon ring
-    boundary lengths are NOT included (the reference's ST_Length rejects
-    polygons; return 0 there to stay NULL-safe, documented in the
-    registry row), points are 0."""
+    """stLength (:221) over the tagged union: line lengths; for polygon and
+    point tags the reference ST_Length throws INVALID_FUNCTION_ARGUMENT —
+    this twin degrades to 0.0 instead to stay NULL-safe in a columnar plan
+    (documented in DELTAS.md, "ST_Length on non-line tags")."""
     return (
         F.when(g["tag"] == "ST_LineString", st_length(g["line"]))
         .when(g["tag"] == "ST_MultiLineString", st_multiline_length(g["multiline"]))
@@ -1814,16 +1818,18 @@ def st_length_any(g: Column) -> Column:
 
 
 def st_num_points_any(g: Column) -> Column:
-    """stNumPoints (:813) over the tagged union — total vertices, counting
-    each ring's closing vertex once like the Esri reader."""
+    """stNumPoints (:813) over the tagged union — total vertices. Rings are
+    stored auto-closed (first vertex repeated at the end), but the reference
+    does not count the closing vertex, so subtract 1 per ring for
+    POLYGON/MULTIPOLYGON (a 2-triangle-ring polygon counts 6, not 8)."""
     poly_n = F.aggregate(
-        g["polygon"], F.lit(0), lambda acc, ring: acc + F.size(ring)
+        g["polygon"], F.lit(0), lambda acc, ring: acc + F.size(ring) - 1
     )
     mpoly_n = F.aggregate(
         g["multipolygon"],
         F.lit(0),
         lambda acc, rings: acc
-        + F.aggregate(rings, F.lit(0), lambda a, ring: a + F.size(ring)),
+        + F.aggregate(rings, F.lit(0), lambda a, ring: a + F.size(ring) - 1),
     )
     mline_n = F.aggregate(
         g["multiline"], F.lit(0), lambda acc, ln: acc + F.size(ln)

@@ -643,6 +643,15 @@ DELTAS = {
     "supported (Esri residue -> Sedona). Degenerate (zero-extent) "
     "envelopes yield NULL where the reference treats them as "
     "lower-dimensional geometries.",
+    "ST_Length on non-line tags": "The reference's ST_Length throws "
+    "INVALID_FUNCTION_ARGUMENT for polygon and point inputs; the tagged-"
+    "union twin (st_length_any) degrades to 0.0 there so a columnar plan "
+    "stays NULL-safe. Line and multiline tags measure identically.",
+    "ST_Geometries on non-collections": "The reference returns a 1-element "
+    "array containing the geometry itself when the input is not a "
+    "collection; applied to this engine's holed-polygon representation "
+    "(array of rings) st_geometries returns the RINGS — use it on multi-* "
+    "arrays only, or wrap the polygon in a 1-element array first.",
     "geometry_invalid_reason": "Planar validity reuses the reference's "
     "NON_SIMPLE_REASONS spellings (GeoFunctions.java:125) for the checks "
     "expressible over the vertex array: 'Degenerate segments', 'Repeated "

@@ -41,7 +41,13 @@ _GEOM_TYPE = "array<struct<x:double,y:double>>"
 def _hull_one(pts: list) -> list | None:
     if pts is None:
         return None
-    xy = [(p["x"], p["y"]) for p in pts if p is not None]
+    # Drop members with NULL coordinates (producible by the try_cast WKT
+    # parsers) instead of raising: degrade per-row like the nan path.
+    xy = [
+        (p["x"], p["y"])
+        for p in pts
+        if p is not None and p["x"] is not None and p["y"] is not None
+    ]
     if len(xy) <= 1:
         return [{"x": x, "y": y} for x, y in xy]
     hull = monotone_chain([p[0] for p in xy], [p[1] for p in xy])
@@ -134,8 +140,13 @@ def _close(ring: list[tuple[float, float]]) -> list[tuple[float, float]]:
 
 
 def _open_ccw(ring: list) -> list[tuple[float, float]]:
-    """Struct ring -> open vertex list, counter-clockwise."""
-    xy = [(p["x"], p["y"]) for p in ring if p is not None]
+    """Struct ring -> open vertex list, counter-clockwise. Members with
+    NULL coordinates (try_cast parser residue) are dropped, not raised."""
+    xy = [
+        (p["x"], p["y"])
+        for p in ring
+        if p is not None and p["x"] is not None and p["y"] is not None
+    ]
     if len(xy) >= 2 and xy[0] == xy[-1]:
         xy = xy[:-1]
     area2 = sum(

@@ -1702,8 +1702,12 @@ _VALIDITY_SRC = """
            (c_custkey % 2 = 0) AS esc,
            (c_custkey % 7 = 0) AS dup
     FROM customer
-    WHERE c_custkey % 9 = 0
+    WHERE c_custkey % 11 = 0
 """
+# Row-filter modulus 11 is coprime to every flag modulus (2,3,5,7), so all
+# four defect branches AND the all-valid branch are exercised (the previous
+# % 9 filter forced bowtie=true on every row, leaving the good-ring path
+# dead — ADVICE r5).
 
 # Closed forms mirror the engine's documented check order: repeated points
 # are reported before self-intersection (a row can set both flags; CASE
@@ -2104,7 +2108,7 @@ SELECT c_custkey,
                  WHEN 2 THEN 'ST_Polygon' ELSE 'ST_MultiPoint' END AS tag,
        CASE kind WHEN 2 THEN a * a ELSE 0.0 END AS area,
        CASE kind WHEN 1 THEN a ELSE 0.0 END AS len,
-       CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 5
+       CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
                  ELSE CAST(a AS INT) END AS np
 FROM src
 ORDER BY c_custkey

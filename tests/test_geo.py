@@ -1133,10 +1133,12 @@ class TestGeometryFromTextDispatcher:
         cases = [
             ("POINT (1 2)", 0.0, 0.0, 1),
             ("LINESTRING (0 0, 3 4)", 0.0, 5.0, 2),
-            ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 16.0, 0.0, 5),
-            ("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))", 35.0, 0.0, 10),
+            # Polygon rings count WITHOUT the closing vertex, matching the
+            # reference's Esri getPointCount (GeoFunctions.java:822).
+            ("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", 16.0, 0.0, 4),
+            ("POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))", 35.0, 0.0, 8),
             ("MULTILINESTRING ((0 0, 3 4), (0 0, 0 2))", 0.0, 7.0, 4),
-            ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))", 5.0, 0.0, 10),
+            ("MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, 7 5, 7 7, 5 7, 5 5)))", 5.0, 0.0, 8),
         ]
         for w, area, length, np_ in cases:
             g = self._g(w)
