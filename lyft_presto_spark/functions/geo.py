@@ -1842,3 +1842,158 @@ def st_num_points_any(g: Column) -> Column:
         .when(g["tag"] == "ST_MultiLineString", mline_n)
         .when(g["tag"] == "ST_MultiPolygon", mpoly_n)
     )
+
+
+# --- Polygon-pair topological predicates ------------------------------------
+# GeoFunctions.java stIntersects (:1123), stTouches (:1165), stOverlaps
+# (:1138), stContains (:1066), stWithin (:1180), stEquals (:1111),
+# stDisjoint (:1096) — the polygon/polygon cases, which the reference
+# delegates to Esri's Relate operator. Composed here, Esri-free and as pure
+# codegen, from the existing planar primitives: pairwise edge crossing
+# (_seg_pair_predicate), ray-cast point-in-ring (st_contains_ring), and
+# boundary membership. Inputs are simple closed rings (array<struct<x,y>>,
+# the single-ring polygon model; holed polygons compose via their exterior
+# ring for the pair predicates — holes only matter for strict containment
+# of a polygon inside another's hole, out of this planar subset's scope).
+#
+# Exactness domain (DELTAS "polygon-pair predicates"): the classification
+# is exact whenever the relation is witnessed by (a) a proper edge
+# crossing, (b) a vertex of one polygon strictly inside the other, (c) a
+# convex polygon's centroid inside the other, or (d) mutual covering
+# (equality). The residue — concave all-vertices-on-boundary
+# configurations — matches the same vertex-grazing delta the line
+# predicates document.
+
+
+def st_point_on_ring(ring: Column, p: Column) -> Column:
+    """True iff ``p`` lies ON the ring's boundary: some edge is collinear
+    with it and brackets it in both coordinates."""
+    px, py = p["x"], p["y"]
+
+    def on_edge(e: Column) -> Column:
+        ax, ay = e["a"]["x"], e["a"]["y"]
+        bx, by = e["b"]["x"], e["b"]["y"]
+        return (
+            (_orient(ax, ay, bx, by, px, py) == 0)
+            & (F.least(ax, bx) <= px) & (px <= F.greatest(ax, bx))
+            & (F.least(ay, by) <= py) & (py <= F.greatest(ay, by))
+        )
+
+    return F.exists(_edges(ring), on_edge)
+
+
+def st_ring_convex(ring: Column) -> Column:
+    """True iff the closed ring is convex: every consecutive-edge cross
+    product has the same sign (zeros — collinear runs — allowed)."""
+    e = _edges(ring)
+    n = F.size(e)
+    # Turn sign at the shared vertex of edge i and edge i+1 (cyclic: the
+    # closing vertex repeats the first, so edge n wraps to edge 1).
+    turns = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: _orient(
+            F.element_at(e, i)["a"]["x"], F.element_at(e, i)["a"]["y"],
+            F.element_at(e, i)["b"]["x"], F.element_at(e, i)["b"]["y"],
+            F.element_at(e, (i % n) + 1)["b"]["x"],
+            F.element_at(e, (i % n) + 1)["b"]["y"],
+        ),
+    )
+    any_pos = F.exists(turns, lambda t: t > 0)
+    any_neg = F.exists(turns, lambda t: t < 0)
+    return ~(any_pos & any_neg)
+
+
+def _any_vertex_strictly_in(container: Column, pts: Column) -> Column:
+    """Some vertex of ``pts`` strictly inside ``container`` (ray-cast is
+    strict-interior on non-boundary points; boundary vertices are excluded
+    explicitly so grazing never counts as an interior witness)."""
+    return F.exists(
+        pts,
+        lambda v: st_contains_ring(container, v) & ~st_point_on_ring(container, v),
+    )
+
+
+def st_polygon_pair_interiors_intersect(a: Column, b: Column) -> Column:
+    """Interior(A) ∩ Interior(B) ≠ ∅ for two simple rings — the DE-9IM
+    [II] cell that separates touches from overlaps/contains. Witnesses:
+    proper edge crossing, strict vertex containment either way, a convex
+    ring's centroid inside the other (covers the equal/nested convex cases
+    where every vertex grazes the boundary), or mutual covering."""
+    cross = st_crosses_lines(a, b)
+    v_ab = _any_vertex_strictly_in(b, a)
+    v_ba = _any_vertex_strictly_in(a, b)
+    cen_ab = st_ring_convex(a) & st_contains_ring(b, st_centroid_ring(a))
+    cen_ba = st_ring_convex(b) & st_contains_ring(a, st_centroid_ring(b))
+    mutual = st_covers_polygon(a, b) & st_covers_polygon(b, a)
+    return cross | v_ab | v_ba | cen_ab | cen_ba | mutual
+
+
+def st_intersects_polygons(a: Column, b: Column) -> Column:
+    """stIntersects (:1123), polygon/polygon: NOT disjoint — boundaries
+    share a point, or either polygon has a vertex inside the other (full
+    containment with no boundary contact is witnessed by every vertex)."""
+    return (
+        st_intersects_lines(a, b)
+        | _any_vertex_strictly_in(b, a)
+        | _any_vertex_strictly_in(a, b)
+    )
+
+
+def st_covers_polygon(a: Column, b: Column) -> Column:
+    """A covers B (stContains :1066 for positive-area polygon pairs, where
+    covers and contains coincide): no proper boundary crossing AND every
+    vertex of B is inside or on A AND B is not entirely outside (witnessed
+    by any vertex strictly inside, or all vertices on the boundary with
+    B's edge midpoints never strictly outside A)."""
+    no_cross = ~st_crosses_lines(a, b)
+    all_in_or_on = F.forall(
+        b, lambda v: st_contains_ring(a, v) | st_point_on_ring(a, v)
+    )
+    # Midpoint probe: for an edge-sharing neighbor every vertex can sit ON
+    # A while B still lies outside; an edge midpoint of B strictly outside
+    # A refutes covering. (Midpoints of B's edges are on B's boundary, so
+    # "outside A" is decisive; a midpoint on A's boundary is neutral.)
+    mids = F.transform(
+        _edges(b),
+        lambda e: F.struct(
+            ((e["a"]["x"] + e["b"]["x"]) / 2).alias("x"),
+            ((e["a"]["y"] + e["b"]["y"]) / 2).alias("y"),
+        ),
+    )
+    no_mid_outside = F.forall(
+        mids, lambda m: st_contains_ring(a, m) | st_point_on_ring(a, m)
+    )
+    return no_cross & all_in_or_on & no_mid_outside
+
+
+def st_equals_polygons(a: Column, b: Column) -> Column:
+    """stEquals (:1111): mutual covering (same point set, any vertex
+    ordering/rotation/orientation)."""
+    return st_covers_polygon(a, b) & st_covers_polygon(b, a)
+
+
+def st_touches_polygons(a: Column, b: Column) -> Column:
+    """stTouches (:1165), polygon/polygon: boundaries intersect but the
+    interiors do not (shared edges and corner contacts; any interior
+    overlap refutes)."""
+    return st_intersects_lines(a, b) & ~st_polygon_pair_interiors_intersect(a, b)
+
+
+def st_overlaps_polygons(a: Column, b: Column) -> Column:
+    """stOverlaps (:1138), polygon/polygon (same dimension by
+    construction): interiors intersect but neither covers the other."""
+    return (
+        st_polygon_pair_interiors_intersect(a, b)
+        & ~st_covers_polygon(a, b)
+        & ~st_covers_polygon(b, a)
+    )
+
+
+def st_disjoint_polygons(a: Column, b: Column) -> Column:
+    """stDisjoint (:1096), polygon/polygon: no shared point at all."""
+    return ~st_intersects_polygons(a, b)
+
+
+def st_within_polygon(a: Column, b: Column) -> Column:
+    """stWithin (:1180): A within B == B covers A (positive-area pairs)."""
+    return st_covers_polygon(b, a)

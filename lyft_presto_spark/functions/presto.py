@@ -643,6 +643,16 @@ DELTAS = {
     "supported (Esri residue -> Sedona). Degenerate (zero-extent) "
     "envelopes yield NULL where the reference treats them as "
     "lower-dimensional geometries.",
+    "polygon-pair predicates": "ST_Intersects/ST_Touches/ST_Overlaps/"
+    "ST_Contains/ST_Within/ST_Equals/ST_Disjoint for polygon/polygon pairs "
+    "are composed from planar primitives (proper edge crossing, strict "
+    "vertex containment, convex-centroid witness, mutual covering) instead "
+    "of Esri's Relate. Exact whenever one of those witnesses decides the "
+    "relation — all generic-position pairs, plus equal/nested convex pairs; "
+    "the residue (concave polygons whose every vertex AND edge midpoint "
+    "grazes the other's boundary) may misclassify, the same vertex-grazing "
+    "delta the line predicates document. Holed polygons participate via "
+    "their exterior ring.",
     "ST_Length on non-line tags": "The reference's ST_Length throws "
     "INVALID_FUNCTION_ARGUMENT for polygon and point inputs; the tagged-"
     "union twin (st_length_any) degrades to 0.0 there so a columnar plan "

@@ -2162,3 +2162,218 @@ def fn_geo_from_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_length_any(g).alias("len"),
         G.st_num_points_any(g).cast("int").alias("np"),
     ).orderBy("c_custkey")
+
+
+# --- Polygon-pair topological predicates ------------------------------------
+
+_POLY_PRED_SRC = """
+    SELECT c_custkey, CAST(c_custkey % 6 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 23 = 0
+"""
+
+# Closed-form relations per fixture kind (A = [0,4]^2 fixed; B per kind):
+# 0: B=[1,3]^2 strictly inside      -> contains, not touch/overlap
+# 1: B=[3,5]^2 proper overlap       -> overlaps
+# 2: B=[4,6]^2 corner contact       -> touches
+# 3: B=[4,6]x[0,2] shared edge      -> touches
+# 4: B=[5,7]^2 disjoint             -> disjoint
+# 5: B=A (reversed orientation)     -> equals
+_POLY_PRED_ORACLE = f"""
+WITH src AS ({_POLY_PRED_SRC})
+SELECT c_custkey,
+       kind <> 4                 AS intersects,
+       kind IN (2, 3)            AS touches,
+       kind = 1                  AS overlaps,
+       kind IN (0, 5)            AS covers_ab,
+       kind = 5                  AS covers_ba,
+       kind = 5                  AS equals,
+       kind = 4                  AS disjoint
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_polygon_predicates",
+    oracle=_POLY_PRED_ORACLE,
+    doc="Polygon/polygon ST_Intersects/ST_Touches/ST_Overlaps/ST_Contains/"
+    "ST_Equals/ST_Disjoint (GeoFunctions.java:1066-1180, which the "
+    "reference routes through Esri's Relate) composed Esri-free from the "
+    "planar primitives: proper edge crossing + strict vertex containment "
+    "+ convex-centroid witness + mutual covering. Fixture rotates six "
+    "known relations on integer squares (containment, proper overlap, "
+    "corner touch, edge touch, disjoint, equality-with-reversed-"
+    "orientation); closed-form oracle per kind.",
+    tags=("geo",),
+)
+def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _POLY_PRED_SRC, ("customer",))
+
+    def ring_of(*pts: tuple[float, float]) -> F.Column:
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+        )
+
+    def square(x0: float, y0: float, s: float, cw: bool = False) -> F.Column:
+        c = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        return ring_of(*(c[::-1] if cw else c))
+
+    a = square(0, 0, 4)
+    b = (
+        F.when(F.col("kind") == 0, square(1, 1, 2))
+        .when(F.col("kind") == 1, square(3, 3, 2))
+        .when(F.col("kind") == 2, square(4, 4, 2))
+        .when(F.col("kind") == 3, square(4, 0, 2))
+        .when(F.col("kind") == 4, square(5, 5, 2))
+        .otherwise(square(0, 0, 4, cw=True))
+    )
+    # Two staging layers keep the plan tree small: (1) resolve the 6-branch
+    # ring when-chain ONCE into columns, so each witness scans a column
+    # reference instead of re-expanding the chain per edge pair; (2) stage
+    # the expensive witnesses (each an O(|A|*|B|) edge scan), so the seven
+    # predicates are cheap boolean algebra (SPARK-36718 keeps
+    # multiply-referenced non-cheap aliases materialized).
+    rings = src.select("c_custkey", a.alias("ra"), b.alias("rb"))
+    ra, rb = F.col("ra"), F.col("rb")
+    staged = rings.select(
+        "c_custkey",
+        G.st_intersects_lines(ra, rb).alias("bnd"),
+        G.st_crosses_lines(ra, rb).alias("crx"),
+        G.st_polygon_pair_interiors_intersect(ra, rb).alias("ii"),
+        G.st_covers_polygon(ra, rb).alias("cab"),
+        G.st_covers_polygon(rb, ra).alias("cba"),
+        G.st_intersects_polygons(ra, rb).alias("ints"),
+    )
+    return staged.select(
+        "c_custkey",
+        F.col("ints").alias("intersects"),
+        (F.col("bnd") & ~F.col("ii")).alias("touches"),
+        (F.col("ii") & ~F.col("cab") & ~F.col("cba")).alias("overlaps"),
+        F.col("cab").alias("covers_ab"),
+        F.col("cba").alias("covers_ba"),
+        (F.col("cab") & F.col("cba")).alias("equals"),
+        (~F.col("ints")).alias("disjoint"),
+    ).orderBy("c_custkey")
+
+
+# --- Polygon-polygon spatial join -------------------------------------------
+
+_PAIR_SQ_SRC = """
+    SELECT c_custkey AS sq_id,
+           CAST((c_custkey * 13) % 50 AS DOUBLE) AS x0,
+           CAST((c_custkey * 7) % 50 AS DOUBLE) AS y0,
+           CAST(2 + c_custkey % 3 AS DOUBLE) AS s
+    FROM customer
+    WHERE c_custkey % 31 = 0
+"""
+_PAIR_DI_SRC = """
+    SELECT s_suppkey AS di_id,
+           CAST((s_suppkey * 11) % 50 AS DOUBLE) AS cx,
+           CAST((s_suppkey * 17) % 50 AS DOUBLE) AS cy,
+           CAST(1 + s_suppkey % 3 AS DOUBLE) AS r
+    FROM supplier
+"""
+
+# Independent oracle: a diamond (L1 ball, radius r) intersects an
+# axis-aligned square iff the minimum L1 distance from the square to the
+# diamond's center is <= r, with per-axis distance max(0, x0-cx, cx-x1) —
+# a closed form that never looks at the ring representation. Brute-force
+# all-pairs in DuckDB (the fixture is small); the Spark side must reach
+# the same pairs through blocking + the exact polygon predicate.
+_PAIR_JOIN_ORACLE = f"""
+WITH sq AS ({_PAIR_SQ_SRC}), di AS ({_PAIR_DI_SRC}),
+hits AS (
+    SELECT sq.sq_id, di.di_id
+    FROM sq, di
+    WHERE greatest(0, sq.x0 - di.cx, di.cx - (sq.x0 + sq.s))
+        + greatest(0, sq.y0 - di.cy, di.cy - (sq.y0 + sq.s)) <= di.r
+)
+SELECT sq_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(sum(di_id) AS BIGINT) AS sum_di
+FROM hits
+GROUP BY sq_id
+ORDER BY sq_id
+"""
+
+_PAIR_CELL = 8  # > max geometry extent (square side <= 4, diamond 2r <= 6)
+
+
+@query(
+    "op_spatial_polygon_pair_join",
+    oracle=_PAIR_JOIN_ORACLE,
+    doc="SpatialJoinNode with a polygon/polygon ST_Intersects predicate "
+    "(SpatialJoinNode.java:33 + GeoFunctions.java stIntersects:1123, the "
+    "pair case the reference routes through Esri Relate): bbox-corner-cell "
+    "blocking on both sides (<=4 cells each, never all-pairs), equi-join "
+    "on cell, pair dedup, then the exact composed polygon-pair predicate. "
+    "Squares vs 45-degree diamonds so the refinement exercises proper "
+    "crossings, containment, and point touches; the oracle is the "
+    "closed-form L1-distance test, independent of the ring model.",
+    tags=("geo", "join"),
+)
+def op_spatial_polygon_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sq = sql_over(spark, sf_dir, _PAIR_SQ_SRC, ("customer",))
+    di = sql_over(spark, sf_dir, _PAIR_DI_SRC, ("supplier",))
+
+    def cell_id(x: F.Column, y: F.Column) -> F.Column:
+        return (
+            F.floor(x / _PAIR_CELL).cast("long") * 1000
+            + F.floor(y / _PAIR_CELL).cast("long")
+        )
+
+    def corner_cells(xmin, ymin, xmax, ymax) -> F.Column:
+        return F.array_distinct(
+            F.array(
+                cell_id(xmin, ymin), cell_id(xmax, ymin),
+                cell_id(xmin, ymax), cell_id(xmax, ymax),
+            )
+        )
+
+    sq_cells = sq.select(
+        "sq_id", "x0", "y0", "s",
+        F.explode(
+            corner_cells(
+                F.col("x0"), F.col("y0"),
+                F.col("x0") + F.col("s"), F.col("y0") + F.col("s"),
+            )
+        ).alias("cell"),
+    )
+    di_cells = di.select(
+        "di_id", "cx", "cy", "r",
+        F.explode(
+            corner_cells(
+                F.col("cx") - F.col("r"), F.col("cy") - F.col("r"),
+                F.col("cx") + F.col("r"), F.col("cy") + F.col("r"),
+            )
+        ).alias("cell"),
+    )
+    cand = (
+        sq_cells.join(di_cells, "cell")
+        .dropDuplicates(["sq_id", "di_id"])
+    )
+
+    sq_ring = F.array(
+        G.st_point(F.col("x0"), F.col("y0")),
+        G.st_point(F.col("x0") + F.col("s"), F.col("y0")),
+        G.st_point(F.col("x0") + F.col("s"), F.col("y0") + F.col("s")),
+        G.st_point(F.col("x0"), F.col("y0") + F.col("s")),
+        G.st_point(F.col("x0"), F.col("y0")),
+    )
+    di_ring = F.array(
+        G.st_point(F.col("cx") + F.col("r"), F.col("cy")),
+        G.st_point(F.col("cx"), F.col("cy") + F.col("r")),
+        G.st_point(F.col("cx") - F.col("r"), F.col("cy")),
+        G.st_point(F.col("cx"), F.col("cy") - F.col("r")),
+        G.st_point(F.col("cx") + F.col("r"), F.col("cy")),
+    )
+    hits = cand.where(G.st_intersects_polygons(sq_ring, di_ring))
+    return (
+        hits.groupBy("sq_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum("di_id").cast("long").alias("sum_di"),
+        )
+        .orderBy("sq_id")
+    )

@@ -383,6 +383,52 @@ class TestSpatialJoinShape:
         assert_no_cartesian(qs["op_spatial_distance_join"].spark(spark, sf_dir))
         assert_no_cartesian(qs["op_spatial_polygon_join"].spark(spark, sf_dir))
         assert_no_cartesian(qs["op_spatial_kdb_join"].spark(spark, sf_dir))
+        assert_no_cartesian(qs["op_spatial_polygon_pair_join"].spark(spark, sf_dir))
+
+    def test_polygon_pair_join_matches_naive(self, spark, sf_dir):
+        """Corner-cell blocking must be lossless for the polygon-polygon
+        join: same hit groups as brute-force all-pairs through the SAME
+        exact predicate (isolating the blocking from the predicate, which
+        the DuckDB closed-form oracle checks independently)."""
+        from pyspark.sql import functions as F
+
+        from lyft_presto_spark.queries.geo_queries import (
+            _PAIR_DI_SRC,
+            _PAIR_SQ_SRC,
+        )
+        from lyft_presto_spark.queries.registry import sql_over
+
+        qs = all_queries()
+        blocked = {
+            (r.sq_id, r.n_hits, r.sum_di)
+            for r in qs["op_spatial_polygon_pair_join"].spark(spark, sf_dir).collect()
+        }
+        sq = sql_over(spark, sf_dir, _PAIR_SQ_SRC, ("customer",))
+        di = sql_over(spark, sf_dir, _PAIR_DI_SRC, ("supplier",))
+        sq_ring = F.array(
+            G.st_point(F.col("x0"), F.col("y0")),
+            G.st_point(F.col("x0") + F.col("s"), F.col("y0")),
+            G.st_point(F.col("x0") + F.col("s"), F.col("y0") + F.col("s")),
+            G.st_point(F.col("x0"), F.col("y0") + F.col("s")),
+            G.st_point(F.col("x0"), F.col("y0")),
+        )
+        di_ring = F.array(
+            G.st_point(F.col("cx") + F.col("r"), F.col("cy")),
+            G.st_point(F.col("cx"), F.col("cy") + F.col("r")),
+            G.st_point(F.col("cx") - F.col("r"), F.col("cy")),
+            G.st_point(F.col("cx"), F.col("cy") - F.col("r")),
+            G.st_point(F.col("cx") + F.col("r"), F.col("cy")),
+        )
+        naive = (
+            sq.crossJoin(di)
+            .where(G.st_intersects_polygons(sq_ring, di_ring))
+            .groupBy("sq_id")
+            .agg(
+                F.count("*").alias("n_hits"),
+                F.sum("di_id").cast("long").alias("sum_di"),
+            )
+        )
+        assert blocked == {(r.sq_id, r.n_hits, r.sum_di) for r in naive.collect()}
 
     def test_polygon_join_matches_naive(self, spark, sf_dir):
         """Grid blocking must be lossless for the polygon join too: same
@@ -1150,3 +1196,96 @@ class TestGeometryFromTextDispatcher:
         g = _one(spark, self._g("NONSENSE (1 2)"))
         assert g.tag is None and g.point is None and g.polygon is None
         assert _one(spark, G.st_area_any(self._g("garbage"))) is None
+
+
+class TestPolygonPairPredicates:
+    """Polygon/polygon stIntersects/stTouches/stOverlaps/stContains/
+    stEquals/stDisjoint (GeoFunctions.java:1066-1180) composed from the
+    planar primitives — TestGeoFunctions.java relation vectors re-derived
+    on integer grids."""
+
+    def _ring(self, *pts):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")
+                )
+                for x, y in pts
+            ]
+        )
+
+    def _sq(self, x0, y0, s, cw=False):
+        c = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        return self._ring(*(c[::-1] if cw else c))
+
+    def _rel(self, spark, a, b):
+        row = (
+            spark.range(1)
+            .select(
+                G.st_intersects_polygons(a, b).alias("i"),
+                G.st_touches_polygons(a, b).alias("t"),
+                G.st_overlaps_polygons(a, b).alias("o"),
+                G.st_covers_polygon(a, b).alias("cab"),
+                G.st_covers_polygon(b, a).alias("cba"),
+                G.st_equals_polygons(a, b).alias("e"),
+                G.st_disjoint_polygons(a, b).alias("d"),
+            )
+            .collect()[0]
+        )
+        return (row.i, row.t, row.o, row.cab, row.cba, row.e, row.d)
+
+    def test_strict_containment(self, spark):
+        a, b = self._sq(0, 0, 4), self._sq(1, 1, 2)
+        assert self._rel(spark, a, b) == (True, False, False, True, False, False, False)
+        assert self._rel(spark, b, a) == (True, False, False, False, True, False, False)
+
+    def test_proper_overlap(self, spark):
+        a, b = self._sq(0, 0, 4), self._sq(3, 3, 2)
+        assert self._rel(spark, a, b) == (True, False, True, False, False, False, False)
+
+    def test_corner_touch(self, spark):
+        a, b = self._sq(0, 0, 4), self._sq(4, 4, 2)
+        assert self._rel(spark, a, b) == (True, True, False, False, False, False, False)
+
+    def test_edge_touch(self, spark):
+        a, b = self._sq(0, 0, 4), self._sq(4, 0, 2)
+        assert self._rel(spark, a, b) == (True, True, False, False, False, False, False)
+
+    def test_disjoint(self, spark):
+        a, b = self._sq(0, 0, 4), self._sq(5, 5, 2)
+        assert self._rel(spark, a, b) == (False, False, False, False, False, False, True)
+
+    def test_equal_any_orientation(self, spark):
+        a = self._sq(0, 0, 4)
+        for cw in (False, True):
+            b = self._sq(0, 0, 4, cw=cw)
+            assert self._rel(spark, a, b) == (
+                True, False, False, True, True, True, False
+            ), f"cw={cw}"
+
+    def test_partial_edge_slide(self, spark):
+        # B slides along A's right edge, sticking out: still a touch.
+        a, b = self._sq(0, 0, 4), self._sq(4, 2, 4)
+        assert self._rel(spark, a, b) == (True, True, False, False, False, False, False)
+
+    def test_concave_notch_overlap(self, spark):
+        # Concave L-shape vs a square poking into the notch: proper
+        # crossings witness the overlap exactly.
+        l_shape = self._ring(
+            (0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0)
+        )
+        probe = self._sq(1, 1, 2)  # [1,3]^2 crosses the notch boundary
+        i, t, o, cab, cba, e, d = self._rel(spark, l_shape, probe)
+        assert (i, t, o, e, d) == (True, False, True, False, False)
+
+    def test_convexity_helper(self, spark):
+        assert _one(spark, G.st_ring_convex(self._sq(0, 0, 4))) is True
+        concave = self._ring((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0))
+        assert _one(spark, G.st_ring_convex(concave)) is False
+
+    def test_point_on_ring(self, spark):
+        sq = self._sq(0, 0, 4)
+        on = F.struct(F.lit(4.0).alias("x"), F.lit(2.0).alias("y"))
+        off = F.struct(F.lit(2.0).alias("x"), F.lit(2.0).alias("y"))
+        assert _one(spark, G.st_point_on_ring(sq, on)) is True
+        assert _one(spark, G.st_point_on_ring(sq, off)) is False
