@@ -53,7 +53,14 @@ HEADLINE_EXTRAS = (
     "multimodal_features",
     "op_spatial_bbox_join",
     "op_spatial_kdb_join",
+    "op_spatial_polygon_pair_join",
     "geo_union_agg",
+    # TPC-DS-shape representatives (r6): the three heaviest operator
+    # combinations from the new corpus — rollup+grouping+rank, cumulative
+    # windows + full outer join, repeated-CTE semi-joins.
+    "tpcds_q36_rollup_margin_rank",
+    "tpcds_q51_cumulative_crossover",
+    "tpcds_q95_multi_supplier_returns",
 )
 
 

@@ -1913,19 +1913,31 @@ def _any_vertex_strictly_in(container: Column, pts: Column) -> Column:
     )
 
 
-def st_polygon_pair_interiors_intersect(a: Column, b: Column) -> Column:
+def st_polygon_pair_interiors_intersect(
+    a: Column, b: Column, covers: tuple[Column, Column] | None = None
+) -> Column:
     """Interior(A) ∩ Interior(B) ≠ ∅ for two simple rings — the DE-9IM
     [II] cell that separates touches from overlaps/contains. Witnesses:
     proper edge crossing, strict vertex containment either way, a convex
     ring's centroid inside the other (covers the equal/nested convex cases
-    where every vertex grazes the boundary), or mutual covering."""
+    where every vertex grazes the boundary), or mutual covering.
+
+    ``covers``: optionally pass the two covering predicates as ALREADY
+    STAGED columns (covers(a,b), covers(b,a)). Each covers tree is an
+    O(|A|*|B|) edge scan; inlining both here on top of the other witnesses
+    pushes a single projection past the JVM's 64 KB method limit (janino
+    "Code grows beyond 64 KB" -> interpreted fallback), so callers that
+    stage the covers columns anyway must reuse them."""
     cross = st_crosses_lines(a, b)
     v_ab = _any_vertex_strictly_in(b, a)
     v_ba = _any_vertex_strictly_in(a, b)
     cen_ab = st_ring_convex(a) & st_contains_ring(b, st_centroid_ring(a))
     cen_ba = st_ring_convex(b) & st_contains_ring(a, st_centroid_ring(b))
-    mutual = st_covers_polygon(a, b) & st_covers_polygon(b, a)
-    return cross | v_ab | v_ba | cen_ab | cen_ba | mutual
+    cov_ab, cov_ba = covers if covers is not None else (
+        st_covers_polygon(a, b),
+        st_covers_polygon(b, a),
+    )
+    return cross | v_ab | v_ba | cen_ab | cen_ba | (cov_ab & cov_ba)
 
 
 def st_intersects_polygons(a: Column, b: Column) -> Column:

@@ -34,6 +34,19 @@ from .registry import REGISTRY, Query, query
 # (r1-r4) -> events_funnel; text_quality_score (r1-r4) -> text_pii_scrub;
 # dedup_simhash (r4) -> dedup_cluster_canonical; sim_topk_signbucket (r4)
 # -> sim_knn_join.
+# r6 rotation — out (all r5-green) -> in (never scored; 7 existing rows
+# plus 4 from the new TPC-DS-shape corpus): fn_geo_wkb ->
+# fn_geo_polygon_predicates; op_spatial_kdb_join ->
+# op_spatial_polygon_pair_join; geo_union_agg -> geo_union_area_sweep;
+# fn_stats_agg -> fn_kll_quantile; events_funnel ->
+# tpcds_q36_rollup_margin_rank; text_pii_scrub -> text_langid_confusion;
+# dedup_cluster_canonical -> tpcds_q51_cumulative_crossover; sim_knn_join
+# -> tpcds_q01_returns_above_avg; op_window_topn_per_group -> fn_geo_relate;
+# op_lateral -> op_spatial_polygon_join; op_agg_multi_distinct ->
+# tpcds_q95_multi_supplier_returns. Families keeping a scored row: window
+# (op_window_frames), events (events_sessionize), text (text_decontaminate),
+# dedup (dedup_exact, dedup_minhash_lsh), sim (sim_topk_bruteforce),
+# subquery (op_subquery_correlated), agg (op_agg_grouping_sets).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (cheap, core evidence)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
@@ -41,19 +54,22 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # Core operator paths, one representative per physical machinery.
-    "op_join_semi", "fn_geo_wkb",
-    "op_agg_multi_distinct", "op_agg_grouping_sets",
-    "op_window_frames", "op_window_topn_per_group",
-    "op_intersect_all", "op_unnest", "op_lateral", "op_subquery_correlated",
-    "op_asof_join", "op_spatial_kdb_join", "fn_geo_bingtile",
+    "op_join_semi", "fn_geo_polygon_predicates",
+    "op_spatial_polygon_join", "op_agg_grouping_sets",
+    "op_window_frames", "fn_geo_relate",
+    "op_intersect_all", "op_unnest", "op_subquery_correlated",
+    "op_asof_join", "op_spatial_polygon_pair_join", "fn_geo_bingtile",
+    # TPC-DS-shape corpus (never scored before r6)
+    "tpcds_q01_returns_above_avg", "tpcds_q36_rollup_margin_rank",
+    "tpcds_q51_cumulative_crossover", "tpcds_q95_multi_supplier_returns",
     # Scalar/aggregate function families
-    "fn_stats_agg", "fn_datetime_patterns", "geo_union_agg", "fn_array_hof",
-    "fn_hll_merge",
+    "fn_kll_quantile", "fn_datetime_patterns", "geo_union_area_sweep",
+    "fn_array_hof", "fn_hll_merge",
     # Extension families — ≥1 driver-green row each
-    "events_funnel", "events_sessionize",
-    "text_pii_scrub", "text_decontaminate",
-    "dedup_exact", "dedup_minhash_lsh", "dedup_cluster_canonical",
-    "sim_topk_bruteforce", "sim_knn_join",
+    "events_sessionize",
+    "text_langid_confusion", "text_decontaminate",
+    "dedup_exact", "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
     "multimodal_features",
 )
 
@@ -61,6 +77,7 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
 def all_queries() -> dict[str, Query]:
     # Import registers; keep the list explicit so a broken module is loud.
     from . import tpch  # noqa: F401
+    from . import tpcds_shapes  # noqa: F401
     from . import relational  # noqa: F401
     from . import functions_sql  # noqa: F401
     from . import events  # noqa: F401

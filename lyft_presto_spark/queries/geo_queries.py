@@ -2236,13 +2236,21 @@ def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiply-referenced non-cheap aliases materialized).
     rings = src.select("c_custkey", a.alias("ra"), b.alias("rb"))
     ra, rb = F.col("ra"), F.col("rb")
-    staged = rings.select(
-        "c_custkey",
-        G.st_intersects_lines(ra, rb).alias("bnd"),
-        G.st_crosses_lines(ra, rb).alias("crx"),
-        G.st_polygon_pair_interiors_intersect(ra, rb).alias("ii"),
+    # Layer 2a: the two covering scans (each O(|A|*|B|)) staged first, so
+    # layer 2b's interiors witness reuses them as column references — the
+    # inlined form put one projection past the 64 KB codegen method limit.
+    covered = rings.select(
+        "c_custkey", "ra", "rb",
         G.st_covers_polygon(ra, rb).alias("cab"),
         G.st_covers_polygon(rb, ra).alias("cba"),
+    )
+    staged = covered.select(
+        "c_custkey", "cab", "cba",
+        G.st_intersects_lines(ra, rb).alias("bnd"),
+        G.st_crosses_lines(ra, rb).alias("crx"),
+        G.st_polygon_pair_interiors_intersect(
+            ra, rb, covers=(F.col("cab"), F.col("cba"))
+        ).alias("ii"),
         G.st_intersects_polygons(ra, rb).alias("ints"),
     )
     return staged.select(

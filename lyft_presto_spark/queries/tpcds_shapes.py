@@ -1,0 +1,801 @@
+"""TPC-DS-shaped query corpus adapted to the driver fixture schema.
+
+The reference ships a 103-query TPC-DS benchmark corpus
+(presto-benchto-benchmarks/src/main/resources/sql/presto/tpcds/q01.sql..q99.sql
+— BASELINE.md) exercising operator COMBINATIONS the TPC-H corpus doesn't:
+correlated scalar subqueries over a shared CTE (q01), channel UNION ALL +
+weekday pivot + week-offset CTE self-join (q02), multi-channel year totals
+with growth-ratio self-joins (q11), ROLLUP + GROUPING() + windowed rank
+(q36), cumulative-sum windows FULL OUTER JOINed across channels (q51),
+avg-over + lag/lead deviation screens (q47), share-of-class windows over
+grouped aggregates (q98), repeated-CTE semi-joins (q95), before/after
+CASE-pivot ratio screens (q21), count-range cohorts joined back to the
+dimension (q34), and multi-bucket scalar scans (q88).
+
+The fixture schema has no TPC-DS tables, so each shape is re-based on the
+TPC-H-style fixtures while preserving the operator structure: lineitem JOIN
+orders plays store_sales (o_orderdate is the date_dim), l_linenumber parity
+splits the fact into the two "channels" the DS queries union, part plays
+item, and customer/nation/region play the customer/store dimensions.
+
+Numeric-stability convention is inherited from queries/tpch.py: money is
+cast to tight DECIMALs before SUM (exact, order-independent), ratios divide
+the exact sums after casting to DOUBLE (same IEEE operands both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.staging import staged
+from .registry import query, t
+from .tpch import FRAC, PRICE, QTY, SQL_DISC_PRICE, _dec, disc_price
+
+# Monday before the fixture's earliest order date (1995-01-01), so day
+# diffs are non-negative and floor-div/modulo agree between the engines.
+_EPOCH = "1994-12-26"
+_SQL_DAYS = f"date_diff('day', TIMESTAMP '{_EPOCH} 00:00:00', o_orderdate)"
+_SQL_PRICE = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_SQL_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+
+
+def _days() -> F.Column:
+    return F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("timestamp"))
+
+
+# --- q01 shape: CTE + per-group-average screen ------------------------------
+
+
+@query(
+    "tpcds_q01_returns_above_avg",
+    oracle=f"""
+    WITH ctr AS (
+        SELECT o_custkey AS ctr_custkey,
+               c_nationkey AS ctr_nationkey,
+               SUM({_SQL_PRICE}) AS ctr_total_return
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_name, CAST(ctr_total_return AS DOUBLE) AS total_return
+    FROM ctr ctr1
+    JOIN customer ON ctr1.ctr_custkey = c_custkey
+    WHERE CAST(ctr_total_return AS DOUBLE) > 1.2 * (
+        SELECT CAST(SUM(ctr_total_return) AS DOUBLE) / COUNT(*)
+        FROM ctr ctr2
+        WHERE ctr1.ctr_nationkey = ctr2.ctr_nationkey
+    )
+    ORDER BY c_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q01 shape (sql/presto/tpcds/q01.sql): a returns-total CTE "
+    "consumed twice — once as the driving row set, once inside a "
+    "correlated scalar subquery computing the per-group (nation) average "
+    "screen. Spark expresses the correlated aggregate as a window over the "
+    "same CTE — one shuffle on the group key instead of a per-row "
+    "re-aggregation; the oracle keeps the reference's literal correlated "
+    "form, so the two formulations must agree.",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q01_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    ctr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("o_custkey").alias("ctr_custkey"),
+            F.col("c_nationkey").alias("ctr_nationkey"),
+        )
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("ctr_total_return"))
+    )
+    w = Window.partitionBy("ctr_nationkey")
+    screened = ctr.select(
+        "ctr_custkey",
+        F.col("ctr_total_return").cast("double").alias("total_return"),
+        (
+            F.sum("ctr_total_return").over(w).cast("double")
+            / F.count("*").over(w)
+        ).alias("nation_avg"),
+    ).filter(F.col("total_return") > 1.2 * F.col("nation_avg"))
+    return (
+        screened.join(cust, screened.ctr_custkey == cust.c_custkey)
+        .select("c_name", "total_return")
+        .orderBy("c_name")
+        .limit(100)
+    )
+
+
+# --- q02 shape: channel union + weekday pivot + week-offset self-join -------
+
+_Q02_SQL_WSWSCS = f"""
+    wscs AS (
+        SELECT o_orderdate, {_SQL_PRICE} AS sales_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 2 = 0
+        UNION ALL
+        SELECT o_orderdate, {_SQL_PRICE} AS sales_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 2 = 1
+    ),
+    wswscs AS (
+        SELECT {_SQL_DAYS} // 7 AS wk,
+               SUM(CASE WHEN {_SQL_DAYS} % 7 = 0 THEN sales_price END) AS mon_sales,
+               SUM(CASE WHEN {_SQL_DAYS} % 7 = 3 THEN sales_price END) AS thu_sales,
+               SUM(CASE WHEN {_SQL_DAYS} % 7 = 6 THEN sales_price END) AS sun_sales
+        FROM wscs
+        GROUP BY {_SQL_DAYS} // 7
+    )
+"""
+
+
+@query(
+    "tpcds_q02_week_over_year_ratio",
+    oracle=f"""
+    WITH {_Q02_SQL_WSWSCS}
+    SELECT y.wk AS wk,
+           CAST(y.mon_sales AS DOUBLE) / CAST(z.mon_sales AS DOUBLE) AS mon_ratio,
+           CAST(y.thu_sales AS DOUBLE) / CAST(z.thu_sales AS DOUBLE) AS thu_ratio,
+           CAST(y.sun_sales AS DOUBLE) / CAST(z.sun_sales AS DOUBLE) AS sun_ratio
+    FROM wswscs y JOIN wswscs z ON y.wk = z.wk - 52
+    WHERE y.wk >= 53 AND y.wk < 105
+    ORDER BY wk
+    """,
+    doc="TPC-DS q02 shape (q02.sql): two 'channels' (l_linenumber parity "
+    "standing in for web_sales/catalog_sales) UNION ALLed, pivoted into "
+    "weekday columns per week via conditional aggregation, then the pivot "
+    "CTE self-joined at a 52-week offset to produce year-over-year weekday "
+    "ratios. Ratios divide exact decimal sums as doubles.",
+    tags=("tpcds", "union", "window"),
+)
+def tpcds_q02_week_over_year_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    even = joined.filter(F.col("l_linenumber") % 2 == 0)
+    odd = joined.filter(F.col("l_linenumber") % 2 == 1)
+    wscs = even.select(
+        "o_orderdate", _dec("l_extendedprice", PRICE).alias("sales_price")
+    ).unionAll(
+        odd.select(
+            "o_orderdate", _dec("l_extendedprice", PRICE).alias("sales_price")
+        )
+    )
+    days = _days()
+
+    def dow_sum(d: int) -> F.Column:
+        return F.sum(F.when(days % 7 == d, F.col("sales_price")))
+
+    wswscs = wscs.groupBy(F.floor(days / 7).alias("wk")).agg(
+        dow_sum(0).alias("mon_sales"),
+        dow_sum(3).alias("thu_sales"),
+        dow_sum(6).alias("sun_sales"),
+    )
+    y = wswscs.alias("y")
+    z = wswscs.alias("z")
+    return (
+        y.join(z, F.col("y.wk") == F.col("z.wk") - 52)
+        .filter((F.col("y.wk") >= 53) & (F.col("y.wk") < 105))
+        .select(
+            F.col("y.wk").alias("wk"),
+            (
+                F.col("y.mon_sales").cast("double")
+                / F.col("z.mon_sales").cast("double")
+            ).alias("mon_ratio"),
+            (
+                F.col("y.thu_sales").cast("double")
+                / F.col("z.thu_sales").cast("double")
+            ).alias("thu_ratio"),
+            (
+                F.col("y.sun_sales").cast("double")
+                / F.col("z.sun_sales").cast("double")
+            ).alias("sun_ratio"),
+        )
+        .orderBy("wk")
+    )
+
+
+# --- q11 shape: two-channel year totals, growth-ratio self-join -------------
+
+_Q11_SQL_YEAR_TOTAL = f"""
+    year_total AS (
+        SELECT o_custkey AS customer_sk,
+               year(o_orderdate) AS yr,
+               CASE WHEN l_linenumber % 2 = 0 THEN 's' ELSE 'w' END AS channel,
+               SUM({SQL_DISC_PRICE}) AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey, year(o_orderdate),
+                 CASE WHEN l_linenumber % 2 = 0 THEN 's' ELSE 'w' END
+    )
+"""
+
+
+@query(
+    "tpcds_q11_channel_growth",
+    oracle=f"""
+    WITH {_Q11_SQL_YEAR_TOTAL}
+    SELECT s1.customer_sk AS customer_sk,
+           CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE) AS store_growth,
+           CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE) AS web_growth
+    FROM year_total s1
+    JOIN year_total s2 ON s1.customer_sk = s2.customer_sk
+    JOIN year_total w1 ON s1.customer_sk = w1.customer_sk
+    JOIN year_total w2 ON s1.customer_sk = w2.customer_sk
+    WHERE s1.channel = 's' AND s1.yr = 1996
+      AND s2.channel = 's' AND s2.yr = 1997
+      AND w1.channel = 'w' AND w1.yr = 1996
+      AND w2.channel = 'w' AND w2.yr = 1997
+      AND CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE)
+        > CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE)
+    ORDER BY customer_sk
+    LIMIT 100
+    """,
+    doc="TPC-DS q11/q04 shape (q11.sql): a UNION-style two-channel year_total "
+    "CTE self-joined four ways per customer, keeping customers whose web "
+    "growth (1996->1997) beat their store growth. The CTE is staged once "
+    "(operators/staging.py) — Spark inlines CTEs, and a 4-way self-join of "
+    "a recomputed aggregate would re-scan the fact four times; the staged "
+    "artifact is the reference's CTE-materialization analog.",
+    tags=("tpcds", "join"),
+)
+def tpcds_q11_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def build() -> DataFrame:
+        li = t(spark, sf_dir, "lineitem")
+        orders = t(spark, sf_dir, "orders")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                F.col("o_custkey").alias("customer_sk"),
+                F.year("o_orderdate").alias("yr"),
+                F.when(F.col("l_linenumber") % 2 == 0, "s")
+                .otherwise("w")
+                .alias("channel"),
+            )
+            .agg(F.sum(disc_price()).alias("total"))
+        )
+
+    yt = staged(spark, sf_dir, "tpcds_year_total", build)
+
+    def slice_(channel: str, yr: int, alias: str) -> DataFrame:
+        return (
+            yt.filter((F.col("channel") == channel) & (F.col("yr") == yr))
+            .select("customer_sk", F.col("total").alias(f"{alias}_total"))
+        )
+
+    s1, s2 = slice_("s", 1996, "s1"), slice_("s", 1997, "s2")
+    w1, w2 = slice_("w", 1996, "w1"), slice_("w", 1997, "w2")
+    joined = (
+        s1.join(s2, "customer_sk")
+        .join(w1, "customer_sk")
+        .join(w2, "customer_sk")
+        .select(
+            "customer_sk",
+            (
+                F.col("s2_total").cast("double") / F.col("s1_total").cast("double")
+            ).alias("store_growth"),
+            (
+                F.col("w2_total").cast("double") / F.col("w1_total").cast("double")
+            ).alias("web_growth"),
+        )
+    )
+    return (
+        joined.filter(F.col("web_growth") > F.col("store_growth"))
+        .orderBy("customer_sk")
+        .limit(100)
+    )
+
+
+# --- q36 shape: ROLLUP + GROUPING() + rank within hierarchy level -----------
+
+
+@query(
+    "tpcds_q36_rollup_margin_rank",
+    oracle=f"""
+    WITH agg AS (
+        SELECT r_name, n_name,
+               CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE)
+                   / CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS margin,
+               GROUPING(r_name) + GROUPING(n_name) AS lochierarchy,
+               CASE WHEN GROUPING(n_name) = 0 THEN r_name END AS rank_group
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    )
+    SELECT r_name, n_name, lochierarchy, margin,
+           RANK() OVER (PARTITION BY lochierarchy, rank_group
+                        ORDER BY margin) AS rank_within_parent
+    FROM agg
+    ORDER BY lochierarchy DESC, r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="TPC-DS q36 shape (q36.sql): gross-margin ROLLUP over the "
+    "region->nation hierarchy with GROUPING()-derived hierarchy level and "
+    "RANK() within each parent (partitioned by level and the CASE-gated "
+    "parent key). GroupIdNode + window over grouped aggregate — the "
+    "combination TPC-H never exercises.",
+    tags=("tpcds", "rollup", "window"),
+)
+def tpcds_q36_rollup_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    agg = joined.rollup("r_name", "n_name").agg(
+        (
+            F.sum(disc_price()).cast("double")
+            / F.sum(_dec("l_extendedprice", PRICE)).cast("double")
+        ).alias("margin"),
+        (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
+        F.when(F.grouping("n_name") == 0, F.col("r_name")).alias("rank_group"),
+    )
+    w = Window.partitionBy("lochierarchy", "rank_group").orderBy("margin")
+    return (
+        agg.select(
+            "r_name", "n_name", "lochierarchy", "margin",
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first("r_name"),
+            F.asc_nulls_first("n_name"),
+        )
+    )
+
+
+# --- q51 shape: per-channel cumulative sums + FULL OUTER JOIN ---------------
+
+def _q51_sql_channel(parity: int) -> str:
+    return f"""
+        SELECT l_partkey % 10 AS bucket,
+               {_SQL_DAYS} // 7 AS wk,
+               SUM({_SQL_PRICE}) AS sales
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 2 = {parity} AND year(o_orderdate) = 1996
+        GROUP BY l_partkey % 10, {_SQL_DAYS} // 7
+"""
+
+
+@query(
+    "tpcds_q51_cumulative_crossover",
+    oracle=f"""
+    WITH web AS (
+        SELECT bucket, wk, SUM(sales) OVER (
+            PARTITION BY bucket ORDER BY wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+        FROM ({_q51_sql_channel(1)}) w0
+    ),
+    store AS (
+        SELECT bucket, wk, SUM(sales) OVER (
+            PARTITION BY bucket ORDER BY wk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cume
+        FROM ({_q51_sql_channel(0)}) s0
+    )
+    SELECT COALESCE(web.bucket, store.bucket) AS bucket,
+           COALESCE(web.wk, store.wk) AS wk,
+           CAST(web.cume AS DOUBLE) AS web_cumulative,
+           CAST(store.cume AS DOUBLE) AS store_cumulative
+    FROM web FULL OUTER JOIN store
+      ON web.bucket = store.bucket AND web.wk = store.wk
+    WHERE web.cume > store.cume
+    ORDER BY bucket, wk
+    """,
+    doc="TPC-DS q51 shape (q51.sql): per-channel weekly revenue with "
+    "running-total windows, FULL OUTER JOINed across channels on "
+    "(bucket, week), keeping weeks where the web running total overtook "
+    "the store one. Window-then-outer-join — the DS-only combination.",
+    tags=("tpcds", "window", "join"),
+)
+def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.year("o_orderdate") == 1996
+    )
+    cume_w = (
+        Window.partitionBy("bucket")
+        .orderBy("wk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def channel(parity: int) -> DataFrame:
+        return (
+            joined.filter(F.col("l_linenumber") % 2 == parity)
+            .groupBy(
+                (F.col("l_partkey") % 10).alias("bucket"),
+                F.floor(_days() / 7).alias("wk"),
+            )
+            .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sales"))
+            .select("bucket", "wk", F.sum("sales").over(cume_w).alias("cume"))
+        )
+
+    web, store = channel(1).alias("web"), channel(0).alias("store")
+    return (
+        web.join(
+            store,
+            (F.col("web.bucket") == F.col("store.bucket"))
+            & (F.col("web.wk") == F.col("store.wk")),
+            "full_outer",
+        )
+        .filter(F.col("web.cume") > F.col("store.cume"))
+        .select(
+            F.coalesce(F.col("web.bucket"), F.col("store.bucket")).alias("bucket"),
+            F.coalesce(F.col("web.wk"), F.col("store.wk")).alias("wk"),
+            F.col("web.cume").cast("double").alias("web_cumulative"),
+            F.col("store.cume").cast("double").alias("store_cumulative"),
+        )
+        .orderBy("bucket", "wk")
+    )
+
+
+# --- q47 shape: avg-over + lag/lead monthly deviation screen ----------------
+
+
+@query(
+    "tpcds_q47_monthly_deviation",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT n_name, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+               SUM({_SQL_PRICE}) AS sales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, year(o_orderdate), month(o_orderdate)
+    ),
+    v AS (
+        SELECT n_name, yr, mo,
+               CAST(sales AS DOUBLE) AS sales,
+               CAST(SUM(sales) OVER (PARTITION BY n_name, yr) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY n_name, yr) AS avg_monthly,
+               CAST(LAG(sales) OVER (PARTITION BY n_name ORDER BY yr, mo)
+                    AS DOUBLE) AS prev_sales,
+               CAST(LEAD(sales) OVER (PARTITION BY n_name ORDER BY yr, mo)
+                    AS DOUBLE) AS next_sales
+        FROM monthly
+    )
+    SELECT n_name, yr, mo, sales, avg_monthly, prev_sales, next_sales
+    FROM v
+    WHERE yr = 1997 AND avg_monthly > 0
+      AND abs(sales - avg_monthly) / avg_monthly > 0.1
+    ORDER BY n_name, yr, mo
+    """,
+    doc="TPC-DS q47 shape (q47.sql): monthly sales per nation with the "
+    "yearly average as a partition window, lag/lead month neighbors over "
+    "an ordered window spanning years, and a >10% deviation screen — "
+    "three window frames over one grouped aggregate.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sales_dec"))
+    )
+    wp = Window.partitionBy("n_name", "yr")
+    wo = Window.partitionBy("n_name").orderBy("yr", "mo")
+    v = monthly.select(
+        "n_name", "yr", "mo",
+        F.col("sales_dec").cast("double").alias("sales"),
+        (
+            F.sum("sales_dec").over(wp).cast("double") / F.count("*").over(wp)
+        ).alias("avg_monthly"),
+        F.lag("sales_dec").over(wo).cast("double").alias("prev_sales"),
+        F.lead("sales_dec").over(wo).cast("double").alias("next_sales"),
+    )
+    return (
+        v.filter(
+            (F.col("yr") == 1997)
+            & (F.col("avg_monthly") > 0)
+            & (
+                F.abs(F.col("sales") - F.col("avg_monthly"))
+                / F.col("avg_monthly")
+                > 0.1
+            )
+        )
+        .orderBy("n_name", "yr", "mo")
+    )
+
+
+# --- q98 shape: share-of-class window over a grouped aggregate --------------
+
+
+@query(
+    "tpcds_q98_class_revenue_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT p_type, p_brand, SUM({SQL_DISC_PRICE}) AS revenue
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand,
+           CAST(revenue AS DOUBLE) AS revenue,
+           CAST(revenue AS DOUBLE) * 100
+               / CAST(SUM(revenue) OVER (PARTITION BY p_type) AS DOUBLE)
+               AS revenue_share
+    FROM rev
+    ORDER BY p_type, revenue_share DESC, p_brand
+    """,
+    doc="TPC-DS q98 shape (q98.sql): revenue per (class, item) for one "
+    "month, with each item's share of its class total via SUM() OVER "
+    "(PARTITION BY class) over the grouped aggregate — the windowed "
+    "market-share pattern.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q98_class_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    part = t(spark, sf_dir, "part")
+    rev = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(disc_price()).alias("revenue_dec"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        rev.select(
+            "p_type", "p_brand",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            (
+                F.col("revenue_dec").cast("double")
+                * 100
+                / F.sum("revenue_dec").over(w).cast("double")
+            ).alias("revenue_share"),
+        )
+        .orderBy("p_type", F.desc("revenue_share"), "p_brand")
+    )
+
+
+# --- q95 shape: repeated-CTE semi-joins -------------------------------------
+
+
+@query(
+    "tpcds_q95_multi_supplier_returns",
+    oracle=f"""
+    WITH multi_supp AS (
+        SELECT DISTINCT l1.l_orderkey AS okey
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    )
+    SELECT COUNT(DISTINCT o_orderkey) AS order_count,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND o_orderkey IN (SELECT okey FROM multi_supp)
+      AND o_orderkey IN (
+          SELECT okey FROM multi_supp
+          JOIN lineitem ON okey = l_orderkey
+          WHERE l_returnflag = 'R')
+    """,
+    doc="TPC-DS q95 shape (q95.sql): a fact self-join CTE (orders shipped "
+    "by more than one supplier — the ws_wh warehouse-pair analog) consumed "
+    "by TWO IN-subqueries, the second joining the CTE back to the fact for "
+    "the returns screen. The CTE is staged once; both IN screens become "
+    "left-semi joins against the staged artifact.",
+    tags=("tpcds", "join", "subquery"),
+)
+def tpcds_q95_multi_supplier_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def build() -> DataFrame:
+        l1 = li.alias("l1")
+        l2 = li.alias("l2")
+        return (
+            l1.join(
+                l2,
+                (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+                & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            )
+            .select(F.col("l1.l_orderkey").alias("okey"))
+            .distinct()
+        )
+
+    multi_supp = staged(spark, sf_dir, "tpcds_multi_supp", build)
+    returned = (
+        multi_supp.join(
+            li.filter(F.col("l_returnflag") == "R"),
+            multi_supp.okey == li.l_orderkey,
+            "left_semi",
+        )
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    screened = orders.join(
+        multi_supp, orders.o_orderkey == multi_supp.okey, "left_semi"
+    ).join(returned, orders.o_orderkey == returned.okey, "left_semi")
+    return screened.agg(
+        F.countDistinct("o_orderkey").alias("order_count"),
+        F.sum(_dec("o_totalprice", "decimal(14,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+# --- q21 shape: before/after pivot with ratio screen ------------------------
+
+
+@query(
+    "tpcds_q21_before_after_ratio",
+    oracle=f"""
+    SELECT n_name, p_brand,
+           CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+                         THEN {_SQL_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS qty_before,
+           CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+                         THEN {_SQL_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END)
+                AS DOUBLE) AS qty_after
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-05-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-09-01 00:00:00'
+    GROUP BY n_name, p_brand
+    HAVING SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+                    THEN {_SQL_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END) > 0
+       AND SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+                    THEN {_SQL_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END) > 0
+       AND CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-07-01 00:00:00'
+                         THEN {_SQL_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+                         THEN {_SQL_QTY} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         BETWEEN 2.0/3.0 AND 3.0/2.0
+    ORDER BY n_name, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q21 shape (q21.sql): quantity shipped in the 60 days "
+    "before vs after a pivot date, CASE-pivoted into two columns per "
+    "(warehouse-nation, item-brand) group, kept only when the after/before "
+    "ratio stays within [2/3, 3/2] — conditional aggregation + HAVING on a "
+    "ratio of the pivoted sums.",
+    tags=("tpcds", "aggregation"),
+)
+def tpcds_q21_before_after_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivot = F.lit("1997-07-01").cast("timestamp")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-05-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-09-01").cast("timestamp"))
+    )
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part")
+    zero = F.lit(0).cast(QTY)
+    before = F.sum(
+        F.when(F.col("l_shipdate") < pivot, _dec("l_quantity", QTY)).otherwise(zero)
+    )
+    after = F.sum(
+        F.when(F.col("l_shipdate") >= pivot, _dec("l_quantity", QTY)).otherwise(zero)
+    )
+    grouped = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("n_name", "p_brand")
+        .agg(before.alias("before_dec"), after.alias("after_dec"))
+    )
+    ratio = F.col("after_dec").cast("double") / F.col("before_dec").cast("double")
+    return (
+        grouped.filter(
+            (F.col("before_dec") > 0)
+            & (F.col("after_dec") > 0)
+            & (ratio >= 2.0 / 3.0)
+            & (ratio <= 3.0 / 2.0)
+        )
+        .select(
+            "n_name", "p_brand",
+            F.col("before_dec").cast("double").alias("qty_before"),
+            F.col("after_dec").cast("double").alias("qty_after"),
+        )
+        .orderBy("n_name", "p_brand")
+        .limit(100)
+    )
+
+
+# --- q34 shape: count-range cohort joined back to the dimension -------------
+
+
+@query(
+    "tpcds_q34_bulk_order_cohort",
+    oracle="""
+    WITH cohort AS (
+        SELECT o_orderkey, o_custkey, COUNT(*) AS item_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderkey, o_custkey
+        HAVING COUNT(*) BETWEEN 10 AND 13
+    )
+    SELECT c_name, o_orderkey, item_count
+    FROM cohort JOIN customer ON o_custkey = c_custkey
+    ORDER BY c_name, o_orderkey
+    LIMIT 200
+    """,
+    doc="TPC-DS q34/q73 shape (q34.sql): a HAVING COUNT BETWEEN cohort "
+    "(bulk orders of 10-13 line items) joined back to the customer "
+    "dimension for the detail rows — aggregate-filter-then-rejoin.",
+    tags=("tpcds", "aggregation", "join"),
+)
+def tpcds_q34_bulk_order_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    cohort = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count("*").alias("item_count"))
+        .filter(F.col("item_count").between(10, 13))
+    )
+    return (
+        cohort.join(cust, cohort.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "item_count")
+        .orderBy("c_name", "o_orderkey")
+        .limit(200)
+    )
+
+
+# --- q88 shape: multi-bucket scalar counts ----------------------------------
+
+
+@query(
+    "tpcds_q88_quantity_buckets",
+    oracle="""
+    SELECT * FROM
+        (SELECT COUNT(*) AS b1 FROM lineitem WHERE l_quantity BETWEEN 1 AND 5) h1,
+        (SELECT COUNT(*) AS b2 FROM lineitem WHERE l_quantity BETWEEN 6 AND 10) h2,
+        (SELECT COUNT(*) AS b3 FROM lineitem WHERE l_quantity BETWEEN 11 AND 20) h3,
+        (SELECT COUNT(*) AS b4 FROM lineitem WHERE l_quantity BETWEEN 21 AND 30) h4,
+        (SELECT COUNT(*) AS b5 FROM lineitem WHERE l_quantity BETWEEN 31 AND 40) h5,
+        (SELECT COUNT(*) AS b6 FROM lineitem WHERE l_quantity BETWEEN 41 AND 50) h6
+    """,
+    doc="TPC-DS q88 shape (q88.sql): the reference cross-joins N scalar "
+    "COUNT subqueries over the same fact with disjoint bucket predicates "
+    "into one wide row. The Spark-first re-expression is a single "
+    "conditional-aggregation scan — one fact pass instead of six — "
+    "producing the identical wide row; the oracle keeps the reference's "
+    "literal cross-join form, so the rewrite is verified equivalent.",
+    tags=("tpcds", "aggregation"),
+)
+def tpcds_q88_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def bucket(lo: int, hi: int) -> F.Column:
+        return F.count(
+            F.when(F.col("l_quantity").between(lo, hi), F.lit(1))
+        )
+
+    return li.agg(
+        bucket(1, 5).alias("b1"),
+        bucket(6, 10).alias("b2"),
+        bucket(11, 20).alias("b3"),
+        bucket(21, 30).alias("b4"),
+        bucket(31, 40).alias("b5"),
+        bucket(41, 50).alias("b6"),
+    )
