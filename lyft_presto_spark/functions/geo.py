@@ -1711,9 +1711,10 @@ def st_relate_matches(relate: Column, pattern: str) -> Column:
 # spherical-excess sum (movable-type.co.uk/scripts/latlong.html, the exact
 # formula the reference cites): E = Σ 2·atan2(tan(Δλ/2)·(tan(φ₁/2) +
 # tan(φ₂/2)), 1 + tan(φ₁/2)·tan(φ₂/2)) over cyclic vertex pairs, area =
-# |E|·R². All codegen HOFs. The reference's pole-enclosure correction
-# (courseDelta ~ 0 → subtract 2π) is not implemented: polygons enclosing
-# a pole are out of the planar model's fixture range (DELTAS).
+# |E|·R². All codegen HOFs, including the reference's pole-enclosure
+# correction: the accumulated bearing turn (courseDelta) around a ring is
+# ±2π unless the ring encloses a pole, in which case it is ~0 and the
+# excess must be corrected by 2π (computeSphericalExcess:1629-1633).
 
 EARTH_RADIUS_M = EARTH_RADIUS_KM * 1000.0  # GeoFunctions.java:124
 
@@ -1734,19 +1735,71 @@ def st_spherical_distance(p1: Column, p2: Column) -> Column:
     return great_circle_distance(p1["y"], p1["x"], p2["y"], p2["x"]) * 1000.0
 
 
-def st_spherical_excess(ring: Column) -> Column:
-    """Spherical excess (steradians) of a great-circle-edged ring — the
-    cyclic sum in computeSphericalExcess (:1549). The closing duplicate
-    vertex is dropped first; the sum pairs each vertex with its cyclic
-    predecessor, exactly the reference's last-point-first iteration."""
+def _sphere_opened(ring: Column) -> Column:
+    """Drop the closing duplicate vertex, the reference's end-adjust."""
     first, last = F.element_at(ring, 1), F.element_at(ring, -1)
     n = F.size(ring)
-    opened = F.when(
+    return F.when(
         (first["x"] == last["x"]) & (first["y"] == last["y"]) & (n >= 2),
         F.slice(ring, 1, n - 1),
     ).otherwise(ring)
+
+
+def _cyclic_prev(arr: Column) -> Column:
+    m = F.size(arr)
+    return F.concat(F.slice(arr, m, 1), F.slice(arr, 1, m - 1))
+
+
+def st_spherical_course_delta(ring: Column) -> Column:
+    """Accumulated bearing turn walking the ring's great-circle edges —
+    computeSphericalExcess's courseDelta (:1565-1627). Per edge e (cyclic
+    prev vertex → current): the initial and final bearings; courseDelta
+    sums the in-edge turn (final_e − initial_e) and the at-vertex turn
+    (initial_e − final_{e−1}), each normalized to (−π, π] via the
+    reference's ``(x + 3π) mod 2π − π``. ±2π for a ring not enclosing a
+    pole; ~0 when a pole is enclosed."""
+    opened = _sphere_opened(ring)
+    two_pi = F.lit(2 * math.pi)
+
+    def bearings(prv: Column, cur: Column) -> Column:
+        phi1, phi2 = F.radians(prv["y"]), F.radians(cur["y"])
+        dlon = F.radians(cur["x"]) - F.radians(prv["x"])
+        iy = F.sin(dlon) * F.cos(phi2)
+        ix = F.cos(phi1) * F.sin(phi2) - F.sin(phi1) * F.cos(phi2) * F.cos(dlon)
+        fy = -F.sin(dlon) * F.cos(phi1)
+        fx = F.sin(phi1) * F.cos(phi2) - F.cos(phi1) * F.sin(phi2) * F.cos(dlon)
+        return F.struct(
+            ((F.atan2(iy, ix) + two_pi) % two_pi).alias("initial"),
+            ((F.atan2(fy, fx) + F.lit(math.pi)) % two_pi).alias("final"),
+        )
+
+    edge_bearings = F.zip_with(_cyclic_prev(opened), opened, bearings)
+
+    def norm(x: Column) -> Column:
+        return (x + F.lit(3 * math.pi)) % two_pi - F.lit(math.pi)
+
+    turns = F.zip_with(
+        edge_bearings,
+        _cyclic_prev(edge_bearings),
+        lambda b, pb: norm(b["final"] - b["initial"])
+        + norm(b["initial"] - pb["final"]),
+    )
+    s = F.aggregate(turns, F.lit(0.0), lambda acc, v: acc + v)
+    return F.when(F.size(opened) >= 3, s)
+
+
+def st_spherical_excess(ring: Column, pole_correction: bool = True) -> Column:
+    """Spherical excess (steradians) of a great-circle-edged ring — the
+    cyclic sum in computeSphericalExcess (:1549). The closing duplicate
+    vertex is dropped first; the sum pairs each vertex with its cyclic
+    predecessor, exactly the reference's last-point-first iteration. When
+    the accumulated bearing turn shows an enclosed pole (|courseDelta| <
+    π/4) the excess is corrected by 2π (:1629-1633), matching the
+    reference; ``pole_correction=False`` skips that extra bearing walk for
+    callers that pre-screen |lat|."""
+    opened = _sphere_opened(ring)
     m = F.size(opened)
-    rotated = F.concat(F.slice(opened, m, 1), F.slice(opened, 1, m - 1))
+    rotated = _cyclic_prev(opened)
 
     def term(cur: Column, prv: Column) -> Column:
         t1 = F.tan(F.radians(prv["y"]) / 2)
@@ -1757,7 +1810,27 @@ def st_spherical_excess(ring: Column) -> Column:
     s = F.aggregate(
         F.zip_with(opened, rotated, term), F.lit(0.0), lambda acc, t: acc + t
     )
-    return F.when(m >= 3, F.abs(s))
+    raw = F.abs(s)
+    if pole_correction:
+        enclosed = F.abs(st_spherical_course_delta(ring)) < math.pi / 4
+        raw = F.when(enclosed, F.abs(raw - F.lit(2 * math.pi))).otherwise(raw)
+    return F.when(m >= 3, raw)
+
+
+def st_spherical_length(line: Column) -> Column:
+    """ST_Length over geography linestrings: the great-circle edge sum in
+    METERS. Reference 319 has no geography ST_Length (its geography
+    surface stops at the point-distance TODO, stSphericalDistance:1497);
+    this is the natural extension using the same great-circle kernel, and
+    is the modern-Presto behavior for linestring geography."""
+    return F.aggregate(
+        _edges(line),
+        F.lit(0.0),
+        lambda acc, e: acc + great_circle_distance(
+            e["a"]["y"], e["a"]["x"], e["b"]["y"], e["b"]["x"]
+        )
+        * 1000.0,
+    )
 
 
 def st_spherical_area(ring: Column) -> Column:

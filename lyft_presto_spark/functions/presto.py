@@ -633,11 +633,14 @@ DELTAS = {
     "inclusion-exclusion; the union GEOMETRY of arbitrary polygons stays "
     "out of scope (COVERAGE.md).",
     "SphericalGeography": "to_spherical_geography returns NULL on "
-    "out-of-range lat/lon (reference throws); ST_Area(geography) uses the "
-    "reference's own spherical-excess sum but omits the pole-enclosure "
-    "correction (courseDelta), so polygons enclosing a pole are "
-    "unsupported; only the point case of ST_Distance(geography) exists, "
-    "matching the reference's own TODO at stSphericalDistance:1497.",
+    "out-of-range lat/lon (reference throws); ST_Area(geography) "
+    "implements the reference's spherical-excess sum INCLUDING the "
+    "courseDelta pole-enclosure correction (fn_geo_spherical_pole), so "
+    "pole-enclosing polygons measure correctly; ST_Distance(geography) "
+    "covers the point case, matching the reference's own TODO at "
+    "stSphericalDistance:1497; ST_Length(geography) for linestrings is an "
+    "extension beyond reference 319 (the great-circle edge sum, the "
+    "modern-Presto behavior).",
     "ST_Relate": "The DE-9IM matrix is computed exactly for AXIS-ALIGNED "
     "ENVELOPE pairs (st_relate_envelopes); arbitrary polygon pairs are not "
     "supported (Esri residue -> Sedona). Degenerate (zero-extent) "

@@ -2385,3 +2385,92 @@ def op_spatial_polygon_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("sq_id")
     )
+
+
+# --- Spherical geography: pole enclosure + geography length -----------------
+
+_SPHERE_POLE_SRC = """
+    SELECT c_custkey,
+           CAST(4 + c_custkey % 4 AS INT) AS n,
+           CAST(10 + (c_custkey % 13) * 5 AS DOUBLE) AS colat_deg,
+           CAST(5 + c_custkey % 20 AS DOUBLE) AS d
+    FROM customer
+    WHERE c_custkey % 17 = 0
+"""
+
+# Closed form for a REGULAR spherical n-gon centered on the pole with
+# vertices at colatitude theta: the pole triangle (pole, v_i, v_i+1) has
+# sides b = c = theta and apex 2*pi/n, so the edge central angle a and the
+# base angle beta follow from the spherical law of cosines, and Girard
+# gives excess = n*2*beta - (n-2)*pi — published spherical trigonometry,
+# structurally independent of the implementation's bearing walk.
+_SPHERE_POLE_ORACLE = f"""
+WITH src AS ({_SPHERE_POLE_SRC}),
+trig AS (
+    SELECT c_custkey, n, d,
+           radians(colat_deg) AS th,
+           cos(radians(colat_deg)) * cos(radians(colat_deg))
+             + sin(radians(colat_deg)) * sin(radians(colat_deg))
+               * cos(2 * pi() / n) AS cos_a
+    FROM src
+),
+beta AS (
+    SELECT c_custkey, n, d,
+           acos((cos(th) - cos_a * cos(th)) / (sin(acos(cos_a)) * sin(th)))
+               AS b
+    FROM trig
+)
+SELECT c_custkey,
+       TRUE AS pole_enclosed,
+       round(n * 2 * b - (n - 2) * pi(), 9) AS excess_sr,
+       round((n * 2 * b - (n - 2) * pi()) * 6371.01 * 6371.01, 3)
+           AS area_sqkm,
+       round(radians(d) * 6371.01 * 1000, 3) AS merid_len_m
+FROM beta
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_spherical_pole",
+    oracle=_SPHERE_POLE_ORACLE,
+    doc="Pole-enclosing geography polygons: ST_Area(geography) with the "
+    "reference's courseDelta pole-enclosure correction "
+    "(computeSphericalExcess:1629-1633 — accumulated bearing turn ~0 "
+    "instead of ±2π flags the enclosed pole, excess corrected by 2π), "
+    "plus ST_Length(geography) as the great-circle edge sum. Fixtures are "
+    "regular n-gons of meridian crossings around the north pole; the "
+    "oracle is the closed-form regular-spherical-polygon excess via the "
+    "spherical law of cosines + Girard — independent published math. "
+    "Length is a meridian arc with the exact R*delta-phi closed form.",
+    tags=("geo",),
+)
+def fn_geo_spherical_pole(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _SPHERE_POLE_SRC, ("customer",))
+    lat = 90.0 - F.col("colat_deg")
+    # n evenly spaced longitudes at the same latitude, closed back to the
+    # first vertex — each edge is a great circle crossing between meridians.
+    open_ring = F.transform(
+        F.sequence(F.lit(0), F.col("n") - 1),
+        lambda i: G.st_point(
+            F.lit(-180.0) + 360.0 * i.cast("double") / F.col("n"), lat
+        ),
+    )
+    ring = F.concat(open_ring, F.slice(open_ring, 1, 1))
+    meridian = F.array(
+        G.st_point(F.lit(10.0), F.lit(0.0)),
+        G.st_point(F.lit(10.0), F.col("d")),
+    )
+    staged_df = src.select(
+        "c_custkey",
+        G.st_spherical_course_delta(ring).alias("cd"),
+        G.st_spherical_excess(ring).alias("excess"),
+        G.st_spherical_length(meridian).alias("len_m"),
+    )
+    return staged_df.select(
+        "c_custkey",
+        (F.abs(F.col("cd")) < math.pi / 4).alias("pole_enclosed"),
+        F.round(F.col("excess"), 9).alias("excess_sr"),
+        F.round(F.col("excess") * 6371.01 * 6371.01, 3).alias("area_sqkm"),
+        F.round(F.col("len_m"), 3).alias("merid_len_m"),
+    ).orderBy("c_custkey")

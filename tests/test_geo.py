@@ -1289,3 +1289,86 @@ class TestPolygonPairPredicates:
         off = F.struct(F.lit(2.0).alias("x"), F.lit(2.0).alias("y"))
         assert _one(spark, G.st_point_on_ring(sq, on)) is True
         assert _one(spark, G.st_point_on_ring(sq, off)) is False
+
+
+class TestSphericalPole:
+    """Pole-enclosure correction (computeSphericalExcess:1629-1633) and
+    geography ST_Length, against an independent Girard angle-sum oracle."""
+
+    def _ring(self, *pts):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(float(x)).alias("x"), F.lit(float(y)).alias("y")
+                )
+                for x, y in pts
+            ]
+        )
+
+    @staticmethod
+    def _girard_excess(lonlats):
+        """Spherical excess via interior-angle sum (Girard) — published
+        math structurally different from the bearing-walk implementation."""
+        import numpy as np
+
+        def unit(lon, lat):
+            lo, la = math.radians(lon), math.radians(lat)
+            return np.array(
+                [math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la)]
+            )
+
+        v = [unit(*p) for p in lonlats]
+        n = len(v)
+        total = 0.0
+        for i in range(n):
+            a, b, c = v[(i - 1) % n], v[i], v[(i + 1) % n]
+            # tangent vectors at b toward a and c
+            ta = a - np.dot(a, b) * b
+            tc = c - np.dot(c, b) * b
+            cosang = np.dot(ta, tc) / (np.linalg.norm(ta) * np.linalg.norm(tc))
+            total += math.acos(max(-1.0, min(1.0, cosang)))
+        return total - (n - 2) * math.pi
+
+    def test_course_delta_classifies(self, spark):
+        # A small low-latitude triangle turns through a full ±2π.
+        tri = self._ring((0, 0), (10, 0), (0, 10), (0, 0))
+        cd = _one(spark, G.st_spherical_course_delta(tri))
+        assert abs(abs(cd) - 2 * math.pi) < 1e-9
+        # A square of meridian crossings around the north pole turns ~0.
+        polar = self._ring((0, 80), (90, 80), (180, 80), (-90, 80), (0, 80))
+        cd = _one(spark, G.st_spherical_course_delta(polar))
+        assert abs(cd) < math.pi / 4
+
+    def test_pole_excess_matches_girard(self, spark):
+        for lat in (60.0, 75.0, 85.0):
+            pts = [(0, lat), (90, lat), (180, lat), (-90, lat)]
+            polar = self._ring(*pts, pts[0])
+            got = _one(spark, G.st_spherical_excess(polar))
+            want = self._girard_excess(pts)
+            assert got == pytest.approx(want, rel=1e-9), lat
+
+    def test_pole_symmetry_and_monotonicity(self, spark):
+        def area(lat):
+            pts = [(0, lat), (90, lat), (180, lat), (-90, lat), (0, lat)]
+            return _one(spark, G.st_spherical_area(self._ring(*pts)))
+
+        assert area(80.0) == pytest.approx(area(-80.0), rel=1e-12)
+        assert area(85.0) < area(80.0) < area(60.0)
+
+    def test_non_pole_unchanged_by_correction(self, spark):
+        tri = self._ring((0, 0), (10, 0), (0, 10), (0, 0))
+        with_c = _one(spark, G.st_spherical_excess(tri))
+        without = _one(spark, G.st_spherical_excess(tri, pole_correction=False))
+        assert with_c == without
+
+    def test_spherical_length_meridian(self, spark):
+        # A meridian arc of 10 degrees: length = R * 10deg exactly.
+        line = self._ring((30, 0), (30, 10))
+        got = _one(spark, G.st_spherical_length(line))
+        want = math.radians(10) * 6371.01 * 1000
+        assert got == pytest.approx(want, rel=1e-9)
+        # Two-edge polyline sums the edges.
+        two = self._ring((30, 0), (30, 10), (30, 25))
+        assert _one(spark, G.st_spherical_length(two)) == pytest.approx(
+            math.radians(25) * 6371.01 * 1000, rel=1e-9
+        )
