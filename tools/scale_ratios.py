@@ -51,6 +51,12 @@ RATIO_EXTRAS = (
     "fn_geo_simple_ring", "fn_geo_line_touches", "fn_geo_multipolygon",
     "fn_geo_accessors", "fn_geo_validity", "fn_geo_hull_simplify",
     "fn_geo_clip", "fn_geo_relate", "fn_geo_spherical", "fn_geo_from_text",
+    "fn_geo_polygon_predicates", "fn_geo_spherical_pole",
+    # tpcds shapes not in the benched headline
+    "tpcds_q01_returns_above_avg", "tpcds_q02_week_over_year_ratio",
+    "tpcds_q11_channel_growth", "tpcds_q21_before_after_ratio",
+    "tpcds_q34_bulk_order_cohort", "tpcds_q47_monthly_deviation",
+    "tpcds_q88_quantity_buckets", "tpcds_q98_class_revenue_share",
     # text
     "text_pii_scrub", "text_decontaminate", "text_fingerprint",
     "text_langid_confusion", "text_bpe_token_count", "text_chunk_overlap",
