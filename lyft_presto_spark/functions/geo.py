@@ -2082,3 +2082,79 @@ def st_disjoint_polygons(a: Column, b: Column) -> Column:
 def st_within_polygon(a: Column, b: Column) -> Column:
     """stWithin (:1180): A within B == B covers A (positive-area pairs)."""
     return st_covers_polygon(b, a)
+
+
+# --- GEOMETRYCOLLECTION ------------------------------------------------------
+# GeoFunctions.java stNumGeometries (:659), stGeometryN (:738), stGeometries
+# (:780) over OGCConcreteGeometryCollection. The planar model carries a
+# mixed collection as array<tagged-union> — each member is the same struct
+# st_geometry_from_text produces, so every dispatching measure (st_area_any,
+# st_length_any, st_num_points_any) applies per member and collection
+# measures are HOF sums. All codegen.
+
+# Matches one member geometry token: TYPE + balanced parens to depth 3
+# (enough for MULTIPOLYGON members with holes — the deepest WKT the model
+# carries). A depth-4 nesting (GEOMETRYCOLLECTION inside GEOMETRYCOLLECTION)
+# is rejected by the residue check, matching the flattened collections the
+# reference's serializer produces.
+_GC_MEMBER = (
+    r"[A-Za-z]+\s*"
+    r"\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)"
+)
+
+
+def st_collection_from_wkt(wkt: Column) -> Column:
+    """Parse ``GEOMETRYCOLLECTION (m1, m2, ...)`` into an array of tagged
+    geometry unions (one st_geometry_from_text struct per member).
+    Malformed WKT — wrong tag, or residue between member tokens that is
+    not commas/whitespace — yields NULL."""
+    shell = F.regexp_extract(
+        wkt, r"^\s*GEOMETRYCOLLECTION\s*\(\s*(.*)\s*\)\s*$", 1
+    )
+    members = F.regexp_extract_all(shell, F.lit(f"({_GC_MEMBER})"), 1)
+    residue = F.regexp_replace(shell, _GC_MEMBER, "")
+    ok = (
+        (shell != "")
+        & (F.size(members) >= 1)
+        & F.regexp_like(residue, F.lit(r"^[\s,]*$"))
+    )
+    return F.when(ok, F.transform(members, st_geometry_from_text))
+
+
+def st_collection_num_geometries(coll: Column) -> Column:
+    """stNumGeometries (:659) for a parsed collection."""
+    return F.size(coll)
+
+
+def st_collection_geometry_n(coll: Column, n: Column | int) -> Column:
+    """stGeometryN (:738): 1-based member access, NULL out of range
+    (including index < 1, which try_element_at alone still rejects)."""
+    idx = n if isinstance(n, Column) else F.lit(n)
+    return F.when(idx >= 1, F.try_element_at(coll, idx))
+
+
+def st_collection_area(coll: Column) -> Column:
+    """stArea over a collection: the sum of member areas (points/lines
+    contribute 0), the Esri cursor-sum behavior."""
+    return F.aggregate(
+        coll, F.lit(0.0), lambda acc, g: acc + F.coalesce(st_area_any(g), F.lit(0.0))
+    )
+
+
+def st_collection_length(coll: Column) -> Column:
+    """stLength over a collection: the sum of member line lengths."""
+    return F.aggregate(
+        coll,
+        F.lit(0.0),
+        lambda acc, g: acc + F.coalesce(st_length_any(g), F.lit(0.0)),
+    )
+
+
+def st_collection_num_points(coll: Column) -> Column:
+    """stNumPoints over a collection: total member vertices (polygon
+    closing vertices uncounted, as st_num_points_any)."""
+    return F.aggregate(
+        coll,
+        F.lit(0),
+        lambda acc, g: acc + F.coalesce(st_num_points_any(g), F.lit(0)),
+    )

@@ -614,9 +614,10 @@ DELTAS = {
     "ST_* geometry model": "Geometries are structs/arrays of doubles "
     "(point struct, array<struct<x,y>> linestrings/rings, one nesting "
     "level per composite: holed polygons, MULTIPOINT/MULTILINESTRING/"
-    "MULTIPOLYGON). WKT and WKB codecs round-trip the model; "
-    "GEOMETRYCOLLECTION and the curved Esri ops (general polygon "
-    "Union/Intersection, Relate) are out of scope — see COVERAGE.md "
+    "MULTIPOLYGON; flat GEOMETRYCOLLECTION as array<tagged-union>). WKT "
+    "and WKB codecs round-trip the model; nested geometry collections and "
+    "the curved Esri ops (general polygon Union/Intersection returning "
+    "GEOMETRY, arbitrary-pair Relate) are out of scope — see COVERAGE.md "
     "geospatial section.",
     "ST_LineString / ST_MultiPoint": "The reference throws "
     "INVALID_FUNCTION_ARGUMENT on a null/empty member point or consecutive "

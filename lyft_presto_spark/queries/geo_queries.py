@@ -2474,3 +2474,76 @@ def fn_geo_spherical_pole(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("excess") * 6371.01 * 6371.01, 3).alias("area_sqkm"),
         F.round(F.col("len_m"), 3).alias("merid_len_m"),
     ).orderBy("c_custkey")
+
+
+# --- GEOMETRYCOLLECTION ------------------------------------------------------
+
+_GC_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 2 AS INT) AS kind,
+           CAST(c_custkey % 5 + 1 AS DOUBLE) AS a,
+           CAST(c_custkey % 7 + 2 AS DOUBLE) AS s
+    FROM customer
+    WHERE c_custkey % 37 = 0
+"""
+
+# kind 0: GC(POINT, LINESTRING(len a), POLYGON(s-square)) — area s^2,
+# length a, points 1+2+4, member 2 tag ST_LineString.
+# kind 1: GC(MULTIPOLYGON(unit square + s-square), POINT) — area 1+s^2,
+# length 0, points 4+4+1, member 2 tag ST_Point.
+_GC_ORACLE = f"""
+WITH src AS ({_GC_SRC})
+SELECT c_custkey,
+       CAST(CASE kind WHEN 0 THEN 3 ELSE 2 END AS INT) AS n_geoms,
+       CASE kind WHEN 0 THEN s * s ELSE 1 + s * s END AS total_area,
+       CASE kind WHEN 0 THEN a ELSE 0.0 END AS total_len,
+       CAST(CASE kind WHEN 0 THEN 7 ELSE 9 END AS INT) AS total_points,
+       CASE kind WHEN 0 THEN 'ST_LineString' ELSE 'ST_Point' END AS member2_tag,
+       CAST(NULL AS VARCHAR) AS member9_tag
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_collection",
+    oracle=_GC_ORACLE,
+    doc="GEOMETRYCOLLECTION (stNumGeometries:659, stGeometryN:738, "
+    "stGeometries:780 — the mixed-collection surface previously declared "
+    "out of scope): parsed as an array of tagged geometry unions, so the "
+    "dispatching measures apply per member and collection measures are "
+    "HOF sums. Fixtures alternate a point+line+polygon collection and one "
+    "with a MULTIPOLYGON member (depth-3 WKT nesting); closed-form oracle "
+    "per kind, out-of-range stGeometryN pinned NULL.",
+    tags=("geo",),
+)
+def fn_geo_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _GC_SRC, ("customer",))
+    a_i = F.col("a").cast("int").cast("string")
+    s_i = F.col("s").cast("int").cast("string")
+    simple = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, "),
+        a_i, F.lit(" 0), POLYGON ((0 0, "), s_i, F.lit(" 0, "),
+        s_i, F.lit(" "), s_i, F.lit(", 0 "), s_i, F.lit(", 0 0)))"),
+    )
+    # The multipolygon member: a unit square plus an s-square at (5,5).
+    s5 = (F.col("s") + 5).cast("int").cast("string")
+    multi = F.concat(
+        F.lit("GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((5 5, "),
+        s5, F.lit(" 5, "), s5, F.lit(" "), s5, F.lit(", 5 "), s5,
+        F.lit(", 5 5))), POINT (9 9))"),
+    )
+    wkt = F.when(F.col("kind") == 0, simple).otherwise(multi)
+    staged_df = src.select(
+        "c_custkey", "kind", G.st_collection_from_wkt(wkt).alias("coll")
+    )
+    coll = F.col("coll")
+    return staged_df.select(
+        "c_custkey",
+        G.st_collection_num_geometries(coll).cast("int").alias("n_geoms"),
+        G.st_collection_area(coll).alias("total_area"),
+        G.st_collection_length(coll).alias("total_len"),
+        G.st_collection_num_points(coll).cast("int").alias("total_points"),
+        G.st_collection_geometry_n(coll, 2)["tag"].alias("member2_tag"),
+        G.st_collection_geometry_n(coll, 9)["tag"].alias("member9_tag"),
+    ).orderBy("c_custkey")

@@ -1372,3 +1372,52 @@ class TestSphericalPole:
         assert _one(spark, G.st_spherical_length(two)) == pytest.approx(
             math.radians(25) * 6371.01 * 1000, rel=1e-9
         )
+
+
+class TestGeometryCollection:
+    """GEOMETRYCOLLECTION parse + accessors (stNumGeometries:659,
+    stGeometryN:738, stGeometries:780) over the tagged-union model."""
+
+    GC = (
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 3 4), "
+        "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0)))"
+    )
+
+    def _coll(self, w=None):
+        return G.st_collection_from_wkt(F.lit(w or self.GC))
+
+    def test_parse_and_count(self, spark):
+        assert _one(spark, G.st_collection_num_geometries(self._coll())) == 3
+
+    def test_geometry_n(self, spark):
+        g2 = _one(spark, G.st_collection_geometry_n(self._coll(), 2))
+        assert g2.tag == "ST_LineString" and len(g2.line) == 2
+        assert _one(spark, G.st_collection_geometry_n(self._coll(), 4)) is None
+        assert _one(spark, G.st_collection_geometry_n(self._coll(), 0)) is None
+
+    def test_collection_measures(self, spark):
+        assert _one(spark, G.st_collection_area(self._coll())) == pytest.approx(4.0)
+        assert _one(spark, G.st_collection_length(self._coll())) == pytest.approx(5.0)
+        assert _one(spark, G.st_collection_num_points(self._coll())) == 1 + 2 + 4
+
+    def test_multipolygon_member(self, spark):
+        w = (
+            "GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), "
+            "((5 5, 7 5, 7 7, 5 7, 5 5))), POINT (9 9))"
+        )
+        coll = self._coll(w)
+        assert _one(spark, G.st_collection_num_geometries(coll)) == 2
+        assert _one(spark, G.st_collection_area(coll)) == pytest.approx(5.0)
+        g1 = _one(spark, G.st_collection_geometry_n(coll, 1))
+        assert g1.tag == "ST_MultiPolygon"
+
+    def test_garbage_is_null(self, spark):
+        assert _one(spark, self._coll("GEOMETRYCOLLECTION ()")) is None
+        assert _one(spark, self._coll("POINT (1 2)")) is None
+        assert _one(spark, self._coll("GEOMETRYCOLLECTION (POINT (1 2) junk)")) is None
+
+    def test_type_tag(self, spark):
+        assert (
+            _one(spark, G.st_geometry_type_wkt(F.lit(self.GC)))
+            == "ST_GeomCollection"
+        )
