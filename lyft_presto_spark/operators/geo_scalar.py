@@ -250,3 +250,53 @@ def st_difference_area_convex(a: Column, b: Column) -> Column:
     from ..functions.geo import st_area
 
     return st_area(a) - st_intersection_area_convex(a, b)
+
+
+# --- general polygon boolean ops (GEOMETRY output) --------------------------
+# stUnion (GeoFunctions.java:675) / stIntersection (:1019) / stDifference
+# (:1089) / stSymDifference (:1099) for arbitrary (non-convex, holed)
+# polygon pairs — the exact-rational planar overlay in
+# operators/polygon_overlay.py, Arrow-batched per row. Inputs are holed
+# polygons (array<array<struct<x,y>>>), output is the MULTIPOLYGON
+# representation (array of holed polygons) — [] when empty, NULL on NULL.
+
+_MPOLY_TYPE = "array<array<array<struct<x:double,y:double>>>>"
+
+
+def _overlay_col(a: Column, b: Column, op: str) -> Column:
+    from .polygon_overlay import overlay
+
+    @pandas_udf(_MPOLY_TYPE)
+    def _ov_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(s, c):
+            try:
+                out.append(overlay(x, y, op))
+            except Exception:
+                out.append(None)  # degrade per-row, never fail the job
+        return pd.Series(out, index=s.index)
+
+    return _ov_udf(a, b)
+
+
+def st_intersection_geom(a: Column, b: Column) -> Column:
+    """stIntersection (:1019), general polygon/polygon: exact overlay,
+    MULTIPOLYGON-representation output. Lower-dimensional pieces (shared
+    edges, touch points) are dropped — DELTAS.md 'polygon boolean ops'."""
+    return _overlay_col(a, b, "intersection")
+
+
+def st_union_geom(a: Column, b: Column) -> Column:
+    """stUnion (:675), general polygon/polygon — merges adjacency, plugs
+    covered holes, emits true multi-part output for disjoint operands."""
+    return _overlay_col(a, b, "union")
+
+
+def st_difference_geom(a: Column, b: Column) -> Column:
+    """stDifference (:1089), general polygon/polygon — can create holes."""
+    return _overlay_col(a, b, "difference")
+
+
+def st_sym_difference_geom(a: Column, b: Column) -> Column:
+    """stSymDifference (:1099), general polygon/polygon."""
+    return _overlay_col(a, b, "symdifference")

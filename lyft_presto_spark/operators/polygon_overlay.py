@@ -1,0 +1,385 @@
+"""General polygon boolean operations returning GEOMETRY.
+
+The reference delegates ``ST_Union`` / ``ST_Intersection`` / ``ST_Difference``
+/ ``ST_SymDifference`` over arbitrary polygon pairs to the Esri geometry
+library (presto-geospatial/.../GeoFunctions.java:675 stUnion, :1019
+stIntersection, :1089 stDifference, :1099 stSymDifference). This module
+implements the polygon/polygon case from first principles as a classic
+*planar overlay*: split every boundary edge at every crossing, classify each
+sub-segment's two sides against both operand regions, keep the segments
+where the result-region membership flips, and trace the kept directed edges
+into output rings (outer rings CCW, holes CW) — the textbook arrangement +
+face-extraction algorithm (de Berg et al., Computational Geometry ch. 2).
+
+Robustness comes from *exact rational arithmetic*: every coordinate is
+lifted to ``fractions.Fraction`` (floats convert exactly), so crossing
+points, collinear overlaps, vertex-on-edge touches and shared boundaries
+are decided exactly, with no epsilons. The cost is per-geometry Python
+time — acceptable because the scale axis at 100 TB is the ROW count, not
+per-row vertex count: each pair is independent, so the operator
+parallelizes perfectly across partitions inside an Arrow-batched pandas
+UDF (geo_scalar.py discipline), and per-row vertex counts are bounded by
+the application (document geometries, geofences, admin boundaries).
+
+Semantics notes (DELTAS.md "polygon boolean ops"):
+- Output is always an area geometry in the MULTIPOLYGON representation
+  (``array<array<array<struct<x,y>>>>``); lower-dimensional intersection
+  pieces (shared edges of edge-adjacent polygons, single touch points) are
+  dropped, where the Esri-backed reference would return a LINESTRING/POINT
+  collection. Empty result -> empty array, NULL input -> NULL.
+- Inputs are simple polygons with optional holes (the repo's holed
+  representation: exterior ring first). Ring orientation in the INPUT is
+  normalized internally (exterior forced CCW, holes CW), matching the
+  parser's auto-close contract.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+from functools import cmp_to_key
+
+Pt = tuple[Fraction, Fraction]
+
+__all__ = [
+    "overlay",
+    "polygon_area",
+]
+
+
+# --- exact primitives --------------------------------------------------------
+
+
+def _cross(ox: Fraction, oy: Fraction, ax: Fraction, ay: Fraction) -> Fraction:
+    return ox * ay - oy * ax
+
+
+def _orient(a: Pt, b: Pt, c: Pt) -> Fraction:
+    return _cross(b[0] - a[0], b[1] - a[1], c[0] - a[0], c[1] - a[1])
+
+
+def _on_segment(p: Pt, a: Pt, b: Pt) -> bool:
+    """p collinear-with and within the closed segment [a, b]."""
+    if _orient(a, b, p) != 0:
+        return False
+    return (
+        min(a[0], b[0]) <= p[0] <= max(a[0], b[0])
+        and min(a[1], b[1]) <= p[1] <= max(a[1], b[1])
+    )
+
+
+def _seg_split_points(a: Pt, b: Pt, c: Pt, d: Pt) -> list[Pt]:
+    """Points where segment [a,b] must be split because of segment [c,d]:
+    proper crossings, endpoint touches, and collinear-overlap endpoints.
+    Exact; returns points strictly inside or at the ends of [a,b] (the
+    caller drops end splits as no-ops)."""
+    o1, o2 = _orient(c, d, a), _orient(c, d, b)
+    o3, o4 = _orient(a, b, c), _orient(a, b, d)
+    pts: list[Pt] = []
+    if o1 == 0 and o2 == 0:
+        # collinear: overlap endpoints that fall inside [a,b]
+        for p in (c, d):
+            if _on_segment(p, a, b):
+                pts.append(p)
+        return pts
+    if (o1 > 0) != (o2 > 0) and (o3 > 0) != (o4 > 0) and o1 != o2:
+        # proper or T-joint crossing: solve a + t(b-a) on line cd exactly
+        t = o1 / (o1 - o2)
+        pts.append((a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])))
+        return pts
+    # endpoint-touch cases (one orientation zero)
+    for p in (c, d):
+        if _on_segment(p, a, b):
+            pts.append(p)
+    return pts
+
+
+def _ring_signed_area2(ring: list[Pt]) -> Fraction:
+    """Twice the signed area of an open ring (shoelace, exact)."""
+    s = Fraction(0)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def _point_in_ring(p: Pt, ring: list[Pt]) -> bool:
+    """Even-odd ray cast toward +x, exact. Caller guarantees p is not on
+    the ring boundary (overlay midpoints never are, by construction)."""
+    inside = False
+    n = len(ring)
+    px, py = p
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        if (y1 > py) != (y2 > py):
+            xcross = x1 + (py - y1) * (x2 - x1) / (y2 - y1)
+            if px < xcross:
+                inside = not inside
+    return inside
+
+
+def _point_in_region(p: Pt, rings: list[list[Pt]]) -> bool:
+    """Even-odd over all rings = inside exterior minus holes (valid holed
+    polygon), and the correct region rule for any even-odd input."""
+    c = 0
+    for ring in rings:
+        if _point_in_ring(p, ring):
+            c += 1
+    return c % 2 == 1
+
+
+# --- input normalization -----------------------------------------------------
+
+
+def _norm_rings(rings_raw) -> list[list[Pt]] | None:
+    """Struct-rings -> open Fraction rings, exterior CCW and holes CW.
+    Members with NULL coords are dropped (try_cast parser residue);
+    degenerate rings (<3 distinct points) are dropped."""
+    if rings_raw is None:
+        return None
+    out: list[list[Pt]] = []
+    for idx, ring in enumerate(rings_raw):
+        if ring is None:
+            continue
+        pts = [
+            (Fraction(float(p["x"])), Fraction(float(p["y"])))
+            for p in ring
+            if p is not None and p["x"] is not None and p["y"] is not None
+        ]
+        if len(pts) >= 2 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        # drop consecutive duplicates
+        dedup: list[Pt] = []
+        for p in pts:
+            if not dedup or p != dedup[-1]:
+                dedup.append(p)
+        if len(dedup) >= 2 and dedup[0] == dedup[-1]:
+            dedup.pop()
+        if len(dedup) < 3:
+            continue
+        a2 = _ring_signed_area2(dedup)
+        if a2 == 0:
+            continue
+        want_ccw = idx == 0
+        if (a2 > 0) != want_ccw:
+            dedup.reverse()
+        out.append(dedup)
+    return out
+
+
+# --- the overlay -------------------------------------------------------------
+
+_OPS = {
+    "intersection": lambda a, b: a and b,
+    "union": lambda a, b: a or b,
+    "difference": lambda a, b: a and not b,
+    "symdifference": lambda a, b: a != b,
+}
+
+
+def overlay(a_rings_raw, b_rings_raw, op: str) -> list[list[list[dict]]] | None:
+    """Boolean overlay of two holed polygons in the repo representation.
+
+    Returns the MULTIPOLYGON representation (list of polygons, each a list
+    of closed rings of ``{"x", "y"}`` dicts, exterior CCW first then CW
+    holes), ``[]`` for an empty result, ``None`` for NULL input.
+    """
+    if op not in _OPS:
+        raise ValueError(f"unknown overlay op {op!r}")
+    combine = _OPS[op]
+    A = _norm_rings(a_rings_raw)
+    B = _norm_rings(b_rings_raw)
+    if A is None or B is None:
+        return None
+
+    # 1. collect directed boundary edges with provenance
+    edges: list[tuple[Pt, Pt, str]] = []  # (p, q, owner)
+    for owner, rings in (("A", A), ("B", B)):
+        for ring in rings:
+            n = len(ring)
+            for i in range(n):
+                edges.append((ring[i], ring[(i + 1) % n], owner))
+
+    # 2. split every edge at every crossing with every other edge
+    split: list[tuple[Pt, Pt, str]] = []
+    for i, (p, q, owner) in enumerate(edges):
+        cuts: set[Pt] = set()
+        for j, (c, d, _) in enumerate(edges):
+            if i == j:
+                continue
+            for pt in _seg_split_points(p, q, c, d):
+                if pt != p and pt != q:
+                    cuts.add(pt)
+        if cuts:
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            # order cuts along p->q by dot product (monotone, exact)
+            ordered = sorted(cuts, key=lambda r: (r[0] - p[0]) * dx + (r[1] - p[1]) * dy)
+            chain = [p, *ordered, q]
+            for k in range(len(chain) - 1):
+                if chain[k] != chain[k + 1]:
+                    split.append((chain[k], chain[k + 1], owner))
+        else:
+            split.append((p, q, owner))
+
+    # 3. dedup sub-segments; track, per undirected segment, the interior
+    #    side of each owner whose boundary it lies on. side: left=True if
+    #    the owner's interior is on the left of canonical direction p->q.
+    seg_info: dict[tuple[Pt, Pt], dict[str, bool]] = {}
+    for p, q, owner in split:
+        canon, fwd = ((p, q), True) if (p, q) <= (q, p) else ((q, p), False)
+        info = seg_info.setdefault(canon, {})
+        # ring orientation is normalized interior-left of the DIRECTED edge
+        info[owner] = fwd  # interior-left of canonical dir iff edge ran forward
+        # (two collinear same-owner edges in opposite directions would be a
+        # degenerate input — last one wins; simple inputs never hit this)
+
+    # 4. classify each side of each sub-segment, keep flip edges
+    kept: list[tuple[Pt, Pt]] = []  # directed, result-interior on the left
+    for (p, q), info in seg_info.items():
+        mid: Pt = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
+        sides: dict[str, tuple[bool, bool]] = {}
+        for owner, rings in (("A", A), ("B", B)):
+            if owner in info:
+                left = info[owner]
+                sides[owner] = (left, not left)
+            else:
+                inside = _point_in_region(mid, rings)
+                sides[owner] = (inside, inside)
+        left_in = combine(sides["A"][0], sides["B"][0])
+        right_in = combine(sides["A"][1], sides["B"][1])
+        if left_in and not right_in:
+            kept.append((p, q))
+        elif right_in and not left_in:
+            kept.append((q, p))
+
+    if not kept:
+        return []
+
+    # 5. trace faces: at each node, continue with the outgoing edge that is
+    #    first CLOCKWISE from the reversed incoming direction — this walks
+    #    the face on the left of every kept edge.
+    out_edges: dict[Pt, list[Pt]] = {}
+    for p, q in kept:
+        out_edges.setdefault(p, []).append(q)
+
+    def _ccw_cmp_from(rev: Pt):
+        rx, ry = rev
+
+        def region(d: Pt) -> int:
+            s = _cross(rx, ry, d[0], d[1])
+            if s > 0:
+                return 0  # strictly CCW side, angle in (0, pi)
+            if s == 0:
+                return 1  # straight back (angle pi); same-dir impossible
+            return 2  # CW side, angle in (pi, 2pi)
+
+        def cmp(u: tuple[Pt, Pt], v: tuple[Pt, Pt]) -> int:
+            du, dv = u[1], v[1]
+            ru, rv = region(du), region(dv)
+            if ru != rv:
+                return -1 if ru < rv else 1
+            c = _cross(du[0], du[1], dv[0], dv[1])
+            if c > 0:
+                return -1
+            if c < 0:
+                return 1
+            return 0
+
+        return cmp
+
+    unused: dict[tuple[Pt, Pt], int] = {}
+    for p, q in kept:
+        unused[(p, q)] = unused.get((p, q), 0) + 1
+    rings_out: list[list[Pt]] = []
+    for start in list(unused):
+        while unused.get(start, 0) > 0:
+            ring: list[Pt] = []
+            cur = start
+            guard = 0
+            limit = len(kept) + 1
+            while True:
+                guard += 1
+                if guard > limit:
+                    raise RuntimeError("overlay face tracing did not close")
+                unused[cur] -= 1
+                ring.append(cur[0])
+                v = cur[1]
+                rev = (cur[0][0] - v[0], cur[0][1] - v[1])
+                # candidates: unconsumed outgoing edges, plus the start edge
+                # (consumed first) so closure is chosen by the same turn rule
+                # — a face may revisit the start VERTEX at a pinch point
+                # without closing, so "v == start[0]" alone is not closure.
+                cands = [
+                    ((v, w), (w[0] - v[0], w[1] - v[1]))
+                    for w in out_edges.get(v, [])
+                    if unused.get((v, w), 0) > 0
+                ]
+                if v == start[0]:
+                    cands.append((start, (start[1][0] - v[0], start[1][1] - v[1])))
+                if not cands:
+                    raise RuntimeError("overlay face tracing dead-ends")
+                # first clockwise from rev = LAST in CCW order from rev
+                cands.sort(key=cmp_to_key(_ccw_cmp_from(rev)))
+                nxt = cands[-1][0]
+                if nxt == start:
+                    break  # face closed
+                cur = nxt
+            rings_out.append(ring)
+
+    # 6. assemble: CCW rings are outers, CW rings holes of the smallest
+    #    containing outer
+    outers: list[tuple[list[Pt], Fraction]] = []
+    holes: list[list[Pt]] = []
+    for ring in rings_out:
+        a2 = _ring_signed_area2(ring)
+        if a2 > 0:
+            outers.append((ring, a2))
+        elif a2 < 0:
+            holes.append(ring)
+        # zero-area faces are degenerate residue; drop
+    polys: list[list[list[Pt]]] = [[o] for o, _ in outers]
+    for hole in holes:
+        # probe: midpoint of the hole's first edge. Kept sub-segments only
+        # meet at endpoints (everything was split at crossings), so an edge
+        # midpoint is never ON another result ring — _point_in_ring is
+        # exact here with no boundary ambiguity (unlike a vertex probe,
+        # which can sit on an outer at a pinch point).
+        probe: Pt = ((hole[0][0] + hole[1][0]) / 2, (hole[0][1] + hole[1][1]) / 2)
+        best = -1
+        best_area = None
+        for k, (o, a2) in enumerate(outers):
+            if _point_in_ring(probe, o) and (best_area is None or a2 < best_area):
+                best, best_area = k, a2
+        if best >= 0:
+            polys[best].append(hole)
+        # an orphan hole would mean a tracing bug; dropping keeps the
+        # area-geometry contract (faces outside every outer are empty)
+
+    # 7. emit closed float rings
+    def _emit(ring: list[Pt]) -> list[dict]:
+        cyc = ring + [ring[0]]
+        return [{"x": float(x), "y": float(y)} for x, y in cyc]
+
+    return [[_emit(r) for r in poly] for poly in polys]
+
+
+def polygon_area(polys) -> float:
+    """Exact area of an overlay result (shoelace sum over signed rings) —
+    test-side helper, mirrors st_multipolygon_area."""
+    total = 0.0
+    if polys is None:
+        return 0.0
+    for rings in polys:
+        for ring in rings:
+            pts = [(p["x"], p["y"]) for p in ring]
+            if len(pts) >= 2 and pts[0] == pts[-1]:
+                pts = pts[:-1]
+            s = 0.0
+            for i in range(len(pts)):
+                x1, y1 = pts[i]
+                x2, y2 = pts[(i + 1) % len(pts)]
+                s += x1 * y2 - x2 * y1
+            total += s / 2.0
+    return total

@@ -1,0 +1,219 @@
+"""General polygon boolean ops (operators/polygon_overlay.py + the
+geo_scalar UDF surface) — reference stUnion/stIntersection/stDifference/
+stSymDifference (GeoFunctions.java:675,1019,1089,1099), polygon case.
+
+The oracle strategy is layered independence:
+- closed-form axis-aligned cases (areas derivable by hand),
+- the Sutherland-Hodgman convex clipper (an independent algorithm already
+  in-repo) on random convex pairs,
+- algebraic identities (|A∩B| + |A∪B| = |A| + |B|, etc.) on random pairs
+  the closed forms can't cover.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from lyft_presto_spark.operators.geo_scalar import _clip_one
+from lyft_presto_spark.operators.hull import monotone_chain
+from lyft_presto_spark.operators.polygon_overlay import overlay, polygon_area
+
+
+def ring(*pts):
+    return [{"x": float(x), "y": float(y)} for x, y in pts]
+
+
+SQ1 = [ring((0, 0), (2, 0), (2, 2), (0, 2))]  # area 4
+SQ2 = [ring((1, 1), (3, 1), (3, 3), (1, 3))]  # area 4, overlap 1
+L = [ring((0, 0), (3, 0), (3, 1), (1, 1), (1, 3), (0, 3))]  # area 5
+
+
+def area(a, b, op):
+    return polygon_area(overlay(a, b, op))
+
+
+class TestClosedForm:
+    def test_overlapping_squares(self):
+        assert area(SQ1, SQ2, "intersection") == pytest.approx(1.0)
+        assert area(SQ1, SQ2, "union") == pytest.approx(7.0)
+        assert area(SQ1, SQ2, "difference") == pytest.approx(3.0)
+        assert area(SQ1, SQ2, "symdifference") == pytest.approx(6.0)
+        assert len(overlay(SQ1, SQ2, "symdifference")) == 2  # two parts
+
+    def test_disjoint(self):
+        far = [ring((10, 10), (11, 10), (11, 11), (10, 11))]
+        assert overlay(SQ1, far, "intersection") == []
+        u = overlay(SQ1, far, "union")
+        assert len(u) == 2 and polygon_area(u) == pytest.approx(5.0)
+
+    def test_containment_and_hole_creation(self):
+        big = [ring((0, 0), (10, 0), (10, 10), (0, 10))]
+        inner = [ring((2, 2), (4, 2), (4, 4), (2, 4))]
+        assert area(big, inner, "intersection") == pytest.approx(4.0)
+        assert area(big, inner, "union") == pytest.approx(100.0)
+        d = overlay(big, inner, "difference")
+        assert polygon_area(d) == pytest.approx(96.0)
+        assert len(d) == 1 and len(d[0]) == 2  # outer + the created hole
+
+    def test_identical_and_adjacent(self):
+        assert area(SQ1, SQ1, "intersection") == pytest.approx(4.0)
+        assert overlay(SQ1, SQ1, "symdifference") == []
+        adj = [ring((2, 0), (4, 0), (4, 2), (2, 2))]
+        # edge-adjacency: area-geometry contract drops the shared-edge line
+        assert overlay(SQ1, adj, "intersection") == []
+        u = overlay(SQ1, adj, "union")
+        assert len(u) == 1 and polygon_area(u) == pytest.approx(8.0)
+
+    def test_nonconvex_L(self):
+        s = [ring((0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5))]
+        assert area(L, s, "intersection") == pytest.approx(1.75)
+        assert area(L, s, "union") == pytest.approx(5 + 4 - 1.75)
+
+    def test_union_creates_hole(self):
+        # U-shape (area 7) + cap (area 3): union 10 with one interior ring
+        u_shape = [ring((0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3))]
+        cap = [ring((0, 3), (3, 3), (3, 4), (0, 4))]
+        u = overlay(u_shape, cap, "union")
+        assert polygon_area(u) == pytest.approx(10.0)
+        assert len(u) == 1 and len(u[0]) == 2
+
+    def test_point_touch_pinch(self):
+        t1 = [ring((0, 0), (2, 0), (1, 1))]
+        t2 = [ring((1, 1), (0, 2), (2, 2))]
+        assert overlay(t1, t2, "intersection") == []
+        u = overlay(t1, t2, "union")
+        assert len(u) == 2 and polygon_area(u) == pytest.approx(2.0)
+
+    def test_holed_inputs(self):
+        A = [ring((0, 0), (10, 0), (10, 10), (0, 10)), ring((4, 4), (4, 6), (6, 6), (6, 4))]
+        B = [ring((-1, 4.5), (11, 4.5), (11, 5.5), (-1, 5.5))]
+        assert area(A, B, "intersection") == pytest.approx(8.0)
+        assert area(A, B, "union") == pytest.approx(100.0)
+        d = overlay(A, B, "difference")
+        assert polygon_area(d) == pytest.approx(88.0) and len(d) == 2
+
+    def test_union_plugs_hole(self):
+        A = [ring((0, 0), (10, 0), (10, 10), (0, 10)), ring((4, 4), (4, 6), (6, 6), (6, 4))]
+        plug = [ring((3, 3), (7, 3), (7, 7), (3, 7))]
+        u = overlay(A, plug, "union")
+        assert polygon_area(u) == pytest.approx(100.0)
+        assert [len(p) for p in u] == [1]  # hole gone
+
+    def test_null_and_degenerate(self):
+        assert overlay(None, SQ1, "union") is None
+        assert overlay(SQ1, None, "intersection") is None
+        # degenerate operand (zero-area ring) acts as the empty region
+        sliver = [ring((0, 0), (5, 0), (0, 0))]
+        assert overlay(SQ1, sliver, "intersection") == []
+        assert area(SQ1, sliver, "union") == pytest.approx(4.0)
+        with pytest.raises(ValueError):
+            overlay(SQ1, SQ2, "nope")
+
+    def test_output_orientation(self):
+        d = overlay(
+            [ring((0, 0), (10, 0), (10, 10), (0, 10))],
+            [ring((2, 2), (4, 2), (4, 4), (2, 4))],
+            "difference",
+        )
+        for rings in d:
+            for i, r in enumerate(rings):
+                pts = [(p["x"], p["y"]) for p in r]
+                assert pts[0] == pts[-1]  # closed
+                pts = pts[:-1]
+                s = sum(
+                    pts[i][0] * pts[(i + 1) % len(pts)][1]
+                    - pts[(i + 1) % len(pts)][0] * pts[i][1]
+                    for i in range(len(pts))
+                )
+                assert (s > 0) == (i == 0)  # outer CCW, holes CW
+
+
+def _rand_convex(rnd, n, cx, cy, r):
+    pts = [(cx + rnd.uniform(-r, r), cy + rnd.uniform(-r, r)) for _ in range(n)]
+    h = monotone_chain([p[0] for p in pts], [p[1] for p in pts])
+    return [{"x": x, "y": y} for x, y in h]
+
+
+def _shoelace(ps):
+    ps = [(p["x"], p["y"]) for p in ps]
+    if len(ps) >= 2 and ps[0] == ps[-1]:
+        ps = ps[:-1]
+    return (
+        abs(
+            sum(
+                ps[i][0] * ps[(i + 1) % len(ps)][1] - ps[(i + 1) % len(ps)][0] * ps[i][1]
+                for i in range(len(ps))
+            )
+        )
+        / 2
+    )
+
+
+class TestCrossCheckAndIdentities:
+    @given(seed=st.integers(0, 10_000))
+    @settings(max_examples=60, deadline=None)
+    def test_convex_matches_sutherland_hodgman(self, seed):
+        rnd = random.Random(seed)
+        a = _rand_convex(rnd, 8, 0, 0, 3)
+        b = _rand_convex(rnd, 8, rnd.uniform(-2, 2), rnd.uniform(-2, 2), 3)
+        if len(a) < 4 or len(b) < 4:  # open hulls with <3 distinct corners
+            return
+        got = area([a], [b], "intersection")
+        clip = _clip_one(a, b)
+        exp = _shoelace(clip) if clip else 0.0
+        assert got == pytest.approx(exp, abs=1e-7)
+
+    @given(seed=st.integers(0, 10_000))
+    @settings(max_examples=40, deadline=None)
+    def test_area_identities(self, seed):
+        rnd = random.Random(seed)
+        # holed non-convex A vs random rectangle B — outside the convex
+        # clipper's reach, so identities are the oracle here
+        hx, hy = rnd.uniform(1, 6), rnd.uniform(1, 6)
+        A = [
+            ring((0, 0), (8, 0), (8, 8), (0, 8)),
+            ring((hx, hy), (hx, hy + 1.5), (hx + 1.5, hy + 1.5), (hx + 1.5, hy)),
+        ]
+        x1, y1 = rnd.uniform(-2, 7), rnd.uniform(-2, 7)
+        w, h = rnd.uniform(0.5, 6), rnd.uniform(0.5, 6)
+        B = [ring((x1, y1), (x1 + w, y1), (x1 + w, y1 + h), (x1, y1 + h))]
+        a_area, b_area = 64 - 2.25, w * h
+        inter = area(A, B, "intersection")
+        union = area(A, B, "union")
+        diff = area(A, B, "difference")
+        sym = area(A, B, "symdifference")
+        assert inter + union == pytest.approx(a_area + b_area, abs=1e-8)
+        assert diff == pytest.approx(a_area - inter, abs=1e-8)
+        assert sym == pytest.approx(union - inter, abs=1e-8)
+        # commutativity
+        assert area(B, A, "intersection") == pytest.approx(inter, abs=1e-8)
+        assert area(B, A, "union") == pytest.approx(union, abs=1e-8)
+
+
+class TestSparkSurface:
+    def test_udf_surface(self, spark):
+        from lyft_presto_spark.functions.geo import st_multipolygon_area
+        from lyft_presto_spark.operators import geo_scalar as GS
+
+        df = spark.createDataFrame(
+            [(SQ1, SQ2), (SQ1, None)],
+            "a: array<array<struct<x:double,y:double>>>, b: array<array<struct<x:double,y:double>>>",
+        )
+        out = df.select(
+            st_multipolygon_area(GS.st_intersection_geom(F.col("a"), F.col("b"))).alias("i"),
+            st_multipolygon_area(GS.st_union_geom(F.col("a"), F.col("b"))).alias("u"),
+            st_multipolygon_area(GS.st_difference_geom(F.col("a"), F.col("b"))).alias("d"),
+            st_multipolygon_area(GS.st_sym_difference_geom(F.col("a"), F.col("b"))).alias("s"),
+            GS.st_union_geom(F.col("a"), F.col("b")).alias("geom"),
+        ).collect()
+        r = out[0]
+        assert (r.i, r.u, r.d, r.s) == (1.0, 7.0, 3.0, 6.0)
+        # representation: closed rings of structs
+        assert r.geom[0][0][0] == r.geom[0][0][-1]
+        r2 = out[1]
+        assert r2.i is None and r2.geom is None
