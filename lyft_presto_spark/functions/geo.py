@@ -2084,6 +2084,161 @@ def st_within_polygon(a: Column, b: Column) -> Column:
     return st_covers_polygon(b, a)
 
 
+# --- Static-ring (unrolled) polygon predicates ------------------------------
+# Spark evaluates lambda HOFs (exists/forall/transform) interpreted, never
+# inside whole-stage codegen — fine for occasional scalars, a 100 us/row tax
+# on a spatial-join refinement predicate. When ring sizes are known at
+# CONSTRUCTION time (geofences, tiles, fixture shapes — the common spatial-
+# join case), the same arithmetic unrolls into a flat boolean expression
+# that codegens end-to-end: rings are Python lists of (x, y) Column pairs,
+# loops unroll at plan-build time (the quadkey-interleave discipline, see
+# module docstring). Semantics identical to the HOF forms above.
+
+XY = "tuple[Column, Column]"
+
+
+def _open_pts(pts: list) -> list:
+    """Drop a closing vertex if the caller passed a closed ring."""
+    return pts[:-1] if len(pts) >= 2 and pts[0] is pts[-1] else pts
+
+
+def _seg_pair_expr(p1, p2, p3, p4, proper_only: bool) -> Column:
+    """_seg_pair_predicate over scalar (x, y) Column pairs."""
+    d1 = _orient(p3[0], p3[1], p4[0], p4[1], p1[0], p1[1])
+    d2 = _orient(p3[0], p3[1], p4[0], p4[1], p2[0], p2[1])
+    d3 = _orient(p1[0], p1[1], p2[0], p2[1], p3[0], p3[1])
+    d4 = _orient(p1[0], p1[1], p2[0], p2[1], p4[0], p4[1])
+    proper = (
+        (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0)))
+        & (((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0)))
+    )
+    if proper_only:
+        return proper
+
+    def on_seg(a, b, c) -> Column:
+        return (
+            (F.least(a[0], b[0]) <= c[0])
+            & (c[0] <= F.greatest(a[0], b[0]))
+            & (F.least(a[1], b[1]) <= c[1])
+            & (c[1] <= F.greatest(a[1], b[1]))
+        )
+
+    touch = (
+        ((d1 == 0) & on_seg(p3, p4, p1))
+        | ((d2 == 0) & on_seg(p3, p4, p2))
+        | ((d3 == 0) & on_seg(p1, p2, p3))
+        | ((d4 == 0) & on_seg(p1, p2, p4))
+    )
+    return proper | touch
+
+
+def _edges_of(pts: list) -> list:
+    o = _open_pts(pts)
+    return [(o[i], o[(i + 1) % len(o)]) for i in range(len(o))]
+
+
+def _or_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
+def _contains_expr(ring: list, p) -> Column:
+    """Ray-cast point-in-ring, unrolled (st_contains_ring semantics:
+    strict interior for non-boundary points; same crossing rule)."""
+    px, py = p
+    inside = F.lit(False)
+    for (a, b) in _edges_of(ring):
+        ax, ay, bx, by = a[0], a[1], b[0], b[1]
+        # the y-straddle guard must gate the division via When (lazy in
+        # codegen) or ANSI mode raises DIVIDE_BY_ZERO on horizontal edges
+        crosses = F.when(
+            (ay > py) != (by > py),
+            px < ax + (py - ay) * (bx - ax) / (by - ay),
+        ).otherwise(F.lit(False))
+        # accumulate with boolean XOR (!=): each step references the prior
+        # tree ONCE — a When(cond, ~acc, acc) form references it twice and
+        # the unrolled expression grows 2^n in the ring size
+        inside = inside != crosses
+    return inside
+
+
+def _on_ring_expr(ring: list, p) -> Column:
+    px, py = p
+    return _or_all(
+        [
+            (_orient(a[0], a[1], b[0], b[1], px, py) == 0)
+            & (F.least(a[0], b[0]) <= px)
+            & (px <= F.greatest(a[0], b[0]))
+            & (F.least(a[1], b[1]) <= py)
+            & (py <= F.greatest(a[1], b[1]))
+            for (a, b) in _edges_of(ring)
+        ]
+    )
+
+
+def st_intersects_convex_static(a_pts: list, b_pts: list) -> Column:
+    """stIntersects for two CONVEX polygons with construction-time ring
+    shapes — the separating-axis theorem unrolled: the pair is disjoint
+    iff some edge's supporting line has the entire other polygon strictly
+    on its outer side; touching (shared point, orient 0) is intersects
+    per OGC. ~8x fewer expression nodes than the generic witness form, so
+    driver-side planning stays cheap for join refinement. Rings may wind
+    either way (each edge tests 'all strictly on the opposite side of the
+    polygon's own third vertex'). Exact for convex inputs only."""
+    oa, ob = _open_pts(a_pts), _open_pts(b_pts)
+
+    def separated_by(poly: list, other: list) -> Column:
+        # some edge of poly strictly separates: all of other's vertices on
+        # the side OPPOSITE the polygon interior. With unknown winding,
+        # test both strict sides; a convex polygon's own vertices occupy
+        # one closed side, so "all other vertices strictly positive AND
+        # all own vertices non-positive" (or the mirror) is a separator.
+        found = F.lit(False)
+        n = len(poly)
+        for i in range(n):
+            a, b = poly[i], poly[(i + 1) % n]
+            own = [poly[(i + 2 + k) % n] for k in range(n - 2)]
+            o_other = [_orient(a[0], a[1], b[0], b[1], v[0], v[1]) for v in other]
+            o_own = [_orient(a[0], a[1], b[0], b[1], v[0], v[1]) for v in own]
+            pos = _and_all([d > 0 for d in o_other]) & _and_all(
+                [d <= 0 for d in o_own]
+            )
+            neg = _and_all([d < 0 for d in o_other]) & _and_all(
+                [d >= 0 for d in o_own]
+            )
+            found = found | pos | neg
+        return found
+
+    return ~(separated_by(oa, ob) | separated_by(ob, oa))
+
+
+def _and_all(conds: list[Column]) -> Column:
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def st_intersects_polygons_static(a_pts: list, b_pts: list) -> Column:
+    """stIntersects (:1123) polygon/polygon with construction-time ring
+    shapes: identical witnesses to st_intersects_polygons (edge-pair
+    contact, or a strictly interior vertex either way), fully unrolled into
+    codegen. ``a_pts``/``b_pts`` are lists of (x, y) Column pairs."""
+    ea, eb = _edges_of(a_pts), _edges_of(b_pts)
+    edge_contact = _or_all(
+        [_seg_pair_expr(p1, p2, p3, p4, False) for p1, p2 in ea for p3, p4 in eb]
+    )
+    v_ba = _or_all(
+        [_contains_expr(a_pts, v) & ~_on_ring_expr(a_pts, v) for v in _open_pts(b_pts)]
+    )
+    v_ab = _or_all(
+        [_contains_expr(b_pts, v) & ~_on_ring_expr(b_pts, v) for v in _open_pts(a_pts)]
+    )
+    return edge_contact | v_ba | v_ab
+
+
 # --- GEOMETRYCOLLECTION ------------------------------------------------------
 # GeoFunctions.java stNumGeometries (:659), stGeometryN (:738), stGeometries
 # (:780) over OGCConcreteGeometryCollection. The planar model carries a

@@ -1421,3 +1421,57 @@ class TestGeometryCollection:
             _one(spark, G.st_geometry_type_wkt(F.lit(self.GC)))
             == "ST_GeomCollection"
         )
+
+
+class TestStaticPolygonPredicates:
+    """The unrolled (construction-time-shape) polygon predicates must agree
+    with the HOF forms: st_intersects_convex_static (separating axis) and
+    st_intersects_polygons_static (generic witnesses) vs
+    st_intersects_polygons, over random and exact-touch square/diamond
+    pairs in both windings."""
+
+    def _frame(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        rows = [
+            (
+                rnd.uniform(0, 20), rnd.uniform(0, 20), 1 + rnd.random() * 3,
+                rnd.uniform(0, 20), rnd.uniform(0, 20), 0.5 + rnd.random() * 2,
+            )
+            for _ in range(400)
+        ]
+        # exact integer touch/containment/corner cases
+        rows += [
+            (0.0, 0.0, 4.0, 6.0, 2.0, 2.0),   # vertex touches edge
+            (0.0, 0.0, 4.0, 2.0, 2.0, 1.0),   # contained
+            (0.0, 0.0, 2.0, 5.0, 5.0, 1.0),   # disjoint
+            (0.0, 0.0, 2.0, 2.0, 4.0, 2.0),   # corner contact
+            (0.0, 0.0, 2.0, 4.0, 0.0, 2.0),   # touch at (2,0)
+        ]
+        return spark.createDataFrame(
+            rows, "x0 double, y0 double, s double, cx double, cy double, r double"
+        )
+
+    def test_static_forms_agree_with_hof(self, spark):
+        df = self._frame(spark)
+        x0, y0, s = F.col("x0"), F.col("y0"), F.col("s")
+        cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+        A = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+        B = [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
+        ring_a = F.array(*[G.st_point(x, y) for x, y in A + [A[0]]])
+        ring_b = F.array(*[G.st_point(x, y) for x, y in B + [B[0]]])
+        hof = G.st_intersects_polygons(ring_a, ring_b)
+        assert df.where(G.st_intersects_convex_static(A, B) != hof).count() == 0
+        assert df.where(G.st_intersects_polygons_static(A, B) != hof).count() == 0
+        # winding-insensitive
+        assert (
+            df.where(G.st_intersects_convex_static(list(reversed(A)), B) != hof).count()
+            == 0
+        )
+        assert (
+            df.where(
+                G.st_intersects_polygons_static(A, list(reversed(B))) != hof
+            ).count()
+            == 0
+        )
