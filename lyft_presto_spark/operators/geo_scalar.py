@@ -300,3 +300,31 @@ def st_difference_geom(a: Column, b: Column) -> Column:
 def st_sym_difference_geom(a: Column, b: Column) -> Column:
     """stSymDifference (:1099), general polygon/polygon."""
     return _overlay_col(a, b, "symdifference")
+
+
+def st_boolean_ops_geom(a: Column, b: Column) -> Column:
+    """All four polygon boolean results as one struct column — a single
+    arrangement build per row (overlay_all), where four separate *_geom
+    calls would redo the exact-arithmetic edge split 4x."""
+    from .polygon_overlay import overlay_all
+
+    ret = (
+        "struct<inter:{m},uni:{m},diff:{m},sym:{m}>".format(m=_MPOLY_TYPE)
+    )
+
+    @pandas_udf(ret)
+    def _all_udf(s: pd.Series, c: pd.Series) -> pd.DataFrame:
+        # StructType pandas_udfs return a DataFrame, one column per field
+        cols = {"inter": [], "uni": [], "diff": [], "sym": []}
+        for x, y in zip(s, c):
+            try:
+                r = overlay_all(x, y)
+            except Exception:
+                r = None
+            cols["inter"].append(None if r is None else r["intersection"])
+            cols["uni"].append(None if r is None else r["union"])
+            cols["diff"].append(None if r is None else r["difference"])
+            cols["sym"].append(None if r is None else r["symdifference"])
+        return pd.DataFrame(cols, index=s.index)
+
+    return _all_udf(a, b)

@@ -2560,3 +2560,163 @@ def fn_geo_collection(spark: SparkSession, sf_dir: str) -> DataFrame:
         G.st_collection_geometry_n(coll, 2)["tag"].alias("member2_tag"),
         G.st_collection_geometry_n(coll, 9)["tag"].alias("member9_tag"),
     ).orderBy("c_custkey")
+
+
+# --- General polygon boolean ops (GEOMETRY output) ---------------------------
+
+_BOOL_OPS_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 2 AS INT) AS kind,
+           CAST((c_custkey % 11) * 0.5 - 1.0 AS DOUBLE) AS bx,
+           CAST(((c_custkey * 3) % 11) * 0.5 - 1.0 AS DOUBLE) AS by,
+           CAST(0.5 + (c_custkey % 4) AS DOUBLE) AS cb
+    FROM customer
+    WHERE c_custkey % 13 = 0
+"""
+
+# Closed forms, derived independently of the overlay engine:
+# kind 0 — A = L-shape [0,4]^2 minus cutout [2,4]^2 (area 12), B = 2x2
+#   square at (bx,by): every area is rectangle-overlap algebra, and (for a
+#   2x2 B vs this L) closed-set contact is exactly "closed bbox overlap
+#   with the 4x4 bound" — so union components are 1 on contact (the
+#   overlay merges adjacency), 2 when disjoint or single-point corner
+#   contact (a pinch traces as two rings). No holes are creatable (the
+#   cutout opens to the corner).
+# kind 1 — A = U-shape [0,3]^2 minus notch [1,2]x[1,3] (area 7, open at
+#   the top), B = full-width cap [0,3]x[cb,cb+1]: the cap plugs the notch
+#   into a hole iff 1 < cb < 3; the intersection splits into two arms iff
+#   cb >= 1 (and is empty past cb > 3); union components 2 iff cb > 3.
+_BOOL_OPS_ORACLE = f"""
+WITH src AS ({_BOOL_OPS_SRC}),
+k0 AS (
+    SELECT *,
+           greatest(0, least(bx + 2, 4) - greatest(bx, 0))
+             * greatest(0, least(by + 2, 4) - greatest(by, 0))
+           - greatest(0, least(bx + 2, 4) - greatest(bx, 2))
+             * greatest(0, least(by + 2, 4) - greatest(by, 2)) AS i0,
+           least(bx + 2, 4) - greatest(bx, 0) AS ow,
+           least(by + 2, 4) - greatest(by, 0) AS oh
+    FROM src WHERE kind = 0
+),
+k1 AS (
+    SELECT *,
+           3 * greatest(0, least(cb + 1, 3) - greatest(cb, 0))
+             - 1 * greatest(0, least(cb + 1, 3) - greatest(cb, 1)) AS i1
+    FROM src WHERE kind = 1
+),
+u AS (
+    SELECT c_custkey, kind, i0 AS inter_area,
+           12 + 4 - i0 AS union_area,
+           12 - i0 AS diff_area,
+           12 + 4 - 2 * i0 AS sym_area,
+           CASE WHEN ow < 0 OR oh < 0 THEN 2
+                WHEN ow = 0 AND oh = 0 THEN 2
+                WHEN greatest(bx, 0) > 2 AND greatest(by, 0) > 2 THEN 2
+                ELSE 1 END AS n_union_polys,
+           CASE WHEN ow < 0 OR oh < 0 THEN 2
+                WHEN ow = 0 AND oh = 0 THEN 2
+                WHEN greatest(bx, 0) > 2 AND greatest(by, 0) > 2 THEN 2
+                ELSE 1 END AS n_union_rings,
+           CASE WHEN i0 > 0 THEN 1 ELSE 0 END AS n_inter_polys
+    FROM k0
+    UNION ALL
+    SELECT c_custkey, kind, i1,
+           7 + 3 - i1,
+           7 - i1,
+           7 + 3 - 2 * i1,
+           CASE WHEN cb > 3 THEN 2 ELSE 1 END,
+           CASE WHEN cb > 3 THEN 2
+                WHEN cb > 1 AND cb < 3 THEN 2
+                ELSE 1 END,
+           CASE WHEN cb > 3 THEN 0 WHEN cb >= 1 THEN 2 ELSE 1 END
+    FROM k1
+)
+SELECT c_custkey, kind,
+       round(inter_area, 9) AS inter_area,
+       round(union_area, 9) AS union_area,
+       round(diff_area, 9) AS diff_area,
+       round(sym_area, 9) AS sym_area,
+       CAST(n_union_polys AS INT) AS n_union_polys,
+       CAST(n_union_rings AS INT) AS n_union_rings,
+       CAST(n_inter_polys AS INT) AS n_inter_polys
+FROM u
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_boolean_ops",
+    oracle=_BOOL_OPS_ORACLE,
+    doc="General polygon boolean operations RETURNING GEOMETRY — "
+    "ST_Intersection/ST_Union/ST_Difference/ST_SymDifference for "
+    "arbitrary (non-convex) polygon pairs (GeoFunctions.java stUnion:675, "
+    "stIntersection:1019, stDifference:1089, stSymDifference:1099, which "
+    "the reference delegates to Esri): the exact-rational planar overlay "
+    "(operators/polygon_overlay.py) as Arrow-batched pandas UDFs. The "
+    "result GEOMETRY is measured Spark-side (area + polygon/ring counts), "
+    "so hole creation, adjacency merging, pinch points, and multi-part "
+    "splits are all evidenced; the oracle is closed-form rectangle "
+    "algebra over an L-shape/sliding-square family and a U-shape/sliding-"
+    "cap family, independent of the overlay.",
+    tags=("geo",),
+)
+def fn_geo_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _BOOL_OPS_SRC, ("customer",))
+
+    def ring_of(*pts: tuple[float, float]) -> F.Column:
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+        )
+
+    l_shape = F.array(
+        ring_of((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0))
+    )
+    u_shape = F.array(
+        ring_of((0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3), (0, 0))
+    )
+    bx, by, cb = F.col("bx"), F.col("by"), F.col("cb")
+
+    def rect(x1, y1, x2, y2) -> F.Column:
+        return F.array(
+            F.array(
+                G.st_point(x1, y1), G.st_point(x2, y1),
+                G.st_point(x2, y2), G.st_point(x1, y2), G.st_point(x1, y1),
+            )
+        )
+
+    a = F.when(F.col("kind") == 0, l_shape).otherwise(u_shape)
+    b = F.when(F.col("kind") == 0, rect(bx, by, bx + 2, by + 2)).otherwise(
+        rect(F.lit(0.0), cb, F.lit(3.0), cb + 1)
+    )
+    # stage operands once, then ONE arrangement build per row yielding all
+    # four results (overlay_all) — four separate *_geom UDFs would redo
+    # the exact-arithmetic edge split 4x per row
+    ops = (
+        src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb"))
+        .select(
+            "c_custkey", "kind",
+            GS.st_boolean_ops_geom(F.col("ga"), F.col("gb")).alias("bo"),
+        )
+        .select(
+            "c_custkey", "kind",
+            F.col("bo")["inter"].alias("gi"),
+            F.col("bo")["uni"].alias("gu"),
+            F.col("bo")["diff"].alias("gd"),
+            F.col("bo")["sym"].alias("gs"),
+        )
+    )
+    n_rings = F.aggregate(
+        F.col("gu"), F.lit(0), lambda acc, rings: acc + F.size(rings)
+    )
+    return ops.select(
+        "c_custkey", "kind",
+        F.round(G.st_multipolygon_area(F.col("gi")), 9).alias("inter_area"),
+        F.round(G.st_multipolygon_area(F.col("gu")), 9).alias("union_area"),
+        F.round(G.st_multipolygon_area(F.col("gd")), 9).alias("diff_area"),
+        F.round(G.st_multipolygon_area(F.col("gs")), 9).alias("sym_area"),
+        F.size(F.col("gu")).alias("n_union_polys"),
+        n_rings.cast("int").alias("n_union_rings"),
+        F.size(F.col("gi")).alias("n_inter_polys"),
+    ).orderBy("c_custkey")
