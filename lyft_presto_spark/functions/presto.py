@@ -616,9 +616,10 @@ DELTAS = {
     "level per composite: holed polygons, MULTIPOINT/MULTILINESTRING/"
     "MULTIPOLYGON; flat GEOMETRYCOLLECTION as array<tagged-union>). WKT "
     "and WKB codecs round-trip the model; nested geometry collections and "
-    "the curved Esri ops (general polygon Union/Intersection returning "
-    "GEOMETRY, arbitrary-pair Relate) are out of scope — see COVERAGE.md "
-    "geospatial section.",
+    "arbitrary-pair Relate are out of scope — see COVERAGE.md geospatial "
+    "section. General polygon boolean ops returning GEOMETRY ARE "
+    "implemented (exact-rational planar overlay; see the `polygon boolean "
+    "ops (geometry output)` row).",
     "ST_LineString / ST_MultiPoint": "The reference throws "
     "INVALID_FUNCTION_ARGUMENT on a null/empty member point or consecutive "
     "duplicate vertices; the planar constructors return NULL instead so an "
@@ -630,9 +631,23 @@ DELTAS = {
     "disconnected pieces come back joined by degenerate bridge edges, and "
     "a pure edge/corner contact yields a degenerate zero-area ring or the "
     "empty ring where the reference returns a LINESTRING/POINT geometry. "
-    "ST_Union/ST_SymDifference/ST_Difference ship as exact AREA analogs by "
-    "inclusion-exclusion; the union GEOMETRY of arbitrary polygons stays "
-    "out of scope (COVERAGE.md).",
+    "ST_Union/ST_SymDifference/ST_Difference also ship as exact AREA "
+    "analogs by inclusion-exclusion. For geometry OUTPUT on arbitrary "
+    "(non-convex, holed) pairs use the overlay-backed st_*_geom forms "
+    "instead (`polygon boolean ops (geometry output)` row).",
+    "polygon boolean ops (geometry output)": "ST_Intersection/ST_Union/"
+    "ST_Difference/ST_SymDifference for arbitrary simple polygon pairs "
+    "(holes allowed) return AREA geometry in the MULTIPOLYGON "
+    "representation via the exact-rational planar overlay "
+    "(operators/polygon_overlay.py): lower-dimensional intersection "
+    "pieces — the shared edge of edge-adjacent polygons, a single touch "
+    "point — are DROPPED where the Esri-backed reference returns a "
+    "LINESTRING/POINT collection; empty results are the empty array, NULL "
+    "inputs NULL, and a malformed row degrades to NULL instead of failing "
+    "the job. Outer rings come back CCW and holes CW, closed, with "
+    "exact-rational vertices rounded to double on output. Per-row cost is "
+    "Python-side (exact arithmetic, float-filtered); the scale axis is "
+    "row parallelism, not per-row vertex count.",
     "SphericalGeography": "to_spherical_geography returns NULL on "
     "out-of-range lat/lon (reference throws); ST_Area(geography) "
     "implements the reference's spherical-excess sum INCLUDING the "

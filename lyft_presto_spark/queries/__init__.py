@@ -43,7 +43,9 @@ from .registry import REGISTRY, Query, query
 # dedup_cluster_canonical -> tpcds_q51_cumulative_crossover; sim_knn_join
 # -> tpcds_q01_returns_above_avg; op_window_topn_per_group -> fn_geo_relate;
 # op_lateral -> op_spatial_polygon_join; op_agg_multi_distinct ->
-# tpcds_q95_multi_supplier_returns. Families keeping a scored row: window
+# tpcds_q95_multi_supplier_returns; fn_geo_bingtile (r1-r5) ->
+# fn_geo_boolean_ops (the r6 geometry-output overlay, never scored).
+# Families keeping a scored row: window
 # (op_window_frames), events (events_sessionize), text (text_decontaminate),
 # dedup (dedup_exact, dedup_minhash_lsh), sim (sim_topk_bruteforce),
 # subquery (op_subquery_correlated), agg (op_agg_grouping_sets).
@@ -58,7 +60,7 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "op_spatial_polygon_join", "op_agg_grouping_sets",
     "op_window_frames", "fn_geo_relate",
     "op_intersect_all", "op_unnest", "op_subquery_correlated",
-    "op_asof_join", "op_spatial_polygon_pair_join", "fn_geo_bingtile",
+    "op_asof_join", "op_spatial_polygon_pair_join", "fn_geo_boolean_ops",
     # TPC-DS-shape corpus (never scored before r6)
     "tpcds_q01_returns_above_avg", "tpcds_q36_rollup_margin_rank",
     "tpcds_q51_cumulative_crossover", "tpcds_q95_multi_supplier_returns",
