@@ -657,11 +657,16 @@ DELTAS = {
     "stSphericalDistance:1497; ST_Length(geography) for linestrings is an "
     "extension beyond reference 319 (the great-circle edge sum, the "
     "modern-Presto behavior).",
-    "ST_Relate": "The DE-9IM matrix is computed exactly for AXIS-ALIGNED "
-    "ENVELOPE pairs (st_relate_envelopes); arbitrary polygon pairs are not "
-    "supported (Esri residue -> Sedona). Degenerate (zero-extent) "
-    "envelopes yield NULL where the reference treats them as "
-    "lower-dimensional geometries.",
+    "ST_Relate": "The full DE-9IM matrix is computed exactly for "
+    "AXIS-ALIGNED ENVELOPE pairs as pure codegen (st_relate_envelopes) "
+    "and for ARBITRARY polygon pairs with holes via the overlay "
+    "arrangement (st_relate_polygons, Arrow-batched — "
+    "fn_geo_relate_pairs). Residue: mixed-dimension pairs (line-vs-"
+    "polygon, point-vs-polygon Relate strings — the boolean predicates "
+    "for those pairs exist, the 9-char matrix does not) -> Sedona. "
+    "Degenerate inputs (zero-extent envelopes, zero-area polygons) yield "
+    "NULL where the reference treats them as lower-dimensional "
+    "geometries.",
     "polygon-pair predicates": "ST_Intersects/ST_Touches/ST_Overlaps/"
     "ST_Contains/ST_Within/ST_Equals/ST_Disjoint for polygon/polygon pairs "
     "are composed from planar primitives (proper edge crossing, strict "

@@ -328,3 +328,23 @@ def st_boolean_ops_geom(a: Column, b: Column) -> Column:
         return pd.DataFrame(cols, index=s.index)
 
     return _all_udf(a, b)
+
+
+def st_relate_polygons(a: Column, b: Column) -> Column:
+    """stRelate (GeoFunctions.java:1153) for arbitrary polygon pairs with
+    holes: the full DE-9IM 9-char matrix, exact, from the overlay
+    arrangement (polygon_overlay.relate_polygons). Complements the pure-
+    codegen st_relate_envelopes (axis-aligned envelope pairs)."""
+    from .polygon_overlay import relate_polygons
+
+    @pandas_udf("string")
+    def _rel_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(s, c):
+            try:
+                out.append(relate_polygons(x, y))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    return _rel_udf(a, b)

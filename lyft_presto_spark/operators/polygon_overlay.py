@@ -455,3 +455,55 @@ def polygon_area(polys) -> float:
                 s += x1 * y2 - x2 * y1
             total += s / 2.0
     return total
+
+
+# --- full DE-9IM for polygon pairs ------------------------------------------
+
+
+def relate_polygons(a_rings_raw, b_rings_raw) -> str | None:
+    """The full DE-9IM matrix (stRelate, GeoFunctions.java:1153) for two
+    simple polygons with optional holes — exact, from the same arrangement
+    the boolean ops use. 9 chars row-major over (interior, boundary,
+    exterior) of A x the same of B, '0'/'1'/'2'/'F'.
+
+    For two regular closed AREA regions every cell's dimension is forced:
+    - interior/interior and interior/exterior cells are 2 or F — nonempty
+      open-set intersections have area, witnessed by a sub-segment whose
+      combined membership flips across it;
+    - boundary-against-open-set cells (IB/BI/BE/EB) are 1 or F — a
+      boundary point inside an open set drags a neighborhood arc of the
+      boundary with it (sub-segments are crossing-free, so the whole
+      sub-segment sits one side);
+    - BB is 1 when a sub-segment lies on both boundaries, else 0 when the
+      boundaries share a node (crossing or touch point), else F;
+    - EE is always 2.
+    A sub-segment lies on A's boundary iff its two A-side memberships
+    differ (interior on exactly one side) — no provenance bookkeeping
+    needed. NULL for NULL or fully degenerate (zero-area) input.
+    """
+    sides = _segment_sides(a_rings_raw, b_rings_raw)
+    if sides is None:
+        return None
+    on_a = [(p, q, a, b) for p, q, a, b in sides if a[0] != a[1]]
+    on_b = [(p, q, a, b) for p, q, a, b in sides if b[0] != b[1]]
+    if not on_a or not on_b:
+        return None  # a degenerate operand has no boundary: not a polygon
+
+    def flips(fn) -> bool:
+        return any(fn(a[0], b[0]) != fn(a[1], b[1]) for _, _, a, b in sides)
+
+    ii = "2" if flips(lambda a, b: a and b) else "F"
+    ie = "2" if flips(lambda a, b: a and not b) else "F"
+    ei = "2" if flips(lambda a, b: b and not a) else "F"
+    ib = "1" if any(a[0] and a[1] for _, _, a, _ in on_b) else "F"
+    bi = "1" if any(b[0] and b[1] for _, _, _, b in on_a) else "F"
+    be = "1" if any(not b[0] and not b[1] for _, _, _, b in on_a) else "F"
+    eb = "1" if any(not a[0] and not a[1] for _, _, a, _ in on_b) else "F"
+    shared = any(a[0] != a[1] and b[0] != b[1] for _, _, a, b in sides)
+    if shared:
+        bb = "1"
+    else:
+        nodes_a = {n for p, q, _, _ in on_a for n in (p, q)}
+        nodes_b = {n for p, q, _, _ in on_b for n in (p, q)}
+        bb = "0" if nodes_a & nodes_b else "F"
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"

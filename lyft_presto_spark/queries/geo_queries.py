@@ -2720,3 +2720,86 @@ def fn_geo_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rings.cast("int").alias("n_union_rings"),
         F.size(F.col("gi")).alias("n_inter_polys"),
     ).orderBy("c_custkey")
+
+
+# --- Full DE-9IM for arbitrary polygon pairs ---------------------------------
+
+_RELATE_PAIRS_SRC = """
+    SELECT c_custkey, CAST(c_custkey % 8 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 19 = 0
+"""
+
+# Known matrices per fixture kind (A = [0,4]^2 for kinds 0-5; for 6-7 A
+# carries the hole [1,3]^2): containment, proper overlap, corner touch,
+# edge touch, disjoint, equality, B-inside-A's-hole (topologically
+# disjoint), B-fills-the-hole (boundary-to-boundary contact only).
+_RELATE_PAIRS_ORACLE = f"""
+WITH src AS ({_RELATE_PAIRS_SRC})
+SELECT c_custkey, kind,
+       CASE kind
+           WHEN 0 THEN '212FF1FF2'
+           WHEN 1 THEN '212101212'
+           WHEN 2 THEN 'FF2F01212'
+           WHEN 3 THEN 'FF2F11212'
+           WHEN 4 THEN 'FF2FF1212'
+           WHEN 5 THEN '2FFF1FFF2'
+           WHEN 6 THEN 'FF2FF1212'
+           ELSE 'FF2F112F2'
+       END AS de9im
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_relate_pairs",
+    oracle=_RELATE_PAIRS_ORACLE,
+    doc="The FULL DE-9IM matrix for arbitrary polygon pairs — stRelate "
+    "(GeoFunctions.java:1153), which the reference routes through Esri's "
+    "RelationalOperations — computed exactly from the planar-overlay "
+    "arrangement (operators/polygon_overlay.py relate_polygons): a "
+    "sub-segment lies on an operand's boundary iff its side memberships "
+    "differ, open-set cells are witnessed by membership flips, BB "
+    "distinguishes shared segments (1) from crossing/touch nodes (0). "
+    "Closes the last envelope-only restriction of st_relate_envelopes. "
+    "Fixture rotates eight known relations including two holed-polygon "
+    "topologies; the oracle is the literal published matrix per kind.",
+    tags=("geo",),
+)
+def fn_geo_relate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _RELATE_PAIRS_SRC, ("customer",))
+
+    def ring_of(*pts: tuple[float, float]) -> F.Column:
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+        )
+
+    def square(x0: float, y0: float, s: float, cw: bool = False) -> F.Column:
+        c = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s), (x0, y0)]
+        return ring_of(*(c[::-1] if cw else c))
+
+    outer = square(0, 0, 4)
+    hole = square(1, 1, 2)
+    a = F.when(F.col("kind") <= 5, F.array(outer)).otherwise(
+        F.array(outer, hole)
+    )
+    b_ring = (
+        F.when(F.col("kind") == 0, square(1, 1, 2))
+        .when(F.col("kind") == 1, square(3, 3, 2))
+        .when(F.col("kind") == 2, square(4, 4, 2))
+        .when(F.col("kind") == 3, square(4, 0, 2))
+        .when(F.col("kind") == 4, square(5, 5, 2))
+        .when(F.col("kind") == 5, square(0, 0, 4, cw=True))
+        .when(F.col("kind") == 6, square(1.5, 1.5, 1))
+        .otherwise(square(1, 1, 2))
+    )
+    staged = src.select(
+        "c_custkey", "kind", a.alias("ga"), F.array(b_ring).alias("gb")
+    )
+    return staged.select(
+        "c_custkey", "kind",
+        GS.st_relate_polygons(F.col("ga"), F.col("gb")).alias("de9im"),
+    ).orderBy("c_custkey")

@@ -217,3 +217,75 @@ class TestSparkSurface:
         assert r.geom[0][0][0] == r.geom[0][0][-1]
         r2 = out[1]
         assert r2.i is None and r2.geom is None
+
+
+class TestRelatePolygons:
+    """Full DE-9IM from the arrangement (relate_polygons) vs the published
+    matrices for known topologies, plus holed-polygon cases."""
+
+    def test_known_matrices(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_polygons
+
+        A = [ring((0, 0), (4, 0), (4, 4), (0, 4))]
+        cases = [
+            ([ring((1, 1), (3, 1), (3, 3), (1, 3))], "212FF1FF2"),  # contains
+            ([ring((3, 3), (5, 3), (5, 5), (3, 5))], "212101212"),  # overlaps
+            ([ring((4, 4), (6, 4), (6, 6), (4, 6))], "FF2F01212"),  # corner
+            ([ring((4, 0), (6, 0), (6, 2), (4, 2))], "FF2F11212"),  # edge
+            ([ring((5, 5), (7, 5), (7, 7), (5, 7))], "FF2FF1212"),  # disjoint
+            ([ring((0, 0), (0, 4), (4, 4), (4, 0))], "2FFF1FFF2"),  # equals
+        ]
+        for b, exp in cases:
+            assert relate_polygons(A, b) == exp
+            # within/containment transpose: relate(B, A) is the transpose
+            got_t = relate_polygons(b, A)
+            exp_t = "".join(exp[3 * (i % 3) + i // 3] for i in range(9))
+            assert got_t == exp_t
+
+    def test_holed_topologies(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_polygons
+
+        Ah = [
+            ring((0, 0), (10, 0), (10, 10), (0, 10)),
+            ring((3, 3), (3, 7), (7, 7), (7, 3)),
+        ]
+        # B inside the hole: topologically disjoint
+        assert relate_polygons(Ah, [ring((4, 4), (6, 4), (6, 6), (4, 6))]) == "FF2FF1212"
+        # B exactly fills the hole: boundary-to-boundary contact only
+        assert relate_polygons(Ah, [ring((3, 3), (7, 3), (7, 7), (3, 7))]) == "FF2F112F2"
+        # B overlaps the hole edge into the solid part
+        m = relate_polygons(Ah, [ring((2, 4), (5, 4), (5, 6), (2, 6))])
+        assert m[0] == "2" and m[4] in "01"
+
+    def test_degenerate_and_null(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_polygons
+
+        A = [ring((0, 0), (4, 0), (4, 4), (0, 4))]
+        assert relate_polygons(None, A) is None
+        assert relate_polygons(A, [ring((0, 0), (5, 0), (0, 0))]) is None
+
+    def test_predicate_consistency_random(self):
+        import random
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            overlay,
+            polygon_area,
+            relate_polygons,
+        )
+
+        rnd = random.Random(3)
+        for _ in range(120):
+            x0, y0 = rnd.randint(0, 6), rnd.randint(0, 6)
+            s = rnd.randint(1, 4)
+            A = [ring((0, 0), (4, 0), (4, 4), (0, 4))]
+            B = [ring((x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s))]
+            m = relate_polygons(A, B)
+            inter = polygon_area(overlay(A, B, "intersection"))
+            # II cell agrees with the boolean op's area
+            assert (m[0] == "2") == (inter > 0)
+            # disjoint pattern FF*FF**** iff no contact at all
+            disjoint = m[0] == "F" and m[1] == "F" and m[3] == "F" and m[4] == "F"
+            union = overlay(A, B, "union")
+            touches_or_more = len(union) == 1 or inter > 0
+            if disjoint:
+                assert not inter > 0
