@@ -799,3 +799,282 @@ def tpcds_q88_quantity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket(31, 40).alias("b5"),
         bucket(41, 50).alias("b6"),
     )
+
+
+# --- q14 shape: cross-channel INTERSECT + semi-join restriction -------------
+
+
+@query(
+    "tpcds_q14_cross_channel_items",
+    oracle=f"""
+    WITH ch1 AS (
+        SELECT DISTINCT l_partkey FROM lineitem WHERE l_linenumber % 2 = 0
+    ),
+    ch2 AS (
+        SELECT DISTINCT l_partkey FROM lineitem WHERE l_linenumber % 2 = 1
+    ),
+    both_items AS (
+        SELECT l_partkey FROM ch1 INTERSECT SELECT l_partkey FROM ch2
+    )
+    SELECT p_brand,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS sales,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_partkey IN (SELECT l_partkey FROM both_items)
+    GROUP BY p_brand
+    ORDER BY p_brand
+    LIMIT 50
+    """,
+    doc="TPC-DS q14 shape (sql/presto/tpcds/q14.sql cross_items CTE): the "
+    "set of items sold in EVERY channel via INTERSECT of per-channel "
+    "DISTINCT projections, then the fact table restricted to that set "
+    "with a semi-join before a brand rollup — IntersectNode feeding "
+    "SemiJoinNode feeding AggregationNode, the combination the TPC-H "
+    "corpus never produces. Channels are the l_linenumber parity split "
+    "(module docstring).",
+    tags=("tpcds", "setop"),
+)
+def tpcds_q14_cross_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    ch1 = li.filter(F.col("l_linenumber") % 2 == 0).select("l_partkey").distinct()
+    ch2 = li.filter(F.col("l_linenumber") % 2 == 1).select("l_partkey").distinct()
+    both_items = ch1.intersect(ch2)
+    return (
+        li.join(both_items, "l_partkey", "left_semi")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("sales"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("p_brand")
+        .limit(50)
+    )
+
+
+# --- q23 shape: frequent-items x best-customers double screen ---------------
+
+
+@query(
+    "tpcds_q23_frequent_best_customers",
+    oracle=f"""
+    WITH frequent_items AS (
+        SELECT l_partkey
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING COUNT(*) > 30
+    ),
+    spend AS (
+        SELECT o_custkey, SUM({_SQL_PRICE}) AS total_spend
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+    ),
+    best_customers AS (
+        SELECT o_custkey
+        FROM spend
+        WHERE CAST(total_spend AS DOUBLE)
+              > 0.5 * (SELECT CAST(MAX(total_spend) AS DOUBLE) FROM spend)
+    )
+    SELECT CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS restricted_sales,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM frequent_items)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+    doc="TPC-DS q23 shape (sql/presto/tpcds/q23.sql): two independent "
+    "subquery screens — frequent items (grouped HAVING over the fact) and "
+    "best customers (spend above a scalar-subquery threshold on the max) "
+    "— both applied as semi-joins to the fact before a global aggregate. "
+    "Spark computes the scalar max without collect (1-row aggregate "
+    "cross-joined in, AQE broadcasts it); the oracle keeps the literal "
+    "scalar-subquery form.",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q23_frequent_best_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    frequent = (
+        li.groupBy("l_partkey").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 30)
+        .select("l_partkey")
+    )
+    spend = fact.groupBy("o_custkey").agg(
+        F.sum(_dec("l_extendedprice", PRICE)).alias("total_spend")
+    )
+    max_spend = spend.agg(
+        F.max("total_spend").cast("double").alias("max_spend")
+    )
+    best = (
+        spend.crossJoin(F.broadcast(max_spend))
+        .filter(F.col("total_spend").cast("double") > 0.5 * F.col("max_spend"))
+        .select("o_custkey")
+    )
+    return (
+        fact.join(frequent, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .agg(
+            F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("restricted_sales"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+# --- q39 shape: coefficient-of-variation screen + period self-join ----------
+
+
+@query(
+    "tpcds_q39_cv_self_join",
+    oracle=f"""
+    WITH inv AS (
+        SELECT l_partkey,
+               ({_SQL_DAYS}) // 30 AS period,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS ssq
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_partkey, ({_SQL_DAYS}) // 30
+        HAVING COUNT(*) >= 3
+    ),
+    screened AS (
+        SELECT * FROM inv
+        WHERE 100 * n * (n * ssq - s * s) > 16 * (n - 1) * s * s
+    )
+    SELECT a.l_partkey AS l_partkey, a.period AS period,
+           round(CAST(a.n * (a.n * a.ssq - a.s * a.s) AS DOUBLE)
+                 / ((a.n - 1) * a.s * a.s), 6) AS cv2_a,
+           round(CAST(b.n * (b.n * b.ssq - b.s * b.s) AS DOUBLE)
+                 / ((b.n - 1) * b.s * b.s), 6) AS cv2_b
+    FROM screened a
+    JOIN screened b
+      ON a.l_partkey = b.l_partkey AND b.period = a.period + 1
+    ORDER BY l_partkey, period
+    """,
+    doc="TPC-DS q39 shape (sql/presto/tpcds/q39.sql): per-item-per-period "
+    "demand variability (coefficient of variation) screened then "
+    "SELF-JOINED across consecutive periods to find persistently volatile "
+    "items. The CV screen is rewritten into an exact integer inequality — "
+    "100*n*(n*ssq - s^2) > 16*(n-1)*s^2 is cv^2 > 0.16 with integer "
+    "quantities — so the screen can never flip on float accumulation "
+    "order (the stddev form is engine-order-dependent; the committed "
+    "scale-trap list calls this out). The reported cv^2 doubles divide "
+    "the same exact integers on both engines.",
+    tags=("tpcds", "stats"),
+)
+def tpcds_q39_cv_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    q = F.col("l_quantity").cast("long")
+    inv = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            (_days() / F.lit(30)).cast("long").alias("period"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(q).alias("s"),
+            F.sum(q * q).alias("ssq"),
+        )
+        .filter(F.col("n") >= 3)
+    )
+    n, s, ssq = F.col("n"), F.col("s"), F.col("ssq")
+    screened = inv.filter(
+        100 * n * (n * ssq - s * s) > 16 * (n - 1) * s * s
+    )
+    cv2 = F.round(
+        (n * (n * ssq - s * s)).cast("double") / ((n - 1) * s * s), 6
+    )
+    a = screened.select(
+        "l_partkey", "period", cv2.alias("cv2_a")
+    )
+    b = screened.select(
+        F.col("l_partkey").alias("bp"), F.col("period").alias("period_b"),
+        cv2.alias("cv2_b"),
+    )
+    return (
+        a.join(
+            b,
+            (a.l_partkey == b.bp) & (b.period_b == a.period + 1),
+        )
+        .select("l_partkey", "period", "cv2_a", "cv2_b")
+        .orderBy("l_partkey", "period")
+    )
+
+
+# --- q93 shape: returns-adjusted sales via LEFT JOIN + COALESCE -------------
+
+
+@query(
+    "tpcds_q93_returns_adjusted_sales",
+    oracle=f"""
+    WITH ret AS (
+        SELECT l_orderkey AS r_orderkey, l_partkey AS r_partkey,
+               SUM(CAST(l_quantity AS BIGINT)) AS ret_qty
+        FROM lineitem
+        WHERE l_linenumber % 2 = 1 AND l_returnflag = 'R'
+        GROUP BY l_orderkey, l_partkey
+    )
+    SELECT o_custkey,
+           CAST(SUM(
+               greatest(CAST(0 AS BIGINT),
+                        CAST(l_quantity AS BIGINT) - COALESCE(ret_qty, 0))
+               * {_SQL_PRICE}
+           ) AS DOUBLE) AS adjusted_sales,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    LEFT JOIN ret ON l_orderkey = r_orderkey AND l_partkey = r_partkey
+    WHERE l_linenumber % 2 = 0
+    GROUP BY o_custkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 180
+    ORDER BY o_custkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q93 shape (sql/presto/tpcds/q93.sql): sales adjusted by a "
+    "returns side-table — LEFT JOIN the fact to pre-aggregated returns "
+    "(the parity-1 'R' rows keyed by order+part), COALESCE the missing "
+    "side to zero, clamp the adjusted quantity at zero, and revalue the "
+    "line (integer-times-decimal stays exact, so the sum is order-"
+    "independent) — the null-producing outer-join arithmetic TPC-H's "
+    "inner-join corpus never exercises. Returns are pre-aggregated before "
+    "the join so the fact row count is preserved (no fan-out).",
+    tags=("tpcds", "join"),
+)
+def tpcds_q93_returns_adjusted_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    ret = (
+        li.filter((F.col("l_linenumber") % 2 == 1) & (F.col("l_returnflag") == "R"))
+        .groupBy(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("ret_qty"))
+    )
+    sales = li.filter(F.col("l_linenumber") % 2 == 0)
+    qty = F.col("l_quantity").cast("long")
+    adj = F.greatest(F.lit(0).cast("long"), qty - F.coalesce(F.col("ret_qty"), F.lit(0)))
+    return (
+        sales.join(orders, sales.l_orderkey == orders.o_orderkey)
+        .join(
+            ret,
+            (sales.l_orderkey == ret.r_orderkey)
+            & (sales.l_partkey == ret.r_partkey),
+            "left",
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(adj * _dec("l_extendedprice", PRICE))
+            .cast("double")
+            .alias("adjusted_sales"),
+            F.count("*").alias("n_lines"),
+            F.sum(qty).alias("tot_qty"),
+        )
+        .filter(F.col("tot_qty") > 180)
+        .select("o_custkey", "adjusted_sales", "n_lines")
+        .orderBy("o_custkey")
+        .limit(100)
+    )

@@ -57,6 +57,8 @@ RATIO_EXTRAS = (
     "tpcds_q01_returns_above_avg", "tpcds_q02_week_over_year_ratio",
     "tpcds_q11_channel_growth", "tpcds_q21_before_after_ratio",
     "tpcds_q34_bulk_order_cohort", "tpcds_q47_monthly_deviation",
+    "tpcds_q14_cross_channel_items", "tpcds_q23_frequent_best_customers",
+    "tpcds_q39_cv_self_join", "tpcds_q93_returns_adjusted_sales",
     "tpcds_q88_quantity_buckets", "tpcds_q98_class_revenue_share",
     # text
     "text_pii_scrub", "text_decontaminate", "text_fingerprint",
