@@ -44,7 +44,11 @@ from .registry import REGISTRY, Query, query
 # -> tpcds_q01_returns_above_avg; op_window_topn_per_group -> fn_geo_relate;
 # op_lateral -> op_spatial_polygon_join; op_agg_multi_distinct ->
 # tpcds_q95_multi_supplier_returns; fn_geo_bingtile (r1-r5) ->
-# fn_geo_boolean_ops (the r6 geometry-output overlay, never scored).
+# fn_geo_boolean_ops (the r6 geometry-output overlay, never scored);
+# op_intersect_all (r5) -> fn_geo_relate_pairs (never scored; set-op
+# machinery stays scored through tpcds_q14_cross_channel_items, which
+# also rotates in); fn_datetime_patterns (r5) ->
+# tpcds_q14_cross_channel_items (never scored — INTERSECT + semi-join).
 # Families keeping a scored row: window
 # (op_window_frames), events (events_sessionize), text (text_decontaminate),
 # dedup (dedup_exact, dedup_minhash_lsh), sim (sim_topk_bruteforce),
@@ -59,13 +63,13 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "op_join_semi", "fn_geo_polygon_predicates",
     "op_spatial_polygon_join", "op_agg_grouping_sets",
     "op_window_frames", "fn_geo_relate",
-    "op_intersect_all", "op_unnest", "op_subquery_correlated",
+    "fn_geo_relate_pairs", "op_unnest", "op_subquery_correlated",
     "op_asof_join", "op_spatial_polygon_pair_join", "fn_geo_boolean_ops",
     # TPC-DS-shape corpus (never scored before r6)
     "tpcds_q01_returns_above_avg", "tpcds_q36_rollup_margin_rank",
     "tpcds_q51_cumulative_crossover", "tpcds_q95_multi_supplier_returns",
     # Scalar/aggregate function families
-    "fn_kll_quantile", "fn_datetime_patterns", "geo_union_area_sweep",
+    "fn_kll_quantile", "tpcds_q14_cross_channel_items", "geo_union_area_sweep",
     "fn_array_hof", "fn_hll_merge",
     # Extension families — ≥1 driver-green row each
     "events_sessionize",
