@@ -2313,3 +2313,22 @@ def st_collection_num_points(coll: Column) -> Column:
         F.lit(0),
         lambda acc, g: acc + F.coalesce(st_num_points_any(g), F.lit(0)),
     )
+
+
+def st_relate_point_polygon(p: Column, rings: Column) -> Column:
+    """stRelate for the POINT/POLYGON mixed-dimension pair — the DE-9IM
+    collapses to three matrices by the point's membership (interior /
+    boundary / exterior), so it stays pure codegen on the existing
+    ray-cast and on-boundary primitives (holed polygons via the even-odd
+    region rule: inside an odd number of rings)."""
+    on_any = F.exists(rings, lambda ring: st_point_on_ring(ring, p))
+    in_cnt = F.aggregate(
+        rings,
+        F.lit(0),
+        lambda acc, ring: acc + F.when(st_contains_ring(ring, p), 1).otherwise(0),
+    )
+    return (
+        F.when(on_any, F.lit("F0FFFF212"))
+        .when(in_cnt % 2 == 1, F.lit("0FFFFF212"))
+        .otherwise(F.lit("FF0FFF212"))
+    )

@@ -661,9 +661,11 @@ DELTAS = {
     "AXIS-ALIGNED ENVELOPE pairs as pure codegen (st_relate_envelopes) "
     "and for ARBITRARY polygon pairs with holes via the overlay "
     "arrangement (st_relate_polygons, Arrow-batched — "
-    "fn_geo_relate_pairs). Residue: mixed-dimension pairs (line-vs-"
-    "polygon, point-vs-polygon Relate strings — the boolean predicates "
-    "for those pairs exist, the 9-char matrix does not) -> Sedona. "
+    "fn_geo_relate_pairs), plus the mixed-dimension LINESTRING/POLYGON "
+    "(st_relate_line_polygon) and pure-codegen POINT/POLYGON "
+    "(st_relate_point_polygon) matrices — fn_geo_relate_mixed. Residue: "
+    "line-vs-line and point-vs-line matrix STRINGS (their boolean "
+    "predicates exist) -> Sedona. "
     "Degenerate inputs (zero-extent envelopes, zero-area polygons) yield "
     "NULL where the reference treats them as lower-dimensional "
     "geometries.",

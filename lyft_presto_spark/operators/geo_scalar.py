@@ -348,3 +348,22 @@ def st_relate_polygons(a: Column, b: Column) -> Column:
         return pd.Series(out, index=s.index)
 
     return _rel_udf(a, b)
+
+
+def st_relate_line_polygon(line: Column, poly: Column) -> Column:
+    """stRelate for the LINESTRING/POLYGON mixed-dimension pair: exact
+    9-char DE-9IM from the split-and-classify walk
+    (polygon_overlay.relate_line_polygon)."""
+    from .polygon_overlay import relate_line_polygon
+
+    @pandas_udf("string")
+    def _rel_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(s, c):
+            try:
+                out.append(relate_line_polygon(x, y))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    return _rel_udf(line, poly)

@@ -507,3 +507,117 @@ def relate_polygons(a_rings_raw, b_rings_raw) -> str | None:
         nodes_b = {n for p, q, _, _ in on_b for n in (p, q)}
         bb = "0" if nodes_a & nodes_b else "F"
     return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
+def relate_line_polygon(line_raw, poly_rings_raw) -> str | None:
+    """DE-9IM matrix for a LINESTRING vs a polygon-with-holes — the mixed-
+    dimension stRelate case. Same machinery: split the line at every
+    polygon-boundary crossing, classify each sub-segment's midpoint
+    (inside / on-boundary / outside — constant along a crossing-free
+    sub-segment), and read the cells off:
+
+    - line-interior row: sub-segments inside (II=1), on the boundary
+      (IB=1) or crossing nodes interior to the line (IB=0), outside
+      (IE=1);
+    - line-boundary row: the two endpoint memberships as dim-0 cells
+      (empty for a closed line — a cycle has no boundary, stBoundary);
+    - exterior row: EI=2 always (a line has no area), EB=F only when the
+      line covers the ENTIRE polygon boundary, EE=2.
+
+    NULL for NULL/degenerate input (line needs >=2 distinct vertices).
+    """
+    poly = _norm_rings(poly_rings_raw)
+    if poly is None or line_raw is None:
+        return None
+    if not poly:
+        return None
+    pts = [
+        (Fraction(float(p["x"])), Fraction(float(p["y"])))
+        for p in line_raw
+        if p is not None and p["x"] is not None and p["y"] is not None
+    ]
+    dedup: list[Pt] = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 2:
+        return None
+    closed = dedup[0] == dedup[-1]
+    line_pts = dedup[:-1] if closed else dedup
+    if closed and len(line_pts) < 2:
+        return None
+
+    # polygon boundary edges
+    pedges: list[tuple[Pt, Pt]] = []
+    for ring in poly:
+        n = len(ring)
+        for i in range(n):
+            pedges.append((ring[i], ring[(i + 1) % n]))
+    # line edges
+    ledges: list[tuple[Pt, Pt]] = []
+    for i in range(len(line_pts) - (0 if closed else 1)):
+        ledges.append((line_pts[i], line_pts[(i + 1) % len(line_pts)]))
+
+    def split_at(edge, others):
+        p, q = edge
+        cuts: set[Pt] = set()
+        for c, d in others:
+            for pt in _seg_split_points(p, q, c, d):
+                if pt != p and pt != q:
+                    cuts.add(pt)
+        if not cuts:
+            return [(p, q)]
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        ordered = sorted(cuts, key=lambda r: (r[0] - p[0]) * dx + (r[1] - p[1]) * dy)
+        chain = [p, *ordered, q]
+        return [
+            (chain[k], chain[k + 1])
+            for k in range(len(chain) - 1)
+            if chain[k] != chain[k + 1]
+        ]
+
+    lsub = [s for e in ledges for s in split_at(e, pedges)]
+    psub = [s for e in pedges for s in split_at(e, ledges)]
+
+    def canon(s):
+        return s if s <= (s[1], s[0]) else (s[1], s[0])
+
+    shared = {canon(s) for s in lsub} & {canon(s) for s in psub}
+
+    def on_boundary_pt(p: Pt) -> bool:
+        return any(_on_segment(p, a, b) for a, b in pedges)
+
+    ii = ib = ie = "F"
+    for p, q in lsub:
+        if canon((p, q)) in shared:
+            ib = "1"
+            continue
+        mid: Pt = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
+        if _point_in_region(mid, poly):
+            ii = "1"
+        else:
+            ie = "1"
+    if ib == "F":
+        # crossing/touch nodes interior to the line: any sub-segment
+        # endpoint on the polygon boundary that is not a line endpoint
+        ends = set() if closed else {line_pts[0], line_pts[-1]}
+        for p, q in lsub:
+            for v in (p, q):
+                if v not in ends and on_boundary_pt(v):
+                    ib = "0"
+                    break
+            if ib == "0":
+                break
+
+    bi = bb = be = "F"
+    if not closed:
+        for v in (line_pts[0], line_pts[-1]):
+            if on_boundary_pt(v):
+                bb = "0"
+            elif _point_in_region(v, poly):
+                bi = "0"
+            else:
+                be = "0"
+
+    eb = "1" if any(canon(s) not in shared for s in psub) else "F"
+    return ii + ib + ie + bi + bb + be + "2" + eb + "2"

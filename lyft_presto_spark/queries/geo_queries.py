@@ -2803,3 +2803,86 @@ def fn_geo_relate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "kind",
         GS.st_relate_polygons(F.col("ga"), F.col("gb")).alias("de9im"),
     ).orderBy("c_custkey")
+
+
+# --- Mixed-dimension DE-9IM: line/polygon and point/polygon ------------------
+
+_RELATE_MIXED_SRC = """
+    SELECT c_custkey, CAST(c_custkey % 7 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 21 = 0
+"""
+
+# Line kinds vs the square [0,4]^2: crossing, fully inside, along an edge,
+# corner touch at an endpoint, disjoint, inside-to-boundary, closed ring
+# around the polygon (empty line boundary). The point column rotates the
+# three point memberships on kind % 3.
+_RELATE_MIXED_ORACLE = f"""
+WITH src AS ({_RELATE_MIXED_SRC})
+SELECT c_custkey, kind,
+       CASE kind
+           WHEN 0 THEN '101FF0212'
+           WHEN 1 THEN '1FF0FF212'
+           WHEN 2 THEN 'F1FF0F212'
+           WHEN 3 THEN 'FF1F00212'
+           WHEN 4 THEN 'FF1FF0212'
+           WHEN 5 THEN '1FF00F212'
+           ELSE 'FF1FFF212'
+       END AS line_de9im,
+       CASE kind % 3
+           WHEN 0 THEN '0FFFFF212'
+           WHEN 1 THEN 'F0FFFF212'
+           ELSE 'FF0FFF212'
+       END AS point_de9im
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_relate_mixed",
+    oracle=_RELATE_MIXED_ORACLE,
+    doc="Mixed-dimension DE-9IM — stRelate (GeoFunctions.java:1153) for "
+    "LINESTRING/POLYGON (split the line at boundary crossings, classify "
+    "each crossing-free sub-segment, endpoints are the line's dim-0 "
+    "boundary, closed rings have none) and POINT/POLYGON (three matrices "
+    "by membership, pure codegen — st_relate_point_polygon). Fixture "
+    "rotates seven line topologies incl. a boundary-collinear line and a "
+    "closed surrounding ring; the oracle is the literal published matrix "
+    "per kind.",
+    tags=("geo",),
+)
+def fn_geo_relate_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _RELATE_MIXED_SRC, ("customer",))
+
+    def line_of(*pts: tuple[float, float]) -> F.Column:
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+        )
+
+    square = line_of((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+    line = (
+        F.when(F.col("kind") == 0, line_of((-1, 2), (5, 2)))
+        .when(F.col("kind") == 1, line_of((1, 1), (3, 3)))
+        .when(F.col("kind") == 2, line_of((0, 0), (4, 0)))
+        .when(F.col("kind") == 3, line_of((4, 4), (6, 6)))
+        .when(F.col("kind") == 4, line_of((5, 5), (7, 7)))
+        .when(F.col("kind") == 5, line_of((2, 2), (4, 2)))
+        .otherwise(line_of((-1, -1), (5, -1), (5, 5), (-1, 5), (-1, -1)))
+    )
+    pt = (
+        F.when(F.col("kind") % 3 == 0, G.st_point(F.lit(2.0), F.lit(2.0)))
+        .when(F.col("kind") % 3 == 1, G.st_point(F.lit(4.0), F.lit(2.0)))
+        .otherwise(G.st_point(F.lit(9.0), F.lit(9.0)))
+    )
+    staged = src.select(
+        "c_custkey", "kind",
+        line.alias("gl"), F.array(square).alias("gp"), pt.alias("gpt"),
+    )
+    return staged.select(
+        "c_custkey", "kind",
+        GS.st_relate_line_polygon(F.col("gl"), F.col("gp")).alias("line_de9im"),
+        G.st_relate_point_polygon(F.col("gpt"), F.col("gp")).alias("point_de9im"),
+    ).orderBy("c_custkey")

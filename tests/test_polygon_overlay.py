@@ -289,3 +289,44 @@ class TestRelatePolygons:
             touches_or_more = len(union) == 1 or inter > 0
             if disjoint:
                 assert not inter > 0
+
+
+class TestRelateLinePolygon:
+    """Mixed-dimension DE-9IM (relate_line_polygon) vs published matrices."""
+
+    P = [ring((0, 0), (4, 0), (4, 4), (0, 4))]
+
+    def test_known_matrices(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_line_polygon
+
+        cases = [
+            (ring((-1, 2), (5, 2)), "101FF0212"),   # crossing through
+            (ring((1, 1), (3, 3)), "1FF0FF212"),    # fully inside
+            (ring((0, 0), (4, 0)), "F1FF0F212"),    # along a boundary edge
+            (ring((4, 4), (6, 6)), "FF1F00212"),    # endpoint corner touch
+            (ring((5, 5), (7, 7)), "FF1FF0212"),    # disjoint
+            (ring((2, 2), (4, 2)), "1FF00F212"),    # inside to boundary
+            # closed surrounding ring: empty line boundary (stBoundary)
+            (ring((-1, -1), (5, -1), (5, 5), (-1, 5), (-1, -1)), "FF1FFF212"),
+        ]
+        for line, exp in cases:
+            assert relate_line_polygon(line, self.P) == exp
+
+    def test_holed_topologies(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_line_polygon
+
+        Ph = [
+            ring((0, 0), (10, 0), (10, 10), (0, 10)),
+            ring((3, 3), (3, 7), (7, 7), (7, 3)),
+        ]
+        # line inside the hole is exterior to the polygon
+        assert relate_line_polygon(ring((4, 4), (6, 6)), Ph) == "FF1FF0212"
+        # line crossing solid-hole-solid: interior, crossing nodes, exterior
+        assert relate_line_polygon(ring((1, 5), (9, 5)), Ph) == "1010FF212"
+
+    def test_null_and_degenerate(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_line_polygon
+
+        assert relate_line_polygon(None, self.P) is None
+        assert relate_line_polygon(ring((1, 1)), self.P) is None
+        assert relate_line_polygon(ring((1, 1), (2, 2)), None) is None
