@@ -2332,3 +2332,38 @@ def st_relate_point_polygon(p: Column, rings: Column) -> Column:
         .when(in_cnt % 2 == 1, F.lit("0FFFFF212"))
         .otherwise(F.lit("FF0FFF212"))
     )
+
+
+def st_relate_point_line(p: Column, line: Column) -> Column:
+    """stRelate for the POINT/LINESTRING pair, pure codegen: membership
+    (interior / an endpoint / off the line) picks one of four matrices;
+    a closed line has no boundary, so its EB cell is F."""
+    px, py = p["x"], p["y"]
+
+    def on_edge(e: Column) -> Column:
+        ax, ay = e["a"]["x"], e["a"]["y"]
+        bx, by = e["b"]["x"], e["b"]["y"]
+        return (
+            (_orient(ax, ay, bx, by, px, py) == 0)
+            & (F.least(ax, bx) <= px) & (px <= F.greatest(ax, bx))
+            & (F.least(ay, by) <= py) & (py <= F.greatest(ay, by))
+        )
+
+    on_line = F.exists(_edges(line), on_edge)
+    closed = st_is_closed(line)
+    at_end = ~closed & (
+        ((px == st_start_point(line)["x"]) & (py == st_start_point(line)["y"]))
+        | ((px == st_end_point(line)["x"]) & (py == st_end_point(line)["y"]))
+    )
+    eb = F.when(closed, F.lit("F")).otherwise(F.lit("0"))
+    return F.when(
+        at_end, F.concat(F.lit("F0FFFF1"), eb, F.lit("2"))
+    ).when(
+        on_line, F.concat(F.lit("0FFFFF1"), eb, F.lit("2"))
+    ).otherwise(F.concat(F.lit("FF0FFF1"), eb, F.lit("2")))
+
+
+def st_relate_points(a: Column, b: Column) -> Column:
+    """stRelate for two POINTs: equal -> 0FFFFFFF2, else FF0FFF0F2."""
+    eq = (a["x"] == b["x"]) & (a["y"] == b["y"])
+    return F.when(eq, F.lit("0FFFFFFF2")).otherwise(F.lit("FF0FFF0F2"))

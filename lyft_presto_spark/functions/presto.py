@@ -663,9 +663,11 @@ DELTAS = {
     "arrangement (st_relate_polygons, Arrow-batched — "
     "fn_geo_relate_pairs), plus the mixed-dimension LINESTRING/POLYGON "
     "(st_relate_line_polygon) and pure-codegen POINT/POLYGON "
-    "(st_relate_point_polygon) matrices — fn_geo_relate_mixed. Residue: "
-    "line-vs-line and point-vs-line matrix STRINGS (their boolean "
-    "predicates exist) -> Sedona. "
+    "(st_relate_point_polygon) matrices — fn_geo_relate_mixed — and the "
+    "LINESTRING/LINESTRING, POINT/LINESTRING, POINT/POINT matrices "
+    "(st_relate_lines, st_relate_point_line, st_relate_points — "
+    "fn_geo_relate_lines). Every geometry-pair family's full matrix is "
+    "available; GEOMETRYCOLLECTION operands are not (COVERAGE). "
     "Degenerate inputs (zero-extent envelopes, zero-area polygons) yield "
     "NULL where the reference treats them as lower-dimensional "
     "geometries.",

@@ -367,3 +367,21 @@ def st_relate_line_polygon(line: Column, poly: Column) -> Column:
         return pd.Series(out, index=s.index)
 
     return _rel_udf(line, poly)
+
+
+def st_relate_lines(a: Column, b: Column) -> Column:
+    """stRelate for two LINESTRINGs: exact 9-char DE-9IM
+    (polygon_overlay.relate_lines)."""
+    from .polygon_overlay import relate_lines
+
+    @pandas_udf("string")
+    def _rel_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(s, c):
+            try:
+                out.append(relate_lines(x, y))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    return _rel_udf(a, b)

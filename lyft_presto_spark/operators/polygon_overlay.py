@@ -621,3 +621,104 @@ def relate_line_polygon(line_raw, poly_rings_raw) -> str | None:
 
     eb = "1" if any(canon(s) not in shared for s in psub) else "F"
     return ii + ib + ie + bi + bb + be + "2" + eb + "2"
+
+
+def relate_lines(a_raw, b_raw) -> str | None:
+    """DE-9IM matrix for two LINESTRINGs — the last Relate pair family.
+    Split each line at every intersection with the other; a sub-segment
+    shared by both lines is a dim-1 interior/interior meeting, a node on
+    both lines meets in dim 0, endpoints are each line's dim-0 boundary
+    (empty for a closed ring). NULL for NULL/degenerate input."""
+
+    def norm(raw):
+        if raw is None:
+            return None
+        pts = [
+            (Fraction(float(p["x"])), Fraction(float(p["y"])))
+            for p in raw
+            if p is not None and p["x"] is not None and p["y"] is not None
+        ]
+        dedup: list[Pt] = []
+        for p in pts:
+            if not dedup or p != dedup[-1]:
+                dedup.append(p)
+        if len(dedup) < 2:
+            return None
+        closed = dedup[0] == dedup[-1]
+        open_pts = dedup[:-1] if closed else dedup
+        if closed and len(open_pts) < 2:
+            return None
+        edges = [
+            (open_pts[i], open_pts[(i + 1) % len(open_pts)])
+            for i in range(len(open_pts) - (0 if closed else 1))
+        ]
+        bnd = set() if closed else {open_pts[0], open_pts[-1]}
+        return edges, bnd
+
+    na, nb = norm(a_raw), norm(b_raw)
+    if na is None or nb is None:
+        return None
+    aedges, abnd = na
+    bedges, bbnd = nb
+
+    def split_all(edges, others):
+        out = []
+        for p, q in edges:
+            cuts: set[Pt] = set()
+            for c, d in others:
+                for pt in _seg_split_points(p, q, c, d):
+                    if pt != p and pt != q:
+                        cuts.add(pt)
+            if not cuts:
+                out.append((p, q))
+                continue
+            dx, dy = q[0] - p[0], q[1] - p[1]
+            ordered = sorted(
+                cuts, key=lambda r: (r[0] - p[0]) * dx + (r[1] - p[1]) * dy
+            )
+            chain = [p, *ordered, q]
+            out.extend(
+                (chain[k], chain[k + 1])
+                for k in range(len(chain) - 1)
+                if chain[k] != chain[k + 1]
+            )
+        return out
+
+    asub = split_all(aedges, bedges)
+    bsub = split_all(bedges, aedges)
+
+    def canon(s):
+        return s if s <= (s[1], s[0]) else (s[1], s[0])
+
+    aset = {canon(s) for s in asub}
+    bset = {canon(s) for s in bsub}
+    shared = aset & bset
+    anodes = {v for s in asub for v in s}
+    bnodes = {v for s in bsub for v in s}
+
+    def on_line(p: Pt, edges) -> bool:
+        return any(_on_segment(p, a, b) for a, b in edges)
+
+    # interior/interior: shared sub-segment -> 1; else a node on both
+    # lines that is interior to both -> 0; else F
+    if shared:
+        ii = "1"
+    else:
+        ii = "F"
+        for v in (anodes | bnodes):
+            if v in abnd or v in bbnd:
+                continue
+            if on_line(v, aedges) and on_line(v, bedges):
+                ii = "0"
+                break
+    # interior(A) vs boundary(B): a B endpoint on A that is not an A
+    # endpoint (dim 0); symmetric for BI
+    ib = "0" if any(v not in abnd and on_line(v, aedges) for v in bbnd) else "F"
+    bi = "0" if any(v not in bbnd and on_line(v, bedges) for v in abnd) else "F"
+    # interior(A) vs exterior(B): any A sub-segment not shared -> 1
+    ie = "1" if any(canon(s) not in shared for s in asub) else "F"
+    ei = "1" if any(canon(s) not in shared for s in bsub) else "F"
+    bb = "0" if abnd & bbnd else "F"
+    be = "0" if any(not on_line(v, bedges) for v in abnd) else "F"
+    eb = "0" if any(not on_line(v, aedges) for v in bbnd) else "F"
+    return ii + ib + ie + bi + bb + be + ei + eb + "2"

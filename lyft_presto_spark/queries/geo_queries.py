@@ -2886,3 +2886,92 @@ def fn_geo_relate_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GS.st_relate_line_polygon(F.col("gl"), F.col("gp")).alias("line_de9im"),
         G.st_relate_point_polygon(F.col("gpt"), F.col("gp")).alias("point_de9im"),
     ).orderBy("c_custkey")
+
+
+# --- DE-9IM completion: line/line, point/line, point/point -------------------
+
+_RELATE_LINES_SRC = """
+    SELECT c_custkey, CAST(c_custkey % 6 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 27 = 0
+"""
+
+# Line kinds vs A = (0,0)->(4,0): proper crossing, collinear containment,
+# equality, endpoint-to-endpoint touch, disjoint, T-junction. Point/line
+# rotates interior/endpoint/off on kind % 3; point/point equal on even.
+_RELATE_LINES_ORACLE = f"""
+WITH src AS ({_RELATE_LINES_SRC})
+SELECT c_custkey, kind,
+       CASE kind
+           WHEN 0 THEN '0F1FF0102'
+           WHEN 1 THEN '101FF0FF2'
+           WHEN 2 THEN '1FFF0FFF2'
+           WHEN 3 THEN 'FF1F00102'
+           WHEN 4 THEN 'FF1FF0102'
+           ELSE 'F01FF0102'
+       END AS line_de9im,
+       CASE kind % 3
+           WHEN 0 THEN '0FFFFF102'
+           WHEN 1 THEN 'F0FFFF102'
+           ELSE 'FF0FFF102'
+       END AS point_line_de9im,
+       CASE WHEN kind % 2 = 0 THEN '0FFFFFFF2' ELSE 'FF0FFF0F2' END
+           AS point_point_de9im
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_relate_lines",
+    oracle=_RELATE_LINES_ORACLE,
+    doc="DE-9IM completion — stRelate (GeoFunctions.java:1153) for the "
+    "remaining pair families: LINESTRING/LINESTRING (split each line at "
+    "every intersection with the other; shared sub-segments are dim-1 "
+    "interior meetings, nodes dim-0, endpoints the dim-0 boundary — "
+    "st_relate_lines), POINT/LINESTRING and POINT/POINT (membership "
+    "collapses to literal matrices, pure codegen). With "
+    "fn_geo_relate_pairs and fn_geo_relate_mixed this makes every "
+    "geometry-pair family's full matrix available; the oracle is the "
+    "literal published matrix per fixture kind.",
+    tags=("geo",),
+)
+def fn_geo_relate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _RELATE_LINES_SRC, ("customer",))
+
+    def line_of(*pts: tuple[float, float]) -> F.Column:
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+        )
+
+    a_line = line_of((0, 0), (4, 0))
+    b_line = (
+        F.when(F.col("kind") == 0, line_of((2, -2), (2, 2)))
+        .when(F.col("kind") == 1, line_of((1, 0), (3, 0)))
+        .when(F.col("kind") == 2, line_of((0, 0), (4, 0)))
+        .when(F.col("kind") == 3, line_of((4, 0), (6, 0)))
+        .when(F.col("kind") == 4, line_of((6, 0), (8, 0)))
+        .otherwise(line_of((2, 0), (2, 3)))
+    )
+    pt = (
+        F.when(F.col("kind") % 3 == 0, G.st_point(F.lit(2.0), F.lit(0.0)))
+        .when(F.col("kind") % 3 == 1, G.st_point(F.lit(0.0), F.lit(0.0)))
+        .otherwise(G.st_point(F.lit(9.0), F.lit(9.0)))
+    )
+    pt2 = F.when(
+        F.col("kind") % 2 == 0, G.st_point(F.lit(1.0), F.lit(1.0))
+    ).otherwise(G.st_point(F.lit(2.0), F.lit(1.0)))
+    staged = src.select(
+        "c_custkey", "kind",
+        a_line.alias("la"), b_line.alias("lb"), pt.alias("p1"), pt2.alias("p2"),
+    )
+    return staged.select(
+        "c_custkey", "kind",
+        GS.st_relate_lines(F.col("la"), F.col("lb")).alias("line_de9im"),
+        G.st_relate_point_line(F.col("p1"), F.col("la")).alias("point_line_de9im"),
+        G.st_relate_points(
+            G.st_point(F.lit(1.0), F.lit(1.0)), F.col("p2")
+        ).alias("point_point_de9im"),
+    ).orderBy("c_custkey")

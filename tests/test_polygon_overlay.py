@@ -330,3 +330,39 @@ class TestRelateLinePolygon:
         assert relate_line_polygon(None, self.P) is None
         assert relate_line_polygon(ring((1, 1)), self.P) is None
         assert relate_line_polygon(ring((1, 1), (2, 2)), None) is None
+
+
+class TestRelateLines:
+    """Line/line DE-9IM (relate_lines) vs published matrices."""
+
+    A = ring((0, 0), (4, 0))
+
+    def test_known_matrices(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_lines
+
+        cases = [
+            (ring((2, -2), (2, 2)), "0F1FF0102"),  # proper crossing
+            (ring((1, 0), (3, 0)), "101FF0FF2"),   # collinear contained
+            (ring((0, 0), (4, 0)), "1FFF0FFF2"),   # equal
+            (ring((4, 0), (6, 0)), "FF1F00102"),   # endpoint touch
+            (ring((6, 0), (8, 0)), "FF1FF0102"),   # disjoint
+            (ring((2, 0), (2, 3)), "F01FF0102"),   # T-junction
+        ]
+        for b, exp in cases:
+            assert relate_lines(self.A, b) == exp
+            # transpose symmetry
+            exp_t = "".join(exp[3 * (i % 3) + i // 3] for i in range(9))
+            assert relate_lines(b, self.A) == exp_t
+
+    def test_closed_ring_operand(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_lines
+
+        sq = ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        # closed ring: empty boundary row; crossing line meets at a node
+        assert relate_lines(sq, ring((2, -2), (2, 2))) == "0F1FFF102"
+
+    def test_null_and_degenerate(self):
+        from lyft_presto_spark.operators.polygon_overlay import relate_lines
+
+        assert relate_lines(None, self.A) is None
+        assert relate_lines(self.A, ring((1, 1))) is None
