@@ -385,3 +385,22 @@ def st_relate_lines(a: Column, b: Column) -> Column:
         return pd.Series(out, index=s.index)
 
     return _rel_udf(a, b)
+
+
+def st_line_intersection_polygon(line: Column, poly: Column) -> Column:
+    """stIntersection for the LINESTRING/POLYGON pair: the in-region parts
+    of the line as a MULTILINESTRING (trajectory-to-geofence clip,
+    polygon_overlay.clip_line_to_polygon)."""
+    from .polygon_overlay import clip_line_to_polygon
+
+    @pandas_udf("array<array<struct<x:double,y:double>>>")
+    def _clip_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(s, c):
+            try:
+                out.append(clip_line_to_polygon(x, y))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    return _clip_udf(line, poly)

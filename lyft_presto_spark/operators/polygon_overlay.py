@@ -722,3 +722,74 @@ def relate_lines(a_raw, b_raw) -> str | None:
     be = "0" if any(not on_line(v, bedges) for v in abnd) else "F"
     eb = "0" if any(not on_line(v, aedges) for v in bbnd) else "F"
     return ii + ib + ie + bi + bb + be + ei + eb + "2"
+
+
+def clip_line_to_polygon(line_raw, poly_rings_raw) -> list[list[dict]] | None:
+    """stIntersection for the LINESTRING/POLYGON pair: the parts of the
+    line inside the (closed) polygon, as a MULTILINESTRING — the
+    trajectory-to-geofence clip. Split the line at every boundary
+    crossing, keep sub-segments whose midpoint is inside or on the
+    boundary (closed-region semantics, matching the Esri-backed
+    reference), and chain consecutive kept pieces back into maximal
+    polylines. Dim-0 touch points are dropped (area-geometry discipline,
+    DELTAS). NULL for NULL/degenerate input, [] when nothing is inside."""
+    poly = _norm_rings(poly_rings_raw)
+    if poly is None or line_raw is None:
+        return None
+    if not poly:
+        return []
+    pts = [
+        (Fraction(float(p["x"])), Fraction(float(p["y"])))
+        for p in line_raw
+        if p is not None and p["x"] is not None and p["y"] is not None
+    ]
+    dedup: list[Pt] = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 2:
+        return None
+
+    pedges: list[tuple[Pt, Pt]] = []
+    for r in poly:
+        n = len(r)
+        for i in range(n):
+            pedges.append((r[i], r[(i + 1) % n]))
+
+    kept: list[tuple[Pt, Pt]] = []
+    for i in range(len(dedup) - 1):
+        p, q = dedup[i], dedup[i + 1]
+        cuts: set[Pt] = set()
+        for c, d in pedges:
+            for pt in _seg_split_points(p, q, c, d):
+                if pt != p and pt != q:
+                    cuts.add(pt)
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        chain = [p, *sorted(cuts, key=lambda r: (r[0] - p[0]) * dx + (r[1] - p[1]) * dy), q]
+        for k in range(len(chain) - 1):
+            a, b = chain[k], chain[k + 1]
+            if a == b:
+                continue
+            mid: Pt = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+            on_b = any(_on_segment(mid, c, d) for c, d in pedges)
+            if on_b or _point_in_region(mid, poly):
+                kept.append((a, b))
+
+    if not kept:
+        return []
+    # chain consecutive pieces into maximal polylines (kept preserves the
+    # walk order along the input line, so a linear pass suffices)
+    out: list[list[Pt]] = []
+    cur: list[Pt] = [kept[0][0], kept[0][1]]
+    for a, b in kept[1:]:
+        if a == cur[-1]:
+            # drop interior collinear joints but keep true vertices
+            if len(cur) >= 2 and _orient(cur[-2], cur[-1], b) == 0:
+                cur[-1] = b
+            else:
+                cur.append(b)
+        else:
+            out.append(cur)
+            cur = [a, b]
+    out.append(cur)
+    return [[{"x": float(x), "y": float(y)} for x, y in seg] for seg in out]

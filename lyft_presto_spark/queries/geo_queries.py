@@ -2975,3 +2975,88 @@ def fn_geo_relate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             G.st_point(F.lit(1.0), F.lit(1.0)), F.col("p2")
         ).alias("point_point_de9im"),
     ).orderBy("c_custkey")
+
+
+# --- Trajectory clip: ST_Intersection(line, polygon) -------------------------
+
+_LINE_CLIP_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 4 AS INT) AS kind,
+           CAST(0.5 + (c_custkey % 7) * 0.5 AS DOUBLE) AS a,
+           CAST((c_custkey % 3) * 0.5 - 0.5 AS DOUBLE) AS slope,
+           CAST(0.5 + (c_custkey % 8) * 0.4 AS DOUBLE) AS h
+    FROM customer
+    WHERE c_custkey % 17 = 0
+"""
+
+# Closed forms vs the square [0,4]^2 (a in [0.5, 3.5] and |slope| <= 0.5
+# keep the crossing inside the x-range, so only the y-span clips):
+# kind 0 — segment (a,-1)->(a+slope,5): inside length = (4/6) * |segment|
+# kind 1 — horizontal (1,h)->(3,h), h in (0.5, 3.5): length 2, one part
+# kind 2 — fully outside: empty
+# kind 3 — zigzag (1,-1)->(1,5)->(3,-1): 4 + hypot(4/3, 4), two parts
+_LINE_CLIP_ORACLE = f"""
+WITH src AS ({_LINE_CLIP_SRC})
+SELECT c_custkey, kind,
+       CASE kind
+           WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 2
+       END AS n_parts,
+       round(CASE kind
+           WHEN 0 THEN (2.0/3.0) * sqrt(slope*slope + 36)
+           WHEN 1 THEN 2.0
+           WHEN 2 THEN 0.0
+           ELSE 4 + sqrt(16.0/9.0 + 16.0)
+       END, 9) AS clipped_len
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_line_clip",
+    oracle=_LINE_CLIP_ORACLE,
+    doc="ST_Intersection for the LINESTRING/POLYGON pair "
+    "(GeoFunctions.java stIntersection:1019, mixed-dimension case) — the "
+    "trajectory-to-geofence clip: split the line at boundary crossings, "
+    "keep in-region sub-segments (closed-region semantics: boundary-"
+    "collinear pieces kept), chain them into maximal MULTILINESTRING "
+    "parts. Measured Spark-side (part count + total clipped length via "
+    "the codegen multiline length) against closed-form clip lengths of "
+    "parametrized crossings, a contained horizontal, a disjoint segment, "
+    "and a two-part zigzag.",
+    tags=("geo",),
+)
+def fn_geo_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _LINE_CLIP_SRC, ("customer",))
+
+    def line_of(*pts) -> F.Column:
+        return F.array(*[G.st_point(x, y) for x, y in pts])
+
+    lit = F.lit
+    a, slope, h = F.col("a"), F.col("slope"), F.col("h")
+    line = (
+        F.when(F.col("kind") == 0, line_of((a, lit(-1.0)), (a + slope, lit(5.0))))
+        .when(F.col("kind") == 1, line_of((lit(1.0), h), (lit(3.0), h)))
+        .when(F.col("kind") == 2, line_of((lit(7.0), lit(7.0)), (lit(9.0), lit(9.0))))
+        .otherwise(
+            line_of((lit(1.0), lit(-1.0)), (lit(1.0), lit(5.0)), (lit(3.0), lit(-1.0)))
+        )
+    )
+    square = line_of(
+        (lit(0.0), lit(0.0)), (lit(4.0), lit(0.0)),
+        (lit(4.0), lit(4.0)), (lit(0.0), lit(4.0)), (lit(0.0), lit(0.0)),
+    )
+    staged = src.select(
+        "c_custkey", "kind",
+        GS.st_line_intersection_polygon(line, F.array(square)).alias("ml"),
+    )
+    total_len = F.aggregate(
+        F.col("ml"), F.lit(0.0), lambda acc, seg: acc + G.st_length(seg)
+    )
+    return staged.select(
+        "c_custkey", "kind",
+        F.size(F.col("ml")).alias("n_parts"),
+        F.round(total_len, 9).alias("clipped_len"),
+    ).orderBy("c_custkey")

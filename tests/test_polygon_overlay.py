@@ -366,3 +366,52 @@ class TestRelateLines:
 
         assert relate_lines(None, self.A) is None
         assert relate_lines(self.A, ring((1, 1))) is None
+
+
+class TestClipLineToPolygon:
+    """ST_Intersection(line, polygon) — clip_line_to_polygon."""
+
+    P = [ring((0, 0), (4, 0), (4, 4), (0, 4))]
+
+    def _len(self, ml):
+        import math
+
+        return sum(
+            math.hypot(s[i + 1]["x"] - s[i]["x"], s[i + 1]["y"] - s[i]["y"])
+            for s in ml
+            for i in range(len(s) - 1)
+        )
+
+    def test_basic_cases(self):
+        import math
+
+        from lyft_presto_spark.operators.polygon_overlay import clip_line_to_polygon
+
+        r = clip_line_to_polygon(ring((-1, 2), (5, 2)), self.P)
+        assert len(r) == 1 and self._len(r) == pytest.approx(4.0)
+        r = clip_line_to_polygon(ring((1, 1), (3, 3)), self.P)
+        assert self._len(r) == pytest.approx(math.sqrt(8))
+        assert clip_line_to_polygon(ring((5, 5), (7, 7)), self.P) == []
+        # boundary-collinear piece kept (closed-region semantics)
+        r = clip_line_to_polygon(ring((0, 0), (4, 0)), self.P)
+        assert self._len(r) == pytest.approx(4.0)
+        # zigzag: two parts
+        r = clip_line_to_polygon(ring((1, -1), (1, 5), (3, -1)), self.P)
+        assert len(r) == 2
+        assert self._len(r) == pytest.approx(4 + math.hypot(4 / 3, 4))
+
+    def test_holed(self):
+        from lyft_presto_spark.operators.polygon_overlay import clip_line_to_polygon
+
+        Ph = [
+            ring((0, 0), (10, 0), (10, 10), (0, 10)),
+            ring((3, 3), (3, 7), (7, 7), (7, 3)),
+        ]
+        r = clip_line_to_polygon(ring((1, 5), (9, 5)), Ph)
+        assert len(r) == 2 and self._len(r) == pytest.approx(4.0)
+
+    def test_null(self):
+        from lyft_presto_spark.operators.polygon_overlay import clip_line_to_polygon
+
+        assert clip_line_to_polygon(None, self.P) is None
+        assert clip_line_to_polygon(ring((1, 1), (2, 2)), None) is None
