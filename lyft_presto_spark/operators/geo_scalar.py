@@ -404,3 +404,44 @@ def st_line_intersection_polygon(line: Column, poly: Column) -> Column:
         return pd.Series(out, index=s.index)
 
     return _clip_udf(line, poly)
+
+
+def st_relate_any(ga: Column, gb: Column) -> Column:
+    """Generic stRelate over two tagged geometry unions
+    (st_geometry_from_text structs): Python-side dispatch to the pair
+    kernels with transposition for mirrored orders
+    (polygon_overlay.relate_any). Multi-*/collection operands yield NULL
+    (COVERAGE 'Out of scope').
+
+    The struct is SLIMMED to (tag, point, line, polygon) before entering
+    Arrow: converting the full union's 4-level-nested multipolygon member
+    through arrow_to_pandas segfaults the worker (PyArrow nesting-depth
+    bug); the dispatcher only needs the simple members, and multi-* tags
+    still reach it (as the tag string) to return NULL."""
+    from .polygon_overlay import relate_any
+
+    def slim(g: Column) -> Column:
+        return F.struct(
+            g["tag"].alias("tag"),
+            g["point"].alias("point"),
+            g["line"].alias("line"),
+            g["polygon"].alias("polygon"),
+        )
+
+    ga, gb = slim(ga), slim(gb)
+
+    @pandas_udf("string")
+    def _rel_udf(s: pd.DataFrame, c: pd.DataFrame) -> pd.Series:
+        # struct-typed INPUTS arrive as pandas DataFrames (one column per
+        # field), not Series of dicts — normalize to row dicts
+        rs = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
+        rc = c.to_dict("records") if isinstance(c, pd.DataFrame) else list(c)
+        out = []
+        for x, y in zip(rs, rc):
+            try:
+                out.append(relate_any(x, y))
+            except Exception:
+                out.append(None)
+        return pd.Series(out)
+
+    return _rel_udf(ga, gb)

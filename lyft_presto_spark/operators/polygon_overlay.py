@@ -793,3 +793,100 @@ def clip_line_to_polygon(line_raw, poly_rings_raw) -> list[list[dict]] | None:
             cur = [a, b]
     out.append(cur)
     return [[{"x": float(x), "y": float(y)} for x, y in seg] for seg in out]
+
+
+def _transpose_de9im(m: str | None) -> str | None:
+    return None if m is None else "".join(m[3 * (i % 3) + i // 3] for i in range(9))
+
+
+def relate_any(ga: dict | None, gb: dict | None) -> str | None:
+    """Generic stRelate over the tagged geometry union (the dispatch the
+    reference performs inside Esri's RelationalOperations): route the
+    (tag, tag) pair to the matching kernel, transposing for the mirrored
+    orders. Simple kinds only — multi-* / collection operands return NULL
+    (COVERAGE 'Out of scope')."""
+    if ga is None or gb is None:
+        return None
+    ta, tb = ga.get("tag"), gb.get("tag")
+    if ta is None or tb is None:
+        return None
+
+    def pt(g):
+        p = g.get("point")
+        if p is None or p.get("x") is None or p.get("y") is None:
+            return None
+        return [{"x": p["x"], "y": p["y"]}]
+
+    if ta == "ST_Point" and tb == "ST_Point":
+        a, b = pt(ga), pt(gb)
+        if a is None or b is None:
+            return None
+        eq = a[0]["x"] == b[0]["x"] and a[0]["y"] == b[0]["y"]
+        return "0FFFFFFF2" if eq else "FF0FFF0F2"
+    if ta == "ST_Point" and tb == "ST_LineString":
+        return _transpose_de9im(_relate_line_point(gb.get("line"), pt(ga)))
+    if ta == "ST_LineString" and tb == "ST_Point":
+        return _relate_line_point(ga.get("line"), pt(gb))
+    if ta == "ST_Point" and tb == "ST_Polygon":
+        return _relate_point_polygon_py(pt(ga), gb.get("polygon"))
+    if ta == "ST_Polygon" and tb == "ST_Point":
+        return _transpose_de9im(_relate_point_polygon_py(pt(gb), ga.get("polygon")))
+    if ta == "ST_LineString" and tb == "ST_LineString":
+        return relate_lines(ga.get("line"), gb.get("line"))
+    if ta == "ST_LineString" and tb == "ST_Polygon":
+        return relate_line_polygon(ga.get("line"), gb.get("polygon"))
+    if ta == "ST_Polygon" and tb == "ST_LineString":
+        return _transpose_de9im(relate_line_polygon(gb.get("line"), ga.get("polygon")))
+    if ta == "ST_Polygon" and tb == "ST_Polygon":
+        return relate_polygons(ga.get("polygon"), gb.get("polygon"))
+    return None  # multi-* / collection operands: documented residue
+
+
+def _relate_line_point(line_raw, p) -> str | None:
+    """LINE vs POINT matrix (line as A)."""
+    if line_raw is None or p is None:
+        return None
+    pts = [
+        (Fraction(float(q["x"])), Fraction(float(q["y"])))
+        for q in line_raw
+        if q is not None and q["x"] is not None and q["y"] is not None
+    ]
+    dedup: list[Pt] = []
+    for q in pts:
+        if not dedup or q != dedup[-1]:
+            dedup.append(q)
+    if len(dedup) < 2:
+        return None
+    closed = dedup[0] == dedup[-1]
+    v: Pt = (Fraction(float(p[0]["x"])), Fraction(float(p[0]["y"])))
+    edges = [(dedup[i], dedup[i + 1]) for i in range(len(dedup) - 1)]
+    on = any(_on_segment(v, a, b) for a, b in edges)
+    at_end = (not closed) and (v == dedup[0] or v == dedup[-1])
+    eb = "F" if closed else "0"
+    # rows: interior(line), boundary(line, = endpoints), exterior(line)
+    # against (interior, boundary, exterior) of the point — a point's
+    # interior is itself and its boundary is empty, so column 2 is all F
+    if at_end:
+        return "FF1" + "0F" + eb + "FF2"
+    if on:
+        return "0F1" + "FF" + eb + "FF2"
+    return "FF1" + "FF" + eb + "0F2"
+
+
+def _relate_point_polygon_py(p, rings_raw) -> str | None:
+    if p is None:
+        return None
+    poly = _norm_rings(rings_raw)
+    if not poly:
+        return None
+    v: Pt = (Fraction(float(p[0]["x"])), Fraction(float(p[0]["y"])))
+    on = any(
+        _on_segment(v, r[i], r[(i + 1) % len(r)])
+        for r in poly
+        for i in range(len(r))
+    )
+    if on:
+        return "F0FFFF212"
+    if _point_in_region(v, poly):
+        return "0FFFFF212"
+    return "FF0FFF212"

@@ -3060,3 +3060,74 @@ def fn_geo_line_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.col("ml")).alias("n_parts"),
         F.round(total_len, 9).alias("clipped_len"),
     ).orderBy("c_custkey")
+
+
+# --- Generic ST_Relate dispatcher over WKT pairs -----------------------------
+
+_RELATE_ANY_SRC = """
+    SELECT c_custkey, CAST(c_custkey % 6 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 33 = 0
+"""
+
+_RELATE_ANY_ORACLE = f"""
+WITH src AS ({_RELATE_ANY_SRC})
+SELECT c_custkey, kind,
+       CASE kind
+           WHEN 0 THEN '212FF1FF2'
+           WHEN 1 THEN '101FF0212'
+           WHEN 2 THEN '1F20F1102'
+           WHEN 3 THEN '0FFFFF212'
+           WHEN 4 THEN '0F1FF0102'
+           ELSE 'FF10F0FF2'
+       END AS de9im
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_relate_any",
+    oracle=_RELATE_ANY_ORACLE,
+    doc="The generic ST_Relate entry point — stRelate "
+    "(GeoFunctions.java:1153) taking ANY two geometries, matching the "
+    "reference's signature: WKT pairs parse through the tagged-union "
+    "dispatcher (st_geometry_from_text) and route to the pair kernel by "
+    "(tag, tag), transposing for mirrored orders. Fixture rotates "
+    "polygon/polygon containment, line/polygon crossing, the SAME pair "
+    "mirrored (polygon/line — transpose pinned), point/polygon, "
+    "line/line, and line/point; literal published matrices as oracle.",
+    tags=("geo",),
+)
+def fn_geo_relate_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _RELATE_ANY_SRC, ("customer",))
+    poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+    inner = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+    cross_line = "LINESTRING (-1 2, 5 2)"
+    wkt_a = (
+        F.when(F.col("kind") == 0, F.lit(poly))
+        .when(F.col("kind") == 1, F.lit(cross_line))
+        .when(F.col("kind") == 2, F.lit(poly))
+        .when(F.col("kind") == 3, F.lit("POINT (2 2)"))
+        .when(F.col("kind") == 4, F.lit(cross_line))
+        .otherwise(F.lit(cross_line))
+    )
+    wkt_b = (
+        F.when(F.col("kind") == 0, F.lit(inner))
+        .when(F.col("kind") == 1, F.lit(poly))
+        .when(F.col("kind") == 2, F.lit(cross_line))
+        .when(F.col("kind") == 3, F.lit(poly))
+        .when(F.col("kind") == 4, F.lit("LINESTRING (2 -2, 2 4)"))
+        .otherwise(F.lit("POINT (-1 2)"))
+    )
+    staged = src.select(
+        "c_custkey", "kind",
+        G.st_geometry_from_text(wkt_a).alias("ga"),
+        G.st_geometry_from_text(wkt_b).alias("gb"),
+    )
+    return staged.select(
+        "c_custkey", "kind",
+        GS.st_relate_any(F.col("ga"), F.col("gb")).alias("de9im"),
+    ).orderBy("c_custkey")

@@ -415,3 +415,39 @@ class TestClipLineToPolygon:
 
         assert clip_line_to_polygon(None, self.P) is None
         assert clip_line_to_polygon(ring((1, 1), (2, 2)), None) is None
+
+
+class TestRelateAnyDispatcher:
+    """Generic relate dispatch (relate_any) incl. transposes and multi-*
+    rejection."""
+
+    def test_dispatch_and_transpose(self):
+        from lyft_presto_spark.operators.polygon_overlay import (
+            _transpose_de9im,
+            relate_any,
+        )
+
+        def G(tag, **kw):
+            base = {"tag": tag, "point": None, "line": None, "polygon": None}
+            base.update(kw)
+            return base
+
+        P = G("ST_Polygon", polygon=[ring((0, 0), (4, 0), (4, 4), (0, 4))])
+        L = G("ST_LineString", line=ring((-1, 2), (5, 2)))
+        p_in = G("ST_Point", point={"x": 2.0, "y": 2.0})
+        assert relate_any(p_in, p_in) == "0FFFFFFF2"
+        assert relate_any(p_in, P) == "0FFFFF212"
+        assert relate_any(P, p_in) == _transpose_de9im("0FFFFF212")
+        assert relate_any(L, P) == "101FF0212"
+        assert relate_any(P, L) == _transpose_de9im("101FF0212")
+        # line vs point: on-interior / at-endpoint / off
+        p_onl = G("ST_Point", point={"x": 0.0, "y": 2.0})
+        p_end = G("ST_Point", point={"x": -1.0, "y": 2.0})
+        p_off = G("ST_Point", point={"x": 9.0, "y": 9.0})
+        assert relate_any(L, p_onl) == "0F1FF0FF2"
+        assert relate_any(L, p_end) == "FF10F0FF2"
+        assert relate_any(L, p_off) == "FF1FF00F2"
+        assert relate_any(p_onl, L) == _transpose_de9im("0F1FF0FF2")
+        # multi-* operands: documented NULL
+        assert relate_any(G("ST_MultiPoint"), P) is None
+        assert relate_any(None, P) is None
