@@ -607,7 +607,12 @@ DELTAS = {
     "collinear overlaps classify identically to the reference.",
     "ST_Buffer": "Point buffers are regular 32-gon rings approximating the "
     "Esri round buffer (area within 0.65% of pi*r^2; raise n in "
-    "st_buffer_point where tighter bounds matter).",
+    "st_buffer_point where tighter bounds matter). LINESTRING buffers "
+    "(st_buffer_line) fold per-segment stadium polygons through the exact "
+    "overlay union with m=8 polygonal half-caps (same inscribed "
+    "convention, so a straight segment's area is exactly "
+    "2rL + m*r^2*sin(pi/m)); polygon-operand buffers are not implemented "
+    "(compose difference/union with the boolean ops instead).",
     "ST_AsText": "Double formatting follows Spark's cast-to-string (POINT "
     "(60.0 30.0)) where the reference's Esri writer trims integral doubles "
     "(POINT (60 30)); parse both spellings, compare geometries numerically.",

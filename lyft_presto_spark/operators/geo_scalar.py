@@ -445,3 +445,26 @@ def st_relate_any(ga: Column, gb: Column) -> Column:
         return pd.Series(out)
 
     return _rel_udf(ga, gb)
+
+
+def st_buffer_line(line: Column, r: Column | float, m: int = 8) -> Column:
+    """stBuffer, LINESTRING case (GeoFunctions.java stBuffer — the
+    reference buffers any geometry via Esri; st_buffer_point covers
+    points): per-segment stadium polygons folded through the exact
+    overlay union (polygon_overlay.buffer_line). Output is a holed
+    polygon (closed rings, CCW exterior); NULL on NULL/degenerate input
+    or non-positive radius."""
+    from .polygon_overlay import buffer_line
+
+    @pandas_udf("array<array<struct<x:double,y:double>>>")
+    def _buf_udf(s: pd.Series, rad: pd.Series) -> pd.Series:
+        out = []
+        for x, rv in zip(s, rad):
+            try:
+                out.append(buffer_line(x, rv, m))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    rc = r if isinstance(r, Column) else F.lit(float(r))
+    return _buf_udf(line, rc.cast("double"))

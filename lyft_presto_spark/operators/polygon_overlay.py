@@ -890,3 +890,63 @@ def _relate_point_polygon_py(p, rings_raw) -> str | None:
     if _point_in_region(v, poly):
         return "0FFFFF212"
     return "FF0FFF212"
+
+
+def buffer_line(line_raw, r: float, m: int = 8) -> list[list[dict]] | None:
+    """stBuffer for a LINESTRING (the reference buffers any geometry via
+    Esri; st_buffer_point covers points): the union of per-segment
+    "stadium" polygons — a rectangle of half-width ``r`` with ``m``-step
+    polygonal half-disc caps at both ends — folded through the exact
+    overlay. Consecutive stadiums share the joint vertex's disc, so the
+    fold stays one connected polygon (holes can appear at tight
+    switchbacks and are kept). Cap discretization matches
+    st_buffer_point's inscribed-polygon convention: the two caps of one
+    segment union to a regular 2m-gon, so a straight segment's buffer
+    area has the closed form 2*r*L + m*r^2*sin(pi/m).
+
+    Returns a single holed polygon (list of rings of {"x","y"} dicts) or
+    None for NULL/degenerate input / radius <= 0."""
+    import math as _math
+
+    if line_raw is None or r is None or not r > 0:
+        return None
+    pts = [
+        (float(p["x"]), float(p["y"]))
+        for p in line_raw
+        if p is not None and p["x"] is not None and p["y"] is not None
+    ]
+    dedup = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 2:
+        return None
+
+    def stadium(a, b):
+        ax, ay = a
+        bx, by = b
+        th = _math.atan2(by - ay, bx - ax)
+        ring = []
+        # cap at b: angles th-90 .. th+90, m steps (m+1 points)
+        for k in range(m + 1):
+            ang = th - _math.pi / 2 + _math.pi * k / m
+            ring.append({"x": bx + r * _math.cos(ang), "y": by + r * _math.sin(ang)})
+        # cap at a: angles th+90 .. th+270
+        for k in range(m + 1):
+            ang = th + _math.pi / 2 + _math.pi * k / m
+            ring.append({"x": ax + r * _math.cos(ang), "y": ay + r * _math.sin(ang)})
+        return [ring]
+
+    acc = stadium(dedup[0], dedup[1])
+    for i in range(1, len(dedup) - 1):
+        nxt = stadium(dedup[i], dedup[i + 1])
+        u = overlay(acc, nxt, "union")
+        if u is None or len(u) != 1:
+            return None  # disconnected fold: degenerate input geometry
+        acc = u[0]
+    # close every ring (overlay outputs are closed; the no-fold single-
+    # segment stadium is not, and st_polygon_area expects closed rings)
+    return [
+        ring + [ring[0]] if ring and ring[0] != ring[-1] else ring
+        for ring in acc
+    ]

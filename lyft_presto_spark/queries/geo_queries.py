@@ -3131,3 +3131,66 @@ def fn_geo_relate_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "kind",
         GS.st_relate_any(F.col("ga"), F.col("gb")).alias("de9im"),
     ).orderBy("c_custkey")
+
+
+# --- ST_Buffer for linestrings -----------------------------------------------
+
+_BUFFER_LINE_SRC = """
+    SELECT c_custkey,
+           CAST(1 + c_custkey % 5 AS DOUBLE) AS len,
+           CAST(0.25 * (1 + c_custkey % 4) AS DOUBLE) AS r,
+           CAST((c_custkey % 12) * 30 AS DOUBLE) AS deg
+    FROM customer
+    WHERE c_custkey % 23 = 0
+"""
+
+# A straight segment's m-step stadium buffer has the closed form
+# 2*r*L + m*r^2*sin(pi/m) (the two half caps union to a regular 2m-gon,
+# inscribed like st_buffer_point) — rotation-invariant, so the fixture
+# rotates the segment angle to exercise oblique arithmetic while the
+# oracle stays closed-form. m = 8.
+_BUFFER_LINE_ORACLE = f"""
+WITH src AS ({_BUFFER_LINE_SRC})
+SELECT c_custkey,
+       round(2 * r * len + 8 * r * r * sin(pi() / 8), 9) AS buf_area,
+       1 AS n_rings
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_buffer_line",
+    oracle=_BUFFER_LINE_ORACLE,
+    doc="stBuffer for LINESTRINGs (GeoFunctions.java stBuffer — Esri's "
+    "round buffer, polygonally approximated like st_buffer_point): union "
+    "of per-segment stadium polygons folded through the exact planar "
+    "overlay, so joints merge and tight switchbacks can keep holes. The "
+    "fixture buffers rotated straight segments (lengths x radii x 12 "
+    "angles); the oracle is the closed-form stadium area "
+    "2rL + m r^2 sin(pi/m), rotation-invariant by construction. "
+    "Multi-segment joints are pinned in tests against an independent "
+    "Sutherland-Hodgman inclusion-exclusion oracle.",
+    tags=("geo",),
+)
+def fn_geo_buffer_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _BUFFER_LINE_SRC, ("customer",))
+    rad = F.radians(F.col("deg"))
+    line = F.array(
+        G.st_point(F.lit(1.0), F.lit(1.0)),
+        G.st_point(
+            F.lit(1.0) + F.col("len") * F.cos(rad),
+            F.lit(1.0) + F.col("len") * F.sin(rad),
+        ),
+    )
+    staged = src.select(
+        "c_custkey",
+        GS.st_buffer_line(line, F.col("r")).alias("buf"),
+    )
+    return staged.select(
+        "c_custkey",
+        F.round(G.st_polygon_area(F.col("buf")), 9).alias("buf_area"),
+        F.size(F.col("buf")).alias("n_rings"),
+    ).orderBy("c_custkey")

@@ -451,3 +451,73 @@ class TestRelateAnyDispatcher:
         # multi-* operands: documented NULL
         assert relate_any(G("ST_MultiPoint"), P) is None
         assert relate_any(None, P) is None
+
+
+class TestBufferLine:
+    """stBuffer for LINESTRINGs (buffer_line): stadium fold through the
+    overlay, cap convention shared with st_buffer_point."""
+
+    def test_straight_closed_form(self):
+        import math
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            buffer_line,
+            polygon_area,
+        )
+
+        m, r = 8, 0.5
+        for L, pts in [(4.0, ring((0, 0), (4, 0))), (5.0, ring((0, 0), (3, 4)))]:
+            b = buffer_line(pts, r, m)
+            exp = 2 * r * L + m * r * r * math.sin(math.pi / m)
+            assert polygon_area([b]) == pytest.approx(exp, abs=1e-9)
+            assert b[0][0] == b[0][-1]  # closed ring
+
+    def test_right_angle_vs_independent_clip(self):
+        import math
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            buffer_line,
+            polygon_area,
+        )
+
+        m, r = 8, 0.5
+
+        def stadium_pts(a, b):
+            th = math.atan2(b[1] - a[1], b[0] - a[0])
+            out = []
+            for k in range(m + 1):
+                ang = th - math.pi / 2 + math.pi * k / m
+                out.append({"x": b[0] + r * math.cos(ang), "y": b[1] + r * math.sin(ang)})
+            for k in range(m + 1):
+                ang = th + math.pi / 2 + math.pi * k / m
+                out.append({"x": a[0] + r * math.cos(ang), "y": a[1] + r * math.sin(ang)})
+            return out
+
+        b = buffer_line(ring((0, 0), (3, 0), (3, 2)), r, m)
+        s1, s2 = stadium_pts((0, 0), (3, 0)), stadium_pts((3, 0), (3, 2))
+        inter = _clip_one(s1, s2)  # both stadiums convex: independent S-H
+        exp = _shoelace(s1) + _shoelace(s2) - (_shoelace(inter) if inter else 0.0)
+        assert polygon_area([b]) == pytest.approx(exp, abs=1e-7)
+
+    def test_closed_ring_creates_hole(self):
+        from lyft_presto_spark.operators.polygon_overlay import (
+            buffer_line,
+            polygon_area,
+        )
+
+        b = buffer_line(ring((0, 0), (4, 0), (4, 4), (0, 4), (0, 0)), 0.5, 8)
+        assert len(b) == 2  # annulus: outer + inner hole
+        # outer rounded square minus inner square: 25 - 4*(0.25) + 2m-gon
+        # corner caps - hole 9
+        import math
+
+        exp = 25 - 1 + 8 * 0.25 * math.sin(math.pi / 8) - 9
+        assert polygon_area([b]) == pytest.approx(exp, abs=1e-9)
+
+    def test_null_and_degenerate(self):
+        from lyft_presto_spark.operators.polygon_overlay import buffer_line
+
+        assert buffer_line(None, 0.5) is None
+        assert buffer_line(ring((1, 1)), 0.5) is None
+        assert buffer_line(ring((0, 0), (1, 0)), 0.0) is None
+        assert buffer_line(ring((0, 0), (1, 0)), -1.0) is None
