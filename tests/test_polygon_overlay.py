@@ -521,3 +521,69 @@ class TestBufferLine:
         assert buffer_line(ring((1, 1)), 0.5) is None
         assert buffer_line(ring((0, 0), (1, 0)), 0.0) is None
         assert buffer_line(ring((0, 0), (1, 0)), -1.0) is None
+
+
+class TestMatrixVsCodegenPredicates:
+    """Cross-validation of two INDEPENDENT implementations: the DE-9IM
+    matrix from the overlay arrangement (relate_polygons, exact rational)
+    vs the pure-codegen composed polygon-pair predicates
+    (st_intersects_polygons & co., witness-based). Every boolean the
+    matrix implies must agree with the composed predicate on random and
+    exact-contact integer squares."""
+
+    def test_matrix_implies_predicates(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from lyft_presto_spark.functions import geo as G
+        from lyft_presto_spark.operators.polygon_overlay import relate_polygons
+
+        rnd = random.Random(17)
+        rows = []
+        for _ in range(250):
+            rows.append(
+                (
+                    float(rnd.randint(0, 6)), float(rnd.randint(0, 6)),
+                    float(rnd.randint(1, 4)),
+                    float(rnd.randint(0, 6)), float(rnd.randint(0, 6)),
+                    float(rnd.randint(1, 4)),
+                )
+            )
+        df = spark.createDataFrame(
+            rows, "ax double, ay double, asz double, bx double, by double, bsz double"
+        )
+
+        def sq_ring(x, y, s):
+            return F.array(
+                G.st_point(x, y), G.st_point(x + s, y),
+                G.st_point(x + s, y + s), G.st_point(x, y + s), G.st_point(x, y),
+            )
+
+        ra = sq_ring(F.col("ax"), F.col("ay"), F.col("asz"))
+        rb = sq_ring(F.col("bx"), F.col("by"), F.col("bsz"))
+        staged = df.select(
+            "*",
+            G.st_covers_polygon(ra, rb).alias("cab"),
+            G.st_covers_polygon(rb, ra).alias("cba"),
+        ).select(
+            "*",
+            G.st_intersects_polygons(
+                sq_ring(F.col("ax"), F.col("ay"), F.col("asz")),
+                sq_ring(F.col("bx"), F.col("by"), F.col("bsz")),
+            ).alias("ints"),
+        )
+        got = staged.collect()
+        for r in got:
+            A = [[{"x": r.ax, "y": r.ay}, {"x": r.ax + r.asz, "y": r.ay},
+                  {"x": r.ax + r.asz, "y": r.ay + r.asz}, {"x": r.ax, "y": r.ay + r.asz}]]
+            B = [[{"x": r.bx, "y": r.by}, {"x": r.bx + r.bsz, "y": r.by},
+                  {"x": r.bx + r.bsz, "y": r.by + r.bsz}, {"x": r.bx, "y": r.by + r.bsz}]]
+            m = relate_polygons(A, B)
+            mx_intersects = any(m[i] != "F" for i in (0, 1, 3, 4))
+            mx_covers_ab = m[6] == "F" and m[7] == "F"  # EI and EB empty
+            mx_covers_ba = m[2] == "F" and m[5] == "F"  # IE and BE empty
+            ctx = (r.ax, r.ay, r.asz, r.bx, r.by, r.bsz, m)
+            assert mx_intersects == r.ints, ctx
+            assert mx_covers_ab == r.cab, ctx
+            assert mx_covers_ba == r.cba, ctx
