@@ -611,8 +611,11 @@ DELTAS = {
     "(st_buffer_line) fold per-segment stadium polygons through the exact "
     "overlay union with m=8 polygonal half-caps (same inscribed "
     "convention, so a straight segment's area is exactly "
-    "2rL + m*r^2*sin(pi/m)); polygon-operand buffers are not implemented "
-    "(compose difference/union with the boolean ops instead).",
+    "2rL + m*r^2*sin(pi/m)). POLYGON buffers with positive distance "
+    "(st_buffer_polygon) are the Minkowski dilation by the same inscribed "
+    "disc (holes erode with sharp corners and vanish when narrower than "
+    "2r); negative distances (erosion of the outer boundary) are not "
+    "implemented.",
     "ST_AsText": "Double formatting follows Spark's cast-to-string (POINT "
     "(60.0 30.0)) where the reference's Esri writer trims integral doubles "
     "(POINT (60 30)); parse both spellings, compare geometries numerically.",

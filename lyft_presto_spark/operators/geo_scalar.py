@@ -468,3 +468,25 @@ def st_buffer_line(line: Column, r: Column | float, m: int = 8) -> Column:
 
     rc = r if isinstance(r, Column) else F.lit(float(r))
     return _buf_udf(line, rc.cast("double"))
+
+
+def st_buffer_polygon(poly: Column, r: Column | float, m: int = 8) -> Column:
+    """stBuffer, POLYGON case with positive distance (dilation): the
+    Minkowski sum with the inscribed 2m-gon disc via the stadium fold
+    (polygon_overlay.buffer_polygon). Holes shrink with SHARP corners
+    (erosion by a disc) and vanish when narrower than 2r; negative
+    distances are not implemented (DELTAS)."""
+    from .polygon_overlay import buffer_polygon
+
+    @pandas_udf("array<array<struct<x:double,y:double>>>")
+    def _buf_udf(s: pd.Series, rad: pd.Series) -> pd.Series:
+        out = []
+        for x, rv in zip(s, rad):
+            try:
+                out.append(buffer_polygon(x, rv, m))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    rc = r if isinstance(r, Column) else F.lit(float(r))
+    return _buf_udf(poly, rc.cast("double"))

@@ -950,3 +950,49 @@ def buffer_line(line_raw, r: float, m: int = 8) -> list[list[dict]] | None:
         ring + [ring[0]] if ring and ring[0] != ring[-1] else ring
         for ring in acc
     ]
+
+
+def buffer_polygon(poly_rings_raw, r: float, m: int = 8) -> list[list[dict]] | None:
+    """stBuffer for a POLYGON with positive distance (dilation): the
+    polygon unioned with every boundary edge's stadium — Minkowski sum
+    with the inscribed 2m-gon disc, same cap convention as buffer_line.
+    A rectangle dilates to area wh + 2r(w+h) + m r^2 sin(pi/m) exactly.
+    Holes shrink (their boundary stadiums eat inward) and disappear when
+    narrower than 2r. Negative distances (erosion) are not implemented
+    (DELTAS). Returns a holed polygon; NULL on NULL/degenerate input or
+    r <= 0."""
+    import math as _math
+
+    if r is None or not r > 0:
+        return None
+    poly = _norm_rings(poly_rings_raw)
+    if poly is None:
+        return None
+    if not poly:
+        return []
+
+    def stadium(a, b):
+        ax, ay = float(a[0]), float(a[1])
+        bx, by = float(b[0]), float(b[1])
+        th = _math.atan2(by - ay, bx - ax)
+        ring = []
+        for k in range(m + 1):
+            ang = th - _math.pi / 2 + _math.pi * k / m
+            ring.append({"x": bx + r * _math.cos(ang), "y": by + r * _math.sin(ang)})
+        for k in range(m + 1):
+            ang = th + _math.pi / 2 + _math.pi * k / m
+            ring.append({"x": ax + r * _math.cos(ang), "y": ay + r * _math.sin(ang)})
+        return [ring]
+
+    acc = [
+        [{"x": float(x), "y": float(y)} for x, y in ring + [ring[0]]]
+        for ring in poly
+    ]
+    for ring in poly:
+        n = len(ring)
+        for i in range(n):
+            u = overlay(acc, stadium(ring[i], ring[(i + 1) % n]), "union")
+            if u is None or len(u) != 1:
+                return None  # dilation of a connected polygon stays connected
+            acc = u[0]
+    return acc

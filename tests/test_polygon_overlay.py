@@ -587,3 +587,56 @@ class TestMatrixVsCodegenPredicates:
             assert mx_intersects == r.ints, ctx
             assert mx_covers_ab == r.cab, ctx
             assert mx_covers_ba == r.cba, ctx
+
+
+class TestBufferPolygon:
+    """stBuffer(polygon, +r) — buffer_polygon (Minkowski dilation)."""
+
+    def test_rectangle_closed_form(self):
+        import math
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            buffer_polygon,
+            polygon_area,
+        )
+
+        m, r = 8, 0.5
+        for w, h in [(4, 2), (3, 3), (5, 1)]:
+            P = [ring((0, 0), (w, 0), (w, h), (0, h))]
+            b = buffer_polygon(P, r, m)
+            exp = w * h + 2 * r * (w + h) + m * r * r * math.sin(math.pi / m)
+            assert polygon_area([b]) == pytest.approx(exp, abs=1e-9)
+            assert len(b) == 1
+
+    def test_hole_erosion(self):
+        import math
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            buffer_polygon,
+            polygon_area,
+        )
+
+        m, r = 8, 0.5
+        # 4x4 hole erodes to a SHARP-cornered 3x3 (erosion by a disc
+        # keeps reflex corners sharp); outer dilates with rounded corners
+        Pw = [
+            ring((0, 0), (10, 0), (10, 10), (0, 10)),
+            ring((3, 3), (3, 7), (7, 7), (7, 3)),
+        ]
+        b = buffer_polygon(Pw, r, m)
+        exp = (100 + 2 * r * (10 + 10) + m * r * r * math.sin(math.pi / m)) - 9
+        assert len(b) == 2
+        assert polygon_area([b]) == pytest.approx(exp, abs=1e-9)
+        # a hole narrower than 2r vanishes
+        Pn = [
+            ring((0, 0), (10, 0), (10, 10), (0, 10)),
+            ring((5, 5), (5, 5.6), (5.6, 5.6), (5.6, 5)),
+        ]
+        assert len(buffer_polygon(Pn, r, m)) == 1
+
+    def test_null_and_degenerate(self):
+        from lyft_presto_spark.operators.polygon_overlay import buffer_polygon
+
+        assert buffer_polygon(None, 0.5) is None
+        assert buffer_polygon([ring((0, 0), (4, 0), (4, 4), (0, 4))], 0.0) is None
+        assert buffer_polygon([ring((0, 0), (1, 0), (0, 0))], 0.5) == []

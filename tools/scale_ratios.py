@@ -54,7 +54,7 @@ RATIO_EXTRAS = (
     "fn_geo_polygon_predicates", "fn_geo_spherical_pole",
     "fn_geo_boolean_ops", "fn_geo_collection", "fn_geo_relate_pairs",
     "fn_geo_relate_mixed", "fn_geo_relate_lines", "fn_geo_line_clip",
-    "fn_geo_relate_any", "fn_geo_buffer_line",
+    "fn_geo_relate_any", "fn_geo_buffer_line", "fn_geo_buffer_polygon",
     # tpcds shapes not in the benched headline
     "tpcds_q01_returns_above_avg", "tpcds_q02_week_over_year_ratio",
     "tpcds_q11_channel_growth", "tpcds_q21_before_after_ratio",
