@@ -299,19 +299,61 @@ def _segment_sides(a_rings_raw, b_rings_raw):
         # degenerate input — last one wins; simple inputs never hit this)
 
     # 4. classify each side of each sub-segment against both operands
+    # pre-floated rings for the adaptive ray cast (exact coordinates can
+    # carry huge denominators after crossings of non-grid inputs — cos/sin
+    # geometry — making pure-Fraction classification the dominant cost)
+    a_fl = [[(float(x), float(y)) for x, y in ring] for ring in A]
+    b_fl = [[(float(x), float(y)) for x, y in ring] for ring in B]
     out: list[tuple[Pt, Pt, tuple[bool, bool], tuple[bool, bool]]] = []
     for (p, q), info in seg_info.items():
         mid: Pt = ((p[0] + q[0]) / 2, (p[1] + q[1]) / 2)
         sides: dict[str, tuple[bool, bool]] = {}
-        for owner, rings in (("A", A), ("B", B)):
+        for owner, rings, rings_fl in (("A", A, a_fl), ("B", B, b_fl)):
             if owner in info:
                 left = info[owner]
                 sides[owner] = (left, not left)
             else:
-                inside = _point_in_region(mid, rings)
+                inside = _point_in_region_adaptive(mid, rings, rings_fl)
                 sides[owner] = (inside, inside)
         out.append((p, q, sides["A"], sides["B"]))
     return out
+
+
+def _point_in_region_adaptive(p: Pt, rings: list[list[Pt]], rings_fl) -> bool:
+    """Even-odd ray cast with a float fast path: every per-edge decision
+    (y-straddle and the crossing-x comparison) is taken in float when its
+    margin clears a conservative rounding bound, and recomputed with
+    exact Fractions only for the uncertain edges. Same result as
+    _point_in_region, ~10-100x cheaper when coordinates carry big
+    rational denominators (post-crossing points of non-grid inputs)."""
+    px, py = float(p[0]), float(p[1])
+    c = 0
+    for ring, ring_fl in zip(rings, rings_fl):
+        n = len(ring)
+        for i in range(n):
+            x1, y1 = ring_fl[i]
+            x2, y2 = ring_fl[(i + 1) % n]
+            m1, m2 = y1 - py, y2 - py
+            eps_y = 4e-16 * (abs(y1) + abs(y2) + abs(py) + 1.0)
+            if abs(m1) > eps_y and abs(m2) > eps_y:
+                if (m1 > 0) == (m2 > 0):
+                    continue  # certainly no straddle
+                # straddle certain; crossing-x in float with margin
+                t = (py - y1) / (y2 - y1)
+                xc = x1 + t * (x2 - x1)
+                eps_x = 1e-12 * (abs(x1) + abs(x2) + abs(px) + 1.0)
+                if xc - px > eps_x:
+                    c += 1
+                    continue
+                if px - xc > eps_x:
+                    continue
+            # uncertain: exact arithmetic for this edge only
+            a, b = ring[i], ring[(i + 1) % n]
+            if (a[1] > p[1]) != (b[1] > p[1]):
+                xcross = a[0] + (p[1] - a[1]) * (b[0] - a[0]) / (b[1] - a[1])
+                if p[0] < xcross:
+                    c += 1
+    return c % 2 == 1
 
 
 def _extract_faces(seg_sides, combine) -> list[list[list[dict]]]:
@@ -892,6 +934,24 @@ def _relate_point_polygon_py(p, rings_raw) -> str | None:
     return "FF0FFF212"
 
 
+def _snap_rings(rings: list[list[dict]], bits: int = 40) -> list[list[dict]]:
+    """Quantize ring coordinates to the 2^-bits grid (snap rounding).
+    Between successive overlay folds, exact crossing points carry
+    denominators that compound (crossings of crossings), making Fraction
+    arithmetic the dominant cost; snapping bounds every denominator at
+    2^bits. The 2^-40 displacement (~9e-13) is orders of magnitude below
+    the m-gon cap approximation the buffers already accept, and the final
+    output is float regardless."""
+    scale = float(1 << bits)
+    return [
+        [
+            {"x": round(p["x"] * scale) / scale, "y": round(p["y"] * scale) / scale}
+            for p in ring
+        ]
+        for ring in rings
+    ]
+
+
 def buffer_line(line_raw, r: float, m: int = 8) -> list[list[dict]] | None:
     """stBuffer for a LINESTRING (the reference buffers any geometry via
     Esri; st_buffer_point covers points): the union of per-segment
@@ -943,7 +1003,7 @@ def buffer_line(line_raw, r: float, m: int = 8) -> list[list[dict]] | None:
         u = overlay(acc, nxt, "union")
         if u is None or len(u) != 1:
             return None  # disconnected fold: degenerate input geometry
-        acc = u[0]
+        acc = _snap_rings(u[0])
     # close every ring (overlay outputs are closed; the no-fold single-
     # segment stadium is not, and st_polygon_area expects closed rings)
     return [
@@ -994,5 +1054,5 @@ def buffer_polygon(poly_rings_raw, r: float, m: int = 8) -> list[list[dict]] | N
             u = overlay(acc, stadium(ring[i], ring[(i + 1) % n]), "union")
             if u is None or len(u) != 1:
                 return None  # dilation of a connected polygon stays connected
-            acc = u[0]
+            acc = _snap_rings(u[0])
     return acc

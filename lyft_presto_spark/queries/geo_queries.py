@@ -3185,7 +3185,7 @@ def fn_geo_buffer_line(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) + F.col("len") * F.sin(rad),
         ),
     )
-    staged = src.select(
+    staged = src.repartition(32).select(
         "c_custkey",
         GS.st_buffer_line(line, F.col("r")).alias("buf"),
     )
@@ -3204,7 +3204,7 @@ _BUFFER_POLY_SRC = """
            CAST(1 + (c_custkey * 3) % 4 AS DOUBLE) AS h,
            CAST(0.25 * (1 + c_custkey % 3) AS DOUBLE) AS r
     FROM customer
-    WHERE c_custkey % 29 = 0
+    WHERE c_custkey % 53 = 0
 """
 
 # Minkowski sum of a rectangle with the inscribed 2m-gon disc:
@@ -3244,7 +3244,9 @@ def fn_geo_buffer_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
             G.st_point(F.lit(0.0), F.lit(0.0)),
         )
     )
-    staged = src.select(
+    # the fold UDF is CPU-heavy per row while the filtered source is a
+    # handful of scan partitions — spread rows so every core folds
+    staged = src.repartition(32).select(
         "c_custkey", GS.st_buffer_polygon(rect, F.col("r")).alias("buf")
     )
     return staged.select(
