@@ -2367,3 +2367,64 @@ def st_relate_points(a: Column, b: Column) -> Column:
     """stRelate for two POINTs: equal -> 0FFFFFFF2, else FF0FFF0F2."""
     eq = (a["x"] == b["x"]) & (a["y"] == b["y"])
     return F.when(eq, F.lit("0FFFFFFF2")).otherwise(F.lit("FF0FFF0F2"))
+
+
+def _point_seg_dist(px, py, ax, ay, bx, by) -> Column:
+    """Distance from point to closed segment: clamp the projection
+    parameter to [0,1]; a degenerate segment falls back to its endpoint
+    (division gated by When for ANSI mode)."""
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    t_raw = F.when(len2 > 0, ((px - ax) * dx + (py - ay) * dy) / len2).otherwise(
+        F.lit(0.0)
+    )
+    t = F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    cx, cy = ax + t * dx, ay + t * dy
+    return F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy))
+
+
+def st_distance_lines(l1: Column, l2: Column) -> Column:
+    """stDistance (GeoFunctions.java stDistance — the general Esri case)
+    for two segment geometries (linestrings or rings): minimum over all
+    edge pairs — zero when any pair properly crosses, else the smallest
+    endpoint-to-opposite-segment distance (which also covers touches and
+    collinear overlaps, whose endpoint distances reach 0)."""
+    e2s = _edges(l2)
+
+    def pair_min(e1: Column, e2: Column) -> Column:
+        a, b = e1["a"], e1["b"]
+        c, d = e2["a"], e2["b"]
+        crossing = _seg_pair_predicate(e1, e2, True)
+        best = F.least(
+            _point_seg_dist(a["x"], a["y"], c["x"], c["y"], d["x"], d["y"]),
+            _point_seg_dist(b["x"], b["y"], c["x"], c["y"], d["x"], d["y"]),
+            _point_seg_dist(c["x"], c["y"], a["x"], a["y"], b["x"], b["y"]),
+            _point_seg_dist(d["x"], d["y"], a["x"], a["y"], b["x"], b["y"]),
+        )
+        return F.when(crossing, F.lit(0.0)).otherwise(best)
+
+    pairwise = F.flatten(
+        F.transform(_edges(l1), lambda e1: F.transform(e2s, lambda e2: pair_min(e1, e2)))
+    )
+    return F.array_min(pairwise)
+
+
+def st_distance_polygons(a: Column, b: Column) -> Column:
+    """stDistance for two polygon rings: 0 when they intersect (shared
+    area, containment, or any boundary contact), else the boundary
+    distance — the reference's Esri distance semantics for area pairs."""
+    return F.when(st_intersects_polygons(a, b), F.lit(0.0)).otherwise(
+        st_distance_lines(a, b)
+    )
+
+
+def st_distance_point_line(p: Column, line: Column) -> Column:
+    """stDistance for the POINT/LINESTRING pair: min point-to-edge."""
+    return F.array_min(
+        F.transform(
+            _edges(line),
+            lambda e: _point_seg_dist(
+                p["x"], p["y"], e["a"]["x"], e["a"]["y"], e["b"]["x"], e["b"]["y"]
+            ),
+        )
+    )

@@ -490,3 +490,24 @@ def st_buffer_polygon(poly: Column, r: Column | float, m: int = 8) -> Column:
 
     rc = r if isinstance(r, Column) else F.lit(float(r))
     return _buf_udf(poly, rc.cast("double"))
+
+
+def st_geometry_union_array(geoms: Column) -> Column:
+    """geometry_union (GeoFunctions.java geometryUnion) for an array of
+    polygons: the overlay fold over pairwise-disjoint components
+    (polygon_overlay.union_many) — MULTIPOLYGON-representation output,
+    NULL on a NULL array or member (matching the reference's null-member
+    contract)."""
+    from .polygon_overlay import union_many
+
+    @pandas_udf(_MPOLY_TYPE)
+    def _union_udf(s: pd.Series) -> pd.Series:
+        out = []
+        for x in s:
+            try:
+                out.append(union_many(x))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    return _union_udf(geoms)

@@ -1056,3 +1056,39 @@ def buffer_polygon(poly_rings_raw, r: float, m: int = 8) -> list[list[dict]] | N
                 return None  # dilation of a connected polygon stays connected
             acc = _snap_rings(u[0])
     return acc
+
+
+def union_many(polys_raw) -> list[list[list[dict]]] | None:
+    """geometry_union (GeoFunctions.java geometryUnion — the scalar union
+    of an ARRAY of geometries, polygon case): fold each member into a set
+    of pairwise-disjoint accumulated components, merging every component
+    the new member connects with. Disjoint members stay separate parts,
+    so the result is a true MULTIPOLYGON; [] for an all-degenerate array,
+    None for NULL input or a NULL member (the reference returns null)."""
+    if polys_raw is None:
+        return None
+    comps: list[list[list[dict]]] = []  # each: holed polygon (closed rings)
+    for rings in polys_raw:
+        if rings is None:
+            return None
+        norm = _norm_rings(rings)
+        if norm is None:
+            return None
+        if not norm:
+            continue  # degenerate member: empty region
+        cur = [
+            [{"x": float(x), "y": float(y)} for x, y in ring + [ring[0]]]
+            for ring in norm
+        ]
+        merged = True
+        while merged:
+            merged = False
+            for i, comp in enumerate(comps):
+                u = overlay(cur, comp, "union")
+                if u is not None and len(u) == 1:
+                    cur = _snap_rings(u[0])
+                    comps.pop(i)
+                    merged = True
+                    break
+        comps.append(cur)
+    return comps

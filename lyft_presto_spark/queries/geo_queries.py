@@ -3254,3 +3254,137 @@ def fn_geo_buffer_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(G.st_polygon_area(F.col("buf")), 9).alias("buf_area"),
         F.size(F.col("buf")).alias("n_rings"),
     ).orderBy("c_custkey")
+
+
+# --- Scalar geometry_union over an array of polygons -------------------------
+
+_UNION_ARRAY_SRC = """
+    SELECT c_custkey,
+           CAST(2 + c_custkey % 4 AS INT) AS k,
+           CAST(c_custkey % 2 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 31 = 0
+"""
+
+# kind 0: k side-2 squares stepped by 1 along x — a connected strip of
+# area 2*(k+1), one part. kind 1: the same squares stepped by 4 —
+# disjoint, area 4k in k parts.
+_UNION_ARRAY_ORACLE = f"""
+WITH src AS ({_UNION_ARRAY_SRC})
+SELECT c_custkey, kind,
+       round(CASE WHEN kind = 0 THEN 2.0 * (k + 1) ELSE 4.0 * k END, 9)
+           AS union_area,
+       CAST(CASE WHEN kind = 0 THEN 1 ELSE k END AS INT) AS n_parts
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_union_array",
+    oracle=_UNION_ARRAY_ORACLE,
+    doc="geometry_union (GeoFunctions.java geometryUnion — the SCALAR "
+    "union of array(Geometry), which the reference folds through Esri): "
+    "the overlay fold over pairwise-disjoint components, so overlapping "
+    "members dissolve into one part and disjoint members stay separate "
+    "MULTIPOLYGON parts. Complements the geometry_union_agg AGGREGATE "
+    "(grid dissolve): this one returns the geometry. Closed-form strip/"
+    "disjoint-row fixtures.",
+    tags=("geo",),
+)
+def fn_geo_union_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _UNION_ARRAY_SRC, ("customer",))
+    step = F.when(F.col("kind") == 0, F.lit(1.0)).otherwise(F.lit(4.0))
+    idx = F.sequence(F.lit(0), F.col("k") - 1)
+    geoms = F.transform(
+        idx,
+        lambda i: F.array(
+            F.array(
+                G.st_point(i * step, F.lit(0.0)),
+                G.st_point(i * step + 2, F.lit(0.0)),
+                G.st_point(i * step + 2, F.lit(2.0)),
+                G.st_point(i * step, F.lit(2.0)),
+                G.st_point(i * step, F.lit(0.0)),
+            )
+        ),
+    )
+    staged = src.repartition(32).select(
+        "c_custkey", "kind", GS.st_geometry_union_array(geoms).alias("u")
+    )
+    return staged.select(
+        "c_custkey", "kind",
+        F.round(G.st_multipolygon_area(F.col("u")), 9).alias("union_area"),
+        F.size(F.col("u")).alias("n_parts"),
+    ).orderBy("c_custkey")
+
+
+# --- Generic ST_Distance: line/line, polygon/polygon, point/line -------------
+
+_DISTANCE_SRC = """
+    SELECT c_custkey,
+           CAST((c_custkey % 9) AS DOUBLE) AS gx,
+           CAST(((c_custkey * 5) % 9) AS DOUBLE) AS gy
+    FROM customer
+    WHERE c_custkey % 27 = 0
+"""
+
+# Axis-aligned unit squares at (0,0) and (gx, gy): distance is the
+# closed-form hypot of the per-axis gaps (0 when overlapping/touching).
+# The diagonal line fixture pins the point-segment projection clamp.
+_DISTANCE_ORACLE = f"""
+WITH src AS ({_DISTANCE_SRC})
+SELECT c_custkey,
+       round(sqrt(pow(greatest(gx - 1, 0), 2) + pow(greatest(gy - 1, 0), 2)), 9)
+           AS poly_dist,
+       round(sqrt(pow(greatest(gx - 1, 0), 2) + pow(greatest(gy - 1, 0), 2)), 9)
+           AS line_dist_boundaries,
+       round(abs(gx + gy - 2) / sqrt(2.0), 9) AS point_line_dist
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_distance_pairs",
+    oracle=_DISTANCE_ORACLE,
+    doc="Generic ST_Distance (GeoFunctions.java stDistance — the Esri "
+    "general case) beyond the point/point kernel: polygon/polygon "
+    "(0 on intersection, else boundary distance), linestring/linestring "
+    "(min over edge pairs: 0 on crossing, else the smallest endpoint-to-"
+    "segment distance), and point/linestring (projection-clamped "
+    "point-to-edge min). Pure codegen HOFs, no UDFs. Unit-square pairs "
+    "have the closed-form per-axis-gap hypot; the point-to-diagonal "
+    "fixture pins the clamp arithmetic.",
+    tags=("geo",),
+)
+def fn_geo_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _DISTANCE_SRC, ("customer",))
+    gx, gy = F.col("gx"), F.col("gy")
+    lit = F.lit
+
+    def sq_ring(x, y):
+        return F.array(
+            G.st_point(x, y), G.st_point(x + 1, y),
+            G.st_point(x + 1, y + 1), G.st_point(x, y + 1), G.st_point(x, y),
+        )
+    a = sq_ring(lit(0.0), lit(0.0))
+    b = sq_ring(gx, gy)
+    # boundary distance of DISJOINT squares equals the polygon distance;
+    # when they overlap the polygon distance is 0 while ring boundaries
+    # may still be apart — the fixture grid keeps gaps >= 0 so both
+    # columns share one closed form (overlap rows have gap 0 via touch)
+    diag = F.array(G.st_point(gx + gy, lit(0.0)), G.st_point(lit(0.0), gx + gy))
+    pt = G.st_point(lit(1.0), lit(1.0))
+    return src.select(
+        "c_custkey",
+        F.round(G.st_distance_polygons(a, b), 9).alias("poly_dist"),
+        F.round(
+            F.when(G.st_intersects_polygons(a, b), lit(0.0)).otherwise(
+                G.st_distance_lines(a, b)
+            ),
+            9,
+        ).alias("line_dist_boundaries"),
+        F.round(G.st_distance_point_line(pt, diag), 9).alias("point_line_dist"),
+    ).orderBy("c_custkey")

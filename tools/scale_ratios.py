@@ -55,6 +55,7 @@ RATIO_EXTRAS = (
     "fn_geo_boolean_ops", "fn_geo_collection", "fn_geo_relate_pairs",
     "fn_geo_relate_mixed", "fn_geo_relate_lines", "fn_geo_line_clip",
     "fn_geo_relate_any", "fn_geo_buffer_line", "fn_geo_buffer_polygon",
+    "fn_geo_union_array", "fn_geo_distance_pairs",
     # tpcds shapes not in the benched headline
     "tpcds_q01_returns_above_avg", "tpcds_q02_week_over_year_ratio",
     "tpcds_q11_channel_growth", "tpcds_q21_before_after_ratio",
