@@ -3,10 +3,15 @@
 The reference ships 68 ``ST_*`` scalars plus Bing tile functions
 (presto-geospatial/.../GeoFunctions.java, BingTileFunctions.java) backed by
 the Esri geometry library. This module implements the dependency-free planar
-subset as pure Spark codegen expressions — the shapes a 100 TB pipeline
-actually joins, filters, and measures on. Curved computational geometry
-(round buffers, unions/intersections, Relate) stays out of scope → Sedona
-(SURVEY.md §2.6, COVERAGE.md).
+core as pure Spark codegen expressions — the shapes a 100 TB pipeline
+actually joins, filters, and measures on. The historically-curved Esri
+surface is ALSO covered, Esri-free: round buffers as inscribed-polygon
+approximations (point case here; line/polygon via the overlay fold in
+operators/geo_scalar.py), general boolean ops returning GEOMETRY and the
+full DE-9IM ST_Relate for every simple pair family via the exact-rational
+planar overlay (operators/polygon_overlay.py), and generic ST_Distance as
+codegen HOFs below. Only nested GEOMETRYCOLLECTION operands remain out of
+scope → Sedona (COVERAGE.md).
 
 Surface (reference parity targets):
 - ``st_point/st_x/st_y``          — GeoFunctions.java stPoint/stX/stY
