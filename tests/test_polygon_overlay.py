@@ -640,3 +640,79 @@ class TestBufferPolygon:
         assert buffer_polygon(None, 0.5) is None
         assert buffer_polygon([ring((0, 0), (4, 0), (4, 4), (0, 4))], 0.0) is None
         assert buffer_polygon([ring((0, 0), (1, 0), (0, 0))], 0.5) == []
+
+
+class TestUnionMany:
+    """geometry_union over arrays (union_many)."""
+
+    def test_strip_and_disjoint(self):
+        from lyft_presto_spark.operators.polygon_overlay import (
+            polygon_area,
+            union_many,
+        )
+
+        sq = lambda x, y, s: [ring((x, y), (x + s, y), (x + s, y + s), (x, y + s))]  # noqa: E731
+        r = union_many([sq(0, 0, 2), sq(1, 0, 2), sq(2, 0, 2)])
+        assert len(r) == 1 and polygon_area(r) == pytest.approx(8.0)
+        r = union_many([sq(0, 0, 1), sq(5, 5, 1), sq(9, 0, 1)])
+        assert len(r) == 3 and polygon_area(r) == pytest.approx(3.0)
+        # a later member bridges two earlier disjoint components
+        r = union_many([sq(0, 0, 2), sq(4, 0, 2), sq(1.5, 0.5, 3)])
+        assert len(r) == 1 and polygon_area(r) == pytest.approx(15.5)
+
+    def test_hole_and_null_members(self):
+        from lyft_presto_spark.operators.polygon_overlay import (
+            polygon_area,
+            union_many,
+        )
+
+        U = [ring((0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3))]
+        cap = [ring((0, 3), (3, 3), (3, 4), (0, 4))]
+        r = union_many([U, cap])
+        assert polygon_area(r) == pytest.approx(10.0)
+        assert [len(p) for p in r] == [2]  # one part, one hole
+        assert union_many(None) is None
+        assert union_many([U, None]) is None  # reference null-member contract
+
+
+class TestDistancePairs:
+    """Generic ST_Distance codegen kernels vs closed forms."""
+
+    def test_distance_kernels(self, spark):
+        import math
+
+        from pyspark.sql import functions as F
+
+        from lyft_presto_spark.functions import geo as G
+
+        rows = [(3.0, 0.0), (3.0, 4.0), (0.5, 0.5), (1.0, 0.0), (2.0, 5.0)]
+        df = spark.createDataFrame(rows, "gx double, gy double")
+
+        def sq_ring(x, y):
+            return F.array(
+                G.st_point(x, y), G.st_point(x + 1, y),
+                G.st_point(x + 1, y + 1), G.st_point(x, y + 1), G.st_point(x, y),
+            )
+
+        lit = F.lit
+        out = df.select(
+            "gx", "gy",
+            G.st_distance_polygons(sq_ring(lit(0.0), lit(0.0)), sq_ring(F.col("gx"), F.col("gy"))).alias("d"),
+        ).collect()
+        for r in out:
+            exp = math.hypot(max(r.gx - 1, 0), max(r.gy - 1, 0))
+            assert r.d == pytest.approx(exp, abs=1e-12), (r.gx, r.gy)
+        # point to diagonal segment with clamped projection: point beyond
+        # the segment end measures to the endpoint
+        got = (
+            spark.range(1)
+            .select(
+                G.st_distance_point_line(
+                    G.st_point(lit(5.0), lit(5.0)),
+                    F.array(G.st_point(lit(0.0), lit(0.0)), G.st_point(lit(1.0), lit(0.0))),
+                ).alias("d")
+            )
+            .collect()[0]
+            .d
+        )
+        assert got == pytest.approx(math.hypot(4, 5), abs=1e-12)
