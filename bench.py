@@ -90,6 +90,12 @@ def main() -> None:
     # note). Rotation spreads the boundary cost across queries, at most one
     # sample each.
     samples: dict[str, list[float]] = {n: [] for n in names}
+    # Fixed-cost probe (VERDICT r6 next-round #3): time a constant-plan
+    # 1-row noop write at the start of every measured pass. Its wall is pure
+    # harness overhead — job scheduling, noop-sink commit, JIT/GC ambient —
+    # with zero per-query work, so round-over-round drift in the probe is
+    # environment drift, and per-query medians can be read net of it.
+    probe_samples: list[float] = []
     broken: dict[str, str] = {}
     for name in names:  # prewarm pass (parquet footer cache, codegen)
         try:
@@ -97,7 +103,11 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001 — a broken query shouldn't kill the bench
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             broken[name] = str(e)
+    force(spark.range(1).selectExpr("id"))  # probe prewarm (codegen for the shape)
     for i in range(RUNS):
+        t0 = time.perf_counter()
+        force(spark.range(1).selectExpr("id"))
+        probe_samples.append(time.perf_counter() - t0)
         offset = (i * max(len(names) // RUNS, 1)) % max(len(names), 1)
         for name in names[offset:] + names[:offset]:
             if name in broken:
@@ -139,6 +149,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "queries_min": per_query_min,
+                "probe": {
+                    "samples": [round(s, 4) for s in probe_samples],
+                    "median": round(statistics.median(probe_samples), 4),
+                    "min": round(min(probe_samples), 4),
+                },
                 "failed": failed,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
             }

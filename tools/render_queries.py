@@ -31,6 +31,9 @@ deliberately nondeterministic tail). **head** = in the driver-scored head-50
 (`DRIVER_SCORED_HEAD` — one representative per family under the driver's
 50-row budget).
 
+Per-family counts (rendered — the registry is the source of truth):
+{family_counts}
+
 | # | Query | Oracle | Head | Tags | What it proves |
 |---|---|---|---|---|---|
 """
@@ -56,7 +59,14 @@ def render() -> str:
             f"{'yes' if name in head else ''} | {', '.join(q.tags)} | {doc} |\n"
         )
     n_oracle = sum(1 for q in qs.values() if q.oracle)
-    return HEADER.format(n=len(qs), n_oracle=n_oracle) + "".join(rows)
+    fam_counts: dict[str, int] = {}
+    for name in qs:
+        fam = name.split("_")[0]
+        fam_counts[fam] = fam_counts.get(fam, 0) + 1
+    family_counts = " · ".join(
+        f"`{fam}` {cnt}" for fam, cnt in sorted(fam_counts.items(), key=lambda kv: -kv[1])
+    )
+    return HEADER.format(n=len(qs), n_oracle=n_oracle, family_counts=family_counts) + "".join(rows)
 
 
 if __name__ == "__main__":
