@@ -2320,6 +2320,71 @@ def st_collection_num_points(coll: Column) -> Column:
     )
 
 
+def st_collection_of_pieces(pieces: Column) -> Column:
+    """Flat GEOMETRYCOLLECTION from an ``st_intersection_pieces`` struct
+    (operators/geo_scalar.py): one tagged-union member per piece —
+    ST_Polygon / ST_LineString / ST_Point — in that order, so every
+    ``st_collection_*`` accessor composes with the mixed-dimension
+    ST_Intersection result exactly as with a parsed collection. Codegen
+    (three transforms + concat); NULL in -> NULL out."""
+    null_pt = F.lit(None).cast("struct<x:double,y:double>")
+    null_line = F.lit(None).cast("array<struct<x:double,y:double>>")
+    null_poly = F.lit(None).cast("array<array<struct<x:double,y:double>>>")
+    null_mpoly = F.lit(None).cast(
+        "array<array<array<struct<x:double,y:double>>>>"
+    )
+
+    def member(tag: str, point=None, line=None, polygon=None) -> Column:
+        return F.struct(
+            F.lit(tag).alias("tag"),
+            (point if point is not None else null_pt).alias("point"),
+            (line if line is not None else null_line).alias("line"),
+            (polygon if polygon is not None else null_poly).alias("polygon"),
+            null_line.alias("multipoint"),
+            null_poly.alias("multiline"),
+            null_mpoly.alias("multipolygon"),
+        )
+
+    return F.when(
+        pieces.isNotNull(),
+        F.concat(
+            F.transform(pieces["polys"], lambda p: member("ST_Polygon", polygon=p)),
+            F.transform(pieces["lines"], lambda l: member("ST_LineString", line=l)),
+            F.transform(pieces["points"], lambda p: member("ST_Point", point=p)),
+        ),
+    )
+
+
+def st_pieces_geometry_type(pieces: Column) -> Column:
+    """The OGC type-collapse tag of a mixed-dimension intersection result:
+    a single-dimension result is the plain (or MULTI) geometry, mixed
+    dimensions are ST_GeomCollection — the Esri OGCGeometry behavior the
+    reference's stGeometryType reports on an stIntersection output. The
+    empty result is pinned to ST_GeomCollection (the empty-collection
+    form)."""
+    np_ = F.size(pieces["polys"])
+    nl = F.size(pieces["lines"])
+    npt = F.size(pieces["points"])
+    return (
+        F.when(pieces.isNull(), F.lit(None).cast("string"))
+        .when(
+            (np_ > 0) & (nl == 0) & (npt == 0),
+            F.when(np_ == 1, F.lit("ST_Polygon")).otherwise(F.lit("ST_MultiPolygon")),
+        )
+        .when(
+            (np_ == 0) & (nl > 0) & (npt == 0),
+            F.when(nl == 1, F.lit("ST_LineString")).otherwise(
+                F.lit("ST_MultiLineString")
+            ),
+        )
+        .when(
+            (np_ == 0) & (nl == 0) & (npt > 0),
+            F.when(npt == 1, F.lit("ST_Point")).otherwise(F.lit("ST_MultiPoint")),
+        )
+        .otherwise(F.lit("ST_GeomCollection"))
+    )
+
+
 def st_relate_point_polygon(p: Column, rings: Column) -> Column:
     """stRelate for the POINT/POLYGON mixed-dimension pair — the DE-9IM
     collapses to three matrices by the point's membership (interior /

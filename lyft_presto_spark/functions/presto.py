@@ -647,15 +647,20 @@ DELTAS = {
     "ST_Difference/ST_SymDifference for arbitrary simple polygon pairs "
     "(holes allowed) return AREA geometry in the MULTIPOLYGON "
     "representation via the exact-rational planar overlay "
-    "(operators/polygon_overlay.py): lower-dimensional intersection "
-    "pieces — the shared edge of edge-adjacent polygons, a single touch "
-    "point — are DROPPED where the Esri-backed reference returns a "
-    "LINESTRING/POINT collection; empty results are the empty array, NULL "
-    "inputs NULL, and a malformed row degrades to NULL instead of failing "
-    "the job. Outer rings come back CCW and holes CW, closed, with "
-    "exact-rational vertices rounded to double on output. Per-row cost is "
-    "Python-side (exact arithmetic, float-filtered); the scale axis is "
-    "row parallelism, not per-row vertex count.",
+    "(operators/polygon_overlay.py). The st_*_geom forms return area "
+    "pieces only; the MIXED-DIMENSION intersection result the Esri-backed "
+    "reference produces (shared edges of edge-adjacent polygons as "
+    "LINESTRINGs, touch points as POINTs, GEOMETRYCOLLECTION when mixed) "
+    "is st_intersection_pieces + st_collection_of_pieces (a flat "
+    "tagged-union collection composing with every st_collection_* "
+    "accessor; OGC type collapse via st_pieces_geometry_type, with the "
+    "empty result pinned to the empty-collection tag). Empty results are "
+    "the empty array, NULL inputs NULL, and a malformed row degrades to "
+    "NULL instead of failing the job. Outer rings come back CCW and holes "
+    "CW, closed, with exact-rational vertices rounded to double on "
+    "output. Per-row cost is Python-side (exact arithmetic, "
+    "float-filtered); the scale axis is row parallelism, not per-row "
+    "vertex count.",
     "SphericalGeography": "to_spherical_geography returns NULL on "
     "out-of-range lat/lon (reference throws); ST_Area(geography) "
     "implements the reference's spherical-excess sum INCLUDING the "

@@ -281,9 +281,43 @@ def _overlay_col(a: Column, b: Column, op: str) -> Column:
 
 def st_intersection_geom(a: Column, b: Column) -> Column:
     """stIntersection (:1019), general polygon/polygon: exact overlay,
-    MULTIPOLYGON-representation output. Lower-dimensional pieces (shared
-    edges, touch points) are dropped — DELTAS.md 'polygon boolean ops'."""
+    MULTIPOLYGON-representation output (area pieces only — use
+    st_intersection_pieces for the full mixed-dimension result)."""
     return _overlay_col(a, b, "intersection")
+
+
+_LINE_TYPE = "array<struct<x:double,y:double>>"
+
+
+def st_intersection_pieces(a: Column, b: Column) -> Column:
+    """stIntersection (:1019) with the Esri-complete mixed-dimension
+    semantics: the 2D faces PLUS shared boundary segments of edge-adjacent
+    operands (LINESTRINGs) and isolated touch points (POINTs) — what the
+    reference returns as a lower-dimensional geometry or a
+    GEOMETRYCOLLECTION. One struct column: ``polys`` (MULTIPOLYGON repr),
+    ``lines`` (array of linestrings), ``points`` (array of points); all
+    empty arrays when the operands are disjoint, NULL on NULL input."""
+    from .polygon_overlay import intersection_pieces
+
+    ret = (
+        f"struct<polys:{_MPOLY_TYPE},lines:array<{_LINE_TYPE}>,"
+        f"points:array<struct<x:double,y:double>>>"
+    )
+
+    @pandas_udf(ret)
+    def _pieces_udf(s: pd.Series, c: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {"polys": [], "lines": [], "points": []}
+        for x, y in zip(s, c):
+            try:
+                r = intersection_pieces(x, y)
+            except Exception:
+                r = None
+            cols["polys"].append(None if r is None else r["polys"])
+            cols["lines"].append(None if r is None else r["lines"])
+            cols["points"].append(None if r is None else r["points"])
+        return pd.DataFrame(cols, index=s.index)
+
+    return _pieces_udf(a, b)
 
 
 def st_union_geom(a: Column, b: Column) -> Column:

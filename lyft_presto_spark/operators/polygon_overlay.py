@@ -22,11 +22,12 @@ UDF (geo_scalar.py discipline), and per-row vertex counts are bounded by
 the application (document geometries, geofences, admin boundaries).
 
 Semantics notes (DELTAS.md "polygon boolean ops"):
-- Output is always an area geometry in the MULTIPOLYGON representation
+- ``overlay`` returns the area geometry in the MULTIPOLYGON representation
   (``array<array<array<struct<x,y>>>>``); lower-dimensional intersection
   pieces (shared edges of edge-adjacent polygons, single touch points) are
-  dropped, where the Esri-backed reference would return a LINESTRING/POINT
-  collection. Empty result -> empty array, NULL input -> NULL.
+  returned by ``intersection_pieces`` as the Esri-backed reference does
+  (LINESTRING / POINT / GEOMETRYCOLLECTION members for touching operands).
+  Empty result -> empty array, NULL input -> NULL.
 - Inputs are simple polygons with optional holes (the repo's holed
   representation: exterior ring first). Ring orientation in the INPUT is
   normalized internally (exterior forced CCW, holes CW), matching the
@@ -497,6 +498,107 @@ def polygon_area(polys) -> float:
                 s += x1 * y2 - x2 * y1
             total += s / 2.0
     return total
+
+
+# --- lower-dimensional intersection pieces -----------------------------------
+
+
+def _chain_segments(segs: list[tuple[Pt, Pt]]) -> list[list[Pt]]:
+    """Join 1D sub-segments sharing endpoints into maximal paths, merging
+    collinear interior vertices. Deterministic: segments are walked in
+    canonical sorted order, paths start at non-degree-2 endpoints."""
+    adj: dict[Pt, list[int]] = {}
+    for i, (p, q) in enumerate(segs):
+        adj.setdefault(p, []).append(i)
+        adj.setdefault(q, []).append(i)
+    used = [False] * len(segs)
+    paths: list[list[Pt]] = []
+    order = sorted(range(len(segs)), key=lambda i: segs[i])
+    for i in order:
+        if used[i]:
+            continue
+        p, q = segs[i]
+        # start at a path end (degree != 2) when one exists; cycles start anywhere
+        start = p if len(adj[p]) != 2 else (q if len(adj[q]) != 2 else p)
+        path = [start]
+        cur_i, cur_pt = i, start
+        while True:
+            used[cur_i] = True
+            a, b = segs[cur_i]
+            nxt = b if a == cur_pt else a
+            path.append(nxt)
+            cur_pt = nxt
+            cand = [j for j in adj[nxt] if not used[j]]
+            if len(adj[nxt]) != 2 or not cand:
+                break
+            cur_i = cand[0]
+        # drop collinear interior vertices (arrangement splits are finer
+        # than the geometric pieces)
+        merged = [path[0]]
+        for v in path[1:]:
+            if len(merged) >= 2 and _orient(merged[-2], merged[-1], v) == 0:
+                merged[-1] = v
+            else:
+                merged.append(v)
+        paths.append(merged)
+    paths.sort(key=lambda pth: pth[0])
+    return paths
+
+
+def intersection_pieces(a_rings_raw, b_rings_raw) -> dict | None:
+    """Full-dimensional ST_Intersection: the 2D faces PLUS the
+    lower-dimensional pieces the area-only ``overlay`` drops — shared
+    boundary segments of edge-adjacent polygons (1D) and isolated touch
+    points (0D). This is the Esri-backed reference behavior
+    (GeoFunctions.java:1019 stIntersection returns LINESTRING / POINT /
+    GEOMETRYCOLLECTION for touching operands); computed exactly from the
+    same arrangement:
+
+    - a sub-segment is ON an operand's boundary iff its two side
+      memberships for that operand differ;
+    - 1D piece: on BOTH boundaries with the interiors on OPPOSITE sides
+      (the combined membership is false on both sides — not adjacent to
+      any 2D face). Same-side shared segments are 2D face boundary.
+    - 0D piece: an arrangement vertex on both boundaries that is not an
+      endpoint of any kept segment (face boundary or 1D piece) — i.e. a
+      touch point with no higher-dimensional piece through it.
+
+    Returns ``{"polys": multipolygon, "lines": [linestring...],
+    "points": [{"x","y"}...]}`` (floats), or None for NULL input.
+    """
+    sides = _segment_sides(a_rings_raw, b_rings_raw)
+    if sides is None:
+        return None
+    polys = _extract_faces(sides, _OPS["intersection"])
+    line_segs: list[tuple[Pt, Pt]] = []
+    covered: set[Pt] = set()
+    va: set[Pt] = set()
+    vb: set[Pt] = set()
+    for p, q, (al, ar), (bl, br) in sides:
+        on_a = al != ar
+        on_b = bl != br
+        if on_a:
+            va.add(p)
+            va.add(q)
+        if on_b:
+            vb.add(p)
+            vb.add(q)
+        if (al and bl) != (ar and br):  # 2D face boundary segment
+            covered.add(p)
+            covered.add(q)
+        elif on_a and on_b and not (al and bl):  # 1D piece
+            line_segs.append((p, q))
+            covered.add(p)
+            covered.add(q)
+    pts = sorted((va & vb) - covered)
+    lines = _chain_segments(line_segs)
+    return {
+        "polys": polys,
+        "lines": [
+            [{"x": float(x), "y": float(y)} for x, y in path] for path in lines
+        ],
+        "points": [{"x": float(x), "y": float(y)} for x, y in pts],
+    }
 
 
 # --- full DE-9IM for polygon pairs ------------------------------------------

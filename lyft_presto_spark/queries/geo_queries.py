@@ -2722,6 +2722,136 @@ def fn_geo_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# --- Mixed-dimension ST_Intersection (GEOMETRYCOLLECTION output) -------------
+
+_IPIECES_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 5 AS INT) AS kind,
+           CAST(2 + c_custkey % 3 AS DOUBLE) AS s
+    FROM customer
+    WHERE c_custkey % 17 = 0
+"""
+
+# Closed forms per kind (A/B constructions in the Spark body):
+# 0 overlap        -> POLYGON area (s-1)^2
+# 1 edge-adjacent  -> LINESTRING length s (the shared edge)
+# 2 corner touch   -> POINT (s, s)
+# 3 tab+foot       -> GC(POLYGON area 1, LINESTRING length 1)
+# 4 disjoint       -> empty (pinned to the empty-collection tag)
+_IPIECES_ORACLE = f"""
+WITH src AS ({_IPIECES_SRC})
+SELECT c_custkey, kind,
+       CAST(CASE WHEN kind IN (0, 3) THEN 1 ELSE 0 END AS INT) AS n_polys,
+       CAST(CASE WHEN kind IN (1, 3) THEN 1 ELSE 0 END AS INT) AS n_lines,
+       CAST(CASE WHEN kind = 2 THEN 1 ELSE 0 END AS INT) AS n_points,
+       round(CASE kind WHEN 0 THEN (s - 1) * (s - 1)
+                       WHEN 3 THEN 1.0 ELSE 0.0 END, 9) AS poly_area,
+       round(CASE kind WHEN 1 THEN s WHEN 3 THEN 1.0 ELSE 0.0 END, 9) AS line_len,
+       CASE WHEN kind = 2 THEN s END AS pt_x,
+       CASE WHEN kind = 2 THEN s END AS pt_y,
+       CASE kind WHEN 0 THEN 'ST_Polygon' WHEN 1 THEN 'ST_LineString'
+                 WHEN 2 THEN 'ST_Point' ELSE 'ST_GeomCollection' END AS result_tag,
+       CAST(CASE kind WHEN 3 THEN 2 WHEN 4 THEN 0 ELSE 1 END AS INT) AS coll_n_geoms,
+       round(CASE kind WHEN 0 THEN (s - 1) * (s - 1)
+                       WHEN 3 THEN 1.0 ELSE 0.0 END, 9) AS coll_area,
+       round(CASE kind WHEN 1 THEN s WHEN 3 THEN 1.0 ELSE 0.0 END, 9) AS coll_len,
+       CASE kind WHEN 0 THEN 'ST_Polygon' WHEN 1 THEN 'ST_LineString'
+                 WHEN 2 THEN 'ST_Point' WHEN 3 THEN 'ST_Polygon' END AS member1_tag
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_intersection_pieces",
+    oracle=_IPIECES_ORACLE,
+    doc="Mixed-dimension ST_Intersection — the lower-dimensional pieces "
+    "the area-only overlay drops, which the Esri-backed reference returns "
+    "(GeoFunctions.java:1019 stIntersection yields LINESTRING for shared "
+    "edges, POINT for touches, GEOMETRYCOLLECTION when mixed): "
+    "operators/polygon_overlay.intersection_pieces classifies every "
+    "arrangement sub-segment (on both boundaries + interiors on opposite "
+    "sides -> 1D piece) and vertex (shared, uncovered -> 0D piece), and "
+    "the result feeds the r6 tagged-union flat-GEOMETRYCOLLECTION type "
+    "(st_collection_of_pieces), so every st_collection_* accessor "
+    "composes. Fixture rotates overlap / edge-adjacent / corner-touch / "
+    "mixed tab+foot / disjoint pairs; closed-form oracle per kind, plus "
+    "the OGC type-collapse tag (single-dimension results report the plain "
+    "geometry type).",
+    tags=("geo",),
+)
+def fn_geo_intersection_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _IPIECES_SRC, ("customer",))
+    s = F.col("s")
+
+    def rect(x1, y1, x2, y2) -> F.Column:
+        return F.array(
+            F.array(
+                G.st_point(x1, y1), G.st_point(x2, y1),
+                G.st_point(x2, y2), G.st_point(x1, y2), G.st_point(x1, y1),
+            )
+        )
+
+    def ring_of(*pts: tuple[float, float]) -> F.Column:
+        closed = [*pts, pts[0]]
+        return F.array(
+            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in closed]
+        )
+
+    zero = F.lit(0.0)
+    # kind 3 operands (fixed): A = [0,4]x[0,2]; B dips a 1x2 tab into A over
+    # x in [0,1], rests a foot on A's top edge over x in [2,3], and stays
+    # clear of it elsewhere -> intersection = 1x1 polygon + length-1 line.
+    tab_foot = F.array(
+        ring_of(
+            (0, 1), (1, 1), (1, 2.5), (2, 2.5), (2, 2), (3, 2),
+            (3, 2.5), (4, 2.5), (4, 4), (0, 4),
+        )
+    )
+    a = F.when(F.col("kind") == 3, rect(zero, zero, F.lit(4.0), F.lit(2.0))).otherwise(
+        rect(zero, zero, s, s)
+    )
+    b = (
+        F.when(F.col("kind") == 0, rect(F.lit(1.0), F.lit(1.0), s + 1, s + 1))
+        .when(F.col("kind") == 1, rect(s, zero, s + s, s))
+        .when(F.col("kind") == 2, rect(s, s, s + s, s + s))
+        .when(F.col("kind") == 3, tab_foot)
+        .otherwise(rect(s + 1, s + 1, s + s + 1, s + s + 1))
+    )
+    pieces = (
+        src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb"))
+        .select(
+            "c_custkey", "kind",
+            GS.st_intersection_pieces(F.col("ga"), F.col("gb")).alias("pc"),
+        )
+    )
+    pc = F.col("pc")
+    coll = G.st_collection_of_pieces(pc)
+    first_pt = F.try_element_at(pc["points"], F.lit(1))
+    return pieces.select(
+        "c_custkey", "kind",
+        F.size(pc["polys"]).alias("n_polys"),
+        F.size(pc["lines"]).alias("n_lines"),
+        F.size(pc["points"]).alias("n_points"),
+        F.round(G.st_multipolygon_area(pc["polys"]), 9).alias("poly_area"),
+        F.round(
+            F.aggregate(
+                pc["lines"], F.lit(0.0), lambda acc, ln: acc + G.st_length(ln)
+            ),
+            9,
+        ).alias("line_len"),
+        first_pt["x"].alias("pt_x"),
+        first_pt["y"].alias("pt_y"),
+        G.st_pieces_geometry_type(pc).alias("result_tag"),
+        G.st_collection_num_geometries(coll).cast("int").alias("coll_n_geoms"),
+        F.round(G.st_collection_area(coll), 9).alias("coll_area"),
+        F.round(G.st_collection_length(coll), 9).alias("coll_len"),
+        G.st_collection_geometry_n(coll, 1)["tag"].alias("member1_tag"),
+    ).orderBy("c_custkey")
+
+
 # --- Full DE-9IM for arbitrary polygon pairs ---------------------------------
 
 _RELATE_PAIRS_SRC = """

@@ -21,7 +21,11 @@ from pyspark.sql import functions as F
 
 from lyft_presto_spark.operators.geo_scalar import _clip_one
 from lyft_presto_spark.operators.hull import monotone_chain
-from lyft_presto_spark.operators.polygon_overlay import overlay, polygon_area
+from lyft_presto_spark.operators.polygon_overlay import (
+    intersection_pieces,
+    overlay,
+    polygon_area,
+)
 
 
 def ring(*pts):
@@ -716,3 +720,85 @@ class TestDistancePairs:
             .d
         )
         assert got == pytest.approx(math.hypot(4, 5), abs=1e-12)
+
+
+class TestIntersectionPieces:
+    """Mixed-dimension ST_Intersection: the lower-dimensional pieces the
+    area-only overlay drops (reference: GeoFunctions.java:1019
+    stIntersection returns LINESTRING/POINT/GEOMETRYCOLLECTION for
+    touching operands)."""
+
+    @staticmethod
+    def _sq(x0, y0, s):
+        return [ring((x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s))]
+
+    def test_edge_adjacent_shared_edge(self):
+        r = intersection_pieces(self._sq(0, 0, 2), self._sq(2, 0, 2))
+        assert r["polys"] == [] and r["points"] == []
+        assert r["lines"] == [[{"x": 2.0, "y": 0.0}, {"x": 2.0, "y": 2.0}]]
+
+    def test_partial_shared_edge(self):
+        r = intersection_pieces(self._sq(0, 0, 4), [ring((4, 1), (6, 1), (6, 3), (4, 3))])
+        assert r["lines"] == [[{"x": 4.0, "y": 1.0}, {"x": 4.0, "y": 3.0}]]
+
+    def test_corner_touch_point(self):
+        r = intersection_pieces(self._sq(0, 0, 2), self._sq(2, 2, 2))
+        assert r["polys"] == [] and r["lines"] == []
+        assert r["points"] == [{"x": 2.0, "y": 2.0}]
+
+    def test_vertex_on_edge_touch(self):
+        # triangle apex resting on the square's top edge from outside
+        tri = [ring((2, 4), (3, 6), (1, 6))]
+        r = intersection_pieces(self._sq(0, 0, 4), tri)
+        assert r["points"] == [{"x": 2.0, "y": 4.0}]
+        assert r["polys"] == [] and r["lines"] == []
+
+    def test_overlap_has_no_lower_pieces(self):
+        r = intersection_pieces(SQ1, SQ2)
+        assert polygon_area(r["polys"]) == pytest.approx(1.0)
+        assert r["lines"] == [] and r["points"] == []
+
+    def test_same_side_shared_edge_is_face_boundary(self):
+        # B inside A sharing part of A's left edge: the shared segment is
+        # 2D face boundary, NOT a 1D piece
+        b = [ring((0, 0.5), (1, 0.5), (1, 1.5), (0, 1.5))]
+        r = intersection_pieces(self._sq(0, 0, 2), b)
+        assert polygon_area(r["polys"]) == pytest.approx(1.0)
+        assert r["lines"] == [] and r["points"] == []
+
+    def test_mixed_all_dimensions(self):
+        # A = [0,6]x[0,2]; B dips a tab into A (2D), rests a foot on the
+        # top edge (1D), and pinches down to one vertex at (5,2) (0D)
+        a = [ring((0, 0), (6, 0), (6, 2), (0, 2))]
+        b = [ring((0, 1), (1, 1), (1, 2.5), (2, 2.5), (2, 2), (3, 2),
+                  (3, 2.5), (4, 2.5), (5, 2), (6, 2.5), (6, 4), (0, 4))]
+        r = intersection_pieces(a, b)
+        assert polygon_area(r["polys"]) == pytest.approx(1.0)
+        assert r["lines"] == [[{"x": 2.0, "y": 2.0}, {"x": 3.0, "y": 2.0}]]
+        assert r["points"] == [{"x": 5.0, "y": 2.0}]
+
+    def test_fills_hole_shared_ring(self):
+        # B exactly fills A's hole: contact is the full hole ring (closed
+        # 1D piece), no area, no points
+        holed = self._sq(0, 0, 4) + [ring((1, 1), (1, 3), (3, 3), (3, 1))]
+        r = intersection_pieces(holed, self._sq(1, 1, 2))
+        assert r["polys"] == [] and r["points"] == []
+        assert len(r["lines"]) == 1
+        path = r["lines"][0]
+        assert path[0] == path[-1] and len(path) == 5  # closed square ring
+
+    def test_disjoint_and_null(self):
+        r = intersection_pieces(self._sq(0, 0, 1), self._sq(5, 5, 1))
+        assert r == {"polys": [], "lines": [], "points": []}
+        assert intersection_pieces(None, self._sq(0, 0, 1)) is None
+
+    def test_collinear_subsegments_merge(self):
+        # an unrelated crossing splits the shared edge; the chain walk
+        # must merge the collinear pieces back into one linestring
+        b = [ring((2, 0), (4, 0), (4, 2), (2, 2))]
+        a = [ring((0, 0), (2, 0), (2, 0.5), (1.5, 1.0), (2, 1.5), (2, 2), (0, 2))]
+        r = intersection_pieces(a, b)
+        # shared segments: x=2 for y in [0,0.5] and y in [1.5,2]
+        assert len(r["lines"]) == 2
+        for path in r["lines"]:
+            assert len(path) == 2
