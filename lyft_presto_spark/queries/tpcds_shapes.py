@@ -1078,3 +1078,707 @@ def tpcds_q93_returns_adjusted_sales(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy("o_custkey")
         .limit(100)
     )
+
+
+# --- q67 shape: windowed top-N over ROLLUP output ----------------------------
+
+
+@query(
+    "tpcds_q67_rollup_topn",
+    oracle=f"""
+    WITH dw1 AS (
+        SELECT n_name, c_mktsegment, month(o_orderdate) AS mo,
+               SUM({_SQL_PRICE}) AS sumsales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) = 1995
+        GROUP BY ROLLUP (n_name, c_mktsegment, month(o_orderdate))
+    )
+    SELECT n_name, c_mktsegment, mo,
+           CAST(sumsales AS DOUBLE) AS sumsales, rk
+    FROM (
+        SELECT *,
+               RANK() OVER (PARTITION BY n_name ORDER BY sumsales DESC) AS rk
+        FROM dw1
+    ) dw2
+    WHERE rk <= 3
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST, mo NULLS FIRST,
+             sumsales, rk
+    LIMIT 100
+    """,
+    doc="TPC-DS q67 shape (sql/presto/tpcds/q67.sql): a full-hierarchy "
+    "ROLLUP aggregate fed into a rank() window PARTITIONED BY the rollup's "
+    "top level — so each partition mixes detail rows, subtotals, and (for "
+    "the NULL partition) the grand total, and the top-N screen keeps "
+    "whichever level dominates. WindowNode over GroupIdNode output, a "
+    "combination no other corpus row produces.",
+    tags=("tpcds", "window", "aggregation"),
+)
+def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    dw1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment", F.month("o_orderdate").alias("mo"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sumsales_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("sumsales_dec").desc())
+    return (
+        dw1.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_name", "c_mktsegment", "mo",
+            F.col("sumsales_dec").cast("double").alias("sumsales"), "rk",
+        )
+        .orderBy(
+            F.col("n_name").asc_nulls_first(),
+            F.col("c_mktsegment").asc_nulls_first(),
+            F.col("mo").asc_nulls_first(),
+            "sumsales", "rk",
+        )
+        .limit(100)
+    )
+
+
+# --- q27 shape: multi-measure ROLLUP with GROUPING() over filtered dims -----
+
+
+@query(
+    "tpcds_q27_rollup_multi_avg",
+    oracle=f"""
+    SELECT p_type, n_name,
+           CAST(GROUPING(n_name) AS INT) AS g_state,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*), 6) AS agg1,
+           round(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 6) AS agg2,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg3,
+           round(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS agg4
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND year(o_orderdate) = 1995
+      AND n_name IN ('NATION_2', 'NATION_7', 'NATION_11', 'NATION_19')
+    GROUP BY ROLLUP (p_type, n_name)
+    ORDER BY p_type NULLS FIRST, n_name NULLS FIRST
+    LIMIT 100
+    """,
+    doc="TPC-DS q27 shape (sql/presto/tpcds/q27.sql): four AVG measures "
+    "over a five-table join with equality filters on three dimensions "
+    "(demographic segment, year, state/nation set), aggregated by "
+    "ROLLUP(item, state) with GROUPING(state) exposed — the "
+    "grouping-flag-projection combination (GroupIdNode's group-id "
+    "channel) over a selective multi-dim join. Averages are expressed as "
+    "exact DECIMAL sums divided once in DOUBLE, so both engines divide "
+    "identical operands (module numeric convention).",
+    tags=("tpcds", "aggregation"),
+)
+def tpcds_q27_rollup_multi_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    nation = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_2", "NATION_7", "NATION_11", "NATION_19")
+    )
+    part = t(spark, sf_dir, "part")
+    n = F.count("*")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+    )
+    return (
+        joined.rollup("p_type", "n_name")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_state"),
+            n.alias("n_rows"),
+            F.round(F.sum(_dec("l_quantity", QTY)).cast("double") / n, 6).alias("agg1"),
+            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("agg2"),
+            F.round(F.sum(_dec("l_discount", FRAC)).cast("double") / n, 6).alias("agg3"),
+            F.round(
+                F.sum(_dec("o_totalprice", "decimal(14,2)")).cast("double") / n, 6
+            ).alias("agg4"),
+        )
+        .orderBy(F.col("p_type").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+        .limit(100)
+    )
+
+
+# --- q78 shape: per-channel no-returns rollups LEFT JOIN chained ------------
+
+_Q78_RET = """
+    SELECT DISTINCT l_orderkey AS r_orderkey, l_partkey AS r_partkey
+    FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def _q78_channel_sql(mod: int) -> str:
+    # Grouped by (year, customer) rather than the reference's (year, item,
+    # customer): the synthetic fixture has no repeat-purchase structure, so
+    # the item-level key would leave the triple-channel screen vacuously
+    # empty at every SF. The operator chain is unchanged.
+    return f"""
+        SELECT year(o_orderdate) AS yr, o_custkey AS ck,
+               SUM({_SQL_QTY}) AS qty, SUM({_SQL_PRICE}) AS sp
+        FROM lineitem
+        LEFT JOIN ret ON l_orderkey = r_orderkey AND l_partkey = r_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE r_orderkey IS NULL AND l_linenumber % 3 = {mod}
+        GROUP BY year(o_orderdate), o_custkey
+    """
+
+
+@query(
+    "tpcds_q78_channel_ratio_chain",
+    oracle=f"""
+    WITH ret AS ({_Q78_RET}),
+    ss AS ({_q78_channel_sql(0)}),
+    ws AS ({_q78_channel_sql(1)}),
+    cs AS ({_q78_channel_sql(2)})
+    SELECT ss.yr, ss.ck,
+           round(CAST(ss.qty AS DOUBLE)
+                 / CAST(COALESCE(ws.qty + cs.qty, 1) AS DOUBLE), 2) AS ratio,
+           CAST(ss.qty AS DOUBLE) AS store_qty,
+           CAST(COALESCE(ws.qty, 0) + COALESCE(cs.qty, 0) AS DOUBLE)
+               AS other_chan_qty,
+           CAST(COALESCE(ws.sp, 0) + COALESCE(cs.sp, 0) AS DOUBLE)
+               AS other_chan_sales_price
+    FROM ss
+    LEFT JOIN ws ON ws.yr = ss.yr AND ws.ck = ss.ck
+    LEFT JOIN cs ON cs.yr = ss.yr AND cs.ck = ss.ck
+    WHERE COALESCE(ws.qty, 0) > 0 AND COALESCE(cs.qty, 0) > 0
+      AND ss.yr = 1995
+    ORDER BY ss.ck
+    LIMIT 100
+    """,
+    doc="TPC-DS q78 shape (sql/presto/tpcds/q78.sql): three per-channel "
+    "CTEs each excluding returned rows via LEFT JOIN + IS NULL (the "
+    "outer-join anti idiom, not the ANTI keyword), rolled up to (year, "
+    "item, customer), then chained with two LEFT JOINs and screened to "
+    "customers active in ALL channels — outer joins whose null-extension "
+    "is immediately constrained by COALESCE screens. Channels are the "
+    "l_linenumber mod-3 split; returns are flag-'R' order/part pairs. "
+    "Keyed by (year, customer) — the fixture has no repeat-purchase "
+    "structure, so the reference's item-level key would be vacuous.",
+    tags=("tpcds", "outerjoin"),
+)
+def tpcds_q78_channel_ratio_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+        )
+        .distinct()
+    )
+
+    def channel(mod: int, pre: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .join(
+                ret,
+                (li.l_orderkey == ret.r_orderkey) & (li.l_partkey == ret.r_partkey),
+                "left",
+            )
+            .filter(F.col("r_orderkey").isNull())
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(
+                F.year("o_orderdate").alias(f"{pre}_yr"),
+                F.col("o_custkey").alias(f"{pre}_ck"),
+            )
+            .agg(
+                F.sum(_dec("l_quantity", QTY)).alias(f"{pre}_qty"),
+                F.sum(_dec("l_extendedprice", PRICE)).alias(f"{pre}_sp"),
+            )
+        )
+
+    ss, ws, cs = channel(0, "ss"), channel(1, "ws"), channel(2, "cs")
+    joined = (
+        ss.join(
+            ws,
+            (ss.ss_yr == ws.ws_yr) & (ss.ss_ck == ws.ws_ck),
+            "left",
+        )
+        .join(
+            cs,
+            (ss.ss_yr == cs.cs_yr) & (ss.ss_ck == cs.cs_ck),
+            "left",
+        )
+        .filter(
+            (F.coalesce(F.col("ws_qty"), F.lit(0)) > 0)
+            & (F.coalesce(F.col("cs_qty"), F.lit(0)) > 0)
+            & (F.col("ss_yr") == 1995)
+        )
+    )
+    zero = F.lit(0).cast(QTY)
+    zerop = F.lit(0).cast(PRICE)
+    return (
+        joined.select(
+            F.col("ss_yr").alias("yr"),
+            F.col("ss_ck").alias("ck"),
+            F.round(
+                F.col("ss_qty").cast("double")
+                / F.coalesce(F.col("ws_qty") + F.col("cs_qty"), F.lit(1)).cast("double"),
+                2,
+            ).alias("ratio"),
+            F.col("ss_qty").cast("double").alias("store_qty"),
+            (F.coalesce(F.col("ws_qty"), zero) + F.coalesce(F.col("cs_qty"), zero))
+            .cast("double")
+            .alias("other_chan_qty"),
+            (F.coalesce(F.col("ws_sp"), zerop) + F.coalesce(F.col("cs_sp"), zerop))
+            .cast("double")
+            .alias("other_chan_sales_price"),
+        )
+        .orderBy("ck")
+        .limit(100)
+    )
+
+
+# --- q17 shape: buy/return/re-buy chain with stats aggregates ---------------
+
+
+@query(
+    "tpcds_q17_repurchase_stats",
+    oracle=f"""
+    WITH bought AS (
+        SELECT o_custkey AS ck, p_brand AS bk, {_SQL_QTY} AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'N'
+          AND year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+    ),
+    returned AS (
+        SELECT o_custkey AS ck, p_brand AS bk, {_SQL_QTY} AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'R'
+          AND year(o_orderdate) = 1995 AND quarter(o_orderdate) <= 3
+    ),
+    rebought AS (
+        SELECT o_custkey AS ck, p_brand AS bk, {_SQL_QTY} AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_returnflag = 'A'
+          AND year(o_orderdate) = 1995 AND quarter(o_orderdate) <= 3
+    )
+    SELECT b.bk AS p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           round(CAST(SUM(b.qty) AS DOUBLE) / COUNT(*), 6) AS buy_avg,
+           round(COALESCE(stddev_samp(CAST(b.qty AS DOUBLE)), 0), 4) AS buy_sd,
+           round(CAST(SUM(r.qty) AS DOUBLE) / COUNT(*), 6) AS ret_avg,
+           round(COALESCE(stddev_samp(CAST(r.qty AS DOUBLE)), 0), 4) AS ret_sd,
+           round(CAST(SUM(rb.qty) AS DOUBLE) / COUNT(*), 6) AS rebuy_avg
+    FROM bought b
+    JOIN returned r ON b.ck = r.ck AND b.bk = r.bk
+    JOIN rebought rb ON b.ck = rb.ck AND b.bk = rb.bk
+    GROUP BY b.bk
+    ORDER BY b.bk
+    LIMIT 100
+    """,
+    doc="TPC-DS q17 shape (sql/presto/tpcds/q17.sql): the "
+    "buy/return/re-buy behavioral chain — three filtered fact slices "
+    "(store sale in Q1, return in Q1-Q3, catalog re-purchase in Q1-Q3, "
+    "played by l_returnflag N/R/A) joined on (customer, brand) — the "
+    "fixture has no repeat (customer, item) purchases, so the "
+    "reference's item-level chain would be vacuous at every SF — with "
+    "count/avg/stddev_samp quantity statistics per brand. A three-way "
+    "fact self-join feeding statistical aggregates; averages use the "
+    "exact-decimal-sum convention, stddev is rounded (parallel float "
+    "summation, module convention).",
+    tags=("tpcds", "join", "aggregation"),
+)
+def tpcds_q17_repurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+
+    def slice_(flag: str, max_quarter: int, pre: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_returnflag") == flag)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .filter(
+                (F.year("o_orderdate") == 1995)
+                & (F.quarter("o_orderdate") <= max_quarter)
+            )
+            .join(part, li.l_partkey == part.p_partkey)
+            .select(
+                F.col("o_custkey").alias(f"{pre}_ck"),
+                F.col("p_brand").alias(f"{pre}_bk"),
+                _dec("l_quantity", QTY).alias(f"{pre}_qty"),
+            )
+        )
+
+    b = slice_("N", 1, "b")
+    r = slice_("R", 3, "r")
+    rb = slice_("A", 3, "rb")
+    n = F.count("*")
+    return (
+        b.join(r, (b.b_ck == r.r_ck) & (b.b_bk == r.r_bk))
+        .join(rb, (b.b_ck == rb.rb_ck) & (b.b_bk == rb.rb_bk))
+        .groupBy(F.col("b_bk").alias("p_brand"))
+        .agg(
+            n.alias("n_chains"),
+            F.round(F.sum("b_qty").cast("double") / n, 6).alias("buy_avg"),
+            F.round(
+                F.coalesce(F.stddev_samp(F.col("b_qty").cast("double")), F.lit(0.0)), 4
+            ).alias("buy_sd"),
+            F.round(F.sum("r_qty").cast("double") / n, 6).alias("ret_avg"),
+            F.round(
+                F.coalesce(F.stddev_samp(F.col("r_qty").cast("double")), F.lit(0.0)), 4
+            ).alias("ret_sd"),
+            F.round(F.sum("rb_qty").cast("double") / n, 6).alias("rebuy_avg"),
+        )
+        .orderBy("p_brand")
+        .limit(100)
+    )
+
+
+# --- q31 shape: quarter-over-quarter growth, two channels, self-joins -------
+
+_Q31_QSUM = f"""
+    SELECT n_name, quarter(o_orderdate) AS qtr, l_linenumber % 2 AS chan,
+           SUM({_SQL_PRICE}) AS sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) <= 2
+    GROUP BY n_name, quarter(o_orderdate), l_linenumber % 2
+"""
+
+
+@query(
+    "tpcds_q31_qoq_channel_growth",
+    oracle=f"""
+    WITH qs AS ({_Q31_QSUM})
+    SELECT ss1.n_name,
+           CAST(ss2.sales AS DOUBLE) / CAST(ss1.sales AS DOUBLE) AS store_growth,
+           CAST(ws2.sales AS DOUBLE) / CAST(ws1.sales AS DOUBLE) AS web_growth
+    FROM qs ss1
+    JOIN qs ss2 ON ss1.n_name = ss2.n_name AND ss2.qtr = 2 AND ss2.chan = 0
+    JOIN qs ws1 ON ss1.n_name = ws1.n_name AND ws1.qtr = 1 AND ws1.chan = 1
+    JOIN qs ws2 ON ss1.n_name = ws2.n_name AND ws2.qtr = 2 AND ws2.chan = 1
+    WHERE ss1.qtr = 1 AND ss1.chan = 0
+      AND CAST(ss1.sales AS DOUBLE) > 0 AND CAST(ws1.sales AS DOUBLE) > 0
+      AND CAST(ws2.sales AS DOUBLE) / CAST(ws1.sales AS DOUBLE)
+          > CAST(ss2.sales AS DOUBLE) / CAST(ss1.sales AS DOUBLE)
+    ORDER BY ss1.n_name
+    """,
+    doc="TPC-DS q31 shape (sql/presto/tpcds/q31.sql): one quarterly "
+    "per-channel aggregate CTE consumed FOUR times (store/web x Q1/Q2) "
+    "through a same-source equi-join chain on the nation key, screening "
+    "nations whose web growth outpaced store growth — the repeated-CTE "
+    "multi-self-join shape with a cross-derived-column comparison "
+    "predicate. Ratios divide exact decimal sums in DOUBLE (identical "
+    "operands both engines).",
+    tags=("tpcds", "join", "cte"),
+)
+def tpcds_q31_qoq_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    qs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter((F.year("o_orderdate") == 1995) & (F.quarter("o_orderdate") <= 2))
+        .groupBy(
+            "n_name",
+            F.quarter("o_orderdate").alias("qtr"),
+            (F.col("l_linenumber") % 2).alias("chan"),
+        )
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sales"))
+    )
+
+    def leg(qtr: int, chan: int, pre: str) -> DataFrame:
+        return qs.filter((F.col("qtr") == qtr) & (F.col("chan") == chan)).select(
+            F.col("n_name").alias(f"{pre}_n"),
+            F.col("sales").cast("double").alias(f"{pre}_sales"),
+        )
+
+    ss1, ss2 = leg(1, 0, "ss1"), leg(2, 0, "ss2")
+    ws1, ws2 = leg(1, 1, "ws1"), leg(2, 1, "ws2")
+    return (
+        ss1.join(ss2, ss1.ss1_n == ss2.ss2_n)
+        .join(ws1, ss1.ss1_n == ws1.ws1_n)
+        .join(ws2, ss1.ss1_n == ws2.ws2_n)
+        .filter((F.col("ss1_sales") > 0) & (F.col("ws1_sales") > 0))
+        .withColumn("store_growth", F.col("ss2_sales") / F.col("ss1_sales"))
+        .withColumn("web_growth", F.col("ws2_sales") / F.col("ws1_sales"))
+        .filter(F.col("web_growth") > F.col("store_growth"))
+        .select(F.col("ss1_n").alias("n_name"), "store_growth", "web_growth")
+        .orderBy("n_name")
+    )
+
+
+# --- q65 shape: agg-of-agg screen (items under 10% of store average) --------
+
+
+@query(
+    "tpcds_q65_below_avg_revenue",
+    oracle=f"""
+    WITH sa AS (
+        SELECT c_nationkey AS nk, l_partkey AS pk, SUM({_SQL_PRICE}) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, l_partkey
+    ),
+    sb AS (
+        SELECT nk, CAST(SUM(revenue) AS DOUBLE) / COUNT(*) AS ave
+        FROM sa GROUP BY nk
+    )
+    SELECT n_name, p_name, CAST(sa.revenue AS DOUBLE) AS revenue,
+           round(sb.ave, 6) AS store_avg
+    FROM sa
+    JOIN sb ON sa.nk = sb.nk
+    JOIN part ON sa.pk = p_partkey
+    JOIN nation ON sa.nk = n_nationkey
+    WHERE CAST(sa.revenue AS DOUBLE) <= 0.1 * sb.ave
+    ORDER BY n_name, p_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q65 shape (sql/presto/tpcds/q65.sql): per-(store, item) "
+    "revenue joined against the per-store AVERAGE of those same revenues "
+    "— an aggregate-of-aggregate (sb aggregates sa's output) re-joined to "
+    "its own input with a non-equi screen (revenue <= 10% of average), "
+    "then decorated from two dimensions. The Spark plan broadcasts the "
+    "tiny second-level aggregate.",
+    tags=("tpcds", "aggregation", "join"),
+)
+def tpcds_q65_below_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    nation = t(spark, sf_dir, "nation")
+    sa = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("revenue_dec"))
+    )
+    sb = sa.groupBy("nk").agg(
+        (F.sum("revenue_dec").cast("double") / F.count("*")).alias("ave")
+    ).withColumnRenamed("nk", "sb_nk")
+    return (
+        sa.join(F.broadcast(sb), sa.nk == sb.sb_nk)
+        .filter(F.col("revenue_dec").cast("double") <= 0.1 * F.col("ave"))
+        .join(part, sa.pk == part.p_partkey)
+        .join(F.broadcast(nation), sa.nk == nation.n_nationkey)
+        .select(
+            "n_name", "p_name",
+            F.col("revenue_dec").cast("double").alias("revenue"),
+            F.round("ave", 6).alias("store_avg"),
+        )
+        .orderBy("n_name", "p_name")
+        .limit(100)
+    )
+
+
+# --- q92 shape: excess-discount correlated-average screen -------------------
+
+_Q92_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))"
+)
+
+
+@query(
+    "tpcds_q92_excess_discount",
+    oracle=f"""
+    WITH w AS (
+        SELECT l_partkey, {_Q92_DISC} AS disc_amt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-06-01 00:00:00'
+    )
+    SELECT round(CAST(SUM(disc_amt) AS DOUBLE), 2) AS excess_discount
+    FROM w w1
+    WHERE CAST(disc_amt AS DOUBLE) > 1.3 * (
+        SELECT CAST(SUM(disc_amt) AS DOUBLE) / COUNT(*)
+        FROM w w2 WHERE w2.l_partkey = w1.l_partkey
+    )
+    """,
+    doc="TPC-DS q92 shape (sql/presto/tpcds/q92.sql): the excess-discount "
+    "scan — every line whose discount amount exceeds 1.3x the average "
+    "discount for the SAME item over the same 90-day window, summed to a "
+    "single scalar. The oracle keeps the literal correlated scalar "
+    "subquery over the shared CTE; Spark expresses the per-item average "
+    "as a window over one scan (one shuffle on the item key, no per-row "
+    "re-aggregation), the q01 decorrelation discipline.",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q92_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    w = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp"))
+    ).select(
+        "l_partkey",
+        (_dec("l_extendedprice", PRICE) * _dec("l_discount", FRAC)).alias("disc_amt"),
+    )
+    win = Window.partitionBy("l_partkey")
+    screened = w.withColumn(
+        "item_avg",
+        F.sum("disc_amt").over(win).cast("double") / F.count("*").over(win),
+    ).filter(F.col("disc_amt").cast("double") > 1.3 * F.col("item_avg"))
+    return screened.agg(
+        F.round(F.sum("disc_amt").cast("double"), 2).alias("excess_discount")
+    )
+
+
+# --- q48 shape: disjunction-of-conjunctions quantity scan -------------------
+
+
+@query(
+    "tpcds_q48_disjunctive_scan",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(SUM({_SQL_QTY}) AS DOUBLE) AS total_qty,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE (
+            (c_mktsegment = 'BUILDING'
+             AND l_quantity BETWEEN 1 AND 15
+             AND l_discount BETWEEN 0.00 AND 0.04)
+         OR (c_mktsegment = 'MACHINERY'
+             AND l_quantity BETWEEN 16 AND 35
+             AND l_discount BETWEEN 0.03 AND 0.07)
+         OR (c_mktsegment = 'FURNITURE'
+             AND l_quantity BETWEEN 36 AND 50
+             AND l_discount BETWEEN 0.06 AND 0.10)
+          )
+      AND (
+            (n_name IN ('NATION_0', 'NATION_3', 'NATION_6', 'NATION_9', 'NATION_12', 'NATION_15', 'NATION_18', 'NATION_21')
+             AND l_extendedprice BETWEEN 0 AND 20000)
+         OR (n_name IN ('NATION_1', 'NATION_4', 'NATION_7', 'NATION_10', 'NATION_13', 'NATION_16', 'NATION_19', 'NATION_22')
+             AND l_extendedprice BETWEEN 20000 AND 60000)
+          )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-DS q48 shape (sql/presto/tpcds/q48.sql): the "
+    "disjunction-of-conjunctions scan — three (segment, quantity-band, "
+    "discount-band) arms OR-ed together, conjoined with a second "
+    "two-arm (nation-set, price-band) disjunction, over a four-table "
+    "join. Exercises complex boolean predicate normalization and "
+    "partial pushdown (the lineitem-only conjuncts of each arm cannot "
+    "be factored below the join; the filter sits above it in both "
+    "engines).",
+    tags=("tpcds", "filter"),
+)
+def tpcds_q48_disjunctive_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    seg = F.col("c_mktsegment")
+    qty = F.col("l_quantity")
+    disc = F.col("l_discount")
+    price = F.col("l_extendedprice")
+    arm1 = (
+        ((seg == "BUILDING") & qty.between(1, 15) & disc.between(0.00, 0.04))
+        | ((seg == "MACHINERY") & qty.between(16, 35) & disc.between(0.03, 0.07))
+        | ((seg == "FURNITURE") & qty.between(36, 50) & disc.between(0.06, 0.10))
+    )
+    arm2a = F.col("n_name").isin("NATION_0", "NATION_3", "NATION_6", "NATION_9", "NATION_12", "NATION_15", "NATION_18", "NATION_21") & price.between(0, 20000)
+    arm2b = F.col("n_name").isin("NATION_1", "NATION_4", "NATION_7", "NATION_10", "NATION_13", "NATION_16", "NATION_19", "NATION_22") & price.between(
+        20000, 60000
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .filter(arm1 & (arm2a | arm2b))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_dec("l_quantity", QTY)).cast("double").alias("total_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q10 shape: EXISTS AND (EXISTS OR EXISTS) customer screen ---------------
+
+
+@query(
+    "tpcds_q10_exists_or_exists",
+    oracle="""
+    SELECT c_mktsegment, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey
+              AND year(o_orderdate) = 1995 AND quarter(o_orderdate) <= 2
+          )
+      AND (
+          EXISTS (
+            SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey = c_custkey AND l_linenumber % 3 = 1
+          )
+          OR EXISTS (
+            SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_custkey = c_custkey AND l_linenumber % 3 = 2
+          )
+          )
+    GROUP BY c_mktsegment, n_name
+    ORDER BY c_mktsegment, n_name
+    """,
+    doc="TPC-DS q10 shape (sql/presto/tpcds/q10.sql): customers screened "
+    "by EXISTS (store activity window) AND an OR of two more EXISTS "
+    "(web / catalog channel activity), then counted per demographic "
+    "cell. The OR-of-EXISTS cannot be two chained semi-joins (ANDs "
+    "semantics); Spark expresses it as ONE semi-join against the "
+    "UNION of the two channels' customer keys — distinct-union "
+    "pushdown of a disjunctive ApplyNode — after the plain semi-join "
+    "for the first EXISTS.",
+    tags=("tpcds", "subquery", "join"),
+)
+def tpcds_q10_exists_or_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    active = (
+        orders.filter(
+            (F.year("o_orderdate") == 1995) & (F.quarter("o_orderdate") <= 2)
+        )
+        .select(F.col("o_custkey").alias("a_ck"))
+        .distinct()
+    )
+
+    def chan_keys(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("o_custkey").alias("ch_ck"))
+        )
+
+    either = chan_keys(1).union(chan_keys(2)).distinct()
+    return (
+        cust.join(active, cust.c_custkey == active.a_ck, "left_semi")
+        .join(either, cust.c_custkey == either.ch_ck, "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_mktsegment", "n_name")
+    )
