@@ -77,24 +77,66 @@ ORDER BY window_start, event_type
 """
 
 
+def tumbling_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production operator: hourly rollup with HLL distinct users —
+    ONE ordinary hash-agg shuffle, Expand-free, fixed-size registers
+    partial-aggregated map-side (plan pinned in tests/test_hll_rollup.py).
+    The registered conformance row wraps this with its exact twin to
+    produce a value-checked oracle; at 100 TB you run THIS shape."""
+    return sql_over(spark, sf_dir, _TUMBLING_HLL_SQL, ("events",))
+
+
+_TUMBLING_HLL_CHECK_SQL = f"""
+WITH hll AS ({_TUMBLING_HLL_SQL.replace("ORDER BY window_start, event_type", "")}),
+exact AS (
+    SELECT {_bucket("spark", secs=3600)} AS window_start,
+           event_type,
+           count(DISTINCT user_id) AS n_users_exact
+    FROM events
+    GROUP BY 1, 2
+)
+SELECT h.window_start, h.event_type, h.n_events, h.total_value,
+       e.n_users_exact,
+       abs(h.approx_users - e.n_users_exact)
+           <= greatest(3.0, 0.15 * e.n_users_exact) AS users_within_tol
+FROM hll h
+JOIN exact e ON h.window_start = e.window_start AND h.event_type = e.event_type
+ORDER BY h.window_start, h.event_type
+"""
+
+_TUMBLING_HLL_ORACLE = f"""
+SELECT {_bucket("duck", secs=3600)} AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users_exact,
+       TRUE AS users_within_tol
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 @query(
     "events_tumbling_window_hll",
-    oracle=None,  # HLL estimates are engine-specific; error-bounded vs the
-    # exact twin in tests/test_hll_rollup.py, plan pinned to a single
-    # non-Expand shuffle there too.
+    oracle=_TUMBLING_HLL_ORACLE,
     doc="Hourly rollup with HLL distinct users — the 100 TB-preferred twin "
     "of events_tumbling_window: exact count(DISTINCT) costs an extra "
     "exchange keyed by (bucket, type, user_id), a shuffle that scales with "
     "distinct-user cardinality, while the HLL register is fixed-size per "
-    "group and partial-aggregates map-side, so the plan is ONE ordinary "
-    "hash-agg shuffle. Same shape the streaming twin uses "
-    "(streaming/events_stream.py tumbling_counts); for re-aggregatable "
-    "sketch rollups see fn_hll_merge (queries/functions_sql.py). "
-    "Approximation analog: ApproximateCountDistinctAggregation.java:44.",
+    "group and partial-aggregates map-side, so the production shape "
+    "(tumbling_hll_rollup, plan-pinned Expand-free in "
+    "tests/test_hll_rollup.py) is ONE ordinary hash-agg shuffle. This "
+    "conformance row joins the sketch rollup with its exact twin so the "
+    "driver value-checks the exact columns AND a per-group "
+    "users_within_tol boolean (HLL++ rsd 0.05, 3-sigma + small-group "
+    "slack) — the fn_kll_quantile tolerance-oracle pattern. Streaming "
+    "twin: streaming/events_stream.py tumbling_counts. Approximation "
+    "analog: ApproximateCountDistinctAggregation.java:44.",
     tags=("events",),
 )
 def events_tumbling_window_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _TUMBLING_HLL_SQL, ("events",))
+    return sql_over(spark, sf_dir, _TUMBLING_HLL_CHECK_SQL, ("events",))
 
 
 def _sessionize_sql(d: str) -> str:

@@ -18,7 +18,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from ..operators import similarity as S
 from .registry import query, sql_over
@@ -156,26 +157,86 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _centroid_sql("spark"), ("embeddings",))
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+_IVF_ORACLE = f"""
+SELECT CAST({TOP_K} AS INT) AS k,
+       CAST({TOP_K} AS BIGINT) AS n_partial,
+       CAST({TOP_K} AS BIGINT) AS n_full,
+       TRUE AS full_probe_matches_bruteforce,
+       TRUE AS partial_scores_dominated
+"""
+
+
 @query(
     "sim_topk_ivf",
-    oracle=None,  # KMeans training is iterative — recall-tested in tests/test_ivf.py
+    oracle=_IVF_ORACLE,
     doc="IVF ANN top-k: MLlib KMeans cells + nprobe-nearest-cell search "
     "(learned counterpart of sim_topk_signbucket; presto-ml niche analog). "
-    "Rows-only for the driver; correctness = recall bounds vs brute force.",
+    "KMeans training is iterative so the raw result set has no SQL twin; "
+    "the row instead emits the MECHANISM invariants as value-checked "
+    "booleans (the sim_topk_ivf tolerance-oracle pattern): probing all "
+    f"{_IVF_CELLS} cells IS brute force (result sets equal), and the "
+    f"partial nprobe={_IVF_NPROBE} probe returns a full top-k whose "
+    "per-rank scores are pointwise dominated by the exact top-k. The "
+    "absolute-recall curve (nondecreasing in nprobe) stays in "
+    "tests/test_ivf.py.",
     tags=("similarity",),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ensure_ivf_index, ivf_topk
     from .registry import t
 
+    S.register_vector_udfs(spark)
     emb = t(spark, sf_dir, "embeddings")
     query_vec = list(emb.filter(f"vec_id = {QUERY_VEC_ID}").collect()[0]["embedding"])
     # Build-once/probe-many: the index is a persisted cell-partitioned table
     # (rebuilt only when missing); each query is a partition-pruned probe.
     assigned, centroids = ensure_ivf_index(
-        spark, emb.filter(f"vec_id <> {QUERY_VEC_ID}"), key=f"{sf_dir}:no_query_vec", k=16
+        spark, emb.filter(f"vec_id <> {QUERY_VEC_ID}"), key=f"{sf_dir}:no_query_vec",
+        k=_IVF_CELLS,
     )
-    return ivf_topk(assigned, centroids, query_vec, top_k=TOP_K, nprobe=4)
+    w = Window.orderBy(F.desc("cosine_sim"), "vec_id")
+
+    def ranked(df: DataFrame, pre: str) -> DataFrame:
+        return df.select(
+            F.col("vec_id").alias(f"{pre}_id"),
+            F.col("cosine_sim").alias(f"{pre}_cos"),
+            F.row_number().over(w).alias(f"{pre}_rank"),
+        )
+
+    bf = ranked(
+        sql_over(spark, sf_dir, _topk_sql("spark"), ("embeddings",)), "bf"
+    )
+    partial = ranked(
+        ivf_topk(assigned, centroids, query_vec, top_k=TOP_K, nprobe=_IVF_NPROBE),
+        "pp",
+    )
+    full = ranked(
+        ivf_topk(assigned, centroids, query_vec, top_k=TOP_K, nprobe=_IVF_CELLS),
+        "fp",
+    )
+    # full probe == brute force as SETS (matched ids at any rank)
+    full_matches = full.join(bf, full.fp_id == bf.bf_id, "left_semi").agg(
+        F.count("*").alias("n_match")
+    )
+    # partial probe: per-rank score dominated by the exact per-rank score
+    dominance = partial.join(bf, partial.pp_rank == bf.bf_rank).agg(
+        F.count("*").alias("n_partial_rows"),
+        F.min(F.col("pp_cos") <= F.col("bf_cos") + 1e-6).alias("dominated"),
+    )
+    return (
+        dominance.crossJoin(full_matches)
+        .crossJoin(full.agg(F.count("*").alias("n_full_rows")))
+        .select(
+            F.lit(TOP_K).cast("int").alias("k"),
+            F.col("n_partial_rows").alias("n_partial"),
+            F.col("n_full_rows").alias("n_full"),
+            (F.col("n_match") == TOP_K).alias("full_probe_matches_bruteforce"),
+            F.col("dominated").alias("partial_scores_dominated"),
+        )
+    )
 
 
 # --- batch kNN join (many-query top-k) -------------------------------------

