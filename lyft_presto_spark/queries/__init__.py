@@ -53,30 +53,59 @@ from .registry import REGISTRY, Query, query
 # (op_window_frames), events (events_sessionize), text (text_decontaminate),
 # dedup (dedup_exact, dedup_minhash_lsh), sim (sim_topk_bruteforce),
 # subquery (op_subquery_correlated), agg (op_agg_grouping_sets).
+# r7 rotation — ALL 28 non-TPC-H slots were r6-driver-green (VERDICT r6:
+# 50/50 green, 13 first-time), so all 28 yield to rows the driver has
+# NEVER scored (VERDICT r6 next-round #1 asked for >= 10; the r6 geometry
+# builds and long-unscored families are prioritized as listed there).
+# Out (r6-green) -> in (never scored): op_join_semi -> op_pivot;
+# fn_geo_polygon_predicates -> fn_geo_collection; op_spatial_polygon_join
+# -> fn_geo_buffer_line; op_agg_grouping_sets -> fn_geo_buffer_polygon;
+# op_window_frames -> fn_geo_union_array; fn_geo_relate ->
+# fn_geo_relate_mixed; fn_geo_relate_pairs -> fn_geo_relate_lines;
+# op_unnest -> fn_geo_distance_pairs; op_subquery_correlated ->
+# op_subquery_quantified; op_asof_join -> fn_geo_intersection_pieces (NEW
+# r7: mixed-dimension ST_Intersection); op_spatial_polygon_pair_join ->
+# fn_checksum; fn_geo_boolean_ops -> fn_approx_agg; tpcds_q01 ->
+# tpcds_q67_rollup_topn (NEW r7); tpcds_q36 -> tpcds_q27_rollup_multi_avg
+# (NEW r7); tpcds_q51 -> tpcds_q78_channel_ratio_chain (NEW r7);
+# tpcds_q95 -> tpcds_q92_excess_discount (NEW r7); fn_kll_quantile ->
+# fn_theta_setdigest; tpcds_q14 -> tpcds_q10_exists_or_exists (NEW r7);
+# geo_union_area_sweep -> fn_map_agg; fn_array_hof -> events_retention;
+# fn_hll_merge -> events_click_attribution; events_sessionize ->
+# events_tumbling_window_hll (value-checked oracle NEW in r7 — exact
+# columns + tolerance boolean); text_langid_confusion ->
+# text_train_test_split; text_decontaminate -> text_fingerprint;
+# dedup_exact -> dedup_ngram_jaccard; dedup_minhash_lsh ->
+# sim_pairs_blocked; sim_topk_bruteforce -> sim_topk_ivf (value-checked
+# mechanism-boolean oracle NEW in r7); multimodal_features ->
+# multimodal_decode. Family coverage after rotation: geo 9 rows, fn 4,
+# events 3, text 2, tpcds 5, dedup 1, sim 2, multimodal 1, op 2 — every
+# family keeps >= 1 scored row, now through a first-time representative.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (cheap, core evidence)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # Core operator paths, one representative per physical machinery.
-    "op_join_semi", "fn_geo_polygon_predicates",
-    "op_spatial_polygon_join", "op_agg_grouping_sets",
-    "op_window_frames", "fn_geo_relate",
-    "fn_geo_relate_pairs", "op_unnest", "op_subquery_correlated",
-    "op_asof_join", "op_spatial_polygon_pair_join", "fn_geo_boolean_ops",
-    # TPC-DS-shape corpus (never scored before r6)
-    "tpcds_q01_returns_above_avg", "tpcds_q36_rollup_margin_rank",
-    "tpcds_q51_cumulative_crossover", "tpcds_q95_multi_supplier_returns",
-    # Scalar/aggregate function families
-    "fn_kll_quantile", "tpcds_q14_cross_channel_items", "geo_union_area_sweep",
-    "fn_array_hof", "fn_hll_merge",
-    # Extension families — ≥1 driver-green row each
-    "events_sessionize",
-    "text_langid_confusion", "text_decontaminate",
-    "dedup_exact", "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
-    "multimodal_features",
+    # Geometry: the r6 builds never scored + the r7 mixed-dimension overlay
+    "fn_geo_collection", "fn_geo_relate_mixed", "fn_geo_relate_lines",
+    "fn_geo_buffer_line", "fn_geo_buffer_polygon", "fn_geo_union_array",
+    "fn_geo_distance_pairs", "fn_geo_intersection_pieces",
+    # Core operator paths never scored
+    "op_pivot", "op_subquery_quantified",
+    # Long-unscored function families
+    "fn_checksum", "fn_approx_agg", "fn_theta_setdigest", "fn_map_agg",
+    # TPC-DS-shape corpus (new in r7)
+    "tpcds_q67_rollup_topn", "tpcds_q27_rollup_multi_avg",
+    "tpcds_q78_channel_ratio_chain", "tpcds_q92_excess_discount",
+    "tpcds_q10_exists_or_exists",
+    # Extension families — first-time representatives
+    "events_retention", "events_click_attribution",
+    "events_tumbling_window_hll",
+    "text_train_test_split", "text_fingerprint",
+    "dedup_ngram_jaccard",
+    "sim_pairs_blocked", "sim_topk_ivf",
+    "multimodal_decode",
 )
 
 
