@@ -39,9 +39,13 @@ EXEMPT = {
     "sim_pairs_blocked": "pairwise stats within label blocks — O(sum block^2) by contract",
 }
 
-# Local-only rows sampled into the ratio sweep beyond the benched headline
-# set (VERDICT r4 next-round #6): every extension family is represented so
-# a scale regression in a non-benched operator still trips the guard.
+# r7 (VERDICT r6 next-round #5): the sweep covers the ENTIRE registry —
+# every registered query, not a curated sample — so a scale regression in
+# ANY operator trips the guard, including the overlay-backed geometry rows
+# whose per-row Python cost is the one place superlinearity could hide.
+SWEEP_FULL_REGISTRY = os.environ.get("SPARK_GRAFT_RATIO_FULL", "1") == "1"
+
+# Historical curated extras (kept for SPARK_GRAFT_RATIO_FULL=0 quick runs).
 RATIO_EXTRAS = (
     # geo
     "fn_geo_point_distance", "fn_geo_polygon_measures", "fn_geo_tile_cover",
@@ -80,9 +84,12 @@ RATIO_EXTRAS = (
 
 def main() -> None:
     queries = all_queries()
-    names = [n for n in sorted(queries) if n.startswith(HEADLINE_PREFIXES)]
-    names += [n for n in HEADLINE_EXTRAS if n in queries]
-    names += [n for n in RATIO_EXTRAS if n in queries and n not in names]
+    if SWEEP_FULL_REGISTRY:
+        names = sorted(queries)
+    else:
+        names = [n for n in sorted(queries) if n.startswith(HEADLINE_PREFIXES)]
+        names += [n for n in HEADLINE_EXTRAS if n in queries]
+        names += [n for n in RATIO_EXTRAS if n in queries and n not in names]
 
     spark = build_session(app_name="lyft_presto_spark_ratios")
     spark.range(1_000_000).selectExpr("sum(id) AS s").collect()
