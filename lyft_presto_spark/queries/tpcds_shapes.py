@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.staging import staged
-from .registry import query, t
+from .registry import query, sql_over, t
 from .tpch import FRAC, PRICE, QTY, SQL_DISC_PRICE, _dec, disc_price
 
 # Monday before the fixture's earliest order date (1995-01-01), so day
@@ -1781,4 +1781,356 @@ def tpcds_q10_exists_or_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "n_name")
         .agg(F.count("*").alias("n_customers"))
         .orderBy("c_mktsegment", "n_name")
+    )
+
+
+# --- q62 shape: shipping-lag day-diff buckets -------------------------------
+
+
+@query(
+    "tpcds_q62_shipping_lag_buckets",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT)
+               AS d30,
+           CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lag_days > 90 AND lag_days <= 120 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d120,
+           CAST(SUM(CASE WHEN lag_days > 120 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dmore
+    FROM (
+        SELECT o_orderpriority,
+               date_diff('day', o_orderdate, l_shipdate) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ) t
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-DS q62 shape (sql/presto/tpcds/q62.sql): fulfilment-lag "
+    "distribution — the day difference between two dates on OPPOSITE "
+    "sides of a join (order date vs ship date, playing sold vs shipped "
+    "date_sk) bucketed into five CASE bands and counted per dimension "
+    "(order priority plays ship mode). Date arithmetic feeding a "
+    "conditional-aggregation pivot, one fact pass.",
+    tags=("tpcds", "aggregation"),
+)
+def tpcds_q62_shipping_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("o_orderpriority", lag.alias("lag_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            band(F.col("lag_days") <= 30).alias("d30"),
+            band((F.col("lag_days") > 30) & (F.col("lag_days") <= 60)).alias("d60"),
+            band((F.col("lag_days") > 60) & (F.col("lag_days") <= 90)).alias("d90"),
+            band((F.col("lag_days") > 90) & (F.col("lag_days") <= 120)).alias("d120"),
+            band(F.col("lag_days") > 120).alias("dmore"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# --- q09 shape: scalar subqueries inside CASE projections -------------------
+
+# (band, threshold-per-unit-SF): each quantity band holds ~1.2M rows per
+# unit SF, so the chosen thresholds split the five CASEs into both
+# branches (1, 2, 5 above; 3, 4 below) with >8-sigma margins at every SF.
+# Both engines compute identical exact counts, so the branch taken is
+# always consistent; the spread just makes both branches load-bearing.
+_Q09_BANDS = (
+    (1, 10, 600_000),
+    (11, 20, 800_000),
+    (21, 30, 1_600_000),
+    (31, 40, 1_800_000),
+    (41, 50, 900_000),
+)
+
+
+def _q09_sql() -> str:
+    cols = []
+    for i, (lo, hi, thresh) in enumerate(_Q09_BANDS, 1):
+        base = f"FROM lineitem WHERE l_quantity BETWEEN {lo} AND {hi}"
+        cnt = f"(SELECT COUNT(*) {base})"
+        avg_price = (
+            f"(SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)"
+            f" / COUNT(*) {base})"
+        )
+        avg_disc = (
+            f"(SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))"
+            f" * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"
+            f" AS DOUBLE) / COUNT(*) {base})"
+        )
+        cols.append(
+            f"round(CASE WHEN {cnt} > {thresh} * sf THEN {avg_price}"
+            f" ELSE {avg_disc} END, 6) AS bucket{i}"
+        )
+    sel = ",\n           ".join(cols)
+    return f"""
+    SELECT {sel}
+    FROM (SELECT CAST(COUNT(*) AS DOUBLE) / 1500000.0 AS sf FROM orders) probe
+    """
+
+
+@query(
+    "tpcds_q09_case_scalar_subqueries",
+    oracle=_q09_sql(),
+    doc="TPC-DS q09 shape (sql/presto/tpcds/q09.sql): fifteen "
+    "uncorrelated scalar subqueries embedded in the CASE branches of one "
+    "single-row projection — each quantity band COUNTs the fact table to "
+    "choose which of two averages to report (EnforceSingleRowNode x15 "
+    "feeding conditional projection). The count threshold scales with a "
+    "probe-derived scale factor so the branch taken is SF-independent "
+    "only where the data says so. Averages are exact decimal sums "
+    "divided once in DOUBLE.",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q09_case_scalar_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _q09_sql(), ("lineitem", "orders"))
+
+
+# --- q66 shape: two-mode monthly pivot UNION ALL + re-aggregation -----------
+
+
+def _q66_leg_sql(mod: int, tag: str) -> str:
+    cols = ", ".join(
+        f"SUM(CASE WHEN month(o_orderdate) = {m} THEN {_SQL_PRICE}"
+        f" ELSE CAST(0 AS DECIMAL(12,2)) END) AS {tag}_m{m}"
+        for m in range(1, 7)
+    )
+    return f"""
+        SELECT n_name, year(o_orderdate) AS yr, {cols}
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_linenumber % 2 = {mod} AND year(o_orderdate) = 1995
+        GROUP BY n_name, year(o_orderdate)
+    """
+
+
+@query(
+    "tpcds_q66_monthly_mode_pivot",
+    oracle=f"""
+    WITH legs AS (
+        SELECT n_name, yr, {", ".join(f"a_m{m}" for m in range(1, 7))},
+               {", ".join(f"CAST(0 AS DECIMAL(12,2)) AS b_m{m}" for m in range(1, 7))}
+        FROM ({_q66_leg_sql(0, "a")}) x
+        UNION ALL
+        SELECT n_name, yr, {", ".join(f"CAST(0 AS DECIMAL(12,2)) AS a_m{m}" for m in range(1, 7))},
+               {", ".join(f"b_m{m}" for m in range(1, 7))}
+        FROM ({_q66_leg_sql(1, "b")}) y
+    )
+    SELECT n_name, yr,
+           {", ".join(f"CAST(SUM(a_m{m}) AS DOUBLE) AS mode_a_m{m}" for m in range(1, 7))},
+           {", ".join(f"CAST(SUM(b_m{m}) AS DOUBLE) AS mode_b_m{m}" for m in range(1, 7))}
+    FROM legs
+    GROUP BY n_name, yr
+    ORDER BY n_name, yr
+    """,
+    doc="TPC-DS q66 shape (sql/presto/tpcds/q66.sql): two ship-mode legs "
+    "(l_linenumber parity) each pivoting sales into six monthly CASE "
+    "columns, zero-padded to a common wide schema, UNION ALL'd, and "
+    "re-aggregated per (warehouse=nation, year) — the pivot-pad-union-"
+    "reaggregate idiom that fuses two channel scans into one wide row "
+    "set. Exact decimal accumulation end to end, cast once on output.",
+    tags=("tpcds", "aggregation", "setop"),
+)
+def tpcds_q66_monthly_mode_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    zero = F.lit(0).cast(PRICE)
+
+    # each leg aggregates its six monthly pivot columns, then pads the
+    # OTHER mode's columns with typed zeros so the union schema is wide
+    # and identical (the reference's zero-padded common shape)
+    def leg_df(mod: int, tag: str) -> DataFrame:
+        monthly = [
+            F.sum(
+                F.when(F.month("o_orderdate") == m, _dec("l_extendedprice", PRICE))
+                .otherwise(zero)
+            ).alias(f"{tag}_m{m}")
+            for m in range(1, 7)
+        ]
+        base = (
+            li.filter(F.col("l_linenumber") % 2 == mod)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+            .agg(*monthly)
+        )
+        sel = [F.col("n_name"), F.col("yr")]
+        for m in range(1, 7):
+            sel.append(F.col(f"a_m{m}") if tag == "a" else zero.alias(f"a_m{m}"))
+        for m in range(1, 7):
+            sel.append(F.col(f"b_m{m}") if tag == "b" else zero.alias(f"b_m{m}"))
+        return base.select(*sel)
+
+    legs = leg_df(0, "a").unionAll(leg_df(1, "b"))
+    agg = [
+        F.sum(f"a_m{m}").cast("double").alias(f"mode_a_m{m}") for m in range(1, 7)
+    ] + [
+        F.sum(f"b_m{m}").cast("double").alias(f"mode_b_m{m}") for m in range(1, 7)
+    ]
+    return legs.groupBy("n_name", "yr").agg(*agg).orderBy("n_name", "yr")
+
+
+# --- q40 shape: returns-adjusted sales with before/after pivot --------------
+
+_Q40_PIVOT = "1995-07-01"
+
+
+@query(
+    "tpcds_q40_returns_adjusted_pivot",
+    oracle=f"""
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey AS r_orderkey, l_partkey AS r_partkey
+        FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT n_name, p_brand,
+           round(CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_Q40_PIVOT} 00:00:00'
+               THEN CASE WHEN r_orderkey IS NULL THEN {_SQL_PRICE}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS sales_before,
+           round(CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_Q40_PIVOT} 00:00:00'
+               THEN CASE WHEN r_orderkey IS NULL THEN {_SQL_PRICE}
+                         ELSE CAST(0 AS DECIMAL(12,2)) END
+               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE), 2) AS sales_after
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN part ON l_partkey = p_partkey
+    LEFT JOIN ret ON l_orderkey = r_orderkey AND l_partkey = r_partkey
+    WHERE year(o_orderdate) = 1995 AND p_size <= 10
+    GROUP BY n_name, p_brand
+    ORDER BY n_name, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q40 shape (sql/presto/tpcds/q40.sql): catalog sales "
+    "LEFT JOINed to returns (unreturned lines keep their value, returned "
+    "lines contribute zero — the COALESCE-style null-extension use) "
+    "pivoted into before/after columns around a cutoff date, per "
+    "(warehouse=nation, item brand) with an item filter. Combines the "
+    "q93 returns-adjustment outer join with the q21 date pivot in one "
+    "aggregate.",
+    tags=("tpcds", "outerjoin", "aggregation"),
+)
+def tpcds_q40_returns_adjusted_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+        )
+        .distinct()
+    )
+    pivot_ts = F.lit(_Q40_PIVOT).cast("timestamp")
+    zero = F.lit(0).cast(PRICE)
+    kept = F.when(F.col("r_orderkey").isNull(), _dec("l_extendedprice", PRICE)).otherwise(zero)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .join(
+            ret,
+            (li.l_orderkey == ret.r_orderkey) & (li.l_partkey == ret.r_partkey),
+            "left",
+        )
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("o_orderdate") < pivot_ts, kept).otherwise(zero))
+                .cast("double"),
+                2,
+            ).alias("sales_before"),
+            F.round(
+                F.sum(F.when(F.col("o_orderdate") >= pivot_ts, kept).otherwise(zero))
+                .cast("double"),
+                2,
+            ).alias("sales_after"),
+        )
+        .orderBy("n_name", "p_brand")
+        .limit(100)
+    )
+
+
+# --- q33 shape: three-channel union restricted by an IN subquery ------------
+
+_Q33_TYPE_FILTER = "p_type LIKE 'TYPE_1%'"
+
+
+def _q33_leg_sql(mod: int) -> str:
+    return f"""
+        SELECT p_brand, SUM({_SQL_PRICE}) AS sales
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_linenumber % 3 = {mod}
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE {_Q33_TYPE_FILTER})
+        GROUP BY p_brand
+    """
+
+
+@query(
+    "tpcds_q33_three_channel_category",
+    oracle=f"""
+    WITH legs AS (
+        {_q33_leg_sql(0)}
+        UNION ALL
+        {_q33_leg_sql(1)}
+        UNION ALL
+        {_q33_leg_sql(2)}
+    )
+    SELECT p_brand, CAST(SUM(sales) AS DOUBLE) AS total_sales
+    FROM legs
+    GROUP BY p_brand
+    ORDER BY total_sales DESC, p_brand
+    LIMIT 50
+    """,
+    doc="TPC-DS q33 shape (sql/presto/tpcds/q33.sql): three channel legs "
+    "(l_linenumber mod 3), each restricted to a manufacturer/category "
+    "item set via an IN subquery on the dimension (semi-join under each "
+    "leg), UNION ALL'd and re-aggregated to total sales per brand — "
+    "semi-join + three-way union + re-aggregation, ordered by the "
+    "aggregate.",
+    tags=("tpcds", "setop", "join"),
+)
+def tpcds_q33_three_channel_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    keys = part.filter(_Q33_TYPE_FILTER).select("p_partkey")
+
+    def leg(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .join(keys, li.l_partkey == keys.p_partkey, "left_semi")
+            .join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sales"))
+        )
+
+    return (
+        leg(0).unionAll(leg(1)).unionAll(leg(2))
+        .groupBy("p_brand")
+        .agg(F.sum("sales").cast("double").alias("total_sales"))
+        .orderBy(F.desc("total_sales"), "p_brand")
+        .limit(50)
     )
