@@ -13,7 +13,8 @@ runs per query.
 
 Execution is forced with a noop sink (the reference's blackhole connector
 analog — presto-blackhole) so we measure full plan execution without driver
-collect overhead.
+collect overhead. Round-over-round drift triage (median vs min vs the
+fixed-cost probe) is documented in BENCHNOTES.md.
 """
 
 from __future__ import annotations
