@@ -2134,3 +2134,285 @@ def tpcds_q33_three_channel_category(spark: SparkSession, sf_dir: str) -> DataFr
         .orderBy(F.desc("total_sales"), "p_brand")
         .limit(50)
     )
+
+
+# --- q38 / q87 shapes: three-channel set-op customer counts -----------------
+
+
+def _q3887_chan_sql(mod: int) -> str:
+    return f"""
+        SELECT DISTINCT o_custkey FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = {mod} AND year(o_orderdate) = 1995
+    """
+
+
+@query(
+    "tpcds_q38_three_channel_intersect",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS hot_customers FROM (
+        {_q3887_chan_sql(0)}
+        INTERSECT
+        {_q3887_chan_sql(1)}
+        INTERSECT
+        {_q3887_chan_sql(2)}
+    ) t
+    """,
+    doc="TPC-DS q38 shape (sql/presto/tpcds/q38.sql): customers active in "
+    "ALL three channels in one year — a chained three-way INTERSECT of "
+    "per-channel DISTINCT projections, counted. IntersectNode composed "
+    "with itself (q14 stops at two-way + semi-join restriction).",
+    tags=("tpcds", "setop"),
+)
+def tpcds_q38_three_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+
+    def chan(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return (
+        chan(0).intersect(chan(1)).intersect(chan(2))
+        .agg(F.count("*").alias("hot_customers"))
+    )
+
+
+@query(
+    "tpcds_q87_three_channel_except",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS store_only_customers FROM (
+        {_q3887_chan_sql(0)}
+        EXCEPT
+        {_q3887_chan_sql(1)}
+        EXCEPT
+        {_q3887_chan_sql(2)}
+    ) t
+    """,
+    doc="TPC-DS q87 shape (sql/presto/tpcds/q87.sql): customers active in "
+    "the store channel but NEITHER other channel in the year — a chained "
+    "EXCEPT over per-channel DISTINCT projections, counted. ExceptNode "
+    "composed with itself over the same scans q38 intersects (the "
+    "left-deep set-op chain both engines must associate identically).",
+    tags=("tpcds", "setop"),
+)
+def tpcds_q87_three_channel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+
+    def chan(mod: int) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    return (
+        chan(0).subtract(chan(1)).subtract(chan(2))
+        .agg(F.count("*").alias("store_only_customers"))
+    )
+
+
+# --- q58 shape: equal-share band screen across three channels ---------------
+
+
+@query(
+    "tpcds_q58_equal_share_brands",
+    oracle=f"""
+    WITH r AS (
+        SELECT p_brand, l_linenumber % 3 AS ch, SUM({_SQL_PRICE}) AS s
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, l_linenumber % 3
+    )
+    SELECT p_brand,
+           CAST(SUM(CASE WHEN ch = 0 THEN s END) AS DOUBLE) AS store_rev,
+           CAST(SUM(CASE WHEN ch = 1 THEN s END) AS DOUBLE) AS web_rev,
+           CAST(SUM(CASE WHEN ch = 2 THEN s END) AS DOUBLE) AS catalog_rev,
+           round(CAST(SUM(s) AS DOUBLE) / 3, 6) AS avg_rev
+    FROM r
+    GROUP BY p_brand
+    HAVING COUNT(*) = 3
+       AND MIN(CAST(s AS DOUBLE)) >= 0.7 * (CAST(SUM(s) AS DOUBLE) / 3)
+       AND MAX(CAST(s AS DOUBLE)) <= 1.3 * (CAST(SUM(s) AS DOUBLE) / 3)
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS q58 shape (sql/presto/tpcds/q58.sql): brands whose "
+    "revenue is EVENLY split across the three channels — per-channel "
+    "sums pivoted per brand, screened with a +/-30% band around the "
+    "three-channel average in the HAVING clause (min/max vs an aggregate "
+    "of the same groups; the reference joins three CTEs with pairwise "
+    "band predicates, which the single HAVING expresses equivalently). "
+    "The band is 30% because the l_linenumber mod-3 channel split is "
+    "structurally uneven (line numbers decay), mirroring the reference's "
+    "unequal channel volumes.",
+    tags=("tpcds", "aggregation", "filter"),
+)
+def tpcds_q58_equal_share_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    r = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", (F.col("l_linenumber") % 3).alias("ch"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("s"))
+    )
+    avg3 = F.sum("s").cast("double") / 3
+    return (
+        r.groupBy("p_brand")
+        .agg(
+            F.sum(F.when(F.col("ch") == 0, F.col("s"))).cast("double").alias("store_rev"),
+            F.sum(F.when(F.col("ch") == 1, F.col("s"))).cast("double").alias("web_rev"),
+            F.sum(F.when(F.col("ch") == 2, F.col("s"))).cast("double").alias("catalog_rev"),
+            F.round(avg3, 6).alias("avg_rev"),
+            F.count("*").alias("nch"),
+            F.min(F.col("s").cast("double")).alias("mn"),
+            F.max(F.col("s").cast("double")).alias("mx"),
+            (F.sum("s").cast("double") / 3).alias("avg_raw"),
+        )
+        .filter(
+            (F.col("nch") == 3)
+            & (F.col("mn") >= 0.7 * F.col("avg_raw"))
+            & (F.col("mx") <= 1.3 * F.col("avg_raw"))
+        )
+        .select("p_brand", "store_rev", "web_rev", "catalog_rev", "avg_rev")
+        .orderBy("p_brand")
+    )
+
+
+# --- q61 shape: promotional-share ratio of two scalar aggregates ------------
+
+
+@query(
+    "tpcds_q61_promo_share",
+    oracle=f"""
+    SELECT round(CAST(promo.s AS DOUBLE) / CAST(total.s AS DOUBLE) * 100, 6)
+               AS promo_pct,
+           round(CAST(promo.s AS DOUBLE), 2) AS promotions,
+           round(CAST(total.s AS DOUBLE), 2) AS total
+    FROM (
+        SELECT SUM({_SQL_PRICE}) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1995 AND l_discount > 0.05
+    ) promo, (
+        SELECT SUM({_SQL_PRICE}) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE year(o_orderdate) = 1995
+    ) total
+    """,
+    doc="TPC-DS q61 shape (sql/presto/tpcds/q61.sql): the promotional "
+    "share — one scalar aggregate over the promoted subset (discount "
+    "plays the promotion join) cross-joined with the same aggregate "
+    "unrestricted, ratio in percent. Two EnforceSingleRow branches over "
+    "overlapping scans joined without keys.",
+    tags=("tpcds", "aggregation", "join"),
+)
+def tpcds_q61_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    promo = base.filter(F.col("l_discount") > 0.05).agg(
+        F.sum(_dec("l_extendedprice", PRICE)).alias("ps")
+    )
+    total = base.agg(F.sum(_dec("l_extendedprice", PRICE)).alias("ts"))
+    return promo.crossJoin(total).select(
+        F.round(F.col("ps").cast("double") / F.col("ts").cast("double") * 100, 6)
+        .alias("promo_pct"),
+        F.round(F.col("ps").cast("double"), 2).alias("promotions"),
+        F.round(F.col("ts").cast("double"), 2).alias("total"),
+    )
+
+
+# --- q04 shape: triple-channel year-over-year growth gate -------------------
+
+_Q04_YT = f"""
+    SELECT o_custkey AS ck, l_linenumber % 3 AS ch, year(o_orderdate) AS yr,
+           SUM({_SQL_PRICE}) AS tot
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY o_custkey, l_linenumber % 3, year(o_orderdate)
+"""
+
+
+@query(
+    "tpcds_q04_triple_channel_growth",
+    oracle=f"""
+    WITH yt AS ({_Q04_YT})
+    SELECT s1.ck AS c_custkey,
+           round(CAST(w2.tot AS DOUBLE) / CAST(w1.tot AS DOUBLE), 6) AS web_growth,
+           round(CAST(c2.tot AS DOUBLE) / CAST(c1.tot AS DOUBLE), 6) AS cat_growth,
+           round(CAST(s2.tot AS DOUBLE) / CAST(s1.tot AS DOUBLE), 6) AS store_growth
+    FROM yt s1
+    JOIN yt s2 ON s1.ck = s2.ck AND s2.ch = 0 AND s2.yr = 1996
+    JOIN yt w1 ON s1.ck = w1.ck AND w1.ch = 1 AND w1.yr = 1995
+    JOIN yt w2 ON s1.ck = w2.ck AND w2.ch = 1 AND w2.yr = 1996
+    JOIN yt c1 ON s1.ck = c1.ck AND c1.ch = 2 AND c1.yr = 1995
+    JOIN yt c2 ON s1.ck = c2.ck AND c2.ch = 2 AND c2.yr = 1996
+    WHERE s1.ch = 0 AND s1.yr = 1995
+      AND CAST(s1.tot AS DOUBLE) > 0 AND CAST(w1.tot AS DOUBLE) > 0
+      AND CAST(c1.tot AS DOUBLE) > 0
+      AND CAST(w2.tot AS DOUBLE) / CAST(w1.tot AS DOUBLE)
+          > CAST(s2.tot AS DOUBLE) / CAST(s1.tot AS DOUBLE)
+      AND CAST(c2.tot AS DOUBLE) / CAST(c1.tot AS DOUBLE)
+          > CAST(s2.tot AS DOUBLE) / CAST(s1.tot AS DOUBLE)
+    ORDER BY c_custkey
+    """,
+    doc="TPC-DS q04 shape (sql/presto/tpcds/q04.sql): the year_total CTE "
+    "consumed SIX times — per-customer yearly totals for three channels "
+    "x two years, self-joined on the customer key, gating customers "
+    "whose web AND catalog growth both outpaced store growth. The "
+    "deepest repeated-CTE join chain in the corpus (q31 stops at four "
+    "legs, q11 at two channels); all ratios divide exact decimal sums "
+    "in DOUBLE.",
+    tags=("tpcds", "join", "cte"),
+)
+def tpcds_q04_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1995, 1996)
+    )
+    yt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            (F.col("l_linenumber") % 3).alias("ch"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("tot"))
+    )
+
+    def leg(ch: int, yr: int, pre: str) -> DataFrame:
+        return yt.filter((F.col("ch") == ch) & (F.col("yr") == yr)).select(
+            F.col("ck").alias(f"{pre}_ck"),
+            F.col("tot").cast("double").alias(f"{pre}_tot"),
+        )
+
+    s1, s2 = leg(0, 1995, "s1"), leg(0, 1996, "s2")
+    w1, w2 = leg(1, 1995, "w1"), leg(1, 1996, "w2")
+    c1, c2 = leg(2, 1995, "c1"), leg(2, 1996, "c2")
+    joined = (
+        s1.join(s2, s1.s1_ck == s2.s2_ck)
+        .join(w1, s1.s1_ck == w1.w1_ck)
+        .join(w2, s1.s1_ck == w2.w2_ck)
+        .join(c1, s1.s1_ck == c1.c1_ck)
+        .join(c2, s1.s1_ck == c2.c2_ck)
+        .filter(
+            (F.col("s1_tot") > 0) & (F.col("w1_tot") > 0) & (F.col("c1_tot") > 0)
+        )
+        .withColumn("store_growth", F.col("s2_tot") / F.col("s1_tot"))
+        .withColumn("web_growth", F.col("w2_tot") / F.col("w1_tot"))
+        .withColumn("cat_growth", F.col("c2_tot") / F.col("c1_tot"))
+        .filter(
+            (F.col("web_growth") > F.col("store_growth"))
+            & (F.col("cat_growth") > F.col("store_growth"))
+        )
+    )
+    return joined.select(
+        F.col("s1_ck").alias("c_custkey"),
+        F.round("web_growth", 6).alias("web_growth"),
+        F.round("cat_growth", 6).alias("cat_growth"),
+        F.round("store_growth", 6).alias("store_growth"),
+    ).orderBy("c_custkey")

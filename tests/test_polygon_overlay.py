@@ -802,3 +802,43 @@ class TestIntersectionPieces:
         assert len(r["lines"]) == 2
         for path in r["lines"]:
             assert len(path) == 2
+
+
+class TestIntersectionPiecesProperty:
+    """Hypothesis: integer axis-aligned rectangle pairs have a closed-form
+    mixed-dimension intersection — 2D iff both extents overlap openly, 1D
+    iff exactly one extent degenerates to a shared edge segment, 0D iff
+    both degenerate to a corner. The arrangement must reproduce it."""
+
+    @given(
+        st.tuples(*[st.integers(-8, 8) for _ in range(4)]),
+        st.tuples(*[st.integers(1, 6) for _ in range(4)]),
+    )
+    @settings(max_examples=120, deadline=None)
+    def test_rect_pairs_closed_form(self, origins, sizes):
+        ax, ay, bx, by = origins
+        aw, ah, bw, bh = sizes
+        A = [ring((ax, ay), (ax + aw, ay), (ax + aw, ay + ah), (ax, ay + ah))]
+        B = [ring((bx, by), (bx + bw, by), (bx + bw, by + bh), (bx, by + bh))]
+        ox = min(ax + aw, bx + bw) - max(ax, bx)  # x-extent overlap (signed)
+        oy = min(ay + ah, by + bh) - max(ay, by)
+        r = intersection_pieces(A, B)
+        if ox > 0 and oy > 0:
+            assert polygon_area(r["polys"]) == pytest.approx(ox * oy)
+            assert r["lines"] == [] and r["points"] == []
+        elif ox < 0 or oy < 0:
+            assert r == {"polys": [], "lines": [], "points": []}
+        elif (ox == 0) != (oy == 0):
+            # shared edge segment of positive length, or a corner touch
+            seg = oy if ox == 0 else ox
+            assert r["polys"] == []
+            if seg > 0:
+                assert len(r["lines"]) == 1 and r["points"] == []
+                p0, p1 = r["lines"][0][0], r["lines"][0][-1]
+                length = abs(p1["x"] - p0["x"]) + abs(p1["y"] - p0["y"])
+                assert length == pytest.approx(seg)
+            else:  # seg == 0: edge meets corner exactly
+                assert r["lines"] == [] and len(r["points"]) == 1
+        else:  # ox == oy == 0: corner-to-corner touch
+            assert r["polys"] == [] and r["lines"] == []
+            assert len(r["points"]) == 1
