@@ -62,6 +62,11 @@ HEADLINE_EXTRAS = (
     "tpcds_q36_rollup_margin_rank",
     "tpcds_q51_cumulative_crossover",
     "tpcds_q95_multi_supplier_returns",
+    # r7 additions: rank-over-full-ROLLUP, the three-channel no-returns
+    # outer-join chain, and the six-leg repeated-CTE growth gate.
+    "tpcds_q67_rollup_topn",
+    "tpcds_q78_channel_ratio_chain",
+    "tpcds_q04_triple_channel_growth",
 )
 
 

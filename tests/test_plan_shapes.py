@@ -207,3 +207,36 @@ def test_knn_join_broadcasts_bounded_query_side(spark, sf_dir):
     assert_no_cartesian(df, allow_scalar_bnlj=True)
     assert "BroadcastExchange" in plan  # query side replicates, corpus streams
     assert count_exchanges(df) <= 2  # window on q_id (+ output sort)
+
+
+def test_tpcds_q67_broadcasts_nation_no_cartesian(spark, sf_dir):
+    # rank-over-ROLLUP: the fact joins must broadcast the tiny nation dim
+    # and never degrade to all-pairs; rollup Expand + window add bounded
+    # exchanges (agg shuffle, window shuffle, output sort).
+    df = QS["tpcds_q67_rollup_topn"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+    assert count_exchanges(df) <= 5
+
+
+def test_tpcds_q78_outer_chain_is_equijoin(spark, sf_dir):
+    # three no-returns channel rollups chained with LEFT JOINs: every join
+    # (anti-via-outer against returns, the two chain joins) must be an
+    # equi-join — a cartesian here explodes at fact scale.
+    df = QS["tpcds_q78_channel_ratio_chain"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_tpcds_q04_six_leg_chain_is_equijoin(spark, sf_dir):
+    # the year_total CTE consumed six times: all five self-joins must stay
+    # keyed on the customer key.
+    df = QS["tpcds_q04_triple_channel_growth"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_tpcds_q09_scalar_subqueries_allowed_bnlj(spark, sf_dir):
+    # fifteen uncorrelated scalar subqueries: each is a 1-row broadcast
+    # nested-loop join (the scalar-subquery plan shape) — allowed; a
+    # non-scalar cartesian is not.
+    df = QS["tpcds_q09_case_scalar_subqueries"].spark(spark, sf_dir)
+    assert_no_cartesian(df, allow_scalar_bnlj=True)
