@@ -642,7 +642,13 @@ DELTAS = {
     "ST_Union/ST_SymDifference/ST_Difference also ship as exact AREA "
     "analogs by inclusion-exclusion. For geometry OUTPUT on arbitrary "
     "(non-convex, holed) pairs use the overlay-backed st_*_geom forms "
-    "instead (`polygon boolean ops (geometry output)` row).",
+    "instead (`polygon boolean ops (geometry output)` row); for ANY "
+    "simple pair family — point/point, point/line, point/polygon, "
+    "line/line (overlap segments + crossing points), line/polygon "
+    "(chord clip + boundary touches), polygon/polygon — "
+    "st_intersection_any dispatches the tagged union to exact "
+    "mixed-dimension kernels returning the pieces struct "
+    "(fn_geo_intersection_any).",
     "polygon boolean ops (geometry output)": "ST_Intersection/ST_Union/"
     "ST_Difference/ST_SymDifference for arbitrary simple polygon pairs "
     "(holes allowed) return AREA geometry in the MULTIPOLYGON "

@@ -481,6 +481,51 @@ def st_relate_any(ga: Column, gb: Column) -> Column:
     return _rel_udf(ga, gb)
 
 
+def st_intersection_any(ga: Column, gb: Column) -> Column:
+    """Generic stIntersection over two tagged geometry unions
+    (st_geometry_from_text structs): Python-side dispatch to the
+    mixed-dimension pair kernels (polygon_overlay.intersection_any) —
+    point/point, point/line, point/polygon, line/line (overlap segments +
+    crossing points), line/polygon (clip + boundary touches), and
+    polygon/polygon (faces + shared edges + touches). Output is the same
+    pieces struct as st_intersection_pieces, so st_collection_of_pieces /
+    st_pieces_geometry_type compose. Multi-*/collection operands yield
+    NULL (COVERAGE 'Out of scope'). Input structs are slimmed to
+    (tag, point, line, polygon) before Arrow (st_relate_any discipline)."""
+    from .polygon_overlay import intersection_any
+
+    def slim(g: Column) -> Column:
+        return F.struct(
+            g["tag"].alias("tag"),
+            g["point"].alias("point"),
+            g["line"].alias("line"),
+            g["polygon"].alias("polygon"),
+        )
+
+    ga, gb = slim(ga), slim(gb)
+    ret = (
+        f"struct<polys:{_MPOLY_TYPE},lines:array<{_LINE_TYPE}>,"
+        f"points:array<struct<x:double,y:double>>>"
+    )
+
+    @pandas_udf(ret)
+    def _ia_udf(s: pd.DataFrame, c: pd.DataFrame) -> pd.DataFrame:
+        rs = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
+        rc = c.to_dict("records") if isinstance(c, pd.DataFrame) else list(c)
+        cols: dict[str, list] = {"polys": [], "lines": [], "points": []}
+        for x, y in zip(rs, rc):
+            try:
+                r = intersection_any(x, y)
+            except Exception:
+                r = None
+            cols["polys"].append(None if r is None else r["polys"])
+            cols["lines"].append(None if r is None else r["lines"])
+            cols["points"].append(None if r is None else r["points"])
+        return pd.DataFrame(cols)
+
+    return _ia_udf(ga, gb)
+
+
 def st_buffer_line(line: Column, r: Column | float, m: int = 8) -> Column:
     """stBuffer, LINESTRING case (GeoFunctions.java stBuffer — the
     reference buffers any geometry via Esri; st_buffer_point covers

@@ -601,6 +601,188 @@ def intersection_pieces(a_rings_raw, b_rings_raw) -> dict | None:
     }
 
 
+def _norm_polyline_edges(raw) -> list[tuple[Pt, Pt]] | None:
+    """Polyline -> exact edge list (consecutive duplicates dropped, closed
+    rings wrapped). None for NULL/degenerate input."""
+    if raw is None:
+        return None
+    pts = [
+        (Fraction(float(p["x"])), Fraction(float(p["y"])))
+        for p in raw
+        if p is not None and p["x"] is not None and p["y"] is not None
+    ]
+    dedup: list[Pt] = []
+    for p in pts:
+        if not dedup or p != dedup[-1]:
+            dedup.append(p)
+    if len(dedup) < 2:
+        return None
+    closed = dedup[0] == dedup[-1]
+    open_pts = dedup[:-1] if closed else dedup
+    if closed and len(open_pts) < 2:
+        return None
+    return [
+        (open_pts[i], open_pts[(i + 1) % len(open_pts)])
+        for i in range(len(open_pts) - (0 if closed else 1))
+    ]
+
+
+def _split_edges_at(edges, others) -> list[tuple[Pt, Pt]]:
+    out: list[tuple[Pt, Pt]] = []
+    for p, q in edges:
+        cuts: set[Pt] = set()
+        for c, d in others:
+            for pt in _seg_split_points(p, q, c, d):
+                if pt != p and pt != q:
+                    cuts.add(pt)
+        if not cuts:
+            out.append((p, q))
+            continue
+        dx, dy = q[0] - p[0], q[1] - p[1]
+        chain = [p, *sorted(cuts, key=lambda r: (r[0] - p[0]) * dx + (r[1] - p[1]) * dy), q]
+        out.extend(
+            (chain[k], chain[k + 1])
+            for k in range(len(chain) - 1)
+            if chain[k] != chain[k + 1]
+        )
+    return out
+
+
+def _line_line_pieces(a_raw, b_raw) -> dict | None:
+    """stIntersection for the LINESTRING/LINESTRING pair: collinear
+    overlap sub-segments chained into LINESTRINGs plus isolated crossing /
+    touch POINTs (never any area). Exact; None for NULL/degenerate."""
+    aedges = _norm_polyline_edges(a_raw)
+    bedges = _norm_polyline_edges(b_raw)
+    if aedges is None or bedges is None:
+        return None
+    asub = _split_edges_at(aedges, bedges)
+    bsub = _split_edges_at(bedges, aedges)
+
+    def canon(s):
+        return s if s <= (s[1], s[0]) else (s[1], s[0])
+
+    shared = {canon(s) for s in asub} & {canon(s) for s in bsub}
+    covered = {v for s in shared for v in s}
+
+    def on_line(p: Pt, edges) -> bool:
+        return any(_on_segment(p, a, b) for a, b in edges)
+
+    nodes = {v for s in asub for v in s} | {v for s in bsub for v in s}
+    pts = sorted(
+        v for v in nodes
+        if v not in covered and on_line(v, aedges) and on_line(v, bedges)
+    )
+    lines = _chain_segments(sorted(shared))
+    return {
+        "polys": [],
+        "lines": [
+            [{"x": float(x), "y": float(y)} for x, y in path] for path in lines
+        ],
+        "points": [{"x": float(x), "y": float(y)} for x, y in pts],
+    }
+
+
+def _line_polygon_pieces(line_raw, poly_rings_raw) -> dict | None:
+    """stIntersection for the LINESTRING/POLYGON pair with the
+    lower-dimensional part clip_line_to_polygon drops: the clipped
+    MULTILINESTRING plus isolated boundary-touch POINTs (line vertices or
+    crossing nodes ON the boundary with no kept sub-segment through
+    them). Exact; None for NULL/degenerate input."""
+    poly = _norm_rings(poly_rings_raw)
+    ledges = _norm_polyline_edges(line_raw)
+    if poly is None or ledges is None:
+        return None
+    if not poly:
+        return {"polys": [], "lines": [], "points": []}
+    pedges: list[tuple[Pt, Pt]] = []
+    for r in poly:
+        n = len(r)
+        for i in range(n):
+            pedges.append((r[i], r[(i + 1) % n]))
+    sub = _split_edges_at(ledges, pedges)
+    kept: list[tuple[Pt, Pt]] = []
+    for a, b in sub:
+        mid: Pt = ((a[0] + b[0]) / 2, (a[1] + b[1]) / 2)
+        if any(_on_segment(mid, c, d) for c, d in pedges) or _point_in_region(mid, poly):
+            kept.append((a, b))
+    covered = {v for s in kept for v in s}
+    on_bnd = lambda v: any(_on_segment(v, c, d) for c, d in pedges)  # noqa: E731
+    nodes = {v for s in sub for v in s}
+    pts = sorted(v for v in nodes if v not in covered and on_bnd(v))
+    lines = _chain_segments(kept)
+    return {
+        "polys": [],
+        "lines": [
+            [{"x": float(x), "y": float(y)} for x, y in path] for path in lines
+        ],
+        "points": [{"x": float(x), "y": float(y)} for x, y in pts],
+    }
+
+
+def intersection_any(ga: dict | None, gb: dict | None) -> dict | None:
+    """Generic stIntersection over the tagged geometry union (the dispatch
+    the reference performs inside Esri's OperatorIntersection): route the
+    (tag, tag) pair to the matching kernel — symmetric, so mirrored orders
+    just swap operands. Returns the mixed-dimension pieces dict
+    ({"polys", "lines", "points"}); simple kinds only — multi-* /
+    collection operands return None (COVERAGE 'Out of scope')."""
+    if ga is None or gb is None:
+        return None
+    ta, tb = ga.get("tag"), gb.get("tag")
+    if ta is None or tb is None:
+        return None
+    order = {"ST_Point": 0, "ST_LineString": 1, "ST_Polygon": 2}
+    if ta not in order or tb not in order:
+        return None
+    if order[ta] > order[tb]:
+        ga, gb, ta, tb = gb, ga, tb, ta
+    empty = {"polys": [], "lines": [], "points": []}
+
+    def pt(g) -> Pt | None:
+        p = g.get("point")
+        if p is None or p.get("x") is None or p.get("y") is None:
+            return None
+        return (Fraction(float(p["x"])), Fraction(float(p["y"])))
+
+    def as_point_piece(v: Pt) -> dict:
+        return {
+            "polys": [], "lines": [],
+            "points": [{"x": float(v[0]), "y": float(v[1])}],
+        }
+
+    if ta == "ST_Point" and tb == "ST_Point":
+        a, b = pt(ga), pt(gb)
+        if a is None or b is None:
+            return None
+        return as_point_piece(a) if a == b else empty
+    if ta == "ST_Point" and tb == "ST_LineString":
+        a = pt(ga)
+        edges = _norm_polyline_edges(gb.get("line"))
+        if a is None or edges is None:
+            return None
+        on = any(_on_segment(a, c, d) for c, d in edges)
+        return as_point_piece(a) if on else empty
+    if ta == "ST_Point" and tb == "ST_Polygon":
+        a = pt(ga)
+        poly = _norm_rings(gb.get("polygon"))
+        if a is None or poly is None or not poly:
+            return None
+        on = any(
+            _on_segment(a, r[i], r[(i + 1) % len(r)])
+            for r in poly
+            for i in range(len(r))
+        )
+        if on or _point_in_region(a, poly):
+            return as_point_piece(a)
+        return empty
+    if ta == "ST_LineString" and tb == "ST_LineString":
+        return _line_line_pieces(ga.get("line"), gb.get("line"))
+    if ta == "ST_LineString" and tb == "ST_Polygon":
+        return _line_polygon_pieces(ga.get("line"), gb.get("polygon"))
+    return intersection_pieces(ga.get("polygon"), gb.get("polygon"))
+
+
 # --- full DE-9IM for polygon pairs ------------------------------------------
 
 

@@ -2852,6 +2852,129 @@ def fn_geo_intersection_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# --- Generic mixed-dimension ST_Intersection dispatcher ----------------------
+
+_IANY_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 6 AS INT) AS kind,
+           CAST(1 + c_custkey % 3 AS INT) AS s
+    FROM customer
+    WHERE c_custkey % 23 = 0
+"""
+
+# kind 0 point/point equal -> POINT(s,s); 1 point-on-line -> POINT(s,0);
+# 2 collinear line overlap -> LINESTRING len 2s; 3 X-crossing -> POINT(s,s);
+# 4 chord through polygon -> LINESTRING len 2s; 5 square overlap -> POLYGON s^2.
+_IANY_ORACLE = f"""
+WITH src AS ({_IANY_SRC})
+SELECT c_custkey, kind,
+       CAST(CASE WHEN kind = 5 THEN 1 ELSE 0 END AS INT) AS n_polys,
+       CAST(CASE WHEN kind IN (2, 4) THEN 1 ELSE 0 END AS INT) AS n_lines,
+       CAST(CASE WHEN kind IN (0, 1, 3) THEN 1 ELSE 0 END AS INT) AS n_points,
+       round(CASE WHEN kind = 5 THEN CAST(s * s AS DOUBLE) ELSE 0.0 END, 9)
+           AS poly_area,
+       round(CASE WHEN kind IN (2, 4) THEN CAST(2 * s AS DOUBLE) ELSE 0.0 END, 9)
+           AS line_len,
+       CASE WHEN kind IN (0, 3) THEN CAST(s AS DOUBLE)
+            WHEN kind = 1 THEN CAST(s AS DOUBLE) END AS pt_x,
+       CASE WHEN kind IN (0, 3) THEN CAST(s AS DOUBLE)
+            WHEN kind = 1 THEN 0.0 END AS pt_y,
+       CASE WHEN kind = 5 THEN 'ST_Polygon'
+            WHEN kind IN (2, 4) THEN 'ST_LineString'
+            ELSE 'ST_Point' END AS result_tag
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_intersection_any",
+    oracle=_IANY_ORACLE,
+    doc="Generic ST_Intersection over the tagged geometry union — the "
+    "dispatch the reference performs inside Esri's OperatorIntersection "
+    "(GeoFunctions.java:1019 accepts any geometry pair): point/point, "
+    "point/line, line/line (collinear overlap segments AND crossing "
+    "points), line/polygon (chord clip), polygon/polygon, all routed "
+    "through one operators/polygon_overlay.intersection_any kernel "
+    "returning the mixed-dimension pieces struct, with the OGC "
+    "type-collapse tag. Operands enter through the WKT parser "
+    "(st_geometry_from_text), so the full ingest -> dispatch -> measure "
+    "path is exercised; closed-form oracle per pair kind.",
+    tags=("geo",),
+)
+def fn_geo_intersection_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _IANY_SRC, ("customer",))
+    s = F.col("s").cast("string")
+    s2 = (F.col("s") * 2).cast("string")
+    s3 = (F.col("s") * 3).cast("string")
+    s5 = (F.col("s") * 5).cast("string")
+    neg_s = (-F.col("s")).cast("string")
+
+    def wkt_pair(kind: int):
+        c = F.concat
+        lit = F.lit
+        if kind == 0:
+            a = c(lit("POINT ("), s, lit(" "), s, lit(")"))
+            b = a
+        elif kind == 1:
+            a = c(lit("POINT ("), s, lit(" 0)"))
+            b = c(lit("LINESTRING (0 0, "), s2, lit(" 0)"))
+        elif kind == 2:
+            a = c(lit("LINESTRING (0 0, "), s3, lit(" 0)"))
+            b = c(lit("LINESTRING ("), s, lit(" 0, "), s5, lit(" 0)"))
+        elif kind == 3:
+            a = c(lit("LINESTRING (0 0, "), s2, lit(" "), s2, lit(")"))
+            b = c(lit("LINESTRING (0 "), s2, lit(", "), s2, lit(" 0)"))
+        elif kind == 4:
+            a = c(lit("LINESTRING ("), neg_s, lit(" "), s, lit(", "),
+                  s3, lit(" "), s, lit(")"))
+            b = c(lit("POLYGON ((0 0, "), s2, lit(" 0, "), s2, lit(" "),
+                  s2, lit(", 0 "), s2, lit(", 0 0))"))
+        else:
+            a = c(lit("POLYGON ((0 0, "), s2, lit(" 0, "), s2, lit(" "),
+                  s2, lit(", 0 "), s2, lit(", 0 0))"))
+            b = c(lit("POLYGON (("), s, lit(" "), s, lit(", "), s3, lit(" "),
+                  s, lit(", "), s3, lit(" "), s3, lit(", "), s, lit(" "),
+                  s3, lit(", "), s, lit(" "), s, lit("))"))
+        return a, b
+
+    a_wkt = F.lit(None).cast("string")
+    b_wkt = F.lit(None).cast("string")
+    for kind in range(6):
+        ak, bk = wkt_pair(kind)
+        a_wkt = F.when(F.col("kind") == kind, ak).otherwise(a_wkt)
+        b_wkt = F.when(F.col("kind") == kind, bk).otherwise(b_wkt)
+
+    staged = src.select(
+        "c_custkey", "kind",
+        G.st_geometry_from_text(a_wkt).alias("ga"),
+        G.st_geometry_from_text(b_wkt).alias("gb"),
+    ).select(
+        "c_custkey", "kind",
+        GS.st_intersection_any(F.col("ga"), F.col("gb")).alias("pc"),
+    )
+    pc = F.col("pc")
+    first_pt = F.try_element_at(pc["points"], F.lit(1))
+    return staged.select(
+        "c_custkey", "kind",
+        F.size(pc["polys"]).alias("n_polys"),
+        F.size(pc["lines"]).alias("n_lines"),
+        F.size(pc["points"]).alias("n_points"),
+        F.round(G.st_multipolygon_area(pc["polys"]), 9).alias("poly_area"),
+        F.round(
+            F.aggregate(
+                pc["lines"], F.lit(0.0), lambda acc, ln: acc + G.st_length(ln)
+            ),
+            9,
+        ).alias("line_len"),
+        first_pt["x"].alias("pt_x"),
+        first_pt["y"].alias("pt_y"),
+        G.st_pieces_geometry_type(pc).alias("result_tag"),
+    ).orderBy("c_custkey")
+
+
 # --- Full DE-9IM for arbitrary polygon pairs ---------------------------------
 
 _RELATE_PAIRS_SRC = """

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from lyft_presto_spark.operators.geo_scalar import _clip_one
 from lyft_presto_spark.operators.hull import monotone_chain
 from lyft_presto_spark.operators.polygon_overlay import (
+    intersection_any,
     intersection_pieces,
     overlay,
     polygon_area,
@@ -842,3 +843,70 @@ class TestIntersectionPiecesProperty:
         else:  # ox == oy == 0: corner-to-corner touch
             assert r["polys"] == [] and r["lines"] == []
             assert len(r["points"]) == 1
+
+
+class TestIntersectionAnyDispatcher:
+    """Generic mixed-dimension ST_Intersection over the tagged union
+    (polygon_overlay.intersection_any) — every simple pair family."""
+
+    @staticmethod
+    def _p(x, y):
+        return {"tag": "ST_Point", "point": {"x": float(x), "y": float(y)}}
+
+    @staticmethod
+    def _l(*pts):
+        return {"tag": "ST_LineString",
+                "line": [{"x": float(a), "y": float(b)} for a, b in pts]}
+
+    @staticmethod
+    def _poly(*pts):
+        r = [{"x": float(a), "y": float(b)} for a, b in [*pts, pts[0]]]
+        return {"tag": "ST_Polygon", "polygon": [r]}
+
+    def test_point_pairs(self):
+        assert intersection_any(self._p(1, 2), self._p(1, 2))["points"] == [
+            {"x": 1.0, "y": 2.0}
+        ]
+        assert intersection_any(self._p(1, 2), self._p(1, 3)) == {
+            "polys": [], "lines": [], "points": []
+        }
+
+    def test_point_line_and_point_polygon(self):
+        on = intersection_any(self._p(1, 0), self._l((0, 0), (2, 0)))
+        assert on["points"] == [{"x": 1.0, "y": 0.0}]
+        sq = self._poly((0, 0), (2, 0), (2, 2), (0, 2))
+        assert intersection_any(self._p(1, 1), sq)["points"] == [{"x": 1.0, "y": 1.0}]
+        assert intersection_any(self._p(5, 5), sq)["points"] == []
+        # mirrored order dispatches the same kernel
+        assert intersection_any(sq, self._p(1, 1))["points"] == [{"x": 1.0, "y": 1.0}]
+
+    def test_line_line_overlap_crossing_touch(self):
+        ov = intersection_any(self._l((0, 0), (3, 0)), self._l((1, 0), (5, 0)))
+        assert ov["lines"] == [[{"x": 1.0, "y": 0.0}, {"x": 3.0, "y": 0.0}]]
+        x = intersection_any(self._l((0, 0), (2, 2)), self._l((0, 2), (2, 0)))
+        assert x["points"] == [{"x": 1.0, "y": 1.0}] and x["lines"] == []
+        # overlap AND a separate crossing in one pair
+        mixed = intersection_any(
+            self._l((0, 0), (4, 0)), self._l((1, 0), (2, 0), (3, -1), (3, 1))
+        )
+        assert mixed["lines"] == [[{"x": 1.0, "y": 0.0}, {"x": 2.0, "y": 0.0}]]
+        assert mixed["points"] == [{"x": 3.0, "y": 0.0}]
+
+    def test_line_polygon_chord_and_touch(self):
+        sq = self._poly((0, 0), (2, 0), (2, 2), (0, 2))
+        chord = intersection_any(self._l((-1, 1), (3, 1)), sq)
+        assert chord["lines"] == [[{"x": 0.0, "y": 1.0}, {"x": 2.0, "y": 1.0}]]
+        # vertex resting on the boundary from outside -> isolated point
+        touch = intersection_any(self._l((-1, 3), (1, 2), (3, 3)), sq)
+        assert touch["lines"] == [] and touch["points"] == [{"x": 1.0, "y": 2.0}]
+
+    def test_polygon_pair_routes_to_pieces(self):
+        a = self._poly((0, 0), (2, 0), (2, 2), (0, 2))
+        b = self._poly((2, 0), (4, 0), (4, 2), (2, 2))
+        r = intersection_any(a, b)
+        assert r["lines"] == [[{"x": 2.0, "y": 0.0}, {"x": 2.0, "y": 2.0}]]
+
+    def test_unsupported_and_null(self):
+        assert intersection_any(None, self._p(0, 0)) is None
+        assert intersection_any({"tag": "ST_MultiPoint"}, self._p(0, 0)) is None
+        assert intersection_any({"tag": None}, self._p(0, 0)) is None
