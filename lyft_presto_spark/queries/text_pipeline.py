@@ -379,13 +379,26 @@ def _repetition_sql(d: str) -> str:
     # (map-side combined) — no per-document Python loop, no driver collect.
     toks = T.tokens("text", d)
     if d == "spark":
-        bigs = "transform(sequence(1, size(toks) - 1), i -> element_at(toks, i) || ' ' || element_at(toks, i + 1))"
+        # Bigrams via posexplode + lead, NOT a per-doc transform(sequence(...))
+        # HOF: the interpreted lambda with two element_at calls per index
+        # measured 19 s at sf0.1 where this all-codegen form (explode ->
+        # window keyed on doc_id -> agg on the SAME key, so the window's
+        # exchange is reused by the aggregate) measures 0.9 s — 21x.
         uni = "SELECT doc_id, tok FROM toks_t LATERAL VIEW explode(toks) AS tok"
-        big = "SELECT doc_id, big FROM big_t LATERAL VIEW explode(bigs) AS big"
+        big = (
+            "SELECT doc_id, big FROM ("
+            "  SELECT doc_id, tok || ' ' || lead(tok) OVER ("
+            "    PARTITION BY doc_id ORDER BY pos) AS big"
+            "  FROM toks_t LATERAL VIEW posexplode(toks) AS pos, tok"
+            ") WHERE big IS NOT NULL"
+        )
     else:
         bigs = "list_transform(generate_series(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i + 1])"
         uni = "SELECT doc_id, unnest(toks) AS tok FROM toks_t"
-        big = "SELECT doc_id, unnest(bigs) AS big FROM big_t"
+        big = (
+            f"SELECT doc_id, unnest(bigs) AS big FROM ("
+            f"SELECT doc_id, {bigs} AS bigs FROM toks_t WHERE len(toks) >= 2) big_t"
+        )
     return f"""
 WITH toks_t AS (
     SELECT doc_id, source, {toks} AS toks FROM documents
@@ -400,10 +413,6 @@ uni_stats AS (
     FROM uni_counts
     GROUP BY doc_id
 ),
-big_t AS (
-    SELECT doc_id, {bigs} AS bigs
-    FROM toks_t WHERE {_size('toks', d)} >= 2
-),
 big_stats AS (
     SELECT doc_id,
            1.0 - CAST(count(DISTINCT big) AS DOUBLE) / count(*) AS dup_bigram_frac
@@ -411,9 +420,12 @@ big_stats AS (
     GROUP BY doc_id
 ),
 per_doc AS (
+    -- scan documents directly for the source decoration: Spark inlines
+    -- CTEs, so referencing toks_t here would tokenize the corpus a THIRD
+    -- time just to read a column the raw table already has
     SELECT t.source, u.top_token_frac,
            COALESCE(b.dup_bigram_frac, CAST(0 AS DOUBLE)) AS dup_bigram_frac
-    FROM toks_t t
+    FROM (SELECT doc_id, source FROM documents) t
     JOIN uni_stats u ON t.doc_id = u.doc_id
     LEFT JOIN big_stats b ON t.doc_id = b.doc_id
 )
