@@ -2416,3 +2416,232 @@ def tpcds_q04_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFra
         F.round("cat_growth", 6).alias("cat_growth"),
         F.round("store_growth", 6).alias("store_growth"),
     ).orderBy("c_custkey")
+
+
+# --- q35 shape: EXISTS-gated demographic statistics -------------------------
+
+
+@query(
+    "tpcds_q35_demographic_stats",
+    oracle=f"""
+    SELECT n_name, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS min_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_bal,
+           round(COALESCE(stddev_samp(c_acctbal), 0), 4) AS sd_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995
+          )
+      AND c_acctbal > 0
+    GROUP BY n_name, c_mktsegment
+    ORDER BY n_name, c_mktsegment
+    LIMIT 100
+    """,
+    doc="TPC-DS q35 shape (sql/presto/tpcds/q35.sql): an EXISTS activity "
+    "gate on the customer set followed by count/min/max/avg/stddev "
+    "statistics per demographic cell — the semi-join feeding a "
+    "multi-statistic aggregate (q10 counts only; this carries the full "
+    "stats battery). Averages are exact decimal sums divided once; "
+    "stddev rounded per the module convention.",
+    tags=("tpcds", "subquery", "aggregation"),
+)
+def tpcds_q35_demographic_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0)
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    nation = t(spark, sf_dir, "nation")
+    active = orders.select(F.col("o_custkey").alias("a_ck")).distinct()
+    n = F.count("*")
+    return (
+        cust.join(active, cust.c_custkey == active.a_ck, "left_semi")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            n.alias("cnt"),
+            F.min("c_acctbal").cast("double").alias("min_bal"),
+            F.max("c_acctbal").cast("double").alias("max_bal"),
+            F.round(F.sum(_dec("c_acctbal", PRICE)).cast("double") / n, 6)
+            .alias("avg_bal"),
+            F.round(F.coalesce(F.stddev_samp("c_acctbal"), F.lit(0.0)), 4)
+            .alias("sd_bal"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+        .limit(100)
+    )
+
+
+# --- q45 shape: OR of a literal filter and an IN-subquery -------------------
+
+
+@query(
+    "tpcds_q45_literal_or_subquery",
+    oracle=f"""
+    SELECT n_name,
+           round(CAST(SUM({_SQL_PRICE}) AS DOUBLE), 2) AS sales,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_nationkey IN (1, 3, 5, 7)
+       OR l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS q45 shape (sql/presto/tpcds/q45.sql): the disjunction of "
+    "a literal dimension filter (zip list) and an IN-subquery (item "
+    "set) — a predicate no chain of semi-joins can express (ORing a "
+    "semi-join with a filter). Spark expresses the subquery arm as a "
+    "LEFT join against the DISTINCT key set with a match flag, then "
+    "filters the OR of flag and literal — the outer-join-flag "
+    "decorrelation of a disjunctive ApplyNode; the oracle keeps the "
+    "literal OR-IN form.",
+    tags=("tpcds", "subquery", "filter"),
+)
+def tpcds_q45_literal_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    special = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("sp_pk"))
+        .distinct()
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(special), li.l_partkey == special.sp_pk, "left")
+        .filter(
+            F.col("c_nationkey").isin(1, 3, 5, 7) | F.col("sp_pk").isNotNull()
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double"), 2)
+            .alias("sales"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q54 shape: aggregate-of-aggregate revenue segmentation -----------------
+
+
+@query(
+    "tpcds_q54_revenue_segments",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS ck, SUM({_SQL_PRICE}) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_custkey
+    )
+    SELECT CAST(floor(CAST(rev AS DOUBLE) / 50000) AS INT) AS segment,
+           CAST(COUNT(*) AS BIGINT) AS num_customers
+    FROM spend
+    GROUP BY CAST(floor(CAST(rev AS DOUBLE) / 50000) AS INT)
+    ORDER BY segment
+    """,
+    doc="TPC-DS q54 shape (sql/presto/tpcds/q54.sql tail): per-customer "
+    "revenue re-aggregated into fixed-width segments — an aggregate "
+    "whose GROUP key is a bucketing function of another aggregate's "
+    "output (the revenue histogram). Both engines floor the same DOUBLE "
+    "of the exact decimal sum, so bucket boundaries agree bit-for-bit.",
+    tags=("tpcds", "aggregation"),
+)
+def tpcds_q54_revenue_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    spend = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("rev"))
+    )
+    seg = F.floor(F.col("rev").cast("double") / 50000).cast("int")
+    return (
+        spend.groupBy(seg.alias("segment"))
+        .agg(F.count("*").alias("num_customers"))
+        .orderBy("segment")
+    )
+
+
+# --- q70 shape: rank-restricted ROLLUP (top regions by a window subquery) ---
+
+
+@query(
+    "tpcds_q70_rank_restricted_rollup",
+    oracle=f"""
+    WITH nation_sales AS (
+        SELECT c_nationkey AS nk, n_regionkey AS rk, n_name,
+               SUM({_SQL_PRICE}) AS sales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_nationkey, n_regionkey, n_name
+    ),
+    top_nations AS (
+        SELECT n_name FROM (
+            SELECT n_name,
+                   RANK() OVER (PARTITION BY rk ORDER BY sales DESC) AS rnk
+            FROM nation_sales
+        ) r WHERE rnk <= 2
+    )
+    SELECT r_name, n_name,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS total_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE n_name IN (SELECT n_name FROM top_nations)
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+    doc="TPC-DS q70 shape (sql/presto/tpcds/q70.sql): the fact rolled up "
+    "by (region, nation) with GROUPING(), but RESTRICTED to nations that "
+    "a separate windowed aggregate ranks top-2 within their region — an "
+    "IN-subquery whose inner query is itself a rank() over a grouped "
+    "aggregate, feeding a ROLLUP over the same fact. Semi-join over a "
+    "window-derived key set + GroupIdNode in one plan.",
+    tags=("tpcds", "window", "aggregation", "subquery"),
+)
+def tpcds_q70_rank_restricted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    nation_sales = fact.groupBy("c_nationkey", "n_regionkey", "n_name").agg(
+        F.sum(_dec("l_extendedprice", PRICE)).alias("sales")
+    )
+    w = Window.partitionBy("n_regionkey").orderBy(F.col("sales").desc())
+    top_nations = (
+        nation_sales.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(F.col("n_name").alias("top_n"))
+    )
+    return (
+        fact.join(F.broadcast(top_nations), fact.n_name == top_nations.top_n, "left_semi")
+        .join(F.broadcast(region), fact.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("total_sales"),
+        )
+        .orderBy(
+            F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
+        )
+    )
