@@ -614,8 +614,10 @@ DELTAS = {
     "2rL + m*r^2*sin(pi/m)). POLYGON buffers with positive distance "
     "(st_buffer_polygon) are the Minkowski dilation by the same inscribed "
     "disc (holes erode with sharp corners and vanish when narrower than "
-    "2r); negative distances (erosion of the outer boundary) are not "
-    "implemented.",
+    "2r); NEGATIVE distances are st_erode_polygon — the morphological "
+    "complement (subtract the boundary-stadium union), returning a "
+    "MULTIPOLYGON since erosion can split the polygon at necks narrower "
+    "than 2|r| (fn_geo_erode_polygon).",
     "ST_AsText": "Double formatting follows Spark's cast-to-string (POINT "
     "(60.0 30.0)) where the reference's Esri writer trims integral doubles "
     "(POINT (60 30)); parse both spellings, compare geometries numerically.",

@@ -481,6 +481,29 @@ def st_relate_any(ga: Column, gb: Column) -> Column:
     return _rel_udf(ga, gb)
 
 
+def st_erode_polygon(poly: Column, d: Column | float, m: int = 8) -> Column:
+    """stBuffer with NEGATIVE distance (erosion) for polygons — the
+    morphological complement of st_buffer_polygon's dilation, via
+    P minus (boundary stadium union) in the exact overlay
+    (polygon_overlay.erode_polygon). Output is the MULTIPOLYGON
+    representation (necks narrower than 2d split the polygon); [] when
+    fully eroded, NULL on NULL input or non-positive distance."""
+    from .polygon_overlay import erode_polygon
+
+    @pandas_udf(_MPOLY_TYPE)
+    def _erode_udf(s: pd.Series, dist: pd.Series) -> pd.Series:
+        out = []
+        for x, dv in zip(s, dist):
+            try:
+                out.append(erode_polygon(x, dv, m))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    dcol = d if isinstance(d, Column) else F.lit(float(d))
+    return _erode_udf(poly, dcol)
+
+
 def st_intersection_any(ga: Column, gb: Column) -> Column:
     """Generic stIntersection over two tagged geometry unions
     (st_geometry_from_text structs): Python-side dispatch to the

@@ -1302,9 +1302,8 @@ def buffer_polygon(poly_rings_raw, r: float, m: int = 8) -> list[list[dict]] | N
     with the inscribed 2m-gon disc, same cap convention as buffer_line.
     A rectangle dilates to area wh + 2r(w+h) + m r^2 sin(pi/m) exactly.
     Holes shrink (their boundary stadiums eat inward) and disappear when
-    narrower than 2r. Negative distances (erosion) are not implemented
-    (DELTAS). Returns a holed polygon; NULL on NULL/degenerate input or
-    r <= 0."""
+    narrower than 2r. Negative distances (erosion) are ``erode_polygon``.
+    Returns a holed polygon; NULL on NULL/degenerate input or r <= 0."""
     import math as _math
 
     if r is None or not r > 0:
@@ -1340,6 +1339,63 @@ def buffer_polygon(poly_rings_raw, r: float, m: int = 8) -> list[list[dict]] | N
                 return None  # dilation of a connected polygon stays connected
             acc = _snap_rings(u[0])
     return acc
+
+
+def erode_polygon(poly_rings_raw, d: float, m: int = 8) -> list[list[list[dict]]] | None:
+    """stBuffer with NEGATIVE distance (erosion) for a POLYGON: the
+    morphological identity P erode D = P minus (boundary(P) dilate D) —
+    subtract every boundary edge's stadium (the same inscribed-2m-gon
+    disc convention as the dilation fold, buffer_polygon). Interior
+    points farther than d from the boundary survive; for convex corners
+    the removal band is exact regardless of cap resolution (distance to
+    the boundary is the min edge distance), so a w x h rectangle erodes
+    to EXACTLY (w-2d) x (h-2d). Holes GROW by d; necks narrower than 2d
+    pinch the polygon into multiple parts, so the result is the
+    MULTIPOLYGON representation — [] when fully eroded, NULL on
+    NULL/degenerate input or d <= 0."""
+    import math as _math
+
+    if d is None or not d > 0:
+        return None
+    poly = _norm_rings(poly_rings_raw)
+    if poly is None:
+        return None
+    if not poly:
+        return []
+
+    def stadium(a, b):
+        ax, ay = float(a[0]), float(a[1])
+        bx, by = float(b[0]), float(b[1])
+        th = _math.atan2(by - ay, bx - ax)
+        ring = []
+        for k in range(m + 1):
+            ang = th - _math.pi / 2 + _math.pi * k / m
+            ring.append({"x": bx + d * _math.cos(ang), "y": by + d * _math.sin(ang)})
+        for k in range(m + 1):
+            ang = th + _math.pi / 2 + _math.pi * k / m
+            ring.append({"x": ax + d * _math.cos(ang), "y": ay + d * _math.sin(ang)})
+        return [ring]
+
+    comps: list[list[list[dict]]] = [
+        [
+            [{"x": float(x), "y": float(y)} for x, y in ring + [ring[0]]]
+            for ring in poly
+        ]
+    ]
+    for ring in poly:
+        n = len(ring)
+        for i in range(n):
+            st = stadium(ring[i], ring[(i + 1) % n])
+            nxt: list[list[list[dict]]] = []
+            for comp in comps:
+                diff = overlay(comp, st, "difference")
+                if diff is None:
+                    return None
+                nxt.extend(_snap_rings(part) for part in diff)
+            comps = nxt
+            if not comps:
+                return []
+    return comps
 
 
 def union_many(polys_raw) -> list[list[list[dict]]] | None:

@@ -3537,6 +3537,116 @@ def fn_geo_buffer_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("c_custkey")
 
 
+# --- ST_Buffer for polygons, negative distance (erosion) ---------------------
+
+_ERODE_SRC = """
+    SELECT c_custkey,
+           CAST(c_custkey % 4 AS INT) AS kind,
+           CAST(4 + c_custkey % 3 AS DOUBLE) AS w,
+           CAST(3 + c_custkey % 2 AS DOUBLE) AS h
+    FROM customer
+    WHERE c_custkey % 59 = 0
+"""
+
+# kind 0: w x h rect, d=0.5 -> EXACT (w-1)(h-1) (convex-corner erosion is
+# cap-independent), 1 part / 1 ring. kind 1: 10-square with a 2-hole,
+# d=1 -> outer 8^2 minus the hole grown by the inscribed-cap convention
+# (4 + 8 + 8 sin(pi/8)), 1 part / 2 rings. kind 2: 2-square, d=1.2 ->
+# fully eroded. kind 3: dumbbell with a 2-wide neck, d=1.5 -> splits into
+# 2 parts; exact area has reflex-corner cap surplus, so it is band-checked.
+_ERODE_ORACLE = f"""
+WITH src AS ({_ERODE_SRC})
+SELECT c_custkey, kind,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 2 END
+            AS INT) AS n_parts,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 2 END
+            AS INT) AS n_rings_total,
+       round(CASE kind
+           WHEN 0 THEN (w - 1) * (h - 1)
+           WHEN 1 THEN 64 - (4 + 8 + 8 * sin(pi() / 8))
+           WHEN 2 THEN 0.0
+       END, 9) AS area_exact,
+       TRUE AS area_ok
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_erode_polygon",
+    oracle=_ERODE_ORACLE,
+    doc="stBuffer with NEGATIVE distance (erosion) for polygons — the "
+    "reference buffers any geometry with any sign through Esri; this is "
+    "the morphological complement of fn_geo_buffer_polygon's dilation: "
+    "P minus the boundary-stadium union in the exact overlay "
+    "(operators/polygon_overlay.erode_polygon). Convex-corner erosion is "
+    "cap-independent so rectangles erode EXACTLY; holes grow by the "
+    "inscribed-cap closed form; necks narrower than 2d split the result "
+    "into a true MULTIPOLYGON (band-checked area). Closes the former "
+    "'negative distances not implemented' delta.",
+    tags=("geo",),
+)
+def fn_geo_erode_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _ERODE_SRC, ("customer",))
+    w, h = F.col("w"), F.col("h")
+    lit = F.lit
+
+    def ring_of(*pts) -> F.Column:
+        closed = [*pts, pts[0]]
+        return F.array(*[G.st_point(x, y) for x, y in closed])
+
+    rect = F.array(
+        ring_of((lit(0.0), lit(0.0)), (w, lit(0.0)), (w, h), (lit(0.0), h))
+    )
+    holed = F.array(
+        ring_of((lit(0.0), lit(0.0)), (lit(10.0), lit(0.0)),
+                (lit(10.0), lit(10.0)), (lit(0.0), lit(10.0))),
+        ring_of((lit(4.0), lit(4.0)), (lit(4.0), lit(6.0)),
+                (lit(6.0), lit(6.0)), (lit(6.0), lit(4.0))),
+    )
+    small = F.array(
+        ring_of((lit(0.0), lit(0.0)), (lit(2.0), lit(0.0)),
+                (lit(2.0), lit(2.0)), (lit(0.0), lit(2.0)))
+    )
+    dumbbell = F.array(
+        ring_of(
+            (lit(0.0), lit(0.0)), (lit(6.0), lit(0.0)), (lit(6.0), lit(2.0)),
+            (lit(10.0), lit(2.0)), (lit(10.0), lit(0.0)), (lit(16.0), lit(0.0)),
+            (lit(16.0), lit(6.0)), (lit(10.0), lit(6.0)), (lit(10.0), lit(4.0)),
+            (lit(6.0), lit(4.0)), (lit(6.0), lit(6.0)), (lit(0.0), lit(6.0)),
+        )
+    )
+    poly = (
+        F.when(F.col("kind") == 0, rect)
+        .when(F.col("kind") == 1, holed)
+        .when(F.col("kind") == 2, small)
+        .otherwise(dumbbell)
+    )
+    dist = (
+        F.when(F.col("kind") == 0, lit(0.5))
+        .when(F.col("kind") == 1, lit(1.0))
+        .when(F.col("kind") == 2, lit(1.2))
+        .otherwise(lit(1.5))
+    )
+    staged = src.repartition(32).select(
+        "c_custkey", "kind", GS.st_erode_polygon(poly, dist).alias("er")
+    )
+    er = F.col("er")
+    n_rings = F.aggregate(er, F.lit(0), lambda acc, rings: acc + F.size(rings))
+    area = G.st_multipolygon_area(er)
+    return staged.select(
+        "c_custkey", "kind",
+        F.size(er).alias("n_parts"),
+        n_rings.cast("int").alias("n_rings_total"),
+        F.when(F.col("kind") != 3, F.round(area, 9)).alias("area_exact"),
+        F.when(F.col("kind") == 3, area.between(18.0, 19.0))
+        .otherwise(F.lit(True))
+        .alias("area_ok"),
+    ).orderBy("c_custkey")
+
+
 # --- Scalar geometry_union over an array of polygons -------------------------
 
 _UNION_ARRAY_SRC = """

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from lyft_presto_spark.operators.geo_scalar import _clip_one
 from lyft_presto_spark.operators.hull import monotone_chain
 from lyft_presto_spark.operators.polygon_overlay import (
+    erode_polygon,
     intersection_any,
     intersection_pieces,
     overlay,
@@ -910,3 +911,45 @@ class TestIntersectionAnyDispatcher:
         assert intersection_any(None, self._p(0, 0)) is None
         assert intersection_any({"tag": "ST_MultiPoint"}, self._p(0, 0)) is None
         assert intersection_any({"tag": None}, self._p(0, 0)) is None
+
+
+class TestErodePolygon:
+    """Negative-distance ST_Buffer: P erode D = P \\ (boundary + D)."""
+
+    def test_rectangle_exact(self):
+        sq = [ring((0, 0), (10, 0), (10, 10), (0, 10))]
+        r = erode_polygon(sq, 2.0)
+        assert len(r) == 1 and polygon_area(r) == pytest.approx(36.0)
+
+    def test_hole_grows_by_cap_closed_form(self):
+        import math
+        holed = [ring((0, 0), (10, 0), (10, 10), (0, 10)),
+                 ring((4, 4), (4, 6), (6, 6), (6, 4))]
+        r = erode_polygon(holed, 1.0)
+        exp = 64 - (4 + 8 + 8 * math.sin(math.pi / 8))
+        assert polygon_area(r) == pytest.approx(exp, abs=1e-9)
+        assert len(r) == 1 and len(r[0]) == 2  # outer + grown hole
+
+    def test_neck_splits_to_multipolygon(self):
+        db = [ring((0, 0), (6, 0), (6, 2), (10, 2), (10, 0), (16, 0),
+                   (16, 6), (10, 6), (10, 4), (6, 4), (6, 6), (0, 6))]
+        r = erode_polygon(db, 1.5)
+        assert len(r) == 2
+        assert 18.0 <= polygon_area(r) <= 19.0  # two 3x3 + reflex-cap surplus
+
+    def test_vanish_and_null(self):
+        sq = [ring((0, 0), (2, 0), (2, 2), (0, 2))]
+        assert erode_polygon(sq, 1.2) == []
+        assert erode_polygon(None, 1.0) is None
+        assert erode_polygon(sq, 0.0) is None
+        assert erode_polygon(sq, -1.0) is None
+
+    def test_dilate_then_erode_recovers_rectangle(self):
+        from lyft_presto_spark.operators.polygon_overlay import buffer_polygon
+        sq = [ring((0, 0), (8, 0), (8, 6), (0, 6))]
+        fat = buffer_polygon(sq, 1.0)
+        back = erode_polygon(fat, 1.0)
+        # closing identity on a convex polygon: erosion undoes dilation
+        # up to the polygonal-cap convention at the corners
+        assert len(back) == 1
+        assert polygon_area(back) == pytest.approx(48.0, abs=0.25)
