@@ -602,9 +602,12 @@ DELTAS = {
     "some orientation is zero at the meeting point, e.g. a line through a "
     "zigzag's apex) classifies as a touch here — crosses=false, "
     "touches=true — while the strict OGC/Esri Relate matrix reports "
-    "crosses=true when both interiors meet. Split the vertex if the strict "
-    "classification matters; proper crossings, endpoint touches, and "
-    "collinear overlaps classify identically to the reference.",
+    "crosses=true when both interiors meet. For the strict classification "
+    "use st_relate_lines (the exact split-and-classify DE-9IM, r6) and "
+    "test the matrix — it reports the vertex-grazing case as the "
+    "reference does; the codegen predicate stays the fast path. Proper "
+    "crossings, endpoint touches, and collinear overlaps classify "
+    "identically to the reference on both paths.",
     "ST_Buffer": "Point buffers are regular 32-gon rings approximating the "
     "Esri round buffer (area within 0.65% of pi*r^2; raise n in "
     "st_buffer_point where tighter bounds matter). LINESTRING buffers "
