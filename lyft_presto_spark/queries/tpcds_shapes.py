@@ -2645,3 +2645,289 @@ def tpcds_q70_rank_restricted_rollup(spark: SparkSession, sf_dir: str) -> DataFr
             F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
         )
     )
+
+
+# --- q64 shape: refund-screened items, wide join, two-year self-join --------
+
+
+@query(
+    "tpcds_q64_cross_year_items",
+    oracle=f"""
+    WITH cs_ui AS (
+        SELECT l_partkey AS pk
+        FROM lineitem
+        GROUP BY l_partkey
+        HAVING SUM(CASE WHEN l_returnflag <> 'R' THEN {_SQL_PRICE}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END)
+             > 2 * SUM(CASE WHEN l_returnflag = 'R' THEN {_SQL_PRICE}
+                            ELSE CAST(0 AS DECIMAL(12,2)) END)
+    ),
+    cross_sales AS (
+        SELECT l_partkey AS pk, p_brand, year(o_orderdate) AS yr,
+               n_name AS cust_nation,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               SUM({_SQL_PRICE}) AS sales
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_partkey IN (SELECT pk FROM cs_ui)
+          AND year(o_orderdate) IN (1995, 1996)
+          AND s_nationkey <> c_nationkey
+        GROUP BY l_partkey, p_brand, year(o_orderdate), n_name
+    )
+    SELECT cs1.p_brand, cs1.cust_nation,
+           cs1.cnt AS cnt_95, CAST(cs1.sales AS DOUBLE) AS sales_95,
+           cs2.cnt AS cnt_96, CAST(cs2.sales AS DOUBLE) AS sales_96
+    FROM cross_sales cs1
+    JOIN cross_sales cs2
+      ON cs1.pk = cs2.pk AND cs1.cust_nation = cs2.cust_nation
+     AND cs1.yr = 1995 AND cs2.yr = 1996
+    WHERE cs2.cnt >= cs1.cnt
+    ORDER BY cs1.p_brand, cs1.cust_nation, cnt_95, sales_95, cnt_96, sales_96
+    LIMIT 100
+    """,
+    doc="TPC-DS q64 shape (sql/presto/tpcds/q64.sql): the refund-screened "
+    "item set (HAVING sales > 2x refunds — the cs_ui CTE) restricting a "
+    "SIX-table wide join with a cross-dimension inequality (supplier "
+    "nation <> customer nation), aggregated per (item, nation, year) and "
+    "self-joined across two years keeping pairs whose count did not "
+    "drop. The widest join chain in the corpus feeding a repeated-CTE "
+    "period comparison.",
+    tags=("tpcds", "join", "cte"),
+)
+def tpcds_q64_cross_year_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part")
+    zero = F.lit(0).cast(PRICE)
+    cs_ui = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") != "R", _dec("l_extendedprice", PRICE))
+                .otherwise(zero)
+            ).alias("kept"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", _dec("l_extendedprice", PRICE))
+                .otherwise(zero)
+            ).alias("refunded"),
+        )
+        .filter(F.col("kept") > 2 * F.col("refunded"))
+        .select(F.col("l_partkey").alias("ui_pk"))
+    )
+    cross_sales = (
+        li.join(cs_ui, li.l_partkey == cs_ui.ui_pk, "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year("o_orderdate").isin(1995, 1996))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("pk"), "p_brand",
+            F.year("o_orderdate").alias("yr"),
+            F.col("n_name").alias("cust_nation"),
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(_dec("l_extendedprice", PRICE)).alias("sales"),
+        )
+    )
+    cs1 = cross_sales.filter(F.col("yr") == 1995).select(
+        F.col("pk").alias("pk1"), F.col("p_brand").alias("p_brand"),
+        F.col("cust_nation").alias("cust_nation"),
+        F.col("cnt").alias("cnt_95"), F.col("sales").cast("double").alias("sales_95"),
+    )
+    cs2 = cross_sales.filter(F.col("yr") == 1996).select(
+        F.col("pk").alias("pk2"), F.col("cust_nation").alias("cn2"),
+        F.col("cnt").alias("cnt_96"), F.col("sales").cast("double").alias("sales_96"),
+    )
+    return (
+        cs1.join(cs2, (cs1.pk1 == cs2.pk2) & (cs1.cust_nation == cs2.cn2))
+        .filter(F.col("cnt_96") >= F.col("cnt_95"))
+        .select(
+            "p_brand", "cust_nation", "cnt_95", "sales_95", "cnt_96", "sales_96"
+        )
+        .orderBy("p_brand", "cust_nation", "cnt_95", "sales_95", "cnt_96", "sales_96")
+        .limit(100)
+    )
+
+
+# --- q80 shape: three-channel returns-adjusted ROLLUP -----------------------
+
+
+def _q80_leg_sql(mod: int, tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS channel, p_brand,
+               SUM(CASE WHEN r_orderkey IS NULL THEN {_SQL_PRICE}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS sales,
+               SUM(CASE WHEN r_orderkey IS NULL THEN CAST(0 AS DECIMAL(12,2))
+                        ELSE {_SQL_PRICE} END) AS returns_
+        FROM lineitem
+        LEFT JOIN ret ON l_orderkey = r_orderkey AND l_partkey = r_partkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_linenumber % 3 = {mod}
+        GROUP BY p_brand
+    """
+
+
+@query(
+    "tpcds_q80_channel_returns_rollup",
+    oracle=f"""
+    WITH ret AS (
+        SELECT DISTINCT l_orderkey AS r_orderkey, l_partkey AS r_partkey
+        FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    legs AS (
+        {_q80_leg_sql(0, "store")}
+        UNION ALL
+        {_q80_leg_sql(1, "web")}
+        UNION ALL
+        {_q80_leg_sql(2, "catalog")}
+    )
+    SELECT channel, p_brand,
+           CAST(GROUPING(p_brand) AS INT) + 2 * CAST(GROUPING(channel) AS INT)
+               AS g_level,
+           CAST(SUM(sales) AS DOUBLE) AS total_sales,
+           CAST(SUM(returns_) AS DOUBLE) AS total_returns
+    FROM legs
+    GROUP BY ROLLUP (channel, p_brand)
+    ORDER BY channel NULLS FIRST, p_brand NULLS FIRST
+    LIMIT 100
+    """,
+    doc="TPC-DS q80 shape (sql/presto/tpcds/q80.sql): three channel legs "
+    "each splitting value into sales (unreturned) vs returns via the "
+    "LEFT JOIN null-flag pivot, tagged with a literal channel column, "
+    "UNION ALL'd, and rolled up over (channel, brand) with a composed "
+    "GROUPING() level — returns-adjusted channel totals with subtotal "
+    "and grand-total rows. Combines the q40 adjustment, q33 union, and "
+    "q36 rollup machinery in one plan.",
+    tags=("tpcds", "setop", "aggregation", "outerjoin"),
+)
+def tpcds_q80_channel_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    ret = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("r_orderkey"),
+            F.col("l_partkey").alias("r_partkey"),
+        )
+        .distinct()
+    )
+    zero = F.lit(0).cast(PRICE)
+
+    def leg(mod: int, tag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .join(
+                ret,
+                (li.l_orderkey == ret.r_orderkey) & (li.l_partkey == ret.r_partkey),
+                "left",
+            )
+            .join(part, li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(
+                F.sum(
+                    F.when(F.col("r_orderkey").isNull(), _dec("l_extendedprice", PRICE))
+                    .otherwise(zero)
+                ).alias("sales"),
+                F.sum(
+                    F.when(F.col("r_orderkey").isNull(), zero)
+                    .otherwise(_dec("l_extendedprice", PRICE))
+                ).alias("returns_"),
+            )
+            .select(F.lit(tag).alias("channel"), "p_brand", "sales", "returns_")
+        )
+
+    legs = leg(0, "store").unionAll(leg(1, "web")).unionAll(leg(2, "catalog"))
+    return (
+        legs.rollup("channel", "p_brand")
+        .agg(
+            (
+                F.grouping("p_brand").cast("int")
+                + 2 * F.grouping("channel").cast("int")
+            ).alias("g_level"),
+            F.sum("sales").cast("double").alias("total_sales"),
+            F.sum("returns_").cast("double").alias("total_returns"),
+        )
+        .orderBy(
+            F.col("channel").asc_nulls_first(), F.col("p_brand").asc_nulls_first()
+        )
+        .limit(100)
+    )
+
+
+# --- q46 shape: cross-dimension inequality screen with join-back ------------
+
+
+@query(
+    "tpcds_q46_cross_nation_orders",
+    oracle=f"""
+    WITH per_order AS (
+        SELECT o_orderkey, o_custkey,
+               SUM({_SQL_PRICE}) AS amt,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               SUM(CASE WHEN s_nationkey <> c_nationkey THEN 1 ELSE 0 END)
+                   AS cross_lines
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE year(o_orderdate) = 1995
+        GROUP BY o_orderkey, o_custkey
+    )
+    SELECT c_name, o_orderkey, CAST(amt AS DOUBLE) AS amt, n_lines
+    FROM per_order
+    JOIN customer ON o_custkey = c_custkey
+    WHERE cross_lines > 0
+    ORDER BY c_name, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q46 shape (sql/presto/tpcds/q46.sql): per-order "
+    "aggregates carrying an embedded cross-dimension inequality flag "
+    "(supplier nation <> ordering customer's nation — playing 'bought in "
+    "a city they don't live in'), screened on the flag and joined BACK "
+    "to the customer dimension for decoration — the aggregate-then-"
+    "rejoin-the-dim pattern with a dim-vs-dim comparison inside the "
+    "aggregate.",
+    tags=("tpcds", "join", "aggregation"),
+)
+def tpcds_q46_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    per_order = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            F.sum(_dec("l_extendedprice", PRICE)).alias("amt"),
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("s_nationkey") != F.col("c_nationkey"), 1).otherwise(0)
+            ).alias("cross_lines"),
+        )
+        .filter(F.col("cross_lines") > 0)
+    )
+    cust2 = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck2"), "c_name"
+    )
+    return (
+        per_order.join(cust2, per_order.o_custkey == cust2.ck2)
+        .select(
+            "c_name", "o_orderkey",
+            F.col("amt").cast("double").alias("amt"), "n_lines",
+        )
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )
