@@ -2931,3 +2931,160 @@ def tpcds_q46_cross_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy("c_name", "o_orderkey")
         .limit(100)
     )
+
+
+# --- q44 shape: best/worst performers via opposed rank subqueries -----------
+
+
+@query(
+    "tpcds_q44_best_worst_items",
+    oracle=f"""
+    WITH perf AS (
+        SELECT l_partkey AS pk,
+               CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*) AS avg_rev
+        FROM lineitem
+        GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT pk, avg_rev,
+               RANK() OVER (ORDER BY avg_rev DESC, pk) AS best_rank,
+               RANK() OVER (ORDER BY avg_rev ASC, pk) AS worst_rank
+        FROM perf
+    )
+    SELECT b.best_rank AS rnk, p1.p_name AS best_performing,
+           p2.p_name AS worst_performing
+    FROM ranked b
+    JOIN ranked w ON b.best_rank = w.worst_rank
+    JOIN part p1 ON b.pk = p1.p_partkey
+    JOIN part p2 ON w.pk = p2.p_partkey
+    WHERE b.best_rank <= 10
+    ORDER BY rnk
+    """,
+    doc="TPC-DS q44 shape (sql/presto/tpcds/q44.sql): the best- and "
+    "worst-performing items side by side — one per-item aggregate ranked "
+    "TWICE in opposite directions, the two rankings equi-joined on rank "
+    "position, and each side decorated from the item dimension "
+    "independently (the dimension scanned twice under different join "
+    "keys). Ties broken by the item key so both engines rank "
+    "identically.",
+    tags=("tpcds", "window", "join"),
+)
+def tpcds_q44_best_worst_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    perf = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum(_dec("l_extendedprice", PRICE)).cast("double") / F.count("*"))
+        .alias("avg_rev")
+    )
+    wb = Window.orderBy(F.col("avg_rev").desc(), F.col("pk"))
+    ww = Window.orderBy(F.col("avg_rev").asc(), F.col("pk"))
+    ranked = perf.select(
+        "pk", "avg_rev",
+        F.rank().over(wb).alias("best_rank"),
+        F.rank().over(ww).alias("worst_rank"),
+    )
+    best = ranked.filter(F.col("best_rank") <= 10).select(
+        F.col("best_rank").alias("rnk"), F.col("pk").alias("bpk")
+    )
+    worst = ranked.select(
+        F.col("worst_rank").alias("wrnk"), F.col("pk").alias("wpk")
+    )
+    p1 = part.select(F.col("p_partkey").alias("pk1"), F.col("p_name").alias("best_performing"))
+    p2 = part.select(F.col("p_partkey").alias("pk2"), F.col("p_name").alias("worst_performing"))
+    return (
+        best.join(worst, best.rnk == worst.wrnk)
+        .join(p1, best.bpk == p1.pk1)
+        .join(p2, worst.wpk == p2.pk2)
+        .select("rnk", "best_performing", "worst_performing")
+        .orderBy("rnk")
+    )
+
+
+# --- q49 shape: three-channel return-ratio dual ranks -----------------------
+
+
+def _q49_leg_sql(mod: int, tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS channel, l_partkey AS pk,
+               SUM(CASE WHEN l_returnflag = 'R' THEN {_SQL_QTY}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS ret_qty,
+               SUM({_SQL_QTY}) AS tot_qty
+        FROM lineitem
+        WHERE l_linenumber % 3 = {mod}
+        GROUP BY l_partkey
+        HAVING COUNT(*) >= 3
+    """
+
+
+@query(
+    "tpcds_q49_return_ratio_ranks",
+    oracle=f"""
+    WITH legs AS (
+        {_q49_leg_sql(0, "store")}
+        UNION ALL
+        {_q49_leg_sql(1, "web")}
+        UNION ALL
+        {_q49_leg_sql(2, "catalog")}
+    ),
+    ranked AS (
+        SELECT channel, pk,
+               round(CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE), 6)
+                   AS return_ratio,
+               RANK() OVER (PARTITION BY channel
+                            ORDER BY CAST(ret_qty AS DOUBLE)
+                                     / CAST(tot_qty AS DOUBLE) DESC, pk)
+                   AS ratio_rank,
+               RANK() OVER (PARTITION BY channel
+                            ORDER BY CAST(ret_qty AS DOUBLE) DESC, pk)
+                   AS amount_rank
+        FROM legs
+    )
+    SELECT channel, pk, return_ratio, ratio_rank, amount_rank
+    FROM ranked
+    WHERE ratio_rank <= 5 OR amount_rank <= 5
+    ORDER BY channel, pk
+    """,
+    doc="TPC-DS q49 shape (sql/presto/tpcds/q49.sql): the worst return "
+    "ratios per channel — three channel legs UNION ALL'd, each item "
+    "ranked under TWO windows over the same partition (by return ratio "
+    "and by returned amount), kept when EITHER rank makes the cut — the "
+    "disjunctive dual-window screen. Ratios divide exact decimal sums; "
+    "ties broken by the item key.",
+    tags=("tpcds", "window", "setop"),
+)
+def tpcds_q49_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    zero = F.lit(0).cast(QTY)
+
+    def leg(mod: int, tag: str) -> DataFrame:
+        return (
+            li.filter(F.col("l_linenumber") % 3 == mod)
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", _dec("l_quantity", QTY))
+                    .otherwise(zero)
+                ).alias("ret_qty"),
+                F.sum(_dec("l_quantity", QTY)).alias("tot_qty"),
+                F.count("*").alias("n"),
+            )
+            .filter(F.col("n") >= 3)
+            .select(F.lit(tag).alias("channel"), "pk", "ret_qty", "tot_qty")
+        )
+
+    legs = leg(0, "store").unionAll(leg(1, "web")).unionAll(leg(2, "catalog"))
+    ratio = F.col("ret_qty").cast("double") / F.col("tot_qty").cast("double")
+    wr = Window.partitionBy("channel").orderBy(ratio.desc(), F.col("pk"))
+    wa = Window.partitionBy("channel").orderBy(
+        F.col("ret_qty").cast("double").desc(), F.col("pk")
+    )
+    return (
+        legs.select(
+            "channel", "pk",
+            F.round(ratio, 6).alias("return_ratio"),
+            F.rank().over(wr).alias("ratio_rank"),
+            F.rank().over(wa).alias("amount_rank"),
+        )
+        .filter((F.col("ratio_rank") <= 5) | (F.col("amount_rank") <= 5))
+        .orderBy("channel", "pk")
+    )
