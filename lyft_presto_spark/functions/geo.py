@@ -2326,7 +2326,10 @@ def st_collection_of_pieces(pieces: Column) -> Column:
     ST_Polygon / ST_LineString / ST_Point — in that order, so every
     ``st_collection_*`` accessor composes with the mixed-dimension
     ST_Intersection result exactly as with a parsed collection. Codegen
-    (three transforms + concat); NULL in -> NULL out."""
+    (three transforms + concat); NULL in -> NULL out. A kernel-exception
+    row arrives as a non-NULL struct with all-NULL fields (Arrow struct
+    results carry no row validity — see st_intersection_pieces), so the
+    guard branches on the ``polys`` field, not the struct itself."""
     null_pt = F.lit(None).cast("struct<x:double,y:double>")
     null_line = F.lit(None).cast("array<struct<x:double,y:double>>")
     null_poly = F.lit(None).cast("array<array<struct<x:double,y:double>>>")
@@ -2346,7 +2349,7 @@ def st_collection_of_pieces(pieces: Column) -> Column:
         )
 
     return F.when(
-        pieces.isNotNull(),
+        pieces["polys"].isNotNull(),
         F.concat(
             F.transform(pieces["polys"], lambda p: member("ST_Polygon", polygon=p)),
             F.transform(pieces["lines"], lambda l: member("ST_LineString", line=l)),
@@ -2361,12 +2364,14 @@ def st_pieces_geometry_type(pieces: Column) -> Column:
     dimensions are ST_GeomCollection — the Esri OGCGeometry behavior the
     reference's stGeometryType reports on an stIntersection output. The
     empty result is pinned to ST_GeomCollection (the empty-collection
-    form)."""
+    form). NULL-or-failed rows are detected through the ``polys`` field
+    (NULL struct OR all-NULL-field exception row — see
+    st_intersection_pieces' NULL-ness note), not the struct itself."""
     np_ = F.size(pieces["polys"])
     nl = F.size(pieces["lines"])
     npt = F.size(pieces["points"])
     return (
-        F.when(pieces.isNull(), F.lit(None).cast("string"))
+        F.when(pieces["polys"].isNull(), F.lit(None).cast("string"))
         .when(
             (np_ > 0) & (nl == 0) & (npt == 0),
             F.when(np_ == 1, F.lit("ST_Polygon")).otherwise(F.lit("ST_MultiPolygon")),

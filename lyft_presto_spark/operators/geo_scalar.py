@@ -296,7 +296,15 @@ def st_intersection_pieces(a: Column, b: Column) -> Column:
     reference returns as a lower-dimensional geometry or a
     GEOMETRYCOLLECTION. One struct column: ``polys`` (MULTIPOLYGON repr),
     ``lines`` (array of linestrings), ``points`` (array of points); all
-    empty arrays when the operands are disjoint, NULL on NULL input."""
+    empty arrays when the operands are disjoint, NULL on NULL input.
+
+    NULL-ness note: a struct-returning pandas UDF carries no row-level
+    Arrow validity, so a None row from the kernel arrives Spark-side as a
+    non-NULL struct with all-NULL fields. The F.when wrap below restores a
+    genuinely NULL struct for NULL operands (so ``pieces.isNull()`` works
+    for consumers); kernel-exception rows remain all-NULL-field structs,
+    which st_pieces_geometry_type / st_collection_of_pieces detect via
+    ``pieces['polys'].isNull()``."""
     from .polygon_overlay import intersection_pieces
 
     ret = (
@@ -317,7 +325,7 @@ def st_intersection_pieces(a: Column, b: Column) -> Column:
             cols["points"].append(None if r is None else r["points"])
         return pd.DataFrame(cols, index=s.index)
 
-    return _pieces_udf(a, b)
+    return F.when(a.isNotNull() & b.isNotNull(), _pieces_udf(a, b))
 
 
 def st_union_geom(a: Column, b: Column) -> Column:
@@ -514,7 +522,9 @@ def st_intersection_any(ga: Column, gb: Column) -> Column:
     pieces struct as st_intersection_pieces, so st_collection_of_pieces /
     st_pieces_geometry_type compose. Multi-*/collection operands yield
     NULL (COVERAGE 'Out of scope'). Input structs are slimmed to
-    (tag, point, line, polygon) before Arrow (st_relate_any discipline)."""
+    (tag, point, line, polygon) before Arrow (st_relate_any discipline).
+    NULL operands yield a genuinely NULL struct via the F.when wrap (see
+    st_intersection_pieces' NULL-ness note)."""
     from .polygon_overlay import intersection_any
 
     def slim(g: Column) -> Column:
@@ -544,9 +554,9 @@ def st_intersection_any(ga: Column, gb: Column) -> Column:
             cols["polys"].append(None if r is None else r["polys"])
             cols["lines"].append(None if r is None else r["lines"])
             cols["points"].append(None if r is None else r["points"])
-        return pd.DataFrame(cols)
+        return pd.DataFrame(cols, index=s.index)
 
-    return _ia_udf(ga, gb)
+    return F.when(ga.isNotNull() & gb.isNotNull(), _ia_udf(ga, gb))
 
 
 def st_buffer_line(line: Column, r: Column | float, m: int = 8) -> Column:
@@ -576,8 +586,8 @@ def st_buffer_polygon(poly: Column, r: Column | float, m: int = 8) -> Column:
     """stBuffer, POLYGON case with positive distance (dilation): the
     Minkowski sum with the inscribed 2m-gon disc via the stadium fold
     (polygon_overlay.buffer_polygon). Holes shrink with SHARP corners
-    (erosion by a disc) and vanish when narrower than 2r; negative
-    distances are not implemented (DELTAS)."""
+    (erosion by a disc) and vanish when narrower than 2r; for negative
+    distances use st_erode_polygon (polygon_overlay.erode_polygon)."""
     from .polygon_overlay import buffer_polygon
 
     @pandas_udf("array<array<struct<x:double,y:double>>>")

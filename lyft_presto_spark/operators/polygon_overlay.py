@@ -766,8 +766,11 @@ def intersection_any(ga: dict | None, gb: dict | None) -> dict | None:
     if ta == "ST_Point" and tb == "ST_Polygon":
         a = pt(ga)
         poly = _norm_rings(gb.get("polygon"))
-        if a is None or poly is None or not poly:
+        if a is None or poly is None:
             return None
+        if not poly:  # degenerate (all rings dropped): empty result, not
+            return empty  # NULL — the _line_polygon_pieces convention
+
         on = any(
             _on_segment(a, r[i], r[(i + 1) % len(r)])
             for r in poly

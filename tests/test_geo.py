@@ -1475,3 +1475,69 @@ class TestStaticPolygonPredicates:
             ).count()
             == 0
         )
+
+
+class TestPiecesNullSemantics:
+    """ADVICE r7: a struct-returning pandas UDF carries no Arrow row
+    validity, so NULL-operand rows used to arrive as non-NULL structs with
+    all-NULL fields and st_pieces_geometry_type's NULL branch never fired.
+    The F.when wrap in st_intersection_pieces/st_intersection_any plus the
+    polys-field guard must make NULL in -> NULL out actually hold."""
+
+    def _pieces_df(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+
+        sq = "array(array(named_struct('x',0.0d,'y',0.0d), named_struct('x',4.0d,'y',0.0d), named_struct('x',4.0d,'y',4.0d), named_struct('x',0.0d,'y',4.0d)))"
+        mpoly = "array<array<struct<x:double,y:double>>>"
+        df = spark.sql(
+            f"SELECT 1 AS id, {sq} AS ga, cast(null AS {mpoly}) AS gb "
+            f"UNION ALL SELECT 2, {sq}, {sq}"
+        )
+        return df.select(
+            "id", GS.st_intersection_pieces(F.col("ga"), F.col("gb")).alias("pc")
+        )
+
+    def test_null_operand_yields_null_struct(self, spark):
+        rows = {r.id: r for r in self._pieces_df(spark).collect()}
+        assert rows[1].pc is None
+        assert rows[2].pc is not None and len(rows[2].pc.polys) == 1
+
+    def test_geometry_type_null_branch_fires(self, spark):
+        out = self._pieces_df(spark).select(
+            "id", G.st_pieces_geometry_type(F.col("pc")).alias("t")
+        )
+        rows = {r.id: r.t for r in out.collect()}
+        assert rows[1] is None
+        assert rows[2] == "ST_Polygon"
+
+    def test_collection_of_pieces_null_branch_fires(self, spark):
+        out = self._pieces_df(spark).select(
+            "id", G.st_collection_of_pieces(F.col("pc")).alias("c")
+        )
+        rows = {r.id: r.c for r in out.collect()}
+        assert rows[1] is None
+        assert rows[2] is not None and len(rows[2]) == 1
+
+    def test_intersection_any_null_operand(self, spark):
+        from lyft_presto_spark.operators import geo_scalar as GS
+
+        g = spark.range(1).select(
+            G.st_geometry_from_text(F.lit("POINT (1 1)")).alias("ga"),
+            G.st_geometry_from_text(F.lit(None).cast("string")).alias("gb"),
+        )
+        pc = g.select(GS.st_intersection_any(F.col("ga"), F.col("gb")).alias("pc"))
+        row = pc.select(G.st_pieces_geometry_type(F.col("pc")).alias("t")).collect()[0]
+        assert row.t is None
+
+    def test_degenerate_polygon_operand_is_empty_not_null(self):
+        # ADVICE r7 (polygon_overlay:766): point/degenerate-polygon now
+        # returns the empty pieces struct like the line/polygon kernel.
+        from lyft_presto_spark.operators.polygon_overlay import intersection_any
+
+        pt = {"tag": "ST_Point", "point": {"x": 1.0, "y": 1.0}, "line": None,
+              "polygon": None}
+        degen = {"tag": "ST_Polygon", "point": None, "line": None,
+                 "polygon": [[{"x": 0.0, "y": 0.0}, {"x": 1.0, "y": 0.0}]]}
+        assert intersection_any(pt, degen) == {
+            "polys": [], "lines": [], "points": []
+        }
