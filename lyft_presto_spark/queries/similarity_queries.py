@@ -13,7 +13,9 @@ Scale notes (100 TB):
   any distance math (and would partition-prune if the table were written
   bucketed by ``bucket``).
 - ``sim_pairs_blocked``: pairwise similarity only *within* label blocks —
-  a partitioned self-join on the blocking key, never all-pairs.
+  a per-block Gram matrix in ``applyInPandas`` (one shuffle on the blocking
+  key, linear Arrow traffic), never all-pairs and never a materialized
+  pair join.
 """
 
 from __future__ import annotations
@@ -106,13 +108,56 @@ ORDER BY label
 @query(
     "sim_pairs_blocked",
     oracle=_pairs_sql("duck"),
-    doc="Per-label pairwise cosine stats: self-join blocked on label "
-    "(partitioned shuffle join on the blocking key, never all-pairs).",
+    doc="Per-label pairwise cosine stats via a per-block Gram matrix "
+    "(applyInPandas): one shuffle on the blocking key, linear Arrow "
+    "traffic, BLAS pair math — never a materialized pair join. The r7 "
+    "self-join form shipped two 64-float arrays per PAIR through Arrow "
+    "(quadratic traffic; worst scale ratio in the RATIOS sweep at 5.62x "
+    "for 10x data); this shape ships each embedding once and pays the "
+    "intrinsic O(n_block^2) only as in-memory BLAS flops. Contract "
+    "(SCALE.md): blocks must be bounded — the same bound any "
+    "pairwise-within-block operator already requires of its blocking key.",
     tags=("similarity",),
 )
 def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    S.register_vector_udfs(spark)
-    return sql_over(spark, sf_dir, _pairs_sql("spark"), ("embeddings",))
+    from .registry import t
+
+    emb = t(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    out_schema = (
+        "label int, n_pairs bigint, n_similar bigint, "
+        "max_sim double, min_sim double"
+    )
+
+    def _gram(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:  # the join form emits no row for a pairless label
+            return pd.DataFrame(
+                {c: pd.Series(dtype=d) for c, d in
+                 [("label", "int32"), ("n_pairs", "int64"),
+                  ("n_similar", "int64"), ("max_sim", "float64"),
+                  ("min_sim", "float64")]}
+            )
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Xn = np.where(norms[:, None] > 0, X / norms[:, None], 0.0)
+        # round BEFORE the threshold/extrema, matching the per-pair
+        # round(cosine, 6) the oracle applies inside its blocked CTE
+        sims = np.round(Xn @ Xn.T, S.ROUND)[np.triu_indices(n, k=1)]
+        return pd.DataFrame(
+            {
+                "label": [np.int32(pdf["label"].iloc[0])],
+                "n_pairs": [len(sims)],
+                "n_similar": [int((sims >= 0.5).sum())],
+                "max_sim": [float(np.round(sims.max(), S.ROUND))],
+                "min_sim": [float(np.round(sims.min(), S.ROUND))],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(_gram, out_schema).orderBy("label")
 
 
 def _centroid_sql(dialect: str) -> str:
