@@ -3088,3 +3088,686 @@ def tpcds_q49_return_ratio_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ratio_rank") <= 5) | (F.col("amount_rank") <= 5))
         .orderBy("channel", "pk")
     )
+
+
+# --- q25 shape: three date roles chained through customer+item ---------------
+
+
+@query(
+    "tpcds_q25_chained_repurchase_profit",
+    oracle=f"""
+    WITH sale AS (
+        SELECT o_custkey AS ck, l_partkey AS pk,
+               SUM({SQL_DISC_PRICE}) AS sale_rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        GROUP BY o_custkey, l_partkey
+    ),
+    ret AS (
+        SELECT o_custkey AS ck, l_partkey AS pk,
+               SUM({_SQL_QTY}) AS ret_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_custkey, l_partkey
+    ),
+    rep AS (
+        SELECT o_custkey AS ck, l_partkey AS pk,
+               SUM({SQL_DISC_PRICE}) AS rep_rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY o_custkey, l_partkey
+    )
+    SELECT n_name,
+           CAST(SUM(sale_rev) AS DOUBLE) AS total_sale_rev,
+           CAST(SUM(ret_qty) AS DOUBLE) AS total_ret_qty,
+           CAST(SUM(rep_rev) AS DOUBLE) AS total_rep_rev
+    FROM sale
+    JOIN ret ON sale.ck = ret.ck AND sale.pk = ret.pk
+    JOIN rep ON sale.ck = rep.ck AND sale.pk = rep.pk
+    JOIN customer ON sale.ck = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS q25 shape (sql/presto/tpcds/q25.sql): the same fact scanned "
+    "under THREE different date roles — the original sale (order date in a "
+    "half-year), its return (ship date within the year), and the "
+    "re-purchase (order date in the following year) — chained on the "
+    "(customer, item) pair and rolled up to the customer's nation. Each "
+    "leg pre-aggregates BEFORE the chain so the three-way join runs on "
+    "reduced keys, and the dimensions broadcast.",
+    tags=("tpcds", "join"),
+)
+def tpcds_q25_chained_repurchase_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def leg(cond, measure, alias):
+        return (
+            fact.filter(cond)
+            .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+            .agg(F.sum(measure).alias(alias))
+        )
+
+    od = F.col("o_orderdate")
+    sale = leg(
+        (od >= F.lit("1995-01-01").cast("timestamp"))
+        & (od < F.lit("1995-07-01").cast("timestamp")),
+        disc_price(), "sale_rev",
+    )
+    ret = leg(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")),
+        _dec("l_quantity", QTY), "ret_qty",
+    ).withColumnsRenamed({"ck": "rck", "pk": "rpk"})
+    rep = leg(
+        (od >= F.lit("1996-01-01").cast("timestamp"))
+        & (od < F.lit("1997-01-01").cast("timestamp")),
+        disc_price(), "rep_rev",
+    ).withColumnsRenamed({"ck": "pck", "pk": "ppk"})
+    return (
+        sale.join(ret, (sale.ck == ret.rck) & (sale.pk == ret.rpk))
+        .join(rep, (sale.ck == rep.pck) & (sale.pk == rep.ppk))
+        .join(cust, sale.ck == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum("sale_rev").cast("double").alias("total_sale_rev"),
+            F.sum("ret_qty").cast("double").alias("total_ret_qty"),
+            F.sum("rep_rev").cast("double").alias("total_rep_rev"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q29 shape: quantity chain across three date roles, by item brand --------
+
+
+@query(
+    "tpcds_q29_quantity_chain",
+    oracle=f"""
+    WITH sale AS (
+        SELECT o_custkey AS ck, l_partkey AS pk, SUM({_SQL_QTY}) AS sale_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+        GROUP BY o_custkey, l_partkey
+    ),
+    ret AS (
+        SELECT o_custkey AS ck, l_partkey AS pk, SUM({_SQL_QTY}) AS ret_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
+        GROUP BY o_custkey, l_partkey
+    ),
+    rep AS (
+        SELECT o_custkey AS ck, l_partkey AS pk, SUM({_SQL_QTY}) AS rep_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-04-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY o_custkey, l_partkey
+    )
+    SELECT p_brand,
+           CAST(SUM(sale_qty) AS DOUBLE) AS store_qty,
+           CAST(SUM(ret_qty) AS DOUBLE) AS returned_qty,
+           CAST(SUM(rep_qty) AS DOUBLE) AS catalog_qty
+    FROM sale
+    JOIN ret ON sale.ck = ret.ck AND sale.pk = ret.pk
+    JOIN rep ON sale.ck = rep.ck AND sale.pk = rep.pk
+    JOIN part ON sale.pk = p_partkey
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS q29 shape (sql/presto/tpcds/q29.sql): q25's three-date-role "
+    "chain with QUANTITY aggregates and a quarter-grained sale window, "
+    "rolled up to the item brand instead of the buyer's nation — the "
+    "variant that distinguishes the date-role machinery from the "
+    "dimension it decorates. Pre-aggregated legs, equi-joined on "
+    "(customer, item), part dimension broadcast.",
+    tags=("tpcds", "join"),
+)
+def tpcds_q29_quantity_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def leg(cond, alias):
+        return (
+            fact.filter(cond)
+            .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+            .agg(F.sum(_dec("l_quantity", QTY)).alias(alias))
+        )
+
+    od = F.col("o_orderdate")
+    sale = leg(
+        (od >= F.lit("1995-01-01").cast("timestamp"))
+        & (od < F.lit("1995-04-01").cast("timestamp")),
+        "sale_qty",
+    )
+    ret = leg(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp")),
+        "ret_qty",
+    ).withColumnsRenamed({"ck": "rck", "pk": "rpk"})
+    rep = leg(
+        (od >= F.lit("1995-04-01").cast("timestamp"))
+        & (od < F.lit("1996-04-01").cast("timestamp")),
+        "rep_qty",
+    ).withColumnsRenamed({"ck": "pck", "pk": "ppk"})
+    return (
+        sale.join(ret, (sale.ck == ret.rck) & (sale.pk == ret.rpk))
+        .join(rep, (sale.ck == rep.pck) & (sale.pk == rep.ppk))
+        .join(part, sale.pk == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum("sale_qty").cast("double").alias("store_qty"),
+            F.sum("ret_qty").cast("double").alias("returned_qty"),
+            F.sum("rep_qty").cast("double").alias("catalog_qty"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- q56 shape: attribute-screened item ids across three channel legs --------
+
+_Q56_PIDS = "SELECT p_partkey FROM part WHERE p_size IN (5, 10, 15, 20)"
+
+
+def _q56_leg_sql(mod: int) -> str:
+    return f"""
+        SELECT l_partkey AS pk, SUM({SQL_DISC_PRICE}) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = {mod}
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+          AND l_partkey IN ({_Q56_PIDS})
+        GROUP BY l_partkey
+    """
+
+
+@query(
+    "tpcds_q56_screened_channel_totals",
+    oracle=f"""
+    WITH legs AS (
+        {_q56_leg_sql(0)}
+        UNION ALL
+        {_q56_leg_sql(1)}
+        UNION ALL
+        {_q56_leg_sql(2)}
+    )
+    SELECT pk, CAST(SUM(rev) AS DOUBLE) AS total_rev
+    FROM legs
+    GROUP BY pk
+    ORDER BY total_rev DESC, pk
+    LIMIT 100
+    """,
+    doc="TPC-DS q56 shape (sql/presto/tpcds/q56.sql): per-item revenue "
+    "summed across three channel legs, each leg independently screened by "
+    "an item-ATTRIBUTE id-list subquery (items of the chosen sizes — the "
+    "reference screens by color) — the IN-subquery runs per leg, then the "
+    "legs UNION ALL and re-aggregate by item. Spark: the screened id set "
+    "is a broadcast semi-join in each leg; one final hash agg.",
+    tags=("tpcds", "setop", "subquery"),
+)
+def tpcds_q56_screened_channel_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    pids = t(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(5, 10, 15, 20)
+    ).select("p_partkey")
+    od = F.col("o_orderdate")
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+    )
+
+    def leg(mod: int) -> DataFrame:
+        return (
+            fact.filter(F.col("l_linenumber") % 3 == mod)
+            .join(F.broadcast(pids), F.col("l_partkey") == F.col("p_partkey"), "semi")
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(F.sum(disc_price()).alias("rev"))
+        )
+
+    legs = leg(0).unionAll(leg(1)).unionAll(leg(2))
+    return (
+        legs.groupBy("pk")
+        .agg(F.sum("rev").cast("double").alias("total_rev"))
+        .orderBy(F.col("total_rev").desc(), F.col("pk"))
+        .limit(100)
+    )
+
+
+# --- q75 shape: year-over-year quantity decline with returns netted out ------
+
+
+@query(
+    "tpcds_q75_yoy_decline",
+    oracle=f"""
+    WITH yearly AS (
+        SELECT p_brand AS brand, EXTRACT(year FROM o_orderdate) AS yr,
+               SUM(CASE WHEN l_returnflag = 'R'
+                        THEN CAST(0 AS DECIMAL(12,2)) ELSE {_SQL_QTY} END)
+                 AS net_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY p_brand, EXTRACT(year FROM o_orderdate)
+    )
+    SELECT curr.brand,
+           CAST(prev.net_qty AS DOUBLE) AS prev_qty,
+           CAST(curr.net_qty AS DOUBLE) AS curr_qty,
+           CAST(curr.net_qty - prev.net_qty AS DOUBLE) AS qty_diff
+    FROM yearly curr
+    JOIN yearly prev ON curr.brand = prev.brand AND curr.yr = prev.yr + 1
+    WHERE curr.yr = 1996
+      AND CAST(curr.net_qty AS DOUBLE) < 0.9 * CAST(prev.net_qty AS DOUBLE)
+    ORDER BY curr.brand
+    """,
+    doc="TPC-DS q75 shape (sql/presto/tpcds/q75.sql): year-over-year sales "
+    "DECLINE detection — per-(brand, year) net quantity (returned lines "
+    "netted out via CASE), the aggregate self-joined on brand at a one-"
+    "year offset, and brands kept only when the current year fell below "
+    "90% of the prior. One fact pass builds both years; the self-join "
+    "runs on the tiny aggregate.",
+    tags=("tpcds", "join", "window"),
+)
+def tpcds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    od = F.col("o_orderdate")
+    yearly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy(F.col("p_brand").alias("brand"), F.year(od).alias("yr"))
+        .agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", F.lit(0).cast(QTY))
+                .otherwise(_dec("l_quantity", QTY))
+            ).alias("net_qty")
+        )
+    )
+    curr = yearly.filter(F.col("yr") == 1996).select(
+        "brand", F.col("net_qty").alias("curr_net")
+    )
+    prev = yearly.filter(F.col("yr") == 1995).select(
+        F.col("brand").alias("pbrand"), F.col("net_qty").alias("prev_net")
+    )
+    return (
+        curr.join(prev, curr.brand == prev.pbrand)
+        .filter(
+            F.col("curr_net").cast("double")
+            < 0.9 * F.col("prev_net").cast("double")
+        )
+        .select(
+            "brand",
+            F.col("prev_net").cast("double").alias("prev_qty"),
+            F.col("curr_net").cast("double").alias("curr_qty"),
+            (F.col("curr_net") - F.col("prev_net")).cast("double").alias("qty_diff"),
+        )
+        .orderBy("brand")
+    )
+
+
+# --- q69 shape: mutual-exclusion channel screens on the customer dim ---------
+
+
+@query(
+    "tpcds_q69_exclusive_channel_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           round(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_acctbal
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = c_custkey AND l_linenumber % 3 = 0
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = c_custkey AND l_linenumber % 3 = 1
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey = c_custkey AND l_linenumber % 3 = 2
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+    doc="TPC-DS q69 shape (sql/presto/tpcds/q69.sql): customers active in "
+    "ONE channel and provably absent from the other two in the same "
+    "window — EXISTS plus two NOT EXISTS screens on the dimension, rolled "
+    "up by segment. Spark: one semi-join and two anti-joins against "
+    "per-channel custkey sets pre-reduced from a single fact pass.",
+    tags=("tpcds", "subquery", "join"),
+)
+def tpcds_q69_exclusive_channel_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    od = F.col("o_orderdate")
+    fact = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .select("o_custkey", "l_linenumber")
+    )
+
+    def chan(mod: int) -> DataFrame:
+        return (
+            fact.filter(F.col("l_linenumber") % 3 == mod)
+            .select(F.col("o_custkey").alias("ck"))
+            .distinct()
+        )
+
+    screened = (
+        cust.join(chan(0), cust.c_custkey == F.col("ck"), "semi")
+        .join(chan(1), cust.c_custkey == F.col("ck"), "anti")
+        .join(chan(2), cust.c_custkey == F.col("ck"), "anti")
+    )
+    return (
+        screened.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            # exact decimal sum, then ONE double division: both engines
+            # round the same IEEE value (the corpus' avg discipline)
+            F.round(
+                F.sum(_dec("c_acctbal", PRICE)).cast("double") / F.count("*"), 4
+            ).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- q97 shape: full-outer channel overlap counts ----------------------------
+
+
+@query(
+    "tpcds_q97_channel_overlap",
+    oracle="""
+    WITH store AS (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 2 = 0
+    ),
+    cat AS (
+        SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 2 = 1
+    )
+    SELECT CAST(SUM(CASE WHEN store.ck IS NOT NULL AND cat.ck IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+           CAST(SUM(CASE WHEN store.ck IS NULL AND cat.ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS catalog_only,
+           CAST(SUM(CASE WHEN store.ck IS NOT NULL AND cat.ck IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS store_and_catalog
+    FROM store FULL OUTER JOIN cat
+      ON store.ck = cat.ck AND store.pk = cat.pk
+    """,
+    doc="TPC-DS q97 shape (sql/presto/tpcds/q97.sql): channel overlap "
+    "census — the distinct (customer, item) sets of two channels FULL "
+    "OUTER JOINed on the composite key, null-ness of each side classifying "
+    "every pair as store-only / catalog-only / both, counted in one "
+    "scalar row. The two DISTINCT reductions happen before the join, so "
+    "the outer join runs on the minimal key sets.",
+    tags=("tpcds", "join", "setop"),
+)
+def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def chan(mod: int, a: str, b: str) -> DataFrame:
+        return (
+            fact.filter(F.col("l_linenumber") % 2 == mod)
+            .select(F.col("o_custkey").alias(a), F.col("l_partkey").alias(b))
+            .distinct()
+        )
+
+    store = chan(0, "sck", "spk")
+    cat = chan(1, "cck", "cpk")
+    joined = store.join(
+        cat, (store.sck == cat.cck) & (store.spk == cat.cpk), "full_outer"
+    )
+    return joined.agg(
+        F.sum(
+            F.when(F.col("sck").isNotNull() & F.col("cck").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("store_only"),
+        F.sum(
+            F.when(F.col("sck").isNull() & F.col("cck").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("catalog_only"),
+        F.sum(
+            F.when(F.col("sck").isNotNull() & F.col("cck").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("store_and_catalog"),
+    )
+
+
+# --- q90 shape: ratio of two disjoint count windows --------------------------
+
+
+@query(
+    "tpcds_q90_band_count_ratio",
+    oracle=f"""
+    WITH am AS (
+        SELECT COUNT(*) AS amc
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE {_SQL_DAYS} % 7 <= 2 AND l_quantity >= 25
+    ),
+    pm AS (
+        SELECT COUNT(*) AS pmc
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE {_SQL_DAYS} % 7 >= 4 AND l_quantity >= 25
+    )
+    SELECT round(CAST(amc AS DOUBLE) / CAST(pmc AS DOUBLE), 6) AS am_pm_ratio
+    FROM am CROSS JOIN pm
+    """,
+    doc="TPC-DS q90 shape (sql/presto/tpcds/q90.sql): the am/pm ratio — "
+    "two independent scalar COUNT aggregations over disjoint bands of the "
+    "same fact (early-week vs late-week lines above a quantity screen), "
+    "cross-joined 1x1 and divided. The canonical two-scalar-subquery "
+    "ratio; both counts reduce map-side.",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q90_band_count_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_quantity") >= 25
+    )
+    dow = _days() % 7
+    am = fact.filter(dow <= 2).agg(F.count("*").alias("amc"))
+    pm = fact.filter(dow >= 4).agg(F.count("*").alias("pmc"))
+    return am.crossJoin(pm).select(
+        F.round(
+            F.col("amc").cast("double") / F.col("pmc").cast("double"), 6
+        ).alias("am_pm_ratio")
+    )
+
+
+# --- q43 shape: weekday pivot per dimension row ------------------------------
+
+
+def _q43_day_sql(k: int, name: str) -> str:
+    return (
+        f"SUM(CASE WHEN {_SQL_DAYS} % 7 = {k} THEN {SQL_DISC_PRICE} "
+        f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS {name}"
+    )
+
+
+@query(
+    "tpcds_q43_weekday_pivot",
+    oracle=f"""
+    SELECT n_name,
+           CAST({_q43_day_sql(0, "mon_sales").replace(" AS mon_sales", "")} AS DOUBLE) AS mon_sales,
+           CAST({_q43_day_sql(2, "wed_sales").replace(" AS wed_sales", "")} AS DOUBLE) AS wed_sales,
+           CAST({_q43_day_sql(4, "fri_sales").replace(" AS fri_sales", "")} AS DOUBLE) AS fri_sales,
+           CAST({_q43_day_sql(6, "sun_sales").replace(" AS sun_sales", "")} AS DOUBLE) AS sun_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS q43 shape (sql/presto/tpcds/q43.sql): the weekday sales "
+    "pivot — one fact pass, day-of-week CASE columns summed per dimension "
+    "row (nation plays store). Exact decimal sums under the pivot; "
+    "dimensions broadcast; a single hash aggregate.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q43_weekday_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate")
+    dow = _days() % 7
+    zero = F.lit(0).cast(PRICE)
+
+    def day_col(k: int, name: str) -> F.Column:
+        return F.sum(
+            F.when(dow == k, disc_price()).otherwise(zero)
+        ).cast("double").alias(name)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            day_col(0, "mon_sales"),
+            day_col(2, "wed_sales"),
+            day_col(4, "fri_sales"),
+            day_col(6, "sun_sales"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q22 shape: avg-over-ROLLUP across item attribute levels -----------------
+
+
+@query(
+    "tpcds_q22_rollup_avg_qty",
+    oracle="""
+    SELECT COALESCE(p_brand, '__ALL__') AS brand,
+           COALESCE(p_type, '__ALL__') AS ptype,
+           CAST(GROUPING(p_brand) + GROUPING(p_type) AS INT) AS lvl,
+           round(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_qty,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 25
+    GROUP BY ROLLUP(p_brand, p_type)
+    ORDER BY lvl, brand, ptype
+    """,
+    doc="TPC-DS q22 shape (sql/presto/tpcds/q22.sql): average quantity on "
+    "hand over a ROLLUP of item attribute levels (brand, type play "
+    "product/brand/class/category) — AVG at every prefix level plus the "
+    "grand total, levels disambiguated by GROUPING(). One Expand-backed "
+    "hash aggregate; the item dimension broadcasts into the fact scan.",
+    tags=("tpcds", "agg", "rollup"),
+)
+def tpcds_q22_rollup_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .rollup("p_brand", "p_type")
+        .agg(
+            (F.grouping("p_brand") + F.grouping("p_type")).cast("int").alias("lvl"),
+            F.round(
+                F.sum(_dec("l_quantity", QTY)).cast("double") / F.count("*"), 4
+            ).alias("avg_qty"),
+            F.count("*").alias("n_lines"),
+        )
+        .select(
+            F.coalesce(F.col("p_brand"), F.lit("__ALL__")).alias("brand"),
+            F.coalesce(F.col("p_type"), F.lit("__ALL__")).alias("ptype"),
+            "lvl", "avg_qty", "n_lines",
+        )
+        .orderBy("lvl", "brand", "ptype")
+    )
+
+
+# --- q28 shape: per-band avg / count / count-distinct scalar buckets ---------
+
+_Q28_BANDS = ((1, 10), (11, 20), (21, 30), (31, 40), (41, 50))
+
+
+def _q28_band_sql(lo: int, hi: int, i: int) -> str:
+    return f"""
+        SELECT round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_price_{i},
+               COUNT(*) AS cnt_{i},
+               COUNT(DISTINCT l_extendedprice) AS dist_{i}
+        FROM lineitem
+        WHERE l_quantity BETWEEN {lo} AND {hi}
+    """
+
+
+@query(
+    "tpcds_q28_band_distinct_buckets",
+    oracle="SELECT * FROM "
+    + " CROSS JOIN ".join(
+        f"({_q28_band_sql(lo, hi, i)}) b{i}"
+        for i, (lo, hi) in enumerate(_Q28_BANDS)
+    ),
+    doc="TPC-DS q28 shape (sql/presto/tpcds/q28.sql): five quantity-band "
+    "buckets, each computing AVG + COUNT + COUNT(DISTINCT) over its band, "
+    "cross-joined into one scalar row — the distinct-count-per-bucket "
+    "variant of the q09 scalar-subquery scan. Each band is its own "
+    "aggregation (no mixed distinct/object state per key, the "
+    "fn_approx_agg lesson); the 1x1 cross joins are broadcast.",
+    tags=("tpcds", "subquery", "agg"),
+)
+def tpcds_q28_band_distinct_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    out = None
+    for i, (lo, hi) in enumerate(_Q28_BANDS):
+        band = li.filter(F.col("l_quantity").between(lo, hi)).agg(
+            F.round(
+                F.sum(_dec("l_extendedprice", PRICE)).cast("double")
+                / F.count("*"), 4
+            ).alias(f"avg_price_{i}"),
+            F.count("*").alias(f"cnt_{i}"),
+            F.countDistinct("l_extendedprice").alias(f"dist_{i}"),
+        )
+        out = band if out is None else out.crossJoin(band)
+    return out

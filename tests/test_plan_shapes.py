@@ -240,3 +240,52 @@ def test_tpcds_q09_scalar_subqueries_allowed_bnlj(spark, sf_dir):
     # non-scalar cartesian is not.
     df = QS["tpcds_q09_case_scalar_subqueries"].spark(spark, sf_dir)
     assert_no_cartesian(df, allow_scalar_bnlj=True)
+
+
+def test_tpcds_q25_chain_pre_aggregates_then_equijoins(spark, sf_dir):
+    # three date-role legs each pre-aggregate before the (ck, pk) chain;
+    # every join (the chain, customer, nation) must be an equi-join and
+    # the nation dim must broadcast.
+    df = QS["tpcds_q25_chained_repurchase_profit"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert_broadcast_join(df)
+
+
+def test_tpcds_q97_overlap_is_equijoin_full_outer(spark, sf_dir):
+    # the FULL OUTER overlap census must join on the composite key, never
+    # cartesian; the DISTINCT reductions bound the join inputs.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["tpcds_q97_channel_overlap"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "FullOuter" in formatted_plan(df)
+
+
+def test_tpcds_q56_screen_is_broadcast_semi(spark, sf_dir):
+    # the item-attribute id screen must reach each leg as a broadcast
+    # semi-join, not a shuffle of the fact.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["tpcds_q56_screened_channel_totals"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
+def test_tpcds_q69_exclusion_is_semi_plus_anti(spark, sf_dir):
+    # EXISTS + two NOT EXISTS: one semi and two anti joins on the customer
+    # key — never a cartesian, never a row-multiplying inner join.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["tpcds_q69_exclusive_channel_customers"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_tpcds_q90_q28_scalar_buckets_allowed_bnlj(spark, sf_dir):
+    # the band buckets cross-join 1-row aggregates (the scalar-subquery
+    # shape): allowed as BNLJ, anything non-scalar is not.
+    for name in ("tpcds_q90_band_count_ratio", "tpcds_q28_band_distinct_buckets"):
+        df = QS[name].spark(spark, sf_dir)
+        assert_no_cartesian(df, allow_scalar_bnlj=True)
