@@ -81,31 +81,68 @@ from .registry import REGISTRY, Query, query
 # multimodal_decode. Family coverage after rotation: geo 9 rows, fn 4,
 # events 3, text 2, tpcds 5, dedup 1, sim 2, multimodal 1, op 2 — every
 # family keeps >= 1 scored row, now through a first-time representative.
+# r8 rotation — ALL 28 non-TPC-H r7 slots were driver-green (VERDICT r7:
+# 50/50 green, 28 first-time), so all 28 yield to rows the driver has
+# NEVER scored (VERDICT r7 next-round #1 asked for >= 20). Exception kept
+# deliberately: fn_approx_agg and sim_pairs_blocked were REWRITTEN this
+# round (the two worst scale curves) — but both were first-time-scored
+# green in r7 and their oracles/plan pins re-verify the rewrites locally,
+# so their slots still rotate; the rewrites stay covered by
+# tests/test_queries_oracle.py at both scales.
+# Out (r7-green) -> in (never scored): fn_geo_collection ->
+# fn_geo_intersection_any (r7 build, VERDICT priority);
+# fn_geo_relate_mixed -> fn_geo_erode_polygon (r7 build, VERDICT
+# priority); fn_geo_relate_lines -> tpcds_q44_best_worst_items;
+# fn_geo_buffer_line -> tpcds_q49_return_ratio_ranks;
+# fn_geo_buffer_polygon -> tpcds_q80_channel_returns_rollup;
+# fn_geo_union_array -> tpcds_q46_cross_nation_orders;
+# fn_geo_distance_pairs -> tpcds_q64_cross_year_items;
+# fn_geo_intersection_pieces -> tpcds_q70_rank_restricted_rollup;
+# op_pivot -> tpcds_q54_revenue_segments; op_subquery_quantified ->
+# tpcds_q45_literal_or_subquery; fn_checksum ->
+# tpcds_q58_equal_share_brands; fn_approx_agg -> tpcds_q61_promo_share;
+# fn_theta_setdigest -> op_unpivot; fn_map_agg -> op_range_join_binned;
+# tpcds_q67 -> tpcds_q25_chained_repurchase_profit (NEW r8);
+# tpcds_q27 -> tpcds_q97_channel_overlap (NEW r8); tpcds_q78 ->
+# tpcds_q69_exclusive_channel_customers (NEW r8); tpcds_q92 -> fn_regex;
+# tpcds_q10 -> fn_histogram; events_retention -> fn_reduce_agg;
+# events_click_attribution -> fn_approx_most_frequent;
+# events_tumbling_window_hll -> events_session_window;
+# text_train_test_split -> events_error_bursts; text_fingerprint ->
+# text_token_stats; dedup_ngram_jaccard -> text_repetition_signals
+# (19x perf fix in r7, never scored); sim_pairs_blocked ->
+# dedup_embedding_cosine; sim_topk_ivf -> sim_label_centroids;
+# multimodal_decode -> multimodal_resize. Family coverage after
+# rotation: tpcds 13 (10 r7-built + 3 NEW r8), geo 2, op 2, fn 4,
+# events 2, text 2, dedup 1, sim 1, multimodal 1 — every family keeps
+# >= 1 scored row, each through a first-time representative.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (cheap, core evidence)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # Geometry: the r6 builds never scored + the r7 mixed-dimension overlay
-    "fn_geo_collection", "fn_geo_relate_mixed", "fn_geo_relate_lines",
-    "fn_geo_buffer_line", "fn_geo_buffer_polygon", "fn_geo_union_array",
-    "fn_geo_distance_pairs", "fn_geo_intersection_pieces",
+    # Geometry: the two r7 builds the driver has never scored
+    "fn_geo_intersection_any", "fn_geo_erode_polygon",
+    # TPC-DS-shape corpus: the r7 builds never scored...
+    "tpcds_q44_best_worst_items", "tpcds_q49_return_ratio_ranks",
+    "tpcds_q80_channel_returns_rollup", "tpcds_q46_cross_nation_orders",
+    "tpcds_q64_cross_year_items", "tpcds_q70_rank_restricted_rollup",
+    "tpcds_q54_revenue_segments", "tpcds_q45_literal_or_subquery",
+    "tpcds_q58_equal_share_brands", "tpcds_q61_promo_share",
+    # ...plus three of the ten NEW r8 shapes (VERDICT r7 ask #5: >= 3)
+    "tpcds_q25_chained_repurchase_profit", "tpcds_q97_channel_overlap",
+    "tpcds_q69_exclusive_channel_customers",
     # Core operator paths never scored
-    "op_pivot", "op_subquery_quantified",
+    "op_unpivot", "op_range_join_binned",
     # Long-unscored function families
-    "fn_checksum", "fn_approx_agg", "fn_theta_setdigest", "fn_map_agg",
-    # TPC-DS-shape corpus (new in r7)
-    "tpcds_q67_rollup_topn", "tpcds_q27_rollup_multi_avg",
-    "tpcds_q78_channel_ratio_chain", "tpcds_q92_excess_discount",
-    "tpcds_q10_exists_or_exists",
+    "fn_regex", "fn_histogram", "fn_reduce_agg", "fn_approx_most_frequent",
     # Extension families — first-time representatives
-    "events_retention", "events_click_attribution",
-    "events_tumbling_window_hll",
-    "text_train_test_split", "text_fingerprint",
-    "dedup_ngram_jaccard",
-    "sim_pairs_blocked", "sim_topk_ivf",
-    "multimodal_decode",
+    "events_session_window", "events_error_bursts",
+    "text_token_stats", "text_repetition_signals",
+    "dedup_embedding_cosine",
+    "sim_label_centroids",
+    "multimodal_resize",
 )
 
 
