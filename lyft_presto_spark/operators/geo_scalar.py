@@ -623,3 +623,74 @@ def st_geometry_union_array(geoms: Column) -> Column:
         return pd.Series(out, index=s.index)
 
     return _union_udf(geoms)
+
+
+def _slim_members(coll: Column) -> Column:
+    """Slim each collection member to (tag, point, line, polygon) before
+    Arrow — the st_relate_any discipline; multi-* members still carry
+    their tag so the kernel can return NULL for them."""
+    return F.transform(
+        coll,
+        lambda g: F.struct(
+            g["tag"].alias("tag"),
+            g["point"].alias("point"),
+            g["line"].alias("line"),
+            g["polygon"].alias("polygon"),
+        ),
+    )
+
+
+def st_relate_collections(ca: Column, cb: Column) -> Column:
+    """stRelate over GEOMETRYCOLLECTION operands (st_collection_from_wkt
+    arrays) by pairwise member decomposition
+    (polygon_overlay.relate_collections) — BEYOND-parity: the reference
+    throws on collection operands (GeoFunctions.java:1153-1158 via Esri).
+    NULL for NULL/empty collections or non-simple members; see the kernel
+    docstring for the separated-members precondition."""
+    from .polygon_overlay import relate_collections
+
+    ca, cb = _slim_members(ca), _slim_members(cb)
+
+    @pandas_udf("string")
+    def _relc_udf(s: pd.Series, c: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(s, c):
+            try:
+                out.append(relate_collections(x, y))
+            except Exception:
+                out.append(None)
+        return pd.Series(out, index=s.index)
+
+    return _relc_udf(ca, cb)
+
+
+def st_intersection_collections(ca: Column, cb: Column) -> Column:
+    """stIntersection over GEOMETRYCOLLECTION operands by pairwise member
+    decomposition (polygon_overlay.intersection_collections) — BEYOND-
+    parity (the reference throws). Same pieces struct as
+    st_intersection_pieces, so st_pieces_geometry_type /
+    st_collection_of_pieces compose; NULL operands yield a genuinely NULL
+    struct via the F.when wrap (the st_intersection_pieces NULL-ness
+    note)."""
+    from .polygon_overlay import intersection_collections
+
+    sa, sb = _slim_members(ca), _slim_members(cb)
+    ret = (
+        f"struct<polys:{_MPOLY_TYPE},lines:array<{_LINE_TYPE}>,"
+        f"points:array<struct<x:double,y:double>>>"
+    )
+
+    @pandas_udf(ret)
+    def _ic_udf(s: pd.Series, c: pd.Series) -> pd.DataFrame:
+        cols: dict[str, list] = {"polys": [], "lines": [], "points": []}
+        for x, y in zip(s, c):
+            try:
+                r = intersection_collections(x, y)
+            except Exception:
+                r = None
+            cols["polys"].append(None if r is None else r["polys"])
+            cols["lines"].append(None if r is None else r["lines"])
+            cols["points"].append(None if r is None else r["points"])
+        return pd.DataFrame(cols, index=s.index)
+
+    return F.when(ca.isNotNull() & cb.isNotNull(), _ic_udf(sa, sb))

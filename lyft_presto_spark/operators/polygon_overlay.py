@@ -1435,3 +1435,108 @@ def union_many(polys_raw) -> list[list[list[dict]]] | None:
                     break
         comps.append(cur)
     return comps
+
+
+# --- collection operands: pairwise member decomposition ----------------------
+
+_DE9IM_RANK = {"F": -1, "0": 0, "1": 1, "2": 2}
+_DE9IM_CHAR = {v: k for k, v in _DE9IM_RANK.items()}
+
+
+def relate_collections(mas, mbs) -> str | None:
+    """stRelate over GEOMETRYCOLLECTION operands by pairwise member
+    decomposition — BEYOND-parity: the reference itself throws
+    UnsupportedOperationException here (GeoFunctions.java:1153-1158
+    delegates to Esri OGCConcreteGeometryCollection.relate; COVERAGE
+    'collection operands').
+
+    Each operand is a list of tagged simple members (the
+    st_collection_from_wkt representation). PRECONDITION (documented, not
+    verified): members within a collection are pairwise SEPARATED
+    (positive distance) — the well-formed-collection invariant — so the
+    union's interior/boundary are the disjoint unions of the members'.
+    Under it the DE-9IM of the unions combines from the per-pair matrices
+    (relate_any) exactly:
+
+    - II / IB / BI / BB: ``max`` over all pairs (F < 0 < 1 < 2) — both
+      row sets and column sets are disjoint unions, so any pair's
+      intersection witnesses the union's.
+    - IE / BE: ``max over A-members of (min over B-members)``. E(B) is
+      the INTERSECTION of the members' exteriors, and a connected
+      I(a_i)/B(a_i) covered by separated closed sets must lie within ONE
+      of them — so a_i contributes F iff some single b_j contains it,
+      i.e. the row min. (Residual approximation: a DISCONNECTED boundary
+      — a line's two endpoints, a holed polygon's rings — split across
+      two different covering members over-reports BE; unreachable for
+      separated convex-ish members, documented here.)
+    - EI / EB: symmetric, ``max over B-members of (min over A-members)``.
+    - EE: always 2 (bounded operands).
+
+    NULL for NULL/empty operands or any non-simple member (multi-* tags
+    stay the simple-pair dispatcher's residue).
+    """
+    if mas is None or mbs is None:
+        return None
+    mas, mbs = list(mas), list(mbs)
+    if not mas or not mbs:
+        return None
+    mats: list[list[str]] = []
+    for a in mas:
+        row = []
+        for b in mbs:
+            m = relate_any(a, b)
+            if m is None:
+                return None
+            row.append(m)
+        mats.append(row)
+
+    def grid(idx: int) -> list[list[int]]:
+        return [[_DE9IM_RANK[m[idx]] for m in row] for row in mats]
+
+    out = []
+    for idx in range(9):
+        g = grid(idx)
+        if idx in (0, 1, 3, 4):  # II IB BI BB
+            v = max(max(r) for r in g)
+        elif idx in (2, 5):  # IE BE: max_i min_j
+            v = max(min(r) for r in g)
+        elif idx in (6, 7):  # EI EB: max_j min_i
+            v = max(min(col) for col in zip(*g))
+        else:  # EE
+            v = 2
+        out.append(_DE9IM_CHAR[v])
+    return "".join(out)
+
+
+def intersection_collections(mas, mbs) -> dict | None:
+    """stIntersection over GEOMETRYCOLLECTION operands by pairwise member
+    decomposition — BEYOND-parity (the reference throws; see
+    relate_collections). A ∩ B for unions IS the union of the pairwise
+    intersections, with no precondition; the separated-members invariant
+    additionally guarantees the pairwise pieces are themselves disjoint,
+    so concatenation (with exact point dedup as a safety net) is the
+    canonical pieces form. Returns the intersection_pieces struct; NULL
+    for NULL/empty operands or any non-simple member."""
+    if mas is None or mbs is None:
+        return None
+    mas, mbs = list(mas), list(mbs)
+    if not mas or not mbs:
+        return None
+    polys: list = []
+    lines: list = []
+    points: list = []
+    seen_pts: set[tuple[float, float]] = set()
+    for a in mas:
+        for b in mbs:
+            r = intersection_any(a, b)
+            if r is None:
+                return None
+            polys.extend(r["polys"])
+            lines.extend(r["lines"])
+            for p in r["points"]:
+                k = (p["x"], p["y"])
+                if k not in seen_pts:
+                    seen_pts.add(k)
+                    points.append(p)
+    points.sort(key=lambda p: (p["x"], p["y"]))
+    return {"polys": polys, "lines": lines, "points": points}

@@ -3779,3 +3779,101 @@ def fn_geo_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line_dist_boundaries"),
         F.round(G.st_distance_point_line(pt, diag), 9).alias("point_line_dist"),
     ).orderBy("c_custkey")
+
+
+# --- Collection-operand DE-9IM + intersection (beyond parity) ----------------
+
+_GC_RELATE_SRC = """
+    SELECT c_custkey, CAST(c_custkey % 5 AS INT) AS kind
+    FROM customer
+    WHERE c_custkey % 23 = 0
+"""
+
+# A is fixed: GC(square [0,4]^2, POINT (10 10)). B rotates five collection
+# topologies; every matrix below is hand-derived from the union semantics
+# (and double-checked against the kernel in tests/test_polygon_overlay.py):
+# kind 0 B = GC(square inside A, the SAME point)      -> contains-like
+# kind 1 B = GC(edge-adjacent square, line from the point) -> touch mix
+# kind 2 B = GC(point inside, point on A's corner)    -> multipoint-in
+# kind 3 B = GC(disjoint square, far point)           -> disjoint
+# kind 4 B = GC(overlapping square, disjoint line)    -> overlap mix
+_GC_RELATE_ORACLE = f"""
+WITH src AS ({_GC_RELATE_SRC})
+SELECT c_custkey, kind,
+       CASE kind
+           WHEN 0 THEN '212FF1FF2'
+           WHEN 1 THEN 'F02F11212'
+           WHEN 2 THEN '0F20F1FF2'
+           WHEN 3 THEN 'FF2FF1212'
+           ELSE '212101212'
+       END AS de9im,
+       CASE kind
+           WHEN 0 THEN 'ST_GeomCollection'
+           WHEN 1 THEN 'ST_GeomCollection'
+           WHEN 2 THEN 'ST_MultiPoint'
+           WHEN 3 THEN 'ST_GeomCollection'
+           ELSE 'ST_Polygon'
+       END AS result_tag,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 4 THEN 1 ELSE 0 END AS INT) AS n_polys,
+       CAST(CASE kind WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_lines,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS INT)
+           AS n_points
+FROM src
+ORDER BY c_custkey
+"""
+
+
+@query(
+    "fn_geo_collection_relate",
+    oracle=_GC_RELATE_ORACLE,
+    doc="Collection-operand ST_Relate + ST_Intersection by pairwise member "
+    "decomposition — BEYOND-parity: the reference throws "
+    "UnsupportedOperationException on GEOMETRYCOLLECTION operands "
+    "(GeoFunctions.java:1153-1158 via Esri OGCConcreteGeometryCollection). "
+    "Per-pair DE-9IM matrices combine cellwise (max for the interior/"
+    "boundary cells, max-of-min for the exterior-column cells — E(B) is "
+    "the INTERSECTION of member exteriors); the intersection is the union "
+    "of pairwise pieces. Five collection-pair topologies, literal "
+    "hand-derived matrices as the oracle (VERDICT r7 next-round #7).",
+    tags=("geo",),
+)
+def fn_geo_collection_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import geo_scalar as GS
+
+    src = sql_over(spark, sf_dir, _GC_RELATE_SRC, ("customer",))
+    wkt_a = "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), POINT (10 10))"
+
+    def gc(*members: str) -> str:
+        return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")"
+
+    def sq(x0: int, y0: int, s: int) -> str:
+        return (
+            f"POLYGON (({x0} {y0}, {x0 + s} {y0}, {x0 + s} {y0 + s}, "
+            f"{x0} {y0 + s}, {x0} {y0}))"
+        )
+
+    wkt_b = (
+        F.when(F.col("kind") == 0, F.lit(gc(sq(1, 1, 2), "POINT (10 10)")))
+        .when(F.col("kind") == 1, F.lit(gc(sq(4, 0, 4), "LINESTRING (10 10, 12 12)")))
+        .when(F.col("kind") == 2, F.lit(gc("POINT (2 2)", "POINT (4 4)")))
+        .when(F.col("kind") == 3, F.lit(gc(sq(6, 0, 2), "POINT (20 20)")))
+        .otherwise(F.lit(gc(sq(2, 2, 4), "LINESTRING (0 -1, 4 -1)")))
+    )
+    staged_df = src.select(
+        "c_custkey", "kind",
+        G.st_collection_from_wkt(F.lit(wkt_a)).alias("ca"),
+        G.st_collection_from_wkt(wkt_b).alias("cb"),
+    )
+    pc = GS.st_intersection_collections(F.col("ca"), F.col("cb"))
+    staged2 = staged_df.select(
+        "c_custkey", "kind",
+        GS.st_relate_collections(F.col("ca"), F.col("cb")).alias("de9im"),
+        pc.alias("pc"),
+    )
+    return staged2.select(
+        "c_custkey", "kind", "de9im",
+        G.st_pieces_geometry_type(F.col("pc")).alias("result_tag"),
+        F.size(F.col("pc")["polys"]).cast("int").alias("n_polys"),
+        F.size(F.col("pc")["lines"]).cast("int").alias("n_lines"),
+        F.size(F.col("pc")["points"]).cast("int").alias("n_points"),
+    ).orderBy("c_custkey")
