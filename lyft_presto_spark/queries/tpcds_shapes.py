@@ -3771,3 +3771,437 @@ def tpcds_q28_band_distinct_buckets(spark: SparkSession, sf_dir: str) -> DataFra
         )
         out = band if out is None else out.crossJoin(band)
     return out
+
+
+# --- q53 shape: quarterly deviation-from-window-average screen ----------------
+
+
+@query(
+    "tpcds_q53_quarterly_deviation_screen",
+    oracle=f"""
+    WITH qsum AS (
+        SELECT p_brand AS brand,
+               ({_SQL_DAYS}) // 91 AS qtr,
+               SUM({SQL_DISC_PRICE}) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY p_brand, ({_SQL_DAYS}) // 91
+    ),
+    win AS (
+        SELECT brand, qtr,
+               CAST(rev AS DOUBLE) AS revd,
+               AVG(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_avg
+        FROM qsum
+    )
+    SELECT brand, qtr, round(revd, 4) AS qtr_rev, round(brand_avg, 4) AS avg_rev
+    FROM win
+    WHERE brand_avg > 0 AND abs(revd - brand_avg) / brand_avg > 0.2
+    ORDER BY brand, qtr
+    """,
+    doc="TPC-DS q53 shape (sql/presto/tpcds/q53.sql, also q63): quarterly "
+    "revenue per brand screened by deviation from the brand's "
+    "average-over-quarters window — aggregate once, one window over the "
+    "small aggregate, filter on the relative deviation. The window "
+    "partitions by brand so no single-partition WindowExec.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q53_quarterly_deviation_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    od = F.col("o_orderdate")
+    qsum = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.floor(_days() / 91).alias("qtr"),
+        )
+        .agg(F.sum(disc_price()).alias("rev"))
+    )
+    w = Window.partitionBy("brand")
+    win = qsum.select(
+        "brand", "qtr",
+        F.col("rev").cast("double").alias("revd"),
+        F.avg(F.col("rev").cast("double")).over(w).alias("brand_avg"),
+    )
+    return (
+        win.filter(
+            (F.col("brand_avg") > 0)
+            & (F.abs(F.col("revd") - F.col("brand_avg")) / F.col("brand_avg") > 0.2)
+        )
+        .select(
+            "brand", "qtr",
+            F.round("revd", 4).alias("qtr_rev"),
+            F.round("brand_avg", 4).alias("avg_rev"),
+        )
+        .orderBy("brand", "qtr")
+    )
+
+
+# --- q59 shape: week-over-week weekday ratios per dimension row ---------------
+
+
+@query(
+    "tpcds_q59_wow_weekday_ratio",
+    oracle=f"""
+    WITH wk AS (
+        SELECT c_nationkey AS nk,
+               ({_SQL_DAYS}) // 7 AS wk,
+               SUM(CASE WHEN {_SQL_DAYS} % 7 = 0 THEN {_SQL_PRICE}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS mon_s,
+               SUM(CASE WHEN {_SQL_DAYS} % 7 = 3 THEN {_SQL_PRICE}
+                        ELSE CAST(0 AS DECIMAL(12,2)) END) AS thu_s
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey, ({_SQL_DAYS}) // 7
+    )
+    SELECT n_name, y.wk AS wk,
+           round(CAST(y.mon_s AS DOUBLE) / CAST(x.mon_s AS DOUBLE), 6) AS mon_ratio,
+           round(CAST(y.thu_s AS DOUBLE) / CAST(x.thu_s AS DOUBLE), 6) AS thu_ratio
+    FROM wk x
+    JOIN wk y ON x.nk = y.nk AND y.wk = x.wk + 52
+    JOIN nation ON x.nk = n_nationkey
+    WHERE x.mon_s > 0 AND x.thu_s > 0 AND y.wk BETWEEN 60 AND 80
+    ORDER BY n_name, wk
+    """,
+    doc="TPC-DS q59 shape (sql/presto/tpcds/q59.sql): week-over-week "
+    "weekday ratios PER STORE (nation plays store) — the weekday pivot "
+    "aggregated per (nation, week), self-joined at a 52-week offset on "
+    "the composite key, ratios per weekday column. q02 does the "
+    "week-offset self-join globally; this is the per-dimension variant.",
+    tags=("tpcds", "join", "window"),
+)
+def tpcds_q59_wow_weekday_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    dow = _days() % 7
+    zero = F.lit(0).cast(PRICE)
+    wk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.floor(_days() / 7).alias("wk"),
+        )
+        .agg(
+            F.sum(F.when(dow == 0, _dec("l_extendedprice", PRICE)).otherwise(zero)).alias("mon_s"),
+            F.sum(F.when(dow == 3, _dec("l_extendedprice", PRICE)).otherwise(zero)).alias("thu_s"),
+        )
+    )
+    x = wk.withColumnsRenamed({"nk": "xnk", "wk": "xwk", "mon_s": "xmon", "thu_s": "xthu"})
+    y = wk.withColumnsRenamed({"nk": "ynk", "wk": "ywk", "mon_s": "ymon", "thu_s": "ythu"})
+    return (
+        x.join(y, (x.xnk == y.ynk) & (y.ywk == x.xwk + 52))
+        .filter((F.col("xmon") > 0) & (F.col("xthu") > 0)
+                & F.col("ywk").between(60, 80))
+        .join(nation, F.col("xnk") == nation.n_nationkey)
+        .select(
+            "n_name", F.col("ywk").alias("wk"),
+            F.round(F.col("ymon").cast("double") / F.col("xmon").cast("double"), 6).alias("mon_ratio"),
+            F.round(F.col("ythu").cast("double") / F.col("xthu").cast("double"), 6).alias("thu_ratio"),
+        )
+        .orderBy("n_name", "wk")
+    )
+
+
+# --- q79 shape: per-trip aggregate, best trip per customer ---------------------
+
+
+@query(
+    "tpcds_q79_best_trip_per_customer",
+    oracle=f"""
+    WITH trips AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok,
+               SUM({SQL_DISC_PRICE}) AS trip_rev,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_custkey, o_orderkey
+        HAVING COUNT(*) >= 4
+    ),
+    ranked AS (
+        SELECT ck, ok, trip_rev, n_items,
+               ROW_NUMBER() OVER (PARTITION BY ck
+                                  ORDER BY CAST(trip_rev AS DOUBLE) DESC, ok)
+                   AS rn
+        FROM trips
+    )
+    SELECT c_name, ok AS best_order, CAST(trip_rev AS DOUBLE) AS best_rev,
+           n_items
+    FROM ranked JOIN customer ON ck = c_custkey
+    WHERE rn = 1 AND CAST(trip_rev AS DOUBLE) > 200000
+    ORDER BY c_name
+    """,
+    doc="TPC-DS q79 shape (sql/presto/tpcds/q79.sql, also q68): per-TRIP "
+    "(customer, order) aggregate under a dimension screen, then the best "
+    "trip per customer via a partitioned row_number — the "
+    "aggregate-then-top-1-per-group idiom, decorated from the customer "
+    "dimension after the rank filter so only winners join.",
+    tags=("tpcds", "window", "agg"),
+)
+def tpcds_q79_best_trip_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    cust = t(spark, sf_dir, "customer")
+    trips = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok"))
+        .agg(F.sum(disc_price()).alias("trip_rev"), F.count("*").alias("n_items"))
+        .filter(F.col("n_items") >= 4)
+    )
+    w = Window.partitionBy("ck").orderBy(
+        F.col("trip_rev").cast("double").desc(), F.col("ok")
+    )
+    ranked = trips.select(
+        "ck", "ok", "trip_rev", "n_items", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("trip_rev").cast("double") > 200000))
+        .join(cust, F.col("ck") == cust.c_custkey)
+        .select(
+            "c_name", F.col("ok").alias("best_order"),
+            F.col("trip_rev").cast("double").alias("best_rev"), "n_items",
+        )
+        .orderBy("c_name")
+    )
+
+
+# --- q24 shape: group totals screened by a scalar avg-of-totals ---------------
+
+
+@query(
+    "tpcds_q24_totals_above_scalar_avg",
+    oracle=f"""
+    WITH paid AS (
+        SELECT o_custkey AS ck, l_partkey AS pk,
+               SUM({SQL_DISC_PRICE}) AS net_paid
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag <> 'R'
+        GROUP BY o_custkey, l_partkey
+    )
+    SELECT ck, pk, CAST(net_paid AS DOUBLE) AS net_paid
+    FROM paid
+    WHERE CAST(net_paid AS DOUBLE) > 3 * (
+        SELECT CAST(SUM(net_paid) AS DOUBLE) / COUNT(*) FROM paid
+    )
+    ORDER BY ck, pk
+    """,
+    doc="TPC-DS q24 shape (sql/presto/tpcds/q24.sql): per-(customer, item) "
+    "net-paid totals kept only when they exceed a multiple of the GLOBAL "
+    "average of those same totals — an aggregate-of-aggregate scalar "
+    "subquery gating the group rows. Spark: the CTE stages once "
+    "(localCheckpoint-free reuse), the scalar average is a 1-row "
+    "broadcast, the screen is a map-side filter.",
+    tags=("tpcds", "subquery", "agg"),
+)
+def tpcds_q24_totals_above_scalar_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") != "R")
+    orders = t(spark, sf_dir, "orders")
+    paid = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .agg(F.sum(disc_price()).alias("net_paid"))
+    )
+    avg1 = paid.agg(
+        (F.sum("net_paid").cast("double") / F.count("*")).alias("avg_paid")
+    )
+    return (
+        paid.crossJoin(F.broadcast(avg1))
+        .filter(F.col("net_paid").cast("double") > 3 * F.col("avg_paid"))
+        .select("ck", "pk", F.col("net_paid").cast("double").alias("net_paid"))
+        .orderBy("ck", "pk")
+    )
+
+
+# --- q41 shape: dimension self-EXISTS on a shared attribute -------------------
+
+
+@query(
+    "tpcds_q41_dimension_self_exists",
+    oracle="""
+    SELECT DISTINCT p1.p_name AS p_name
+    FROM part p1
+    WHERE p1.p_size BETWEEN 10 AND 15
+      AND EXISTS (
+        SELECT 1 FROM part p2
+        WHERE p2.p_brand = p1.p_brand
+          AND p2.p_partkey <> p1.p_partkey
+          AND p2.p_size = p1.p_size + 1
+      )
+    ORDER BY p_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q41 shape (sql/presto/tpcds/q41.sql): a screen computed "
+    "entirely WITHIN the item dimension — items kept when a sibling of "
+    "the same brand exists one size up (the reference screens on "
+    "manufacturer + attribute combinations). Spark: a self semi-join on "
+    "(brand, size+1) — the dimension is small, so both sides broadcast; "
+    "no fact scan at all.",
+    tags=("tpcds", "subquery"),
+)
+def tpcds_q41_dimension_self_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    p1 = part.filter(F.col("p_size").between(10, 15)).select(
+        F.col("p_partkey").alias("k1"), F.col("p_name").alias("p_name"),
+        F.col("p_brand").alias("b1"), F.col("p_size").alias("s1"),
+    )
+    p2 = part.select(
+        F.col("p_partkey").alias("k2"), F.col("p_brand").alias("b2"),
+        F.col("p_size").alias("s2"),
+    )
+    return (
+        p1.join(
+            p2,
+            (p1.b1 == p2.b2) & (p2.s2 == p1.s1 + 1) & (p1.k1 != p2.k2),
+            "semi",
+        )
+        .select("p_name")
+        .distinct()
+        .orderBy("p_name")
+        .limit(100)
+    )
+
+
+# --- q37 shape: price-band dimension screen semi-joined to active items -------
+
+
+@query(
+    "tpcds_q37_price_band_active_items",
+    oracle="""
+    SELECT DISTINCT p_partkey AS pk, p_name, p_retailprice
+    FROM part
+    WHERE p_retailprice BETWEEN 940 AND 960
+      AND p_partkey IN (
+        SELECT l_partkey FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      )
+    ORDER BY pk
+    LIMIT 100
+    """,
+    doc="TPC-DS q37 shape (sql/presto/tpcds/q37.sql, also q82): items in a "
+    "retail-price band that were actually SOLD in the window — a "
+    "dimension attribute screen semi-joined against the active item set "
+    "of the fact. Spark: the screened dimension broadcasts; the fact "
+    "reduces to distinct partkeys before the semi-join probes it.",
+    tags=("tpcds", "subquery", "join"),
+)
+def tpcds_q37_price_band_active_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").between(940, 960)
+    )
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    active = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .select("l_partkey")
+    )
+    return (
+        part.join(active, part.p_partkey == F.col("l_partkey"), "semi")
+        .select(F.col("p_partkey").alias("pk"), "p_name", "p_retailprice")
+        .distinct()
+        .orderBy("pk")
+        .limit(100)
+    )
+
+
+# --- q72 shape: date-offset inequality join on a shared key -------------------
+
+
+@query(
+    "tpcds_q72_reorder_within_window",
+    oracle="""
+    SELECT o1.o_orderpriority AS priority,
+           COUNT(*) AS n_reorders
+    FROM orders o1
+    JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 30 DAY
+    WHERE o1.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o1.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o1.o_orderpriority
+    ORDER BY priority
+    """,
+    doc="TPC-DS q72 shape (sql/presto/tpcds/q72.sql's date-offset "
+    "inequality: d3.d_date > d1.d_date + 5): re-orders by the same "
+    "customer within 30 days — an equi-join on the customer key carrying "
+    "a date-window inequality residual. The equi-key bounds the join "
+    "(orders-per-customer is the group size, not the table), so the "
+    "inequality never degrades to a cartesian; pinned by plan test.",
+    tags=("tpcds", "join"),
+)
+def tpcds_q72_reorder_within_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    o1 = orders.filter(
+        (od >= F.lit("1995-01-01").cast("timestamp"))
+        & (od < F.lit("1996-01-01").cast("timestamp"))
+    ).select(
+        F.col("o_custkey").alias("ck1"), F.col("o_orderdate").alias("d1"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    o2 = orders.select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderdate").alias("d2")
+    )
+    return (
+        o1.join(
+            o2,
+            (F.col("ck1") == F.col("ck2"))
+            & (F.col("d2") > F.col("d1"))
+            & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 30 DAY")),
+        )
+        .groupBy("priority")
+        .agg(F.count("*").alias("n_reorders"))
+        .orderBy("priority")
+    )
+
+
+# --- q96 shape: multi-screen scalar count -------------------------------------
+
+
+@query(
+    "tpcds_q96_multi_screen_count",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE {_SQL_DAYS} % 7 = 5
+      AND l_quantity BETWEEN 20 AND 30
+      AND c_mktsegment = 'BUILDING'
+    """,
+    doc="TPC-DS q96 shape (sql/presto/tpcds/q96.sql): a single scalar "
+    "COUNT under three independent dimension screens (time band, "
+    "quantity band, demographic) — the all-filters-pushed-down probe. "
+    "Every screen must reach its scan; the count reduces map-side.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q96_multi_screen_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity").between(20, 30))
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(_days() % 7 == 5)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .agg(F.count("*").alias("n_rows"))
+    )

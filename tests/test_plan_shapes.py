@@ -289,3 +289,28 @@ def test_tpcds_q90_q28_scalar_buckets_allowed_bnlj(spark, sf_dir):
     for name in ("tpcds_q90_band_count_ratio", "tpcds_q28_band_distinct_buckets"):
         df = QS[name].spark(spark, sf_dir)
         assert_no_cartesian(df, allow_scalar_bnlj=True)
+
+
+def test_tpcds_q72_inequality_rides_equikey(spark, sf_dir):
+    # the 30-day reorder window is an inequality RESIDUAL on a custkey
+    # equi-join — it must never plan as a cartesian/BNLJ over orders.
+    df = QS["tpcds_q72_reorder_within_window"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_tpcds_q96_screens_push_to_scans(spark, sf_dir):
+    # all three screens reach their scans: the lineitem quantity band and
+    # the customer segment must appear as PushedFilters.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["tpcds_q96_multi_screen_count"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "GreaterThanOrEqual(l_quantity,20" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_tpcds_q24_scalar_avg_is_broadcast(spark, sf_dir):
+    # the avg-of-totals gate is a 1-row broadcast; only the scalar BNLJ
+    # shape is allowed.
+    df = QS["tpcds_q24_totals_above_scalar_avg"].spark(spark, sf_dir)
+    assert_no_cartesian(df, allow_scalar_bnlj=True)
