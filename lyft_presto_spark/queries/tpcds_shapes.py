@@ -333,10 +333,20 @@ def tpcds_q36_rollup_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    agg = joined.rollup("r_name", "n_name").agg(
+    # Pre-aggregate the exact decimal sums per leaf (r_name, n_name) BEFORE
+    # the rollup: Catalyst does not push partial aggregation through Expand,
+    # so rolling up the raw fact replicates every fact row once per grouping
+    # set (3x the decimal work and shuffle width — this was the heaviest
+    # registry row, ~2.5 s at sf0.1). Rollup-of-sums == sum by
+    # associativity, and the dimension keys are never NULL in the base
+    # data, so GROUPING() semantics are unchanged. ~25 rows enter Expand.
+    base = joined.groupBy("r_name", "n_name").agg(
+        F.sum(disc_price()).alias("s_disc"),
+        F.sum(_dec("l_extendedprice", PRICE)).alias("s_price"),
+    )
+    agg = base.rollup("r_name", "n_name").agg(
         (
-            F.sum(disc_price()).cast("double")
-            / F.sum(_dec("l_extendedprice", PRICE)).cast("double")
+            F.sum("s_disc").cast("double") / F.sum("s_price").cast("double")
         ).alias("margin"),
         (F.grouping("r_name") + F.grouping("n_name")).alias("lochierarchy"),
         F.when(F.grouping("n_name") == 0, F.col("r_name")).alias("rank_group"),
@@ -1121,12 +1131,20 @@ def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
-    dw1 = (
+    # Pre-aggregate per leaf key before the rollup (the q36 Expand lesson:
+    # Catalyst does not push partial aggregation through Expand, so rolling
+    # up the raw fact replicates every row once per grouping set). The leaf
+    # keys are never NULL, so GROUPING() semantics are unchanged.
+    base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .rollup("n_name", "c_mktsegment", F.month("o_orderdate").alias("mo"))
-        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sumsales_dec"))
+        .groupBy("n_name", "c_mktsegment", F.month("o_orderdate").alias("mo"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("s_leaf"))
+    )
+    dw1 = (
+        base.rollup("n_name", "c_mktsegment", "mo")
+        .agg(F.sum("s_leaf").alias("sumsales_dec"))
     )
     w = Window.partitionBy("n_name").orderBy(F.col("sumsales_dec").desc())
     return (
@@ -1191,24 +1209,31 @@ def tpcds_q27_rollup_multi_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_2", "NATION_7", "NATION_11", "NATION_19")
     )
     part = t(spark, sf_dir, "part")
-    n = F.count("*")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(part, li.l_partkey == part.p_partkey)
     )
+    # Pre-aggregate per leaf (the q36 Expand lesson); rollup re-sums the
+    # exact decimal leaf sums and counts, so the averages are identical.
+    base = joined.groupBy("p_type", "n_name").agg(
+        F.count("*").alias("n_leaf"),
+        F.sum(_dec("l_quantity", QTY)).alias("s_qty"),
+        F.sum(_dec("l_extendedprice", PRICE)).alias("s_price"),
+        F.sum(_dec("l_discount", FRAC)).alias("s_disc"),
+        F.sum(_dec("o_totalprice", "decimal(14,2)")).alias("s_total"),
+    )
+    n = F.sum("n_leaf")
     return (
-        joined.rollup("p_type", "n_name")
+        base.rollup("p_type", "n_name")
         .agg(
             F.grouping("n_name").cast("int").alias("g_state"),
             n.alias("n_rows"),
-            F.round(F.sum(_dec("l_quantity", QTY)).cast("double") / n, 6).alias("agg1"),
-            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("agg2"),
-            F.round(F.sum(_dec("l_discount", FRAC)).cast("double") / n, 6).alias("agg3"),
-            F.round(
-                F.sum(_dec("o_totalprice", "decimal(14,2)")).cast("double") / n, 6
-            ).alias("agg4"),
+            F.round(F.sum("s_qty").cast("double") / n, 6).alias("agg1"),
+            F.round(F.sum("s_price").cast("double") / n, 6).alias("agg2"),
+            F.round(F.sum("s_disc").cast("double") / n, 6).alias("agg3"),
+            F.round(F.sum("s_total").cast("double") / n, 6).alias("agg4"),
         )
         .orderBy(F.col("p_type").asc_nulls_first(), F.col("n_name").asc_nulls_first())
         .limit(100)
@@ -2633,13 +2658,18 @@ def tpcds_q70_rank_restricted_rollup(spark: SparkSession, sf_dir: str) -> DataFr
         .filter(F.col("rnk") <= 2)
         .select(F.col("n_name").alias("top_n"))
     )
-    return (
+    base = (
         fact.join(F.broadcast(top_nations), fact.n_name == top_nations.top_n, "left_semi")
         .join(F.broadcast(region), fact.n_regionkey == region.r_regionkey)
-        .rollup("r_name", "n_name")
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("s_leaf"))
+    )
+    # Pre-aggregated leaves into the rollup (the q36 Expand lesson).
+    return (
+        base.rollup("r_name", "n_name")
         .agg(
             F.grouping("n_name").cast("int").alias("g_nation"),
-            F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("total_sales"),
+            F.sum("s_leaf").cast("double").alias("total_sales"),
         )
         .orderBy(
             F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first()
@@ -3707,15 +3737,20 @@ def tpcds_q43_weekday_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpcds_q22_rollup_avg_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     part = t(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
-    return (
+    # Pre-aggregated leaves into the rollup (the q36 Expand lesson).
+    base = (
         li.join(part, li.l_partkey == part.p_partkey)
-        .rollup("p_brand", "p_type")
+        .groupBy("p_brand", "p_type")
+        .agg(F.count("*").alias("n_leaf"), F.sum(_dec("l_quantity", QTY)).alias("s_qty"))
+    )
+    return (
+        base.rollup("p_brand", "p_type")
         .agg(
             (F.grouping("p_brand") + F.grouping("p_type")).cast("int").alias("lvl"),
             F.round(
-                F.sum(_dec("l_quantity", QTY)).cast("double") / F.count("*"), 4
+                F.sum("s_qty").cast("double") / F.sum("n_leaf"), 4
             ).alias("avg_qty"),
-            F.count("*").alias("n_lines"),
+            F.sum("n_leaf").alias("n_lines"),
         )
         .select(
             F.coalesce(F.col("p_brand"), F.lit("__ALL__")).alias("brand"),
