@@ -4240,3 +4240,422 @@ def tpcds_q96_multi_screen_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+# --- q06 shape: items above their own category's average price ----------------
+
+
+@query(
+    "tpcds_q06_above_category_avg_buyers",
+    oracle="""
+    WITH cat_avg AS (
+        SELECT p_type, AVG(p_retailprice) AS type_avg
+        FROM part
+        GROUP BY p_type
+    ),
+    pricey AS (
+        SELECT p_partkey
+        FROM part JOIN cat_avg ON part.p_type = cat_avg.p_type
+        WHERE p_retailprice > 1.02 * type_avg
+    )
+    SELECT n_name, COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_partkey IN (SELECT p_partkey FROM pricey)
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY n_name
+    HAVING COUNT(*) >= 10
+    ORDER BY n_lines, n_name
+    """,
+    doc="TPC-DS q06 shape (sql/presto/tpcds/q06.sql): customers (by "
+    "nation) buying items priced above 1.02x their OWN category's average "
+    "— the correlated category-average screen computed entirely inside "
+    "the item dimension (window/join on p_type), then pushed into the "
+    "fact as a broadcast semi-join on the surviving item ids. AVG(price) "
+    "is a dimension-only aggregate, so no fact-side re-aggregation.",
+    tags=("tpcds", "subquery", "join"),
+)
+def tpcds_q06_above_category_avg_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part")
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    w = Window.partitionBy("p_type")
+    pricey = (
+        part.withColumn("type_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > 1.02 * F.col("type_avg"))
+        .select("p_partkey")
+    )
+    od = F.col("o_orderdate")
+    return (
+        li.join(F.broadcast(pricey), li.l_partkey == F.col("p_partkey"), "semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_lines"))
+        .filter(F.col("n_lines") >= 10)
+        .orderBy("n_lines", "n_name")
+    )
+
+
+# --- q08 shape: INTERSECT-derived preferred-customer screen -------------------
+
+
+@query(
+    "tpcds_q08_intersect_screened_sales",
+    oracle=f"""
+    WITH preferred AS (
+        SELECT c_custkey FROM customer WHERE substring(c_name, 18, 1) IN ('1', '3')
+        INTERSECT
+        SELECT c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name, CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS net_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_custkey IN (SELECT c_custkey FROM preferred)
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS q08 shape (sql/presto/tpcds/q08.sql): sales restricted to "
+    "a preferred-customer set defined as the INTERSECT of two independent "
+    "dimension screens (the reference intersects zip-prefix lists with "
+    "high-count zips), the set then driving a broadcast semi-join into "
+    "the fact. IntersectNode output feeding SemiJoinNode — a set-op/join "
+    "combination no other corpus row produces.",
+    tags=("tpcds", "setop", "subquery"),
+)
+def tpcds_q08_intersect_screened_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    a = cust.filter(
+        F.substring("c_name", 18, 1).isin("1", "3")
+    ).select(F.col("c_custkey").alias("pk_cust"))
+    b = cust.filter(F.col("c_acctbal") > 0).select(
+        F.col("c_custkey").alias("pk_cust")
+    )
+    preferred = a.intersect(b)
+    # fresh column names for the decorating customer pass: `preferred`
+    # shares lineage with `cust`, so unqualified c_* would be ambiguous
+    cust2 = cust.select(
+        F.col("c_custkey").alias("ck2"), F.col("c_nationkey").alias("nk2")
+    )
+    return (
+        orders.join(F.broadcast(preferred), orders.o_custkey == preferred.pk_cust, "semi")
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust2, orders.o_custkey == cust2.ck2)
+        .join(F.broadcast(nation), cust2.nk2 == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("net_sales"))
+        .orderBy("n_name")
+    )
+
+
+# --- q15 shape: disjunctive screen mixing dimension and measure ---------------
+
+
+@query(
+    "tpcds_q15_disjunctive_mixed_screen",
+    oracle=f"""
+    SELECT c_nationkey AS nk, CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS total_sales
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE (substring(c_name, 18, 1) IN ('1', '2')
+           OR c_mktsegment = 'AUTOMOBILE'
+           OR l_extendedprice > 50000)
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY c_nationkey
+    ORDER BY nk
+    """,
+    doc="TPC-DS q15 shape (sql/presto/tpcds/q15.sql): the catalog-sales "
+    "zip screen — a DISJUNCTION mixing two dimension predicates with a "
+    "fact MEASURE predicate (zip-prefix OR state OR sale > 500), so the "
+    "screen cannot push below the join and must evaluate post-join; the "
+    "date window still pushes to the fact scan.",
+    tags=("tpcds", "join"),
+)
+def tpcds_q15_disjunctive_mixed_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    od = F.col("o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            F.substring("c_name", 18, 1).isin("1", "2")
+            | (F.col("c_mktsegment") == "AUTOMOBILE")
+            | (F.col("l_extendedprice") > 50000)
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("total_sales"))
+        .orderBy("nk")
+    )
+
+
+# --- q50 shape: two-date-role lag buckets per dimension row -------------------
+
+
+@query(
+    "tpcds_q50_return_lag_buckets",
+    oracle=f"""
+    SELECT n_name,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+           CAST(SUM(CASE WHEN lag_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90plus
+    FROM (
+        SELECT c_nationkey,
+               date_diff('day', o_orderdate, l_shipdate) AS lag_days
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ) lagged
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-DS q50 shape (sql/presto/tpcds/q50.sql): the sale-to-return "
+    "lag histogram per store (nation) — the bucket variable is a date "
+    "DIFFERENCE between two date roles on the joined row (order date vs "
+    "ship date of the returned line), CASE-bucketed into 30-day bands. "
+    "One fact pass, codegen datediff, single hash aggregate.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q50_return_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    od = F.col("o_orderdate")
+    lag = F.datediff(F.col("l_shipdate"), od)
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            band(lag <= 30, "d30"),
+            band((lag > 30) & (lag <= 60), "d60"),
+            band((lag > 60) & (lag <= 90), "d90"),
+            band(lag > 90, "d90plus"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# --- q76 shape: null-keyed rows unioned across channels, counted --------------
+
+
+def _q76_leg_sql(mod: int, tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS channel,
+               CASE WHEN l_linenumber % 5 = 0 THEN NULL ELSE l_returnflag END
+                   AS flag_key,
+               {_SQL_PRICE} AS price
+        FROM lineitem
+        WHERE l_linenumber % 3 = {mod}
+    """
+
+
+@query(
+    "tpcds_q76_null_key_channel_counts",
+    oracle=f"""
+    WITH legs AS (
+        {_q76_leg_sql(0, "store")}
+        UNION ALL
+        {_q76_leg_sql(1, "web")}
+        UNION ALL
+        {_q76_leg_sql(2, "catalog")}
+    )
+    SELECT channel, COALESCE(flag_key, '__NULL__') AS flag_key,
+           COUNT(*) AS n_rows,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM legs
+    GROUP BY channel, flag_key
+    ORDER BY channel, flag_key
+    """,
+    doc="TPC-DS q76 shape (sql/presto/tpcds/q76.sql): the NULL-key census "
+    "— each channel leg deliberately NULLs a dimension key on part of its "
+    "rows (the reference counts fact rows with NULL foreign keys), the "
+    "legs UNION ALL, and the aggregate groups BY the nullable key so NULL "
+    "forms its own group. Grouping-on-NULL semantics must agree between "
+    "engines; the output key is coalesced only for display.",
+    tags=("tpcds", "setop", "agg"),
+)
+def tpcds_q76_null_key_channel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+
+    def leg(mod: int, tag: str) -> DataFrame:
+        return li.filter(F.col("l_linenumber") % 3 == mod).select(
+            F.lit(tag).alias("channel"),
+            F.when(F.col("l_linenumber") % 5 == 0, F.lit(None))
+            .otherwise(F.col("l_returnflag")).alias("flag_key"),
+            _dec("l_extendedprice", PRICE).alias("price"),
+        )
+
+    legs = leg(0, "store").unionAll(leg(1, "web")).unionAll(leg(2, "catalog"))
+    return (
+        legs.groupBy("channel", "flag_key")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+        .select(
+            "channel",
+            F.coalesce(F.col("flag_key"), F.lit("__NULL__")).alias("flag_key"),
+            "n_rows", "total_price",
+        )
+        .orderBy("channel", "flag_key")
+    )
+
+
+# --- q83 shape: three return aggregates equi-joined on item with a date list --
+
+_Q83_DATES = f"""
+    SELECT DISTINCT o_orderdate AS d FROM orders
+    WHERE {_SQL_DAYS} % 13 = 0
+"""
+
+
+def _q83_leg_sql(mod: int, alias: str) -> str:
+    return f"""
+        SELECT l_partkey AS pk_{alias}, SUM({_SQL_QTY}) AS ret_{alias}
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND l_linenumber % 3 = {mod}
+          AND o_orderdate IN ({_Q83_DATES})
+        GROUP BY l_partkey
+    """
+
+
+@query(
+    "tpcds_q83_three_channel_item_returns",
+    oracle=f"""
+    WITH s AS ({_q83_leg_sql(0, "s")}),
+         w AS ({_q83_leg_sql(1, "w")}),
+         c AS ({_q83_leg_sql(2, "c")})
+    SELECT pk_s AS pk,
+           CAST(ret_s AS DOUBLE) AS store_returns,
+           CAST(ret_w AS DOUBLE) AS web_returns,
+           CAST(ret_c AS DOUBLE) AS catalog_returns,
+           round(CAST(ret_s AS DOUBLE)
+                 / (CAST(ret_s AS DOUBLE) + CAST(ret_w AS DOUBLE)
+                    + CAST(ret_c AS DOUBLE)) * 100, 4) AS store_share
+    FROM s JOIN w ON pk_s = pk_w JOIN c ON pk_s = pk_c
+    ORDER BY pk
+    """,
+    doc="TPC-DS q83 shape (sql/presto/tpcds/q83.sql): per-item returned "
+    "quantity in each of three channels — each leg screened by a DATE "
+    "id-list subquery (the reference nests d_week_seq IN (...) two "
+    "levels) — the three aggregates inner-joined on the item key with a "
+    "per-channel share ratio. The date list is a broadcast semi-join per "
+    "leg; items must appear in all three channels to survive.",
+    tags=("tpcds", "subquery", "join"),
+)
+def tpcds_q83_three_channel_item_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    dates = (
+        orders.filter(_days() % 13 == 0)
+        .select(F.col("o_orderdate").alias("d"))
+        .distinct()
+    )
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(dates), F.col("o_orderdate") == F.col("d"), "semi"
+    )
+
+    def leg(mod: int, alias: str) -> DataFrame:
+        return (
+            fact.filter(F.col("l_linenumber") % 3 == mod)
+            .groupBy(F.col("l_partkey").alias(f"pk_{alias}"))
+            .agg(F.sum(_dec("l_quantity", QTY)).alias(f"ret_{alias}"))
+        )
+
+    s, w, c = leg(0, "s"), leg(1, "w"), leg(2, "c")
+    tot = (
+        F.col("ret_s").cast("double")
+        + F.col("ret_w").cast("double")
+        + F.col("ret_c").cast("double")
+    )
+    return (
+        s.join(w, s.pk_s == w.pk_w)
+        .join(c, s.pk_s == c.pk_c)
+        .select(
+            F.col("pk_s").alias("pk"),
+            F.col("ret_s").cast("double").alias("store_returns"),
+            F.col("ret_w").cast("double").alias("web_returns"),
+            F.col("ret_c").cast("double").alias("catalog_returns"),
+            F.round(F.col("ret_s").cast("double") / tot * 100, 4).alias("store_share"),
+        )
+        .orderBy("pk")
+    )
+
+
+# --- q55 shape: brand revenue top-n for one month ------------------------------
+
+
+@query(
+    "tpcds_q55_brand_month_topn",
+    oracle=f"""
+    SELECT p_brand, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS brand_rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE o_orderdate >= TIMESTAMP '1995-03-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+    GROUP BY p_brand
+    ORDER BY brand_rev DESC, p_brand
+    LIMIT 10
+    """,
+    doc="TPC-DS q55 shape (sql/presto/tpcds/q55.sql, family q42/q52): "
+    "brand revenue for one month, top 10 — the minimal "
+    "scan-join-aggregate-topN staple. Date window pushed to the fact "
+    "scan, item dim broadcast, TopNNode folds the sort+limit.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q55_brand_month_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    od = F.col("o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-03-01").cast("timestamp"))
+            & (od < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(disc_price()).cast("double").alias("brand_rev"))
+        .orderBy(F.col("brand_rev").desc(), F.col("p_brand"))
+        .limit(10)
+    )

@@ -314,3 +314,30 @@ def test_tpcds_q24_scalar_avg_is_broadcast(spark, sf_dir):
     # shape is allowed.
     df = QS["tpcds_q24_totals_above_scalar_avg"].spark(spark, sf_dir)
     assert_no_cartesian(df, allow_scalar_bnlj=True)
+
+
+def test_tpcds_q06_category_screen_is_broadcast_semi(spark, sf_dir):
+    # the above-category-average item set is dimension-only work pushed
+    # into the fact as a broadcast semi-join.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["tpcds_q06_above_category_avg_buyers"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan and "BroadcastExchange" in plan
+
+
+def test_tpcds_q08_intersect_feeds_semi(spark, sf_dir):
+    # IntersectNode output driving a SemiJoinNode: the set-op runs on the
+    # dimension only and the fact is probed, never shuffled by the screen.
+    df = QS["tpcds_q08_intersect_screened_sales"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+
+
+def test_tpcds_q83_date_list_is_semi(spark, sf_dir):
+    # each leg's date-list subquery must reach the fact as a semi-join.
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["tpcds_q83_three_channel_item_returns"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert "LeftSemi" in formatted_plan(df)
