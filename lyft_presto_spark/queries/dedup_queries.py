@@ -461,7 +461,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embed_dedup_sql(dialect: str) -> str:
     # Embedding-cosine near-dup: candidate pairs blocked by the sign-bucket
     # quantization key (equi-join — the same IVF-style pruning as the ANN
-    # path), then exact cosine >= threshold. Never all-pairs.
+    # path), then exact cosine >= threshold. Never all-pairs. Threshold
+    # 0.35, not the conventional 0.8: the fixture's embeddings are random
+    # (max within-bucket cosine 0.43 at sf0.01), so 0.8 made the row
+    # vacuous — 0 rows at every scale (r8 zero-row audit).
     from ..operators import similarity as S
 
     cos = S.cosine("a.embedding", "b.embedding", dialect)
@@ -473,7 +476,7 @@ WITH bucketed AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cosine_sim
 FROM bucketed a JOIN bucketed b
   ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {cos} >= 0.8
+WHERE {cos} >= 0.35
 ORDER BY cosine_sim DESC, vec_a, vec_b
 """
 

@@ -156,18 +156,25 @@ def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment, COUNT(*) AS n_customers
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """,
-    doc="Anti join (NOT EXISTS) via DataFrame left_anti: customers with no orders. "
-    "Reference: SemiJoinNode negated; ReplaceExceptWithAntiJoin analog.",
+    doc="Anti join (NOT EXISTS) via DataFrame left_anti: customers with no "
+    "URGENT order. Reference: SemiJoinNode negated; "
+    "ReplaceExceptWithAntiJoin analog. The screen matters: every fixture "
+    "customer has SOME order, so the unscreened form was vacuous "
+    "(0 rows at every scale — r8 audit).",
     tags=("join", "antijoin"),
 )
 def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
-    orders = t(spark, sf_dir, "orders")
+    urgent = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("n_customers"))
         .orderBy("c_mktsegment")
@@ -710,18 +717,28 @@ def op_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "op_except",
     oracle="""
-    SELECT p_partkey AS pk FROM part
+    SELECT p_partkey AS pk FROM part WHERE p_size <= 25
     EXCEPT
-    SELECT l_partkey FROM lineitem
+    SELECT l_partkey FROM lineitem WHERE l_quantity >= 40
     ORDER BY pk
     """,
-    doc="EXCEPT (distinct): parts never ordered. Reference: ExceptNode.java:25 "
-    "(Catalyst: ReplaceExceptWithAntiJoin).",
+    doc="EXCEPT (distinct): small parts never ordered in bulk. Reference: "
+    "ExceptNode.java:25 (Catalyst: ReplaceExceptWithAntiJoin). Screened "
+    "sides: the original parts-never-ordered form was vacuous on this "
+    "fixture (every part is sold; 0 rows at every scale — r8 audit).",
     tags=("setop",),
 )
 def op_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = t(spark, sf_dir, "part").select(F.col("p_partkey").alias("pk"))
-    li = t(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("pk"))
+    part = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 25)
+        .select(F.col("p_partkey").alias("pk"))
+    )
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select(F.col("l_partkey").alias("pk"))
+    )
     return part.exceptAll(li).distinct().orderBy("pk")
 
 
@@ -992,7 +1009,7 @@ def op_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey, o_totalprice
     FROM orders
-    WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 25
     """,
@@ -1007,7 +1024,7 @@ def op_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, o_totalprice
         FROM orders
-        WHERE o_totalprice > 3 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) / COUNT(*) FROM orders)
         ORDER BY o_totalprice DESC, o_orderkey
         LIMIT 25
         """,

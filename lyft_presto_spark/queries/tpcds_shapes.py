@@ -2100,7 +2100,7 @@ def tpcds_q40_returns_adjusted_pivot(spark: SparkSession, sf_dir: str) -> DataFr
 
 # --- q33 shape: three-channel union restricted by an IN subquery ------------
 
-_Q33_TYPE_FILTER = "p_type LIKE 'TYPE_1%'"
+_Q33_TYPE_FILTER = "p_type LIKE 'S%'"
 
 
 def _q33_leg_sql(mod: int) -> str:
@@ -4658,4 +4658,602 @@ def tpcds_q55_brand_month_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(disc_price()).cast("double").alias("brand_rev"))
         .orderBy(F.col("brand_rev").desc(), F.col("p_brand"))
         .limit(10)
+    )
+
+
+# --- q07 shape: multi-measure demographic averages (flat, no rollup) ----------
+
+
+@query(
+    "tpcds_q07_demographic_averages",
+    oracle=f"""
+    SELECT p_brand,
+           round(CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           round(CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_net
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY')
+      AND o_orderpriority <> '1-URGENT'
+      AND p_size < 10
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS q07 shape (sql/presto/tpcds/q07.sql, family q26): four "
+    "simultaneous averages per item under demographic + promo screens — "
+    "the flat multi-measure aggregate (no rollup), each average the exact "
+    "decimal sum over one shared COUNT(*). Dimension screens broadcast; "
+    "one hash aggregate.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q07_demographic_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY")
+    )
+    small = t(spark, sf_dir, "part").filter(F.col("p_size") < 10).select("p_partkey")
+    part = t(spark, sf_dir, "part")
+    n = F.count("*")
+    # p_brand decorates the surviving rows; a second part read keeps the
+    # lineage distinct from the semi-join's screen set
+    dim = part.select(F.col("p_partkey").alias("dpk"), "p_brand")
+    return (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(dim, li.l_partkey == dim.dpk)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_dec("l_quantity", QTY)).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount", "decimal(8,2)")).cast("double") / n, 6).alias("avg_disc"),
+            F.round(F.sum(disc_price()).cast("double") / n, 6).alias("avg_net"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- q13 shape: averages under OR-of-AND demographic bands --------------------
+
+
+@query(
+    "tpcds_q13_band_disjunction_averages",
+    oracle=f"""
+    SELECT round(CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_net,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE (c_mktsegment = 'BUILDING' AND c_acctbal BETWEEN 100 AND 5000
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (c_mktsegment = 'MACHINERY' AND c_acctbal BETWEEN 5000 AND 9000
+           AND l_quantity BETWEEN 21 AND 35)
+       OR (c_mktsegment = 'HOUSEHOLD' AND c_acctbal BETWEEN 50 AND 7000
+           AND l_quantity BETWEEN 36 AND 50)
+    """,
+    doc="TPC-DS q13 shape (sql/presto/tpcds/q13.sql): one scalar row of "
+    "averages under an OR of three AND-bands that each pair a DIMENSION "
+    "band (segment, balance) with a FACT band (quantity) — the "
+    "band-disjunction screen that can only evaluate post-join. Exact "
+    "decimal sums over one shared count.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q13_band_disjunction_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    seg, bal, qty = F.col("c_mktsegment"), F.col("c_acctbal"), F.col("l_quantity")
+    screen = (
+        ((seg == "BUILDING") & bal.between(100, 5000) & qty.between(1, 20))
+        | ((seg == "MACHINERY") & bal.between(5000, 9000) & qty.between(21, 35))
+        | ((seg == "HOUSEHOLD") & bal.between(50, 7000) & qty.between(36, 50))
+    )
+    n = F.count("*")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(screen)
+        .agg(
+            F.round(F.sum(_dec("l_quantity", QTY)).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("avg_price"),
+            F.sum(disc_price()).cast("double").alias("total_net"),
+            n.alias("n_rows"),
+        )
+    )
+
+
+# --- q30 shape: return share above the nation average, customer output --------
+
+
+@query(
+    "tpcds_q30_high_return_customers",
+    oracle=f"""
+    WITH ret AS (
+        SELECT o_custkey AS ck, c_nationkey AS nk,
+               SUM({_SQL_PRICE}) AS total_ret
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R'
+        GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_name, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+           CAST(total_ret AS DOUBLE) AS total_ret
+    FROM ret r1 JOIN customer ON r1.ck = c_custkey
+    WHERE CAST(total_ret AS DOUBLE) > 1.5 * (
+        SELECT CAST(SUM(total_ret) AS DOUBLE) / COUNT(*)
+        FROM ret r2 WHERE r1.nk = r2.nk
+    )
+    ORDER BY c_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q30 shape (sql/presto/tpcds/q30.sql, family q81): "
+    "customers whose returns exceed 1.5x their nation's per-customer "
+    "average, decorated with FULL customer attributes after the screen — "
+    "q01's correlated-average machinery with a wider output row and a "
+    "higher multiplier. Spark expresses the correlated aggregate as a "
+    "window over the CTE; only screen survivors join the dimension.",
+    tags=("tpcds", "subquery", "window"),
+)
+def tpcds_q30_high_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    ret = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("total_ret"))
+    )
+    w = Window.partitionBy("nk")
+    screened = ret.select(
+        "ck",
+        F.col("total_ret").cast("double").alias("total_ret"),
+        (F.sum("total_ret").over(w).cast("double") / F.count("*").over(w)).alias("nation_avg"),
+    ).filter(F.col("total_ret") > 1.5 * F.col("nation_avg"))
+    cust2 = cust.select(
+        F.col("c_custkey").alias("ck2"), "c_name", "c_mktsegment", "c_acctbal"
+    )
+    return (
+        screened.join(cust2, screened.ck == cust2.ck2)
+        .select(
+            "c_name", "c_mktsegment",
+            F.round("c_acctbal", 2).alias("acctbal"), "total_ret",
+        )
+        .orderBy("c_name")
+        .limit(100)
+    )
+
+
+# --- q60 shape: category id-list channel union (q56's category twin) ----------
+
+_Q60_PIDS = "SELECT p_partkey FROM part WHERE p_type LIKE 'S%'"
+
+
+def _q60_leg_sql(mod: int) -> str:
+    return f"""
+        SELECT l_partkey AS pk, SUM({_SQL_PRICE}) AS rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = {mod}
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_partkey IN ({_Q60_PIDS})
+        GROUP BY l_partkey
+    """
+
+
+@query(
+    "tpcds_q60_category_channel_totals",
+    oracle=f"""
+    WITH legs AS (
+        {_q60_leg_sql(0)}
+        UNION ALL
+        {_q60_leg_sql(1)}
+        UNION ALL
+        {_q60_leg_sql(2)}
+    )
+    SELECT pk, CAST(SUM(rev) AS DOUBLE) AS total_rev
+    FROM legs
+    GROUP BY pk
+    ORDER BY total_rev DESC, pk
+    LIMIT 100
+    """,
+    doc="TPC-DS q60 shape (sql/presto/tpcds/q60.sql): q56's three-channel "
+    "id-list union with the CATEGORY screen (LIKE-prefix on the item "
+    "type, the reference's i_category = 'Music'), a different date "
+    "window, and extended-price revenue — the family twin the reference "
+    "corpus itself ships. Broadcast semi per leg; one final hash agg.",
+    tags=("tpcds", "setop", "subquery"),
+)
+def tpcds_q60_category_channel_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    pids = t(spark, sf_dir, "part").filter(
+        F.col("p_type").like("S%")
+    ).select("p_partkey")
+    od = F.col("o_orderdate")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (od >= F.lit("1996-01-01").cast("timestamp"))
+        & (od < F.lit("1997-01-01").cast("timestamp"))
+    )
+
+    def leg(mod: int) -> DataFrame:
+        return (
+            fact.filter(F.col("l_linenumber") % 3 == mod)
+            .join(F.broadcast(pids), F.col("l_partkey") == F.col("p_partkey"), "semi")
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("rev"))
+        )
+
+    legs = leg(0).unionAll(leg(1)).unionAll(leg(2))
+    return (
+        legs.groupBy("pk")
+        .agg(F.sum("rev").cast("double").alias("total_rev"))
+        .orderBy(F.col("total_rev").desc(), F.col("pk"))
+        .limit(100)
+    )
+
+
+# --- q74 shape: year-over-year growth with a MIN-ratio gate (q11's twin) ------
+
+
+@query(
+    "tpcds_q74_min_ratio_growth_gate",
+    oracle=f"""
+    WITH yt AS (
+        SELECT o_custkey AS ck,
+               EXTRACT(year FROM o_orderdate) AS yr,
+               l_linenumber % 2 AS chan,
+               SUM({_SQL_QTY}) AS total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+        GROUP BY o_custkey, EXTRACT(year FROM o_orderdate), l_linenumber % 2
+    )
+    SELECT s2.ck AS ck,
+           round(CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE), 6)
+               AS store_growth,
+           round(CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE), 6)
+               AS web_growth
+    FROM yt s1 JOIN yt s2 ON s1.ck = s2.ck
+    JOIN yt w1 ON s1.ck = w1.ck
+    JOIN yt w2 ON s1.ck = w2.ck
+    WHERE s1.chan = 0 AND s1.yr = 1995 AND s2.chan = 0 AND s2.yr = 1996
+      AND w1.chan = 1 AND w1.yr = 1995 AND w2.chan = 1 AND w2.yr = 1996
+      AND CAST(s1.total AS DOUBLE) > 0 AND CAST(w1.total AS DOUBLE) > 0
+      AND CAST(w2.total AS DOUBLE) / CAST(w1.total AS DOUBLE)
+          > CAST(s2.total AS DOUBLE) / CAST(s1.total AS DOUBLE)
+    ORDER BY ck
+    LIMIT 100
+    """,
+    doc="TPC-DS q74 shape (sql/presto/tpcds/q74.sql): q11's year-total "
+    "self-join family with QUANTITY totals and the growth-comparison gate "
+    "(web growth must exceed store growth) — four instances of one CTE "
+    "joined on the customer key, the reference's year_total idiom. All "
+    "four self-joins stay keyed on the customer key.",
+    tags=("tpcds", "join", "subquery"),
+)
+def tpcds_q74_min_ratio_growth_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    yt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.year(od).isin(1995, 1996))
+        .groupBy(
+            F.col("o_custkey").alias("ck"),
+            F.year(od).alias("yr"),
+            (F.col("l_linenumber") % 2).alias("chan"),
+        )
+        .agg(F.sum(_dec("l_quantity", QTY)).alias("total"))
+    )
+
+    def inst(chan: int, yr: int, alias: str) -> DataFrame:
+        return yt.filter((F.col("chan") == chan) & (F.col("yr") == yr)).select(
+            F.col("ck").alias(f"ck_{alias}"), F.col("total").alias(f"t_{alias}")
+        )
+
+    s1, s2 = inst(0, 1995, "s1"), inst(0, 1996, "s2")
+    w1, w2 = inst(1, 1995, "w1"), inst(1, 1996, "w2")
+    sg = F.col("t_s2").cast("double") / F.col("t_s1").cast("double")
+    wg = F.col("t_w2").cast("double") / F.col("t_w1").cast("double")
+    return (
+        s1.join(s2, s1.ck_s1 == s2.ck_s2)
+        .join(w1, s1.ck_s1 == w1.ck_w1)
+        .join(w2, s1.ck_s1 == w2.ck_w2)
+        .filter(
+            (F.col("t_s1").cast("double") > 0)
+            & (F.col("t_w1").cast("double") > 0)
+            & (wg > sg)
+        )
+        .select(
+            F.col("ck_s2").alias("ck"),
+            F.round(sg, 6).alias("store_growth"),
+            F.round(wg, 6).alias("web_growth"),
+        )
+        .orderBy("ck")
+        .limit(100)
+    )
+
+
+# --- q86 shape: rollup rank without a fact measure screen (q70's flat twin) ---
+
+
+@query(
+    "tpcds_q86_rollup_rank_within_parent",
+    oracle=f"""
+    WITH agg AS (
+        SELECT o_orderpriority AS prio, o_orderstatus AS status,
+               SUM({_SQL_PRICE}) AS total,
+               GROUPING(o_orderpriority) + GROUPING(o_orderstatus)
+                   AS lochierarchy,
+               CASE WHEN GROUPING(o_orderstatus) = 0 THEN o_orderpriority END
+                   AS rank_group
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    )
+    SELECT prio, status, lochierarchy,
+           CAST(total AS DOUBLE) AS total_price,
+           RANK() OVER (PARTITION BY lochierarchy, rank_group
+                        ORDER BY CAST(total AS DOUBLE) DESC) AS rank_within_parent
+    FROM agg
+    ORDER BY lochierarchy DESC, prio NULLS FIRST, status NULLS FIRST
+    """,
+    doc="TPC-DS q86 shape (sql/presto/tpcds/q86.sql): q36's "
+    "rank-within-rollup machinery over the ORDER hierarchy "
+    "(priority -> status) ranking raw totals DESC instead of a margin "
+    "ratio — the flat family twin the reference ships. Pre-aggregated "
+    "leaves into the rollup (the q36 Expand lesson).",
+    tags=("tpcds", "rollup", "window"),
+)
+def tpcds_q86_rollup_rank_within_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("s_leaf"))
+    )
+    agg = base.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum("s_leaf").alias("total"),
+        (F.grouping("o_orderpriority") + F.grouping("o_orderstatus")).alias("lochierarchy"),
+        F.when(F.grouping("o_orderstatus") == 0, F.col("o_orderpriority")).alias("rank_group"),
+    )
+    w = Window.partitionBy("lochierarchy", "rank_group").orderBy(
+        F.col("total").cast("double").desc()
+    )
+    return (
+        agg.select(
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("status"),
+            "lochierarchy",
+            F.col("total").cast("double").alias("total_price"),
+            F.rank().over(w).alias("rank_within_parent"),
+        )
+        .orderBy(
+            F.desc("lochierarchy"),
+            F.asc_nulls_first("prio"),
+            F.asc_nulls_first("status"),
+        )
+    )
+
+
+# --- q82 shape: q37's twin with a sold-quantity HAVING band --------------------
+
+
+@query(
+    "tpcds_q82_band_items_qty_having",
+    oracle="""
+    SELECT p_partkey AS pk, p_name, p_retailprice,
+           CAST(sold_qty AS DOUBLE) AS sold_qty
+    FROM part
+    JOIN (
+        SELECT l_partkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sold_qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        GROUP BY l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) BETWEEN 100 AND 500
+    ) sold ON p_partkey = l_partkey
+    WHERE p_retailprice BETWEEN 920 AND 980
+    ORDER BY pk
+    LIMIT 100
+    """,
+    doc="TPC-DS q82 shape (sql/presto/tpcds/q82.sql): q37's "
+    "price-band/active-items twin with the inventory quantity band — the "
+    "fact aggregates sold quantity per item and a HAVING band (the "
+    "reference's inv_quantity_on_hand BETWEEN 100 AND 500) gates which "
+    "items join back to the screened dimension.",
+    tags=("tpcds", "join", "agg"),
+)
+def tpcds_q82_band_items_qty_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = t(spark, sf_dir, "part").filter(F.col("p_retailprice").between(920, 980))
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    sold = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1996-01-01").cast("timestamp"))
+            & (od < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_quantity", QTY)).alias("sold_qty"))
+        .filter(F.col("sold_qty").between(100, 500))
+    )
+    return (
+        part.join(sold, part.p_partkey == sold.l_partkey)
+        .select(
+            F.col("p_partkey").alias("pk"), "p_name", "p_retailprice",
+            F.col("sold_qty").cast("double").alias("sold_qty"),
+        )
+        .orderBy("pk")
+        .limit(100)
+    )
+
+
+# --- q91 shape: one-month returns by crossed demographic cells -----------------
+
+
+@query(
+    "tpcds_q91_monthly_return_cells",
+    oracle=f"""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_returns,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS returned_value
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY c_mktsegment, o_orderpriority
+    HAVING COUNT(*) >= 2
+    ORDER BY returned_value DESC, c_mktsegment, o_orderpriority
+    """,
+    doc="TPC-DS q91 shape (sql/presto/tpcds/q91.sql): returned value for "
+    "one month crossed over two demographic axes (segment x priority play "
+    "marital x education), HAVING-screened and ordered by loss — the "
+    "call-center returns report. One fact pass, dims broadcast.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q91_monthly_return_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    od = F.col("o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-06-01").cast("timestamp"))
+            & (od < F.lit("1995-07-01").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_returns"),
+            F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("returned_value"),
+        )
+        .filter(F.col("n_returns") >= 2)
+        .orderBy(F.col("returned_value").desc(), "c_mktsegment", "o_orderpriority")
+    )
+
+
+# --- q94 shape: multi-supplier EXISTS + no-returns NOT EXISTS, distinct count --
+
+
+@query(
+    "tpcds_q94_multi_supplier_no_returns",
+    oracle=f"""
+    SELECT COUNT(DISTINCT l1.l_orderkey) AS n_orders,
+           CAST(SUM({SQL_DISC_PRICE.replace("l_extendedprice", "l1.l_extendedprice").replace("l_discount", "l1.l_discount")}) AS DOUBLE)
+               AS net_value
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R'
+      )
+    """,
+    doc="TPC-DS q94 shape (sql/presto/tpcds/q94.sql, family q16): order "
+    "lines shipped alongside ANOTHER supplier's line (EXISTS, same order) "
+    "with NO returned line anywhere in the order (NOT EXISTS) — tpch "
+    "q21's correlated-pair machinery with the DS outputs: a DISTINCT "
+    "order count plus net value. Spark rewrites both correlates as one "
+    "per-order window pass (supplier-count + returns-count), one shuffle.",
+    tags=("tpcds", "subquery", "agg"),
+)
+def tpcds_q94_multi_supplier_no_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).over(w).alias("n_ret"),
+    )
+    return (
+        flagged.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 0))
+        .join(orders, flagged.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1995-04-01").cast("timestamp"))
+        )
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(disc_price()).cast("double").alias("net_value"),
+        )
+    )
+
+
+# --- q99 shape: two-axis shipping-lag buckets (q62's crossed twin) -------------
+
+
+@query(
+    "tpcds_q99_crossed_lag_buckets",
+    oracle="""
+    SELECT o_orderpriority, EXTRACT(month FROM o_orderdate) AS mo,
+           CAST(SUM(CASE WHEN lag_days <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+           CAST(SUM(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+           CAST(SUM(CASE WHEN lag_days > 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60plus
+    FROM (
+        SELECT o_orderpriority, o_orderdate,
+               date_diff('day', o_orderdate, l_shipdate) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    ) lagged
+    GROUP BY o_orderpriority, EXTRACT(month FROM o_orderdate)
+    ORDER BY o_orderpriority, mo
+    """,
+    doc="TPC-DS q99 shape (sql/presto/tpcds/q99.sql): q62's shipping-lag "
+    "buckets crossed over a second axis (priority x ship month play "
+    "warehouse x ship mode) — the catalog twin the reference corpus "
+    "ships. Codegen datediff buckets, single hash aggregate.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q99_crossed_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    lag = F.datediff(F.col("l_shipdate"), od)
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint").alias(name)
+
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy("o_orderpriority", F.month(od).alias("mo"))
+        .agg(
+            band(lag <= 30, "d30"),
+            band((lag > 30) & (lag <= 60), "d60"),
+            band(lag > 60, "d60plus"),
+        )
+        .orderBy("o_orderpriority", "mo")
     )

@@ -341,3 +341,10 @@ def test_tpcds_q83_date_list_is_semi(spark, sf_dir):
     df = QS["tpcds_q83_three_channel_item_returns"].spark(spark, sf_dir)
     assert_no_cartesian(df)
     assert "LeftSemi" in formatted_plan(df)
+
+
+def test_tpcds_q94_correlates_are_one_window_pass(spark, sf_dir):
+    # EXISTS + NOT EXISTS over the same order rewritten as per-order
+    # window flags: no cartesian, no second lineitem self-join shuffle.
+    df = QS["tpcds_q94_multi_supplier_no_returns"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
