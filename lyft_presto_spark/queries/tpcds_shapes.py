@@ -5257,3 +5257,621 @@ def tpcds_q99_crossed_lag_buckets(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority", "mo")
     )
+
+
+# --- q03 shape: brand revenue by year under a manufacturer screen --------------
+
+
+@query(
+    "tpcds_q03_brand_year_revenue",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr, p_brand,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS brand_rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO' AND {_SQL_DAYS} % 7 IN (5, 6)
+    GROUP BY EXTRACT(year FROM o_orderdate), p_brand
+    ORDER BY yr, brand_rev DESC, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q03 shape (sql/presto/tpcds/q03.sql): brand revenue per "
+    "year under a manufacturer screen restricted to particular calendar "
+    "days (the reference pins d_moy = 11; here weekend day-of-week "
+    "slots) — the canonical star-join report. Item screen broadcast; "
+    "one hash aggregate; deterministic (yr, rev DESC, brand) order.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q03_brand_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter((_days() % 7).isin(5, 6))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), F.col("p_brand"))
+        .agg(F.sum(disc_price()).cast("double").alias("brand_rev"))
+        .orderBy("yr", F.col("brand_rev").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+# --- q05 shape: signed sales/returns union rolled up per channel ---------------
+
+
+def _q05_leg_sql(mod: int, tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS channel,
+               CASE WHEN l_returnflag = 'R' THEN CAST(0 AS DECIMAL(12,2))
+                    ELSE {_SQL_PRICE} END AS sales,
+               CASE WHEN l_returnflag = 'R' THEN {_SQL_PRICE}
+                    ELSE CAST(0 AS DECIMAL(12,2)) END AS returns_,
+               CASE WHEN l_returnflag = 'R' THEN -{SQL_DISC_PRICE}
+                    ELSE {SQL_DISC_PRICE} END AS profit
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = {mod}
+          AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    """
+
+
+@query(
+    "tpcds_q05_channel_profit_summary",
+    oracle=f"""
+    WITH legs AS (
+        {_q05_leg_sql(0, "store")}
+        UNION ALL
+        {_q05_leg_sql(1, "web")}
+        UNION ALL
+        {_q05_leg_sql(2, "catalog")}
+    )
+    SELECT COALESCE(channel, '__ALL__') AS channel,
+           CAST(SUM(sales) AS DOUBLE) AS total_sales,
+           CAST(SUM(returns_) AS DOUBLE) AS total_returns,
+           CAST(SUM(profit) AS DOUBLE) AS total_profit
+    FROM legs
+    GROUP BY ROLLUP (channel)
+    ORDER BY channel
+    """,
+    doc="TPC-DS q05 shape (sql/presto/tpcds/q05.sql): the channel P&L — "
+    "each leg emits SIGNED sales/returns/profit rows (returned lines "
+    "negate profit), the legs UNION ALL, and a one-level ROLLUP adds the "
+    "all-channel total. Exact decimal signed sums; pre-aggregated per "
+    "channel before Expand (the q36 lesson).",
+    tags=("tpcds", "setop", "rollup"),
+)
+def tpcds_q05_channel_profit_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    zero = F.lit(0).cast(PRICE)
+    ret = F.col("l_returnflag") == "R"
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        (od >= F.lit("1995-01-01").cast("timestamp"))
+        & (od < F.lit("1995-02-01").cast("timestamp"))
+    )
+
+    def leg(mod: int, tag: str) -> DataFrame:
+        return fact.filter(F.col("l_linenumber") % 3 == mod).select(
+            F.lit(tag).alias("channel"),
+            F.when(ret, zero).otherwise(_dec("l_extendedprice", PRICE)).alias("sales"),
+            F.when(ret, _dec("l_extendedprice", PRICE)).otherwise(zero).alias("returns_"),
+            F.when(ret, -disc_price()).otherwise(disc_price()).alias("profit"),
+        )
+
+    legs = leg(0, "store").unionAll(leg(1, "web")).unionAll(leg(2, "catalog"))
+    base = legs.groupBy("channel").agg(
+        F.sum("sales").alias("s_sales"),
+        F.sum("returns_").alias("s_ret"),
+        F.sum("profit").alias("s_prof"),
+    )
+    return (
+        base.rollup("channel")
+        .agg(
+            F.sum("s_sales").cast("double").alias("total_sales"),
+            F.sum("s_ret").cast("double").alias("total_returns"),
+            F.sum("s_prof").cast("double").alias("total_profit"),
+        )
+        .select(
+            F.coalesce(F.col("channel"), F.lit("__ALL__")).alias("channel"),
+            "total_sales", "total_returns", "total_profit",
+        )
+        .orderBy("channel")
+    )
+
+
+# --- q16 shape: q94's twin on another channel with a priority screen -----------
+
+
+@query(
+    "tpcds_q16_urgent_multi_supplier",
+    oracle=f"""
+    SELECT COUNT(DISTINCT l1.l_orderkey) AS n_orders,
+           CAST(SUM({_SQL_QTY.replace("l_quantity", "l1.l_quantity")}) AS DOUBLE)
+               AS total_qty
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_returnflag = 'R'
+      )
+    """,
+    doc="TPC-DS q16 shape (sql/presto/tpcds/q16.sql, q94's catalog twin): "
+    "the same multi-supplier EXISTS + no-returns NOT EXISTS pair under an "
+    "URGENT-priority screen and a different half-year, outputting a "
+    "distinct order count and total quantity. One per-order window pass "
+    "replaces both correlates.",
+    tags=("tpcds", "subquery", "agg"),
+)
+def tpcds_q16_urgent_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    od = F.col("o_orderdate")
+    w = Window.partitionBy("l_orderkey")
+    flagged = li.select(
+        "l_orderkey", "l_quantity",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).over(w).alias("n_ret"),
+    )
+    return (
+        flagged.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 0))
+        .join(orders, flagged.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1996-01-01").cast("timestamp"))
+            & (od < F.lit("1996-07-01").cast("timestamp"))
+        )
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.sum(_dec("l_quantity", QTY)).cast("double").alias("total_qty"),
+        )
+    )
+
+
+# --- q18 shape: demographic rollup of multiple exact averages ------------------
+
+
+@query(
+    "tpcds_q18_demographic_rollup_avgs",
+    oracle=f"""
+    WITH base AS (
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_leaf,
+               SUM({_SQL_QTY}) AS s_qty,
+               SUM({_SQL_PRICE}) AS s_price,
+               SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS s_bal
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+        GROUP BY n_name, c_mktsegment
+    )
+    SELECT COALESCE(n_name, '__ALL__') AS n_name,
+           COALESCE(c_mktsegment, '__ALL__') AS segment,
+           CAST(GROUPING(n_name) + GROUPING(c_mktsegment) AS INT) AS lvl,
+           round(CAST(SUM(s_qty) AS DOUBLE) / SUM(n_leaf), 6) AS avg_qty,
+           round(CAST(SUM(s_price) AS DOUBLE) / SUM(n_leaf), 6) AS avg_price,
+           round(CAST(SUM(s_bal) AS DOUBLE) / SUM(n_leaf), 6) AS avg_bal
+    FROM base
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    ORDER BY lvl, n_name, segment
+    """,
+    doc="TPC-DS q18 shape (sql/presto/tpcds/q18.sql): multiple exact "
+    "averages rolled up the customer-geography hierarchy (nation -> "
+    "segment play country/state/county) — q22's avg-over-rollup machinery "
+    "with THREE simultaneous measures incl. a dimension attribute "
+    "(account balance plays c_birth_year). Pre-aggregated leaves; each "
+    "average is sum-of-sums over sum-of-counts.",
+    tags=("tpcds", "rollup", "agg"),
+)
+def tpcds_q18_demographic_rollup_avgs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("2-HIGH", "3-MEDIUM")
+    )
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_leaf"),
+            F.sum(_dec("l_quantity", QTY)).alias("s_qty"),
+            F.sum(_dec("l_extendedprice", PRICE)).alias("s_price"),
+            F.sum(_dec("c_acctbal", PRICE)).alias("s_bal"),
+        )
+    )
+    n = F.sum("n_leaf")
+    return (
+        base.rollup("n_name", "c_mktsegment")
+        .agg(
+            (F.grouping("n_name") + F.grouping("c_mktsegment")).cast("int").alias("lvl"),
+            F.round(F.sum("s_qty").cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum("s_price").cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum("s_bal").cast("double") / n, 6).alias("avg_bal"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("__ALL__")).alias("n_name"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("__ALL__")).alias("segment"),
+            "lvl", "avg_qty", "avg_price", "avg_bal",
+        )
+        .orderBy("lvl", "n_name", "segment")
+    )
+
+
+# --- q19 shape: cross-nation purchases (customer nation <> supplier nation) ----
+
+
+@query(
+    "tpcds_q19_cross_nation_brand_revenue",
+    oracle=f"""
+    SELECT p_brand, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS ext_rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_nationkey <> s_nationkey
+      AND p_size BETWEEN 1 AND 15
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+    GROUP BY p_brand
+    ORDER BY ext_rev DESC, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q19 shape (sql/presto/tpcds/q19.sql): brand revenue from "
+    "OUT-OF-AREA purchases — the reference keeps rows where the "
+    "customer's zip differs from the store's (substr(ca_zip,1,5) <> "
+    "s_zip); here the buyer's nation differs from the supplier's — a "
+    "dimension-inequality residual on a fully equi-keyed star join.",
+    tags=("tpcds", "join", "agg"),
+)
+def tpcds_q19_cross_nation_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    supp = t(spark, sf_dir, "supplier")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size").between(1, 15))
+    od = F.col("o_orderdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1995-01-01").cast("timestamp"))
+            & (od < F.lit("1995-02-01").cast("timestamp"))
+        )
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(disc_price()).cast("double").alias("ext_rev"))
+        .orderBy(F.col("ext_rev").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+# --- q42 shape: category revenue for one month across years --------------------
+
+
+@query(
+    "tpcds_q42_category_month_years",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr, p_type,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS cat_rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(month FROM o_orderdate) = 12
+    GROUP BY EXTRACT(year FROM o_orderdate), p_type
+    ORDER BY cat_rev DESC, yr, p_type
+    LIMIT 100
+    """,
+    doc="TPC-DS q42 shape (sql/presto/tpcds/q42.sql, family q52/q55): "
+    "category revenue for one calendar month across all years — the "
+    "month screen prunes on a DERIVED date attribute (the reference's "
+    "d_moy), so it evaluates post-scan but pre-join. Ordered by revenue "
+    "with (yr, type) tiebreak.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q42_category_month_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.month("o_orderdate") == 12)
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), F.col("p_type"))
+        .agg(F.sum(disc_price()).cast("double").alias("cat_rev"))
+        .orderBy(F.col("cat_rev").desc(), "yr", "p_type")
+        .limit(100)
+    )
+
+
+# --- q57 shape: q47's twin with the window MIN/MAX alongside the average --------
+
+
+@query(
+    "tpcds_q57_deviation_with_extrema",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT p_brand AS brand, EXTRACT(month FROM o_orderdate) AS mo,
+               SUM({_SQL_PRICE}) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+        GROUP BY p_brand, EXTRACT(month FROM o_orderdate)
+    ),
+    win AS (
+        SELECT brand, mo, CAST(rev AS DOUBLE) AS revd,
+               AVG(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_avg,
+               MIN(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_min,
+               MAX(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_max
+        FROM monthly
+    )
+    SELECT brand, mo, round(revd, 4) AS month_rev,
+           round(brand_avg, 4) AS avg_rev,
+           round(brand_max - brand_min, 4) AS rev_spread
+    FROM win
+    WHERE brand_avg > 0 AND revd < 0.85 * brand_avg
+    ORDER BY brand, mo
+    """,
+    doc="TPC-DS q57 shape (sql/presto/tpcds/q57.sql, q47's catalog twin): "
+    "months whose revenue fell below 85% of the brand's average "
+    "(calibrated: monthly deviations smooth toward 1.0 as SF grows), "
+    "reporting the brand's min/max spread from TWO more windows over the "
+    "same partition — the multi-window-one-partition idiom (one Window "
+    "node computes all three).",
+    tags=("tpcds", "window"),
+)
+def tpcds_q57_deviation_with_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    part = t(spark, sf_dir, "part")
+    monthly = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.month("o_orderdate").alias("mo"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("rev"))
+    )
+    w = Window.partitionBy("brand")
+    revd = F.col("rev").cast("double")
+    win = monthly.select(
+        "brand", "mo", revd.alias("revd"),
+        F.avg(revd).over(w).alias("brand_avg"),
+        F.min(revd).over(w).alias("brand_min"),
+        F.max(revd).over(w).alias("brand_max"),
+    )
+    return (
+        win.filter((F.col("brand_avg") > 0) & (F.col("revd") < 0.85 * F.col("brand_avg")))
+        .select(
+            "brand", "mo",
+            F.round("revd", 4).alias("month_rev"),
+            F.round("brand_avg", 4).alias("avg_rev"),
+            F.round(F.col("brand_max") - F.col("brand_min"), 4).alias("rev_spread"),
+        )
+        .orderBy("brand", "mo")
+    )
+
+
+# --- q71 shape: three-channel brand revenue by time bucket ---------------------
+
+
+def _q71_leg_sql(mod: int) -> str:
+    return f"""
+        SELECT l_partkey, {_SQL_DAYS} % 7 AS dow, {_SQL_PRICE} AS price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = {mod}
+          AND EXTRACT(year FROM o_orderdate) = 1995
+          AND EXTRACT(month FROM o_orderdate) = 6
+    """
+
+
+@query(
+    "tpcds_q71_brand_time_buckets",
+    oracle=f"""
+    WITH legs AS (
+        {_q71_leg_sql(0)}
+        UNION ALL
+        {_q71_leg_sql(1)}
+        UNION ALL
+        {_q71_leg_sql(2)}
+    )
+    SELECT p_brand, dow, CAST(SUM(price) AS DOUBLE) AS rev
+    FROM legs JOIN part ON l_partkey = p_partkey
+    WHERE p_size > 40
+    GROUP BY p_brand, dow
+    ORDER BY rev DESC, p_brand, dow
+    LIMIT 100
+    """,
+    doc="TPC-DS q71 shape (sql/presto/tpcds/q71.sql): brand revenue by "
+    "TIME BUCKET (day-of-week plays the breakfast/dinner hour bands) "
+    "across three channel legs UNION ALL'd BEFORE the item join — the "
+    "union-then-join order the reference uses, with the time dimension "
+    "joined after the union.",
+    tags=("tpcds", "setop", "agg"),
+)
+def tpcds_q71_brand_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.year("o_orderdate") == 1995) & (F.month("o_orderdate") == 6)
+    )
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") > 40)
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+
+    def leg(mod: int) -> DataFrame:
+        return fact.filter(F.col("l_linenumber") % 3 == mod).select(
+            "l_partkey", (_days() % 7).alias("dow"),
+            _dec("l_extendedprice", PRICE).alias("price"),
+        )
+
+    legs = leg(0).unionAll(leg(1)).unionAll(leg(2))
+    return (
+        legs.join(part, legs.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "dow")
+        .agg(F.sum("price").cast("double").alias("rev"))
+        .orderBy(F.col("rev").desc(), "p_brand", "dow")
+        .limit(100)
+    )
+
+
+# --- q77 shape: per-channel sales vs returns FULL OUTER, rolled up --------------
+
+
+def _q77_sales_sql(mod: int, tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS channel, l_partkey % 10 AS grp,
+               SUM({_SQL_PRICE}) AS sales
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag <> 'R' AND l_linenumber % 2 = {mod}
+        GROUP BY l_partkey % 10
+    """
+
+
+def _q77_ret_sql(mod: int, tag: str) -> str:
+    return f"""
+        SELECT '{tag}' AS channel, l_partkey % 10 AS grp,
+               SUM({_SQL_PRICE}) AS returns_
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R' AND l_linenumber % 2 = {mod}
+        GROUP BY l_partkey % 10
+    """
+
+
+@query(
+    "tpcds_q77_channel_pnl_rollup",
+    oracle=f"""
+    WITH s0 AS ({_q77_sales_sql(0, "store")}), r0 AS ({_q77_ret_sql(0, "store")}),
+         s1 AS ({_q77_sales_sql(1, "web")}), r1 AS ({_q77_ret_sql(1, "web")}),
+    joined AS (
+        SELECT s0.channel, s0.grp,
+               s0.sales AS sales,
+               COALESCE(r0.returns_, CAST(0 AS DECIMAL(12,2))) AS returns_
+        FROM s0 LEFT JOIN r0 ON s0.grp = r0.grp
+        UNION ALL
+        SELECT s1.channel, s1.grp, s1.sales,
+               COALESCE(r1.returns_, CAST(0 AS DECIMAL(12,2)))
+        FROM s1 LEFT JOIN r1 ON s1.grp = r1.grp
+    )
+    SELECT COALESCE(channel, '__ALL__') AS channel,
+           CAST(GROUPING(channel) + GROUPING(grp) AS INT) AS lvl,
+           COALESCE(CAST(grp AS VARCHAR), '__ALL__') AS grp,
+           CAST(SUM(sales) AS DOUBLE) AS total_sales,
+           CAST(SUM(returns_) AS DOUBLE) AS total_returns
+    FROM joined
+    GROUP BY ROLLUP (channel, grp)
+    ORDER BY lvl, channel, grp
+    """,
+    doc="TPC-DS q77 shape (sql/presto/tpcds/q77.sql): per-channel P&L — "
+    "each channel's sales aggregate LEFT JOINs its returns aggregate on "
+    "the group key (returns may be absent -> COALESCE 0), channels UNION "
+    "ALL, and a two-level ROLLUP adds channel and grand totals. "
+    "Aggregate-join-union-rollup in one plan.",
+    tags=("tpcds", "rollup", "join", "setop"),
+)
+def tpcds_q77_channel_pnl_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    zero = F.lit(0).cast(PRICE)
+
+    def chan(mod: int, tag: str) -> DataFrame:
+        sales = (
+            fact.filter((F.col("l_returnflag") != "R") & (F.col("l_linenumber") % 2 == mod))
+            .groupBy((F.col("l_partkey") % 10).alias("grp"))
+            .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sales"))
+        )
+        rets = (
+            fact.filter((F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 2 == mod))
+            .groupBy((F.col("l_partkey") % 10).alias("rgrp"))
+            .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("returns_"))
+        )
+        return sales.join(rets, sales.grp == rets.rgrp, "left").select(
+            F.lit(tag).alias("channel"), "grp", "sales",
+            F.coalesce(F.col("returns_"), zero).alias("returns_"),
+        )
+
+    joined = chan(0, "store").unionAll(chan(1, "web"))
+    return (
+        joined.rollup("channel", "grp")
+        .agg(
+            (F.grouping("channel") + F.grouping("grp")).cast("int").alias("lvl"),
+            F.sum("sales").cast("double").alias("total_sales"),
+            F.sum("returns_").cast("double").alias("total_returns"),
+        )
+        .select(
+            F.coalesce(F.col("channel"), F.lit("__ALL__")).alias("channel"),
+            "lvl",
+            F.coalesce(F.col("grp").cast("string"), F.lit("__ALL__")).alias("grp"),
+            "total_sales", "total_returns",
+        )
+        .orderBy("lvl", "channel", "grp")
+    )
+
+
+# --- q85 shape: tiered reason bands with per-band averages ----------------------
+
+
+@query(
+    "tpcds_q85_reason_band_averages",
+    oracle=f"""
+    SELECT o_orderpriority AS reason,
+           round(CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           round(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE l_returnflag = 'R'
+      AND ((c_mktsegment = 'BUILDING' AND l_quantity BETWEEN 1 AND 25)
+        OR (c_mktsegment = 'AUTOMOBILE' AND l_quantity BETWEEN 26 AND 50))
+      AND ((c_acctbal BETWEEN 0 AND 5000 AND l_discount <= 0.05)
+        OR (c_acctbal BETWEEN 5000 AND 10000 AND l_discount > 0.05))
+    GROUP BY o_orderpriority
+    ORDER BY reason
+    """,
+    doc="TPC-DS q85 shape (sql/presto/tpcds/q85.sql): returned lines under "
+    "TWO stacked band disjunctions (demographic x quantity AND "
+    "balance x discount play marital/education x sales_price and "
+    "income band x fee), averaged per return reason (priority plays "
+    "r_reason_desc). The conjunction of disjunctions evaluates post-join.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q85_reason_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    seg, qty = F.col("c_mktsegment"), F.col("l_quantity")
+    bal, disc = F.col("c_acctbal"), F.col("l_discount")
+    band1 = ((seg == "BUILDING") & qty.between(1, 25)) | (
+        (seg == "AUTOMOBILE") & qty.between(26, 50)
+    )
+    band2 = (bal.between(0, 5000) & (disc <= 0.05)) | (
+        bal.between(5000, 10000) & (disc > 0.05)
+    )
+    n = F.count("*")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(band1 & band2)
+        .groupBy(F.col("o_orderpriority").alias("reason"))
+        .agg(
+            F.round(F.sum(_dec("l_quantity", QTY)).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_discount", "decimal(8,2)")).cast("double") / n, 6).alias("avg_disc"),
+            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("avg_price"),
+        )
+        .orderBy("reason")
+    )
