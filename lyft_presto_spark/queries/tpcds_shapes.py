@@ -3828,10 +3828,11 @@ def tpcds_q28_band_distinct_buckets(spark: SparkSession, sf_dir: str) -> DataFra
     win AS (
         SELECT brand, qtr,
                CAST(rev AS DOUBLE) AS revd,
-               AVG(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_avg
+               CAST(SUM(rev) OVER (PARTITION BY brand) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY brand) AS brand_avg
         FROM qsum
     )
-    SELECT brand, qtr, round(revd, 4) AS qtr_rev, round(brand_avg, 4) AS avg_rev
+    SELECT brand, qtr, revd AS qtr_rev, round(brand_avg, 4) AS avg_rev
     FROM win
     WHERE brand_avg > 0 AND abs(revd - brand_avg) / brand_avg > 0.2
     ORDER BY brand, qtr
@@ -3862,10 +3863,15 @@ def tpcds_q53_quarterly_deviation_screen(spark: SparkSession, sf_dir: str) -> Da
         .agg(F.sum(disc_price()).alias("rev"))
     )
     w = Window.partitionBy("brand")
+    # window average = exact decimal window sum / count: both engines then
+    # divide the SAME two exact operands, so the filter and the rounded
+    # output agree bit-for-bit (round-half on an engine-drifted double was
+    # the q89 failure mode). revd is an exact scale-4 decimal -> the cast
+    # is deterministic; no re-round.
     win = qsum.select(
         "brand", "qtr",
         F.col("rev").cast("double").alias("revd"),
-        F.avg(F.col("rev").cast("double")).over(w).alias("brand_avg"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("brand_avg"),
     )
     return (
         win.filter(
@@ -3874,7 +3880,7 @@ def tpcds_q53_quarterly_deviation_screen(spark: SparkSession, sf_dir: str) -> Da
         )
         .select(
             "brand", "qtr",
-            F.round("revd", 4).alias("qtr_rev"),
+            F.col("revd").alias("qtr_rev"),
             F.round("brand_avg", 4).alias("avg_rev"),
         )
         .orderBy("brand", "qtr")
@@ -5616,14 +5622,15 @@ def tpcds_q42_category_month_years(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     win AS (
         SELECT brand, mo, CAST(rev AS DOUBLE) AS revd,
-               AVG(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_avg,
+               CAST(SUM(rev) OVER (PARTITION BY brand) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY brand) AS brand_avg,
                MIN(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_min,
                MAX(CAST(rev AS DOUBLE)) OVER (PARTITION BY brand) AS brand_max
         FROM monthly
     )
-    SELECT brand, mo, round(revd, 4) AS month_rev,
+    SELECT brand, mo, revd AS month_rev,
            round(brand_avg, 4) AS avg_rev,
-           round(brand_max - brand_min, 4) AS rev_spread
+           brand_max - brand_min AS rev_spread
     FROM win
     WHERE brand_avg > 0 AND revd < 0.85 * brand_avg
     ORDER BY brand, mo
@@ -5648,9 +5655,11 @@ def tpcds_q57_deviation_with_extrema(spark: SparkSession, sf_dir: str) -> DataFr
     )
     w = Window.partitionBy("brand")
     revd = F.col("rev").cast("double")
+    # exact decimal window sum / count (the q89 round-half lesson);
+    # min/max/spread of exact decimals cast to double are deterministic
     win = monthly.select(
         "brand", "mo", revd.alias("revd"),
-        F.avg(revd).over(w).alias("brand_avg"),
+        (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("brand_avg"),
         F.min(revd).over(w).alias("brand_min"),
         F.max(revd).over(w).alias("brand_max"),
     )
@@ -5658,9 +5667,9 @@ def tpcds_q57_deviation_with_extrema(spark: SparkSession, sf_dir: str) -> DataFr
         win.filter((F.col("brand_avg") > 0) & (F.col("revd") < 0.85 * F.col("brand_avg")))
         .select(
             "brand", "mo",
-            F.round("revd", 4).alias("month_rev"),
+            F.col("revd").alias("month_rev"),
             F.round("brand_avg", 4).alias("avg_rev"),
-            F.round(F.col("brand_max") - F.col("brand_min"), 4).alias("rev_spread"),
+            (F.col("brand_max") - F.col("brand_min")).alias("rev_spread"),
         )
         .orderBy("brand", "mo")
     )
@@ -5874,4 +5883,555 @@ def tpcds_q85_reason_band_averages(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("avg_price"),
         )
         .orderBy("reason")
+    )
+
+
+# --- q12/q20 shapes: revenue share within class over a 30-day window -----------
+
+
+def _q12_sql(mod3: int, start: str, end: str, dialect_days: str) -> str:
+    return f"""
+    WITH sold AS (
+        SELECT p_type, p_brand, {_SQL_PRICE} AS price
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE l_linenumber % 3 = {mod3}
+          AND o_orderdate >= TIMESTAMP '{start} 00:00:00'
+          AND o_orderdate < TIMESTAMP '{end} 00:00:00'
+    ),
+    agg AS (
+        SELECT p_type, p_brand, SUM(price) AS rev
+        FROM sold GROUP BY p_type, p_brand
+    )
+    SELECT p_type, p_brand, CAST(rev AS DOUBLE) AS brand_rev,
+           round(CAST(rev AS DOUBLE) * 100
+                 / SUM(CAST(rev AS DOUBLE)) OVER (PARTITION BY p_type), 6)
+               AS revenue_share
+    FROM agg
+    ORDER BY p_type, revenue_share DESC, p_brand
+    """
+
+
+@query(
+    "tpcds_q12_web_class_share",
+    oracle=_q12_sql(1, "1995-05-01", "1995-05-31", "duck"),
+    doc="TPC-DS q12 shape (sql/presto/tpcds/q12.sql, q98's web twin): "
+    "brand revenue share within its class over a 30-day window on the "
+    "web channel — aggregate once, one share window per class partition.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q12_web_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q12_impl(spark, sf_dir, 1, "1995-05-01", "1995-05-31")
+
+
+@query(
+    "tpcds_q20_catalog_class_share",
+    oracle=_q12_sql(2, "1996-02-01", "1996-03-02", "duck"),
+    doc="TPC-DS q20 shape (sql/presto/tpcds/q20.sql, q98's catalog twin): "
+    "the same class-share window on the catalog channel over a different "
+    "30-day window.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q20_catalog_class_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _q12_impl(spark, sf_dir, 2, "1996-02-01", "1996-03-02")
+
+
+def _q12_impl(spark, sf_dir, mod3, start, end):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") % 3 == mod3)
+    orders = t(spark, sf_dir, "orders")
+    part = t(spark, sf_dir, "part")
+    od = F.col("o_orderdate")
+    agg = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit(start).cast("timestamp"))
+            & (od < F.lit(end).cast("timestamp"))
+        )
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    revd = F.col("rev").cast("double")
+    return (
+        agg.select(
+            "p_type", "p_brand", revd.alias("brand_rev"),
+            F.round(revd * 100 / F.sum(revd).over(w), 6).alias("revenue_share"),
+        )
+        .orderBy("p_type", F.col("revenue_share").desc(), "p_brand")
+    )
+
+
+# --- q26 shape: q07's catalog twin ---------------------------------------------
+
+
+@query(
+    "tpcds_q26_catalog_demographic_averages",
+    oracle=f"""
+    SELECT p_brand,
+           round(CAST(SUM({_SQL_QTY}) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           round(CAST(SUM({_SQL_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           round(CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_disc,
+           round(CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) / COUNT(*), 6) AS avg_net
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE c_mktsegment = 'HOUSEHOLD'
+      AND o_orderpriority = '5-LOW'
+      AND p_size >= 25
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+    doc="TPC-DS q26 shape (sql/presto/tpcds/q26.sql, q07's catalog twin): "
+    "the same four-average aggregate under a single-segment, low-priority, "
+    "large-item screen.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q26_catalog_demographic_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "5-LOW")
+    cust = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "HOUSEHOLD")
+    part = t(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    n = F.count("*")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(_dec("l_quantity", QTY)).cast("double") / n, 6).alias("avg_qty"),
+            F.round(F.sum(_dec("l_extendedprice", PRICE)).cast("double") / n, 6).alias("avg_price"),
+            F.round(F.sum(_dec("l_discount", "decimal(8,2)")).cast("double") / n, 6).alias("avg_disc"),
+            F.round(F.sum(disc_price()).cast("double") / n, 6).alias("avg_net"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# --- q32 shape: q92's catalog twin (excess discount over a window) -------------
+
+
+@query(
+    "tpcds_q32_catalog_excess_discount",
+    oracle=f"""
+    WITH win AS (
+        SELECT l_partkey AS pk, CAST(l_discount AS DOUBLE) AS disc,
+               {_SQL_PRICE} AS price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_linenumber % 3 = 2
+          AND o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-05-30 00:00:00'
+    ),
+    avg_disc AS (SELECT pk, AVG(disc) AS ad FROM win GROUP BY pk)
+    SELECT CAST(SUM(price) AS DOUBLE) AS excess_revenue
+    FROM win JOIN avg_disc ON win.pk = avg_disc.pk
+    WHERE disc > 1.3 * ad
+    """,
+    doc="TPC-DS q32 shape (sql/presto/tpcds/q32.sql, q92's catalog twin): "
+    "revenue from lines discounted over 1.3x their item's window-average "
+    "discount, on the catalog channel over a 90-day window — the "
+    "correlated-average excess screen as an aggregate-join.",
+    tags=("tpcds", "subquery", "agg"),
+)
+def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") % 3 == 2)
+    orders = t(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    win = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (od >= F.lit("1996-03-01").cast("timestamp"))
+            & (od < F.lit("1996-05-30").cast("timestamp"))
+        )
+        .select(
+            F.col("l_partkey").alias("pk"),
+            F.col("l_discount").cast("double").alias("disc"),
+            _dec("l_extendedprice", PRICE).alias("price"),
+        )
+    )
+    w = Window.partitionBy("pk")
+    return (
+        win.withColumn("ad", F.avg("disc").over(w))
+        .filter(F.col("disc") > 1.3 * F.col("ad"))
+        .agg(F.sum("price").cast("double").alias("excess_revenue"))
+    )
+
+
+# --- q52 shape: q42/q55 family — one brand-month report sorted by revenue ------
+
+
+@query(
+    "tpcds_q52_brand_month_report",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr, p_brand,
+           CAST(SUM({_SQL_PRICE}) AS DOUBLE) AS ext_price
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    WHERE EXTRACT(month FROM o_orderdate) = 11
+      AND EXTRACT(year FROM o_orderdate) = 1997
+    GROUP BY EXTRACT(year FROM o_orderdate), p_brand
+    ORDER BY ext_price DESC, p_brand
+    LIMIT 100
+    """,
+    doc="TPC-DS q52 shape (sql/presto/tpcds/q52.sql, family q42/q55): "
+    "one brand-month revenue report (extended price, not discounted) "
+    "pinned to a single month+year, ordered by revenue.",
+    tags=("tpcds", "agg"),
+)
+def tpcds_q52_brand_month_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.month("o_orderdate") == 11) & (F.year("o_orderdate") == 1997)
+    )
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("yr"), F.col("p_brand"))
+        .agg(F.sum(_dec("l_extendedprice", PRICE)).cast("double").alias("ext_price"))
+        .orderBy(F.col("ext_price").desc(), "p_brand")
+        .limit(100)
+    )
+
+
+# --- q63 shape: q53's manager twin over a CASE-defined item cohort -------------
+
+
+@query(
+    "tpcds_q63_cohort_monthly_deviation",
+    oracle=f"""
+    WITH msum AS (
+        SELECT CASE WHEN p_size < 20 THEN 'small' ELSE 'large' END AS cohort,
+               EXTRACT(month FROM o_orderdate) AS mo,
+               SUM({SQL_DISC_PRICE}) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(year FROM o_orderdate) = 1995
+          AND p_type IN ('STANDARD', 'PROMO', 'ECONOMY')
+        GROUP BY CASE WHEN p_size < 20 THEN 'small' ELSE 'large' END,
+                 EXTRACT(month FROM o_orderdate)
+    ),
+    win AS (
+        SELECT cohort, mo, CAST(rev AS DOUBLE) AS revd,
+               CAST(SUM(rev) OVER (PARTITION BY cohort) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY cohort) AS cohort_avg
+        FROM msum
+    )
+    SELECT cohort, mo, revd AS month_rev,
+           round(cohort_avg, 4) AS avg_rev
+    FROM win
+    WHERE cohort_avg > 0 AND abs(revd - cohort_avg) / cohort_avg > 0.05
+    ORDER BY cohort, mo
+    """,
+    doc="TPC-DS q63 shape (sql/presto/tpcds/q63.sql, q53's manager twin): "
+    "monthly revenue deviation for a CASE-DEFINED item cohort (the "
+    "reference's manager buckets are CASE over brand/class) against the "
+    "cohort's average-over-months window.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q63_cohort_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    part = t(spark, sf_dir, "part").filter(
+        F.col("p_type").isin("STANDARD", "PROMO", "ECONOMY")
+    )
+    cohort = F.when(F.col("p_size") < 20, "small").otherwise("large")
+    msum = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(cohort.alias("cohort"), F.month("o_orderdate").alias("mo"))
+        .agg(F.sum(disc_price()).alias("rev"))
+    )
+    w = Window.partitionBy("cohort")
+    revd = F.col("rev").cast("double")
+    return (
+        msum.select(
+            "cohort", "mo", revd.alias("revd"),
+            (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("cohort_avg"),
+        )
+        .filter(
+            (F.col("cohort_avg") > 0)
+            & (F.abs(F.col("revd") - F.col("cohort_avg")) / F.col("cohort_avg") > 0.05)
+        )
+        .select(
+            "cohort", "mo",
+            F.col("revd").alias("month_rev"),
+            F.round("cohort_avg", 4).alias("avg_rev"),
+        )
+        .orderBy("cohort", "mo")
+    )
+
+
+# --- q68 shape: q46's twin with two per-trip measures ---------------------------
+
+
+@query(
+    "tpcds_q68_trip_two_measures",
+    oracle=f"""
+    WITH trips AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok,
+               SUM({_SQL_PRICE}) AS ext_total,
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(4,2))) AS disc_total
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority IN ('3-MEDIUM', '4-NOT SPECIFIED')
+        GROUP BY o_custkey, o_orderkey
+        HAVING COUNT(*) BETWEEN 5 AND 7
+    )
+    SELECT c_name, ok AS order_id,
+           CAST(ext_total AS DOUBLE) AS ext_total,
+           CAST(disc_total AS DOUBLE) AS disc_total
+    FROM trips JOIN customer ON ck = c_custkey
+    ORDER BY c_name, ok
+    LIMIT 100
+    """,
+    doc="TPC-DS q68 shape (sql/presto/tpcds/q68.sql, q46's twin): per-trip "
+    "(customer, order) totals of TWO measures (extended price and "
+    "discount amount play list price and coupon amount) under an "
+    "item-count cohort band, decorated from the customer dimension — the "
+    "trip-report staple.",
+    tags=("tpcds", "agg", "join"),
+)
+def tpcds_q68_trip_two_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("3-MEDIUM", "4-NOT SPECIFIED")
+    )
+    cust = t(spark, sf_dir, "customer")
+    disc_amt = _dec("l_extendedprice", PRICE) * _dec("l_discount", FRAC)
+    trips = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok"))
+        .agg(
+            F.sum(_dec("l_extendedprice", PRICE)).alias("ext_total"),
+            F.sum(disc_amt).alias("disc_total"),
+            F.count("*").alias("n_items"),
+        )
+        .filter(F.col("n_items").between(5, 7))
+    )
+    return (
+        trips.join(cust, trips.ck == cust.c_custkey)
+        .select(
+            "c_name", F.col("ok").alias("order_id"),
+            F.col("ext_total").cast("double").alias("ext_total"),
+            F.col("disc_total").cast("double").alias("disc_total"),
+        )
+        .orderBy("c_name", "order_id")
+        .limit(100)
+    )
+
+
+# --- q73 shape: q34's twin with a lower item-count band -------------------------
+
+
+@query(
+    "tpcds_q73_small_basket_cohort",
+    oracle="""
+    WITH baskets AS (
+        SELECT o_custkey AS ck, o_orderkey AS ok, COUNT(*) AS item_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '2-HIGH'
+        GROUP BY o_custkey, o_orderkey
+        HAVING COUNT(*) BETWEEN 1 AND 3
+    )
+    SELECT c_name, item_count, ok AS o_orderkey
+    FROM baskets JOIN customer ON ck = c_custkey
+    ORDER BY c_name, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-DS q73 shape (sql/presto/tpcds/q73.sql, q34's twin): the "
+    "SMALL-basket cohort (1-3 items vs q34's bulk band) under a "
+    "single-priority screen, buyers decorated after the HAVING.",
+    tags=("tpcds", "agg", "join"),
+)
+def tpcds_q73_small_basket_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "2-HIGH")
+    cust = t(spark, sf_dir, "customer")
+    baskets = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok"))
+        .agg(F.count("*").alias("item_count"))
+        .filter(F.col("item_count").between(1, 3))
+    )
+    return (
+        baskets.join(cust, baskets.ck == cust.c_custkey)
+        .select("c_name", "item_count", F.col("ok").alias("o_orderkey"))
+        .orderBy("c_name", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- q81 shape: q30's catalog twin with a balance decoration --------------------
+
+
+@query(
+    "tpcds_q81_catalog_high_returners",
+    oracle=f"""
+    WITH ret AS (
+        SELECT o_custkey AS ck, c_nationkey AS nk,
+               SUM({_SQL_QTY}) AS ret_qty
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_returnflag = 'R' AND l_linenumber % 3 = 2
+        GROUP BY o_custkey, c_nationkey
+    )
+    SELECT c_name, n_name, CAST(ret_qty AS DOUBLE) AS ret_qty
+    FROM ret r1
+    JOIN customer ON r1.ck = c_custkey
+    JOIN nation ON r1.nk = n_nationkey
+    WHERE CAST(ret_qty AS DOUBLE) > 1.2 * (
+        SELECT CAST(SUM(ret_qty) AS DOUBLE) / COUNT(*)
+        FROM ret r2 WHERE r1.nk = r2.nk
+    )
+    ORDER BY c_name
+    LIMIT 100
+    """,
+    doc="TPC-DS q81 shape (sql/presto/tpcds/q81.sql, q30's catalog twin): "
+    "catalog-channel returned QUANTITY above 1.2x the nation's "
+    "per-customer average, decorated with the nation name — the "
+    "correlated-average screen expressed as a window, survivors joined "
+    "to two dimensions.",
+    tags=("tpcds", "subquery", "window"),
+)
+def tpcds_q81_catalog_high_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_linenumber") % 3 == 2)
+    )
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    ret = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("c_nationkey").alias("nk"))
+        .agg(F.sum(_dec("l_quantity", QTY)).alias("ret_qty"))
+    )
+    w = Window.partitionBy("nk")
+    screened = ret.select(
+        "ck", "nk",
+        F.col("ret_qty").cast("double").alias("ret_qty"),
+        (F.sum("ret_qty").over(w).cast("double") / F.count("*").over(w)).alias("nation_avg"),
+    ).filter(F.col("ret_qty") > 1.2 * F.col("nation_avg"))
+    cust2 = cust.select(F.col("c_custkey").alias("ck2"), "c_name")
+    return (
+        screened.join(cust2, screened.ck == cust2.ck2)
+        .join(F.broadcast(nation), screened.nk == nation.n_nationkey)
+        .select("c_name", "n_name", "ret_qty")
+        .orderBy("c_name")
+        .limit(100)
+    )
+
+
+# --- q84 shape: chained dimension decode under an attribute band ----------------
+
+
+@query(
+    "tpcds_q84_customer_band_decode",
+    oracle="""
+    SELECT c_custkey AS ck, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE c_acctbal BETWEEN 4000 AND 4500
+      AND c_mktsegment = 'FURNITURE'
+    ORDER BY ck
+    LIMIT 100
+    """,
+    doc="TPC-DS q84 shape (sql/presto/tpcds/q84.sql): pure dimension "
+    "decode — customers in an income band (account balance plays the "
+    "income-band range) resolved through the chained geography dims "
+    "(customer -> nation -> region play household -> address -> income "
+    "band). No fact scan; every join broadcasts.",
+    tags=("tpcds", "join"),
+)
+def tpcds_q84_customer_band_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").between(4000, 4500)
+        & (F.col("c_mktsegment") == "FURNITURE")
+    )
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("c_custkey").alias("ck"), "c_name", "n_name", "r_name")
+        .orderBy("ck")
+        .limit(100)
+    )
+
+
+# --- q89 shape: crossed-axis monthly deviation ----------------------------------
+
+
+@query(
+    "tpcds_q89_crossed_monthly_deviation",
+    oracle=f"""
+    WITH msum AS (
+        SELECT p_type, c_mktsegment AS segment,
+               EXTRACT(month FROM o_orderdate) AS mo,
+               SUM({SQL_DISC_PRICE}) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE EXTRACT(year FROM o_orderdate) = 1996
+        GROUP BY p_type, c_mktsegment, EXTRACT(month FROM o_orderdate)
+    ),
+    win AS (
+        SELECT p_type, segment, mo, CAST(rev AS DOUBLE) AS revd,
+               CAST(SUM(rev) OVER (PARTITION BY p_type, segment) AS DOUBLE)
+                   / COUNT(*) OVER (PARTITION BY p_type, segment) AS cell_avg
+        FROM msum
+    )
+    SELECT p_type, segment, mo, revd AS month_rev,
+           round(cell_avg, 4) AS avg_rev
+    FROM win
+    WHERE cell_avg > 0 AND abs(revd - cell_avg) / cell_avg > 0.2
+    ORDER BY p_type, segment, mo
+    """,
+    doc="TPC-DS q89 shape (sql/presto/tpcds/q89.sql): monthly deviation "
+    "over a CROSSED partition (item class x customer segment play "
+    "category/brand x store) — the q53 family with a two-axis window "
+    "partition and a within-year month series.",
+    tags=("tpcds", "window"),
+)
+def tpcds_q89_crossed_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1996)
+    cust = t(spark, sf_dir, "customer")
+    part = t(spark, sf_dir, "part")
+    msum = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_type", F.col("c_mktsegment").alias("segment"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .agg(F.sum(disc_price()).alias("rev"))
+    )
+    w = Window.partitionBy("p_type", "segment")
+    revd = F.col("rev").cast("double")
+    return (
+        msum.select(
+            "p_type", "segment", "mo", revd.alias("revd"),
+            (F.sum("rev").over(w).cast("double") / F.count("*").over(w)).alias("cell_avg"),
+        )
+        .filter(
+            (F.col("cell_avg") > 0)
+            & (F.abs(F.col("revd") - F.col("cell_avg")) / F.col("cell_avg") > 0.2)
+        )
+        .select(
+            "p_type", "segment", "mo",
+            F.col("revd").alias("month_rev"),
+            F.round("cell_avg", 4).alias("avg_rev"),
+        )
+        .orderBy("p_type", "segment", "mo")
     )
