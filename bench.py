@@ -67,6 +67,12 @@ HEADLINE_EXTRAS = (
     "tpcds_q67_rollup_topn",
     "tpcds_q78_channel_ratio_chain",
     "tpcds_q04_triple_channel_growth",
+    # r8 additions: the three-date-role chained fact scans, the FULL OUTER
+    # distinct-set overlap census, and the four-instance year-total
+    # self-join — the heaviest new operator combinations this round.
+    "tpcds_q25_chained_repurchase_profit",
+    "tpcds_q97_channel_overlap",
+    "tpcds_q74_min_ratio_growth_gate",
 )
 
 
