@@ -159,6 +159,7 @@ def all_queries() -> dict[str, Query]:
     from . import multimodal_queries  # noqa: F401
     from . import geo_queries  # noqa: F401
     from . import ml_queries  # noqa: F401
+    from . import connector_queries  # noqa: F401
 
     missing = [n for n in DRIVER_SCORED_HEAD if n not in REGISTRY]
     if missing:  # a rename must update the head list, loudly

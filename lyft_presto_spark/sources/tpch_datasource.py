@@ -1,0 +1,171 @@
+"""On-the-fly TPC-H-style generator connector (Python DataSource API).
+
+Reference: the ``presto-tpch`` connector generates table rows lazily per
+split instead of reading files (presto-tpch/.../TpchConnectorFactory.java:35,
+TpchPageSourceProvider.java, LazyRecordPageSource.java; splits are row-range
+partitions in TpchSplitManager). SURVEY §2.3 previously satisfied this row
+with pre-generated parquet fixtures; this module upgrades it to a real
+generator CONNECTOR: ``spark.read.format("tpchgen")`` plans row-range input
+partitions and each executor synthesizes its rows on demand — no files, no
+shuffle, scale set by an option exactly like the reference's ``sf`` schemas.
+
+Spark-first mapping: Spark 4's Python DataSource API is the connector SPI
+analog (DataSource ≈ ConnectorFactory, DataSourceReader ≈ SplitManager +
+PageSourceProvider, InputPartition ≈ TpchSplit).
+
+Determinism contract: every field is a pure integer function of the row
+index (a Knuth multiplicative hash mod 2^32 — exact in int64), so the SAME
+rows are reproducible in ANSI SQL via ``generate_series`` — the DuckDB
+oracle for the registered query regenerates the data independently and the
+driver value-checks the connector end-to-end. (The reference pins its
+generator the same way: TestTpchMetadata asserts airlift-tpch's
+deterministic output.)
+
+Row-count note: ``rows`` is per-table cardinality; partitions split the
+index range evenly with the remainder on the last split, so partition count
+never changes results (pinned by test).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_M32 = 4_294_967_296  # 2^32
+_KNUTH = 2_654_435_761  # Knuth multiplicative hash constant
+_EPOCH = datetime(1995, 1, 1)
+
+_STATUS = ("F", "O", "P")
+_PRIORITY = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+ORDERS_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType(), False),
+        StructField("o_custkey", LongType(), False),
+        StructField("o_orderstatus", StringType(), False),
+        StructField("o_totalprice", DoubleType(), False),
+        StructField("o_orderdate", TimestampType(), False),
+        StructField("o_orderpriority", StringType(), False),
+    ]
+)
+
+LINEITEM_SCHEMA = StructType(
+    [
+        StructField("l_orderkey", LongType(), False),
+        StructField("l_linenumber", IntegerType(), False),
+        StructField("l_quantity", DoubleType(), False),
+        StructField("l_extendedprice", DoubleType(), False),
+        StructField("l_discount", DoubleType(), False),
+        StructField("l_returnflag", StringType(), False),
+    ]
+)
+
+
+def _h(i: int) -> int:
+    """The shared row hash: exact in int64, reproducible in ANSI SQL as
+    ``(i * 2654435761 + 40503) % 4294967296``."""
+    return (i * _KNUTH + 40503) % _M32
+
+
+def orders_row(i: int) -> tuple:
+    h = _h(i)
+    return (
+        i,
+        h % 1500,
+        _STATUS[h % 3],
+        (h % 10_000_000) / 100.0,
+        _EPOCH + timedelta(days=h % 2400),
+        _PRIORITY[h % 5],
+    )
+
+
+def lineitem_row(i: int) -> tuple:
+    h = _h(i)
+    return (
+        i // 4,  # ~4 lines per order
+        int(i % 4) + 1,
+        float(h % 50 + 1),
+        (h % 9_000_000) / 100.0 + 900.0,
+        float(h % 11) / 100.0,
+        "R" if h % 10 == 0 else ("A" if h % 2 == 0 else "N"),
+    )
+
+
+_TABLES = {
+    "orders": (ORDERS_SCHEMA, orders_row),
+    "lineitem": (LINEITEM_SCHEMA, lineitem_row),
+}
+
+
+class _RangeSplit(InputPartition):
+    """TpchSplit analog: a half-open row-index range."""
+
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class TpchGenReader(DataSourceReader):
+    def __init__(self, table: str, rows: int, partitions: int):
+        self.table = table
+        self.rows = rows
+        self.n_parts = max(1, min(partitions, rows or 1))
+
+    def partitions(self):
+        per = self.rows // self.n_parts
+        splits = []
+        for p in range(self.n_parts):
+            start = p * per
+            end = self.rows if p == self.n_parts - 1 else start + per
+            splits.append(_RangeSplit(start, end))
+        return splits
+
+    def read(self, partition: _RangeSplit):
+        gen = _TABLES[self.table][1]
+        for i in range(partition.start, partition.end):
+            yield gen(i)
+
+
+class TpchGenDataSource(DataSource):
+    """``format("tpchgen")`` — options: ``table`` (orders|lineitem),
+    ``rows`` (cardinality, default 1000), ``partitions`` (default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tpchgen"
+
+    def schema(self) -> StructType:
+        table = self.options.get("table", "orders")
+        if table not in _TABLES:
+            raise ValueError(f"tpchgen: unknown table {table!r}")
+        return _TABLES[table][0]
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return TpchGenReader(
+            self.options.get("table", "orders"),
+            int(self.options.get("rows", "1000")),
+            int(self.options.get("partitions", "8")),
+        )
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_tpchgen(spark) -> None:
+    """Idempotent per session (the functions/presto.py registry pattern)."""
+    from ..session import session_key
+
+    if session_key(spark) in _REGISTERED:
+        return
+    spark.dataSource.register(TpchGenDataSource)
+    _REGISTERED.add(session_key(spark))
