@@ -67,6 +67,9 @@ def build_session(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.cbo.enabled", "true")
+        # Python DataSource filter pushdown (the tpchgen connector's
+        # key-range split pruning — sources/tpch_datasource.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Spark 4.1's TIME type (feature-flagged) backs the reference's
         # `time` type (TimeType.java) — literals, casts, extraction, min/max.
         .config("spark.sql.timeType.enabled", "true")

@@ -115,18 +115,65 @@ class _RangeSplit(InputPartition):
         self.end = end
 
 
+_KEY_COL = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+
+
 class TpchGenReader(DataSourceReader):
+    """Row-range splits with KEY-RANGE FILTER PUSHDOWN: comparisons on the
+    index-derived key column shrink the generated range itself — the
+    connector-level ``applyFilter`` analog (the reference prunes tpch
+    splits the same way; Spark calls ``pushFilters`` once at planning).
+    Orders keys ARE the row index; lineitem keys are ``index // 4``, so a
+    key bound maps to an index bound exactly. Pushed filters are fully
+    handled (not re-evaluated by Spark), every other filter is returned."""
+
     def __init__(self, table: str, rows: int, partitions: int):
         self.table = table
         self.rows = rows
         self.n_parts = max(1, min(partitions, rows or 1))
+        self.lo = 0  # half-open pruned index range [lo, hi)
+        self.hi = rows
+
+    def pushFilters(self, filters):
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        key = _KEY_COL[self.table]
+        mult = 1 if self.table == "orders" else 4  # rows per key
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            val = getattr(f, "value", None)
+            if attr != (key,) or not isinstance(val, int):
+                yield f  # unsupported: Spark evaluates it post-scan
+                continue
+            if isinstance(f, EqualTo):
+                self.lo = max(self.lo, val * mult)
+                self.hi = min(self.hi, (val + 1) * mult)
+            elif isinstance(f, GreaterThan):
+                self.lo = max(self.lo, (val + 1) * mult)
+            elif isinstance(f, GreaterThanOrEqual):
+                self.lo = max(self.lo, val * mult)
+            elif isinstance(f, LessThan):
+                self.hi = min(self.hi, val * mult)
+            elif isinstance(f, LessThanOrEqual):
+                self.hi = min(self.hi, (val + 1) * mult)
+            else:
+                yield f
 
     def partitions(self):
-        per = self.rows // self.n_parts
+        lo, hi = self.lo, max(self.lo, self.hi)
+        n = hi - lo
+        n_parts = max(1, min(self.n_parts, n or 1))
+        per = n // n_parts
         splits = []
-        for p in range(self.n_parts):
-            start = p * per
-            end = self.rows if p == self.n_parts - 1 else start + per
+        for p in range(n_parts):
+            start = lo + p * per
+            end = hi if p == n_parts - 1 else start + per
             splits.append(_RangeSplit(start, end))
         return splits
 
