@@ -204,6 +204,13 @@ class TpchGenDataSource(DataSource):
             int(self.options.get("partitions", "8")),
         )
 
+    def simpleStreamReader(self, schema: StructType):
+        return TpchGenStreamReader(
+            self.options.get("table", "orders"),
+            int(self.options.get("rows", "1000")),
+            int(self.options.get("rowsPerBatch", "100")),
+        )
+
 
 _REGISTERED: set[str] = set()
 
@@ -216,3 +223,36 @@ def register_tpchgen(spark) -> None:
         return
     spark.dataSource.register(TpchGenDataSource)
     _REGISTERED.add(session_key(spark))
+
+
+# --- streaming read path ------------------------------------------------------
+# The streaming-source SPI surface the env-blocked Kafka broker scan could
+# not demonstrate (COVERAGE §2.3): offset-tracked micro-batches with
+# deterministic REPLAY (readBetweenOffsets is what exactly-once recovery
+# calls after a restart). Offsets are row indexes, so a replayed range
+# regenerates byte-identical rows — the generator determinism contract
+# doubles as the replayability contract.
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+
+class TpchGenStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batches of ``rowsPerBatch`` generated rows; stops advancing at
+    ``rows`` (a bounded stream, so availableNow drains it)."""
+
+    def __init__(self, table: str, rows: int, rows_per_batch: int):
+        self.table = table
+        self.rows = rows
+        self.per = max(1, rows_per_batch)
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = start["i"]
+        hi = min(lo + self.per, self.rows)
+        return self.readBetweenOffsets(start, {"i": hi}), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        gen = _TABLES[self.table][1]
+        return iter([gen(i) for i in range(start["i"], end["i"])])
