@@ -81,3 +81,98 @@ def connector_tpchgen_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+# --- TPC-H Q3 shape over the full generator catalog ---------------------------
+# The reference's generator connector exposes the complete 8-table catalog
+# (presto-tpch/.../TpchMetadata.java:93) precisely so real TPC-H queries can
+# run against synthesized data; this runs the Q3 shipping-priority shape over
+# customer |><| orders |><| lineitem where EVERY input row is generated on
+# executors by the connector — no files anywhere in the plan. The DuckDB
+# oracle regenerates all three tables from generate_series with the shared
+# integer hash. Revenue is exactified to integer "milli-cents"
+# (cents * (100 - discount_pct)) before summation so both engines sum exactly.
+
+_Q3_ORACLE = """
+WITH cust AS (
+    SELECT i AS c_custkey,
+           CASE ((i * 2654435761 + 40503) % 4294967296) % 5
+                WHEN 0 THEN 'AUTOMOBILE' WHEN 1 THEN 'BUILDING'
+                WHEN 2 THEN 'FURNITURE' WHEN 3 THEN 'HOUSEHOLD'
+                ELSE 'MACHINERY' END AS c_mktsegment
+    FROM generate_series(0, 1499) AS t(i)
+),
+ord AS (
+    SELECT i AS o_orderkey,
+           ((i * 2654435761 + 40503) % 4294967296) % 1500 AS o_custkey,
+           TIMESTAMP '1995-01-01'
+             + (((i * 2654435761 + 40503) % 4294967296) % 2400) * INTERVAL 1 DAY
+             AS o_orderdate
+    FROM generate_series(0, 9999) AS t(i)
+),
+li AS (
+    SELECT i // 4 AS l_orderkey,
+           CAST(round(((((i * 2654435761 + 40503) % 4294967296) % 9000000) / 100.0 + 900.0) * 100, 0) AS BIGINT) AS cents,
+           ((i * 2654435761 + 40503) % 4294967296) % 11 AS disc_pct,
+           TIMESTAMP '1995-01-01'
+             + (((i * 2654435761 + 40503) % 4294967296) % 2500) * INTERVAL 1 DAY
+             AS l_shipdate
+    FROM generate_series(0, 39999) AS t(i)
+)
+SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+       CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS revenue_mcents,
+       o_orderdate
+FROM cust
+JOIN ord ON c_custkey = o_custkey
+JOIN li ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_mcents DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@query(
+    "connector_tpchgen_q3",
+    oracle=_Q3_ORACLE,
+    doc="TPC-H Q3 shape end-to-end on the generator catalog (the reference "
+    "serves all 8 tables from its generator: TpchMetadata.java:93): "
+    "customer/orders/lineitem are all synthesized on executors by the "
+    "tpchgen DataSource, the small filtered customer side is broadcast, and "
+    "the DuckDB oracle regenerates the same rows from generate_series. "
+    "Revenue exactified to integer cents*(100-disc_pct) before the sum.",
+    tags=("connector",),
+)
+def connector_tpchgen_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch_datasource import register_tpchgen
+
+    register_tpchgen(spark)
+
+    def gen(table: str) -> DataFrame:
+        return (
+            spark.read.format("tpchgen")
+            .option("table", table)
+            .option("partitions", "8")
+            .load()
+        )
+
+    cust = gen("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    ord_ = gen("orders").filter(F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp"))
+    li = gen("lineitem").filter(F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(cents * (100 - disc_pct)).cast("bigint").alias("revenue_mcents"))
+        .select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            "revenue_mcents",
+            "o_orderdate",
+        )
+        .orderBy(F.desc("revenue_mcents"), "l_orderkey")
+        .limit(10)
+    )

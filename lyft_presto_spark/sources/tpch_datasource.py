@@ -47,6 +47,13 @@ _EPOCH = datetime(1995, 1, 1)
 
 _STATUS = ("F", "O", "P")
 _PRIORITY = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_REGIONS = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+_SEGMENTS = ("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+_TYPES = (
+    "ECONOMY ANODIZED STEEL", "LARGE BRUSHED BRASS", "MEDIUM POLISHED COPPER",
+    "PROMO BURNISHED NICKEL", "SMALL PLATED TIN", "STANDARD POLISHED STEEL",
+)
+_CONTAINERS = ("JUMBO PKG", "LG CASE", "MED BOX", "SM DRUM")
 
 ORDERS_SCHEMA = StructType(
     [
@@ -67,6 +74,66 @@ LINEITEM_SCHEMA = StructType(
         StructField("l_extendedprice", DoubleType(), False),
         StructField("l_discount", DoubleType(), False),
         StructField("l_returnflag", StringType(), False),
+        # appended in round 9 (full-catalog upgrade); earlier columns keep
+        # their positions so the original row contract is unchanged
+        StructField("l_partkey", LongType(), False),
+        StructField("l_suppkey", LongType(), False),
+        StructField("l_shipdate", TimestampType(), False),
+    ]
+)
+
+REGION_SCHEMA = StructType(
+    [
+        StructField("r_regionkey", LongType(), False),
+        StructField("r_name", StringType(), False),
+    ]
+)
+
+NATION_SCHEMA = StructType(
+    [
+        StructField("n_nationkey", LongType(), False),
+        StructField("n_name", StringType(), False),
+        StructField("n_regionkey", LongType(), False),
+    ]
+)
+
+CUSTOMER_SCHEMA = StructType(
+    [
+        StructField("c_custkey", LongType(), False),
+        StructField("c_name", StringType(), False),
+        StructField("c_nationkey", LongType(), False),
+        StructField("c_acctbal", DoubleType(), False),
+        StructField("c_mktsegment", StringType(), False),
+    ]
+)
+
+SUPPLIER_SCHEMA = StructType(
+    [
+        StructField("s_suppkey", LongType(), False),
+        StructField("s_name", StringType(), False),
+        StructField("s_nationkey", LongType(), False),
+        StructField("s_acctbal", DoubleType(), False),
+    ]
+)
+
+PART_SCHEMA = StructType(
+    [
+        StructField("p_partkey", LongType(), False),
+        StructField("p_name", StringType(), False),
+        StructField("p_brand", StringType(), False),
+        StructField("p_type", StringType(), False),
+        StructField("p_size", IntegerType(), False),
+        StructField("p_container", StringType(), False),
+        StructField("p_retailprice", DoubleType(), False),
+    ]
+)
+
+PARTSUPP_SCHEMA = StructType(
+    [
+        StructField("ps_partkey", LongType(), False),
+        StructField("ps_suppkey", LongType(), False),
+        StructField("ps_availqty", IntegerType(), False),
+        StructField("ps_supplycost", DoubleType(), False),
     ]
 )
 
@@ -98,12 +165,82 @@ def lineitem_row(i: int) -> tuple:
         (h % 9_000_000) / 100.0 + 900.0,
         float(h % 11) / 100.0,
         "R" if h % 10 == 0 else ("A" if h % 2 == 0 else "N"),
+        h % 2000,  # l_partkey (part cardinality 2000 at the default scale)
+        h % 200,  # l_suppkey (supplier cardinality 200)
+        _EPOCH + timedelta(days=h % 2500),  # l_shipdate
     )
 
 
+def region_row(i: int) -> tuple:
+    return (i, _REGIONS[i % 5])
+
+
+def nation_row(i: int) -> tuple:
+    # region spread is index-derived (i % 5) so every region key resolves
+    return (i, f"NATION#{i}", i % 5)
+
+
+def customer_row(i: int) -> tuple:
+    h = _h(i)
+    return (
+        i,
+        f"Customer#{i:09d}",
+        h % 25,
+        (h % 1_100_000 - 100_000) / 100.0,  # acctbal in [-1000, 10000)
+        _SEGMENTS[h % 5],
+    )
+
+
+def supplier_row(i: int) -> tuple:
+    h = _h(i)
+    return (i, f"Supplier#{i:09d}", h % 25, (h % 1_100_000 - 100_000) / 100.0)
+
+
+def part_row(i: int) -> tuple:
+    h = _h(i)
+    return (
+        i,
+        f"part#{i}",
+        f"Brand#{h % 25 + 10}",
+        _TYPES[h % 6],
+        int(h % 50 + 1),
+        _CONTAINERS[h % 4],
+        (h % 200_000) / 100.0 + 900.0,
+    )
+
+
+def partsupp_row(i: int) -> tuple:
+    # 4 suppliers per part, like the reference's SUPPLIERS_PER_PART=4
+    h = _h(i)
+    return (i // 4, h % 200, int(h % 10_000 + 1), (h % 100_000) / 100.0 + 1.0)
+
+
 _TABLES = {
+    "region": (REGION_SCHEMA, region_row),
+    "nation": (NATION_SCHEMA, nation_row),
+    "customer": (CUSTOMER_SCHEMA, customer_row),
+    "supplier": (SUPPLIER_SCHEMA, supplier_row),
+    "part": (PART_SCHEMA, part_row),
+    "partsupp": (PARTSUPP_SCHEMA, partsupp_row),
     "orders": (ORDERS_SCHEMA, orders_row),
     "lineitem": (LINEITEM_SCHEMA, lineitem_row),
+}
+
+# Reference default cardinalities at the connector's base scale: the
+# reference's TpchMetadata.java:93 exposes the full catalog per schema; these
+# are the per-table row counts ``format("tpchgen")`` uses when ``rows`` is
+# not given, sized so every foreign key resolves (o_custkey = h % 1500 needs
+# 1500 customers; l_partkey = h % 2000 needs 2000 parts; l_suppkey /
+# ps_suppkey = h % 200 need 200 suppliers; partsupp is 4 rows per part).
+DEFAULT_ROWS = {
+    "region": 5,
+    "nation": 25,
+    "customer": 1500,
+    "supplier": 200,
+    "part": 2000,
+    "partsupp": 8000,
+    "orders": 10_000,
+    "lineitem": 40_000,
 }
 
 
@@ -115,7 +252,19 @@ class _RangeSplit(InputPartition):
         self.end = end
 
 
-_KEY_COL = {"orders": "o_orderkey", "lineitem": "l_orderkey"}
+_KEY_COL = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "partsupp": "ps_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+}
+# rows per key value: tables whose key IS the row index map 1:1; lineitem
+# and partsupp pack 4 rows per key (index // 4)
+_KEY_MULT = {"lineitem": 4, "partsupp": 4}
 
 
 class TpchGenReader(DataSourceReader):
@@ -144,11 +293,13 @@ class TpchGenReader(DataSourceReader):
         )
 
         key = _KEY_COL[self.table]
-        mult = 1 if self.table == "orders" else 4  # rows per key
+        mult = _KEY_MULT.get(self.table, 1)  # rows per key
         for f in filters:
             attr = getattr(f, "attribute", None)
             val = getattr(f, "value", None)
-            if attr != (key,) or not isinstance(val, int):
+            # bool is an int subclass: a pushed boolean must stay residual,
+            # not be consumed as a key bound (True -> 1)
+            if attr != (key,) or not isinstance(val, int) or isinstance(val, bool):
                 yield f  # unsupported: Spark evaluates it post-scan
                 continue
             if isinstance(f, EqualTo):
@@ -184,8 +335,11 @@ class TpchGenReader(DataSourceReader):
 
 
 class TpchGenDataSource(DataSource):
-    """``format("tpchgen")`` — options: ``table`` (orders|lineitem),
-    ``rows`` (cardinality, default 1000), ``partitions`` (default 8)."""
+    """``format("tpchgen")`` — options: ``table`` (any of the full 8-table
+    TPC-H catalog, matching the reference's TpchMetadata.java:93), ``rows``
+    (cardinality; defaults to the base-scale count in ``DEFAULT_ROWS``),
+    ``sf`` (scale multiplier applied to the default cardinality; the
+    reference's per-schema scale factor analog), ``partitions`` (default 8)."""
 
     @classmethod
     def name(cls) -> str:
@@ -197,17 +351,27 @@ class TpchGenDataSource(DataSource):
             raise ValueError(f"tpchgen: unknown table {table!r}")
         return _TABLES[table][0]
 
+    def _rows(self, table: str) -> int:
+        if "rows" in self.options:
+            return int(self.options["rows"])
+        base = DEFAULT_ROWS.get(table, 1000)
+        if table in ("region", "nation"):  # fixed-size like the reference
+            return base
+        return int(base * float(self.options.get("sf", "1")))
+
     def reader(self, schema: StructType) -> DataSourceReader:
+        table = self.options.get("table", "orders")
         return TpchGenReader(
-            self.options.get("table", "orders"),
-            int(self.options.get("rows", "1000")),
+            table,
+            self._rows(table),
             int(self.options.get("partitions", "8")),
         )
 
     def simpleStreamReader(self, schema: StructType):
+        table = self.options.get("table", "orders")
         return TpchGenStreamReader(
-            self.options.get("table", "orders"),
-            int(self.options.get("rows", "1000")),
+            table,
+            self._rows(table),
             int(self.options.get("rowsPerBatch", "100")),
         )
 
@@ -222,6 +386,11 @@ def register_tpchgen(spark) -> None:
     if session_key(spark) in _REGISTERED:
         return
     spark.dataSource.register(TpchGenDataSource)
+    # pushFilters() is an SQLSTATE 38000 error unless Python-source filter
+    # pushdown is on; the repo session sets it at build time (session.py:72)
+    # but the DRIVER hands us its own session — a runtime conf, so set it
+    # here so the connector is self-sufficient in any session.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     _REGISTERED.add(session_key(spark))
 
 

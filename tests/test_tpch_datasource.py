@@ -62,6 +62,75 @@ def test_lineitem_links_to_orders(spark):
     )
 
 
+def test_full_catalog_tables_and_default_cardinalities(spark):
+    # the reference generator exposes the complete catalog
+    # (presto-tpch/.../TpchMetadata.java:93); every table loads with its
+    # base-scale default cardinality and resolvable foreign keys
+    from lyft_presto_spark.sources.tpch_datasource import DEFAULT_ROWS
+
+    for table, n in DEFAULT_ROWS.items():
+        df = _read(spark, table=table)
+        assert df.count() == n, table
+    nation = {r.n_nationkey for r in _read(spark, table="nation").collect()}
+    cust = _read(spark, table="customer").collect()
+    assert {r.c_nationkey for r in cust} <= nation
+    region = {r.r_regionkey for r in _read(spark, table="region").collect()}
+    assert {r.n_regionkey for r in _read(spark, table="nation").collect()} <= region
+    supp = {r.s_suppkey for r in _read(spark, table="supplier").collect()}
+    ps = _read(spark, table="partsupp").collect()
+    assert {r.ps_suppkey for r in ps} <= supp
+    parts = {r.p_partkey for r in _read(spark, table="part").collect()}
+    assert {r.ps_partkey for r in ps} == parts  # 4 suppliers per part
+
+
+def test_sf_option_scales_variable_tables_only(spark):
+    from lyft_presto_spark.sources.tpch_datasource import DEFAULT_ROWS
+
+    assert _read(spark, table="orders", sf=2).count() == 2 * DEFAULT_ROWS["orders"]
+    # fixed-size tables ignore sf, like the reference's region/nation
+    assert _read(spark, table="region", sf=2).count() == 5
+    assert _read(spark, table="nation", sf=2).count() == 25
+
+
+def test_partsupp_key_pushdown_uses_4_rows_per_key(spark):
+    got = _read(spark, table="partsupp", rows=8000).filter("ps_partkey = 33").collect()
+    assert len(got) == 4
+    assert all(r.ps_partkey == 33 for r in got)
+    from pyspark.sql.datasource import EqualTo
+
+    from lyft_presto_spark.sources.tpch_datasource import TpchGenReader
+
+    r = TpchGenReader("partsupp", 8000, 8)
+    assert list(r.pushFilters([EqualTo(("ps_partkey",), 33)])) == []
+    assert (r.lo, r.hi) == (132, 136)
+
+
+def test_boolean_filter_value_stays_residual(spark):
+    # bool is an int subclass: it must NOT be consumed as a key bound
+    from pyspark.sql.datasource import EqualTo
+
+    from lyft_presto_spark.sources.tpch_datasource import TpchGenReader
+
+    r = TpchGenReader("orders", 1000, 4)
+    residual = list(r.pushFilters([EqualTo(("o_orderkey",), True)]))
+    assert len(residual) == 1  # returned to Spark, range untouched
+    assert (r.lo, r.hi) == (0, 1000)
+
+
+def test_q3_on_generator_catalog_broadcasts_and_never_cartesians(spark):
+    # the registered generator-backed TPC-H Q3 shape: filtered customer side
+    # broadcast, both joins equi-joins — the 100 TB plan
+    from lyft_presto_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+    from lyft_presto_spark.queries import all_queries
+
+    df = all_queries()["connector_tpchgen_q3"].spark(spark, "")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
 def test_unknown_table_is_loud(spark):
     register_tpchgen(spark)
     with pytest.raises(Exception, match="unknown table"):
