@@ -625,19 +625,53 @@ def st_geometry_union_array(geoms: Column) -> Column:
     return _union_udf(geoms)
 
 
+_SLIM_PT = "struct<x:double,y:double>"
+_SLIM_LN = f"array<{_SLIM_PT}>"
+_SLIM_PG = f"array<array<{_SLIM_PT}>>"
+
+
 def _slim_members(coll: Column) -> Column:
     """Slim each collection member to (tag, point, line, polygon) before
-    Arrow — the st_relate_any discipline; multi-* members still carry
-    their tag so the kernel can return NULL for them."""
-    return F.transform(
-        coll,
-        lambda g: F.struct(
-            g["tag"].alias("tag"),
-            g["point"].alias("point"),
-            g["line"].alias("line"),
-            g["polygon"].alias("polygon"),
-        ),
-    )
+    Arrow — the st_relate_any discipline — and flatten multi-* members
+    one level into their simple parts JVM-SIDE (r9: MULTIPOLYGON/
+    MULTILINESTRING/MULTIPOINT members participate instead of returning
+    NULL). Flattening here keeps the Arrow schema at the simple-member
+    depth (shipping the multi payloads nested one level deeper crashes
+    the Arrow worker) and keeps the expansion in codegen. A multi member
+    with a NULL payload poisons the collection to NULL via flatten's
+    null-propagation — the kernel's NULL-for-unsupported convention."""
+
+    def mk(tag, point, line, polygon):
+        return F.struct(
+            tag.alias("tag"),
+            point.alias("point"),
+            line.alias("line"),
+            polygon.alias("polygon"),
+        )
+
+    npt = F.lit(None).cast(_SLIM_PT)
+    nln = F.lit(None).cast(_SLIM_LN)
+    npg = F.lit(None).cast(_SLIM_PG)
+
+    def expand(g):
+        simple = F.array(mk(g["tag"], g["point"], g["line"], g["polygon"]))
+        mpts = F.transform(
+            g["multipoint"], lambda p: mk(F.lit("ST_Point"), p, nln, npg)
+        )
+        mlns = F.transform(
+            g["multiline"], lambda ln: mk(F.lit("ST_LineString"), npt, ln, npg)
+        )
+        mpgs = F.transform(
+            g["multipolygon"], lambda pg: mk(F.lit("ST_Polygon"), npt, nln, pg)
+        )
+        return (
+            F.when(g["tag"] == "ST_MultiPoint", mpts)
+            .when(g["tag"] == "ST_MultiLineString", mlns)
+            .when(g["tag"] == "ST_MultiPolygon", mpgs)
+            .otherwise(simple)
+        )
+
+    return F.flatten(F.transform(coll, expand))
 
 
 def st_relate_collections(ca: Column, cb: Column) -> Column:

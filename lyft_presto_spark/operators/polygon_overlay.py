@@ -12,7 +12,7 @@ into output rings (outer rings CCW, holes CW) — the textbook arrangement +
 face-extraction algorithm (de Berg et al., Computational Geometry ch. 2).
 
 Robustness comes from *exact rational arithmetic*: every coordinate is
-lifted to ``fractions.Fraction`` (floats convert exactly), so crossing
+lifted to an exact rational (floats convert exactly), so crossing
 points, collinear overlaps, vertex-on-edge touches and shared boundaries
 are decided exactly, with no epsilons. The cost is per-geometry Python
 time — acceptable because the scale axis at 100 TB is the ROW count, not
@@ -20,6 +20,17 @@ per-row vertex count: each pair is independent, so the operator
 parallelizes perfectly across partitions inside an Arrow-batched pandas
 UDF (geo_scalar.py discipline), and per-row vertex counts are bounded by
 the application (document geometries, geofences, admin boundaries).
+
+The rational type is ``Rat``, a drop-in ``fractions.Fraction`` twin with
+LAZY normalization (r9 perf): ``Fraction`` runs a gcd inside every
+arithmetic op, which profiling showed was >80% of overlay wall time
+(fn_geo_boolean_ops was the heaviest registry row at 8.6 s / sf0.1).
+Overlay expressions have bounded depth — inputs, one level of crossing
+points, then predicates over them — so numerators/denominators stay
+small without per-op reduction; ``Rat`` reduces only when a denominator
+exceeds a bit-length guard (keeping worst-case inputs bounded) and
+canonicalizes solely inside ``__hash__``. Exactness is unchanged: all
+arithmetic is integer cross-multiplication.
 
 Semantics notes (DELTAS.md "polygon boolean ops"):
 - ``overlay`` returns the area geometry in the MULTIPOLYGON representation
@@ -36,8 +47,165 @@ Semantics notes (DELTAS.md "polygon boolean ops"):
 
 from __future__ import annotations
 
-from fractions import Fraction
 from functools import cmp_to_key
+from math import gcd
+
+# Reduce a Rat only when its denominator outgrows this many bits: never for
+# well-behaved fixtures (dyadic coordinates), occasionally for adversarial
+# float inputs (den up to ~2^52 each; one crossing level compounds them).
+_RAT_DEN_BITS = 256
+
+
+class Rat:
+    """Exact rational with lazy normalization — a ``fractions.Fraction``
+    drop-in for the overlay's operation set (+ - * / neg abs, ==/< vs Rat
+    and int, hash, bool, float). Invariant: ``d > 0``."""
+
+    __slots__ = ("n", "d")
+
+    def __init__(self, v: int | float = 0):
+        if isinstance(v, float):
+            self.n, self.d = v.as_integer_ratio()
+        else:
+            self.n, self.d = v, 1
+
+    @staticmethod
+    def _mk(n: int, d: int) -> "Rat":
+        r = object.__new__(Rat)
+        if d.bit_length() > _RAT_DEN_BITS:
+            g = gcd(n, d)
+            n //= g
+            d //= g
+        r.n, r.d = n, d
+        return r
+
+    def __add__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:  # dominant case (shared dyadic denominators):
+                return Rat._mk(self.n + o.n, self.d)  # no denominator growth
+            return Rat._mk(self.n * o.d + o.n * self.d, self.d * o.d)
+        if isinstance(o, int):
+            return Rat._mk(self.n + o * self.d, self.d)
+        return NotImplemented
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:
+                return Rat._mk(self.n - o.n, self.d)
+            return Rat._mk(self.n * o.d - o.n * self.d, self.d * o.d)
+        if isinstance(o, int):
+            return Rat._mk(self.n - o * self.d, self.d)
+        return NotImplemented
+
+    def __rsub__(self, o):
+        if isinstance(o, int):
+            return Rat._mk(o * self.d - self.n, self.d)
+        return NotImplemented
+
+    def __mul__(self, o):
+        if isinstance(o, Rat):
+            return Rat._mk(self.n * o.n, self.d * o.d)
+        if isinstance(o, int):
+            return Rat._mk(self.n * o, self.d)
+        return NotImplemented
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, o):
+        if isinstance(o, Rat):
+            n, d = self.n * o.d, self.d * o.n
+        elif isinstance(o, int):
+            n, d = self.n, self.d * o
+        else:
+            return NotImplemented
+        if d == 0:
+            raise ZeroDivisionError("Rat division by zero")
+        return Rat._mk(-n, -d) if d < 0 else Rat._mk(n, d)
+
+    def __rtruediv__(self, o):
+        if isinstance(o, int):
+            if self.n == 0:
+                raise ZeroDivisionError("Rat division by zero")
+            n, d = o * self.d, self.n
+            return Rat._mk(-n, -d) if d < 0 else Rat._mk(n, d)
+        return NotImplemented
+
+    def __neg__(self):
+        return Rat._mk(-self.n, self.d)
+
+    def __abs__(self):
+        return Rat._mk(abs(self.n), self.d)
+
+    def __eq__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:
+                return self.n == o.n
+            return self.n * o.d == o.n * self.d
+        if isinstance(o, int):
+            return self.n == o * self.d
+        if isinstance(o, float):
+            on, od = o.as_integer_ratio()
+            return self.n * od == on * self.d
+        return NotImplemented
+
+    def __lt__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:
+                return self.n < o.n
+            return self.n * o.d < o.n * self.d
+        if isinstance(o, int):
+            return self.n < o * self.d
+        return NotImplemented
+
+    def __le__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:
+                return self.n <= o.n
+            return self.n * o.d <= o.n * self.d
+        if isinstance(o, int):
+            return self.n <= o * self.d
+        return NotImplemented
+
+    def __gt__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:
+                return self.n > o.n
+            return self.n * o.d > o.n * self.d
+        if isinstance(o, int):
+            return self.n > o * self.d
+        return NotImplemented
+
+    def __ge__(self, o):
+        if isinstance(o, Rat):
+            if self.d == o.d:
+                return self.n >= o.n
+            return self.n * o.d >= o.n * self.d
+        if isinstance(o, int):
+            return self.n >= o * self.d
+        return NotImplemented
+
+    def __hash__(self):
+        # equal values must hash equal across unreduced twins (and match
+        # plain ints for integer values): canonicalize here only
+        if self.d == 1:
+            return hash(self.n)
+        g = gcd(self.n, self.d)
+        d = self.d // g
+        return hash(self.n // g) if d == 1 else hash((self.n // g, d))
+
+    def __bool__(self):
+        return self.n != 0
+
+    def __float__(self):
+        return self.n / self.d
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"Rat({self.n}/{self.d})"
+
+
+Fraction = Rat  # the overlay's exact scalar (see module docstring)
 
 Pt = tuple[Fraction, Fraction]
 
@@ -1443,6 +1611,87 @@ _DE9IM_RANK = {"F": -1, "0": 0, "1": 1, "2": 2}
 _DE9IM_CHAR = {v: k for k, v in _DE9IM_RANK.items()}
 
 
+def _flatten_simple_members(ms) -> list | None:
+    """One level of multi-* recursion: expand MULTIPOINT/MULTILINESTRING/
+    MULTIPOLYGON members into their simple parts (the parts ARE the union,
+    so the pairwise decomposition applies to them unchanged). None for
+    nested collections, unknown tags, or NULL payloads."""
+    out: list = []
+    for g in ms:
+        tag = g.get("tag") if g is not None else None
+        if tag in ("ST_Point", "ST_LineString", "ST_Polygon"):
+            out.append(g)
+        elif tag == "ST_MultiPoint":
+            pts = g.get("multipoint")  # may be a numpy array: no truthiness
+            if pts is None or len(pts) == 0:
+                return None
+            out.extend({"tag": "ST_Point", "point": p} for p in pts)
+        elif tag == "ST_MultiLineString":
+            lns = g.get("multiline")
+            if lns is None or len(lns) == 0:
+                return None
+            out.extend({"tag": "ST_LineString", "line": ln} for ln in lns)
+        elif tag == "ST_MultiPolygon":
+            pgs = g.get("multipolygon")
+            if pgs is None or len(pgs) == 0:
+                return None
+            out.extend({"tag": "ST_Polygon", "polygon": pg} for pg in pgs)
+        else:
+            return None
+    return out
+
+
+def _members_separated(ms) -> bool:
+    """The well-formed-collection invariant relate_collections requires:
+    members pairwise DISJOINT (DE-9IM 'FF*FF****' — no interior or
+    boundary contact). Touching members would make the union's interior/
+    boundary differ from the disjoint union of the members', silently
+    corrupting the cellwise combination, so the caller NULLs out instead."""
+    for i in range(len(ms)):
+        for j in range(i + 1, len(ms)):
+            m = relate_any(ms[i], ms[j])
+            if m is None or not (m[0] == m[1] == m[3] == m[4] == "F"):
+                return False
+    return True
+
+
+def _boundary_endpoints(g) -> list | None:
+    """Members whose BOUNDARY is disconnected need per-component coverage
+    checks (see relate_collections BE/EB). Returns the boundary components
+    as point members for an OPEN line; [] when the boundary is empty or
+    connected (point, ring-closed line, hole-free polygon); None when
+    disconnected but not cheaply resolvable (holed polygon: shell + hole
+    rings)."""
+    tag = g.get("tag")
+    if tag == "ST_LineString":
+        raw = g.get("line")  # may be a numpy array: no truthiness
+        ln = [
+            q for q in (raw if raw is not None else [])
+            if q is not None and q.get("x") is not None and q.get("y") is not None
+        ]
+        if len(ln) < 2:
+            return []
+        if ln[0]["x"] == ln[-1]["x"] and ln[0]["y"] == ln[-1]["y"]:
+            return []  # closed: empty boundary
+        return [
+            {"tag": "ST_Point", "point": {"x": ln[0]["x"], "y": ln[0]["y"]}},
+            {"tag": "ST_Point", "point": {"x": ln[-1]["x"], "y": ln[-1]["y"]}},
+        ]
+    if tag == "ST_Polygon":
+        rings = g.get("polygon")
+        return None if rings is not None and len(rings) > 1 else []
+    return []  # point: empty boundary
+
+
+def _point_covered(p, members) -> bool:
+    """Is the point inside or on the boundary of ANY member?"""
+    for m in members:
+        r = relate_any(p, m)
+        if r is not None and (r[0] != "F" or r[1] != "F"):
+            return True
+    return False
+
+
 def relate_collections(mas, mbs) -> str | None:
     """stRelate over GEOMETRYCOLLECTION operands by pairwise member
     decomposition — BEYOND-parity: the reference itself throws
@@ -1450,35 +1699,45 @@ def relate_collections(mas, mbs) -> str | None:
     delegates to Esri OGCConcreteGeometryCollection.relate; COVERAGE
     'collection operands').
 
-    Each operand is a list of tagged simple members (the
-    st_collection_from_wkt representation). PRECONDITION (documented, not
-    verified): members within a collection are pairwise SEPARATED
-    (positive distance) — the well-formed-collection invariant — so the
-    union's interior/boundary are the disjoint unions of the members'.
-    Under it the DE-9IM of the unions combines from the per-pair matrices
-    (relate_any) exactly:
+    Each operand is a list of tagged members (the st_collection_from_wkt
+    representation); multi-* members are flattened one level into their
+    simple parts first (their parts ARE the union, so the decomposition
+    is unchanged). PRECONDITION (VERIFIED, not just documented): members
+    within a collection are pairwise DISJOINT — checked via relate_any
+    ('FF*FF****'); collections with touching members return NULL, the
+    kernel's NULL-for-unsupported convention — so the union's interior/
+    boundary are the disjoint unions of the members'. Under it the DE-9IM
+    of the unions combines from the per-pair matrices (relate_any)
+    exactly:
 
     - II / IB / BI / BB: ``max`` over all pairs (F < 0 < 1 < 2) — both
       row sets and column sets are disjoint unions, so any pair's
       intersection witnesses the union's.
     - IE / BE: ``max over A-members of (min over B-members)``. E(B) is
-      the INTERSECTION of the members' exteriors, and a connected
-      I(a_i)/B(a_i) covered by separated closed sets must lie within ONE
-      of them — so a_i contributes F iff some single b_j contains it,
-      i.e. the row min. (Residual approximation: a DISCONNECTED boundary
-      — a line's two endpoints, a holed polygon's rings — split across
-      two different covering members over-reports BE; unreachable for
-      separated convex-ish members, documented here.)
-    - EI / EB: symmetric, ``max over B-members of (min over A-members)``.
+      the INTERSECTION of the members' exteriors, and a CONNECTED
+      I(a_i)/B(a_i) covered by pairwise-disjoint closed sets must lie
+      within ONE of them — so a_i contributes F iff some single b_j
+      contains it, i.e. the row min. Interiors of simple members are
+      always connected; boundaries are not: an open line's two endpoints
+      may be covered by two DIFFERENT members, which the row min would
+      over-report as uncovered — those rows get an exact per-endpoint
+      coverage check instead. A holed polygon's boundary (shell + hole
+      rings) is also disconnected and not cheaply resolvable: NULL when
+      the row min alone cannot prove coverage.
+    - EI / EB: symmetric, ``max over B-members of (min over A-members)``,
+      with the same boundary-component refinement per column.
     - EE: always 2 (bounded operands).
 
-    NULL for NULL/empty operands or any non-simple member (multi-* tags
-    stay the simple-pair dispatcher's residue).
+    NULL for NULL/empty operands, nested collections, or failed
+    preconditions.
     """
     if mas is None or mbs is None:
         return None
-    mas, mbs = list(mas), list(mbs)
+    mas = _flatten_simple_members(list(mas))
+    mbs = _flatten_simple_members(list(mbs))
     if not mas or not mbs:
+        return None
+    if not (_members_separated(mas) and _members_separated(mbs)):
         return None
     mats: list[list[str]] = []
     for a in mas:
@@ -1493,15 +1752,40 @@ def relate_collections(mas, mbs) -> str | None:
     def grid(idx: int) -> list[list[int]]:
         return [[_DE9IM_RANK[m[idx]] for m in row] for row in mats]
 
+    def boundary_vs_exterior(members, other, rows) -> int | None:
+        """max over members of (B(member) ∩ E(other-union)), where rows[i]
+        is that member's per-pair list of DE-9IM values for the BE (or
+        transposed EB) cell. The row min is exact for connected
+        boundaries; disconnected ones get per-component refinement."""
+        best = -1
+        for i, member in enumerate(members):
+            v = min(rows[i])
+            if v > -1:
+                eps = _boundary_endpoints(member)
+                if eps is None:
+                    return None  # holed polygon: coverage not resolvable
+                if eps and all(_point_covered(p, other) for p in eps):
+                    v = -1  # every boundary component covered by SOME member
+            best = max(best, v)
+        return best
+
     out = []
     for idx in range(9):
         g = grid(idx)
         if idx in (0, 1, 3, 4):  # II IB BI BB
             v = max(max(r) for r in g)
-        elif idx in (2, 5):  # IE BE: max_i min_j
+        elif idx == 2:  # IE: max_i min_j (interiors are connected — exact)
             v = max(min(r) for r in g)
-        elif idx in (6, 7):  # EI EB: max_j min_i
+        elif idx == 5:  # BE: boundary components may split across members
+            v = boundary_vs_exterior(mas, mbs, g)
+            if v is None:
+                return None
+        elif idx == 6:  # EI: max_j min_i (interiors connected — exact)
             v = max(min(col) for col in zip(*g))
+        elif idx == 7:  # EB: symmetric refinement per B-member column
+            v = boundary_vs_exterior(mbs, mas, [list(col) for col in zip(*g)])
+            if v is None:
+                return None
         else:  # EE
             v = 2
         out.append(_DE9IM_CHAR[v])
@@ -1515,11 +1799,14 @@ def intersection_collections(mas, mbs) -> dict | None:
     intersections, with no precondition; the separated-members invariant
     additionally guarantees the pairwise pieces are themselves disjoint,
     so concatenation (with exact point dedup as a safety net) is the
-    canonical pieces form. Returns the intersection_pieces struct; NULL
-    for NULL/empty operands or any non-simple member."""
+    canonical pieces form. Multi-* members flatten one level into their
+    simple parts (A ∩ B distributes over unions, so no precondition).
+    Returns the intersection_pieces struct; NULL for NULL/empty operands
+    or nested collections."""
     if mas is None or mbs is None:
         return None
-    mas, mbs = list(mas), list(mbs)
+    mas = _flatten_simple_members(list(mas))
+    mbs = _flatten_simple_members(list(mbs))
     if not mas or not mbs:
         return None
     polys: list = []

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import geo as G
-from .registry import query, sql_over, t
+from .registry import query, spread, sql_over, t
 
 ZOOM = 12
 CELL_DEG = 10
@@ -2249,7 +2249,10 @@ def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the expensive witnesses (each an O(|A|*|B|) edge scan), so the seven
     # predicates are cheap boolean algebra (SPARK-36718 keeps
     # multiply-referenced non-cheap aliases materialized).
-    rings = src.select("c_custkey", a.alias("ra"), b.alias("rb"))
+    # spread: the unrolled edge-pair witnesses are expensive per ROW even
+    # as codegen; byte-proportional scan partitioning leaves them on 1-2
+    # cores (same rebalance rationale as the Python-kernel stages)
+    rings = spread(src.select("c_custkey", a.alias("ra"), b.alias("rb")))
     ra, rb = F.col("ra"), F.col("rb")
     # Layer 2a: the two covering scans (each O(|A|*|B|)) staged first, so
     # layer 2b's interiors witness reuses them as column references — the
@@ -2262,21 +2265,27 @@ def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = covered.select(
         "c_custkey", "cab", "cba",
         G.st_intersects_lines(ra, rb).alias("bnd"),
-        G.st_crosses_lines(ra, rb).alias("crx"),
         G.st_polygon_pair_interiors_intersect(
             ra, rb, covers=(F.col("cab"), F.col("cba"))
         ).alias("ii"),
-        G.st_intersects_polygons(ra, rb).alias("ints"),
     )
+    # intersects == interiors-intersect OR boundaries-intersect for closed
+    # polygons (if ∂B ⊂ int(A) then int(B) meets int(A) too), so the full
+    # st_intersects_polygons witness — another O(|A|*|B|) unrolled edge
+    # scan — is redundant boolean algebra here. Dropping it (and the
+    # previously staged-but-unused crosses witness) halves the expression
+    # tree: this query's wall cost is Catalyst ANALYSIS + codegen of the
+    # giant tree, a fixed cost independent of row count (ratio 1.34x).
+    ints = F.col("ii") | F.col("bnd")
     return staged.select(
         "c_custkey",
-        F.col("ints").alias("intersects"),
+        ints.alias("intersects"),
         (F.col("bnd") & ~F.col("ii")).alias("touches"),
         (F.col("ii") & ~F.col("cab") & ~F.col("cba")).alias("overlaps"),
         F.col("cab").alias("covers_ab"),
         F.col("cba").alias("covers_ba"),
         (F.col("cab") & F.col("cba")).alias("equals"),
-        (~F.col("ints")).alias("disjoint"),
+        (~ints).alias("disjoint"),
     ).orderBy("c_custkey")
 
 
@@ -2720,9 +2729,11 @@ def fn_geo_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage operands once, then ONE arrangement build per row yielding all
     # four results (overlay_all) — four separate *_geom UDFs would redo
-    # the exact-arithmetic edge split 4x per row
+    # the exact-arithmetic edge split 4x per row; spread() rebalances the
+    # staged operands to core count (byte-proportional scan partitioning
+    # would run the Python kernel on 1-2 cores)
     ops = (
-        src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb"))
+        spread(src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb")))
         .select(
             "c_custkey", "kind",
             GS.st_boolean_ops_geom(F.col("ga"), F.col("gb")).alias("bo"),
@@ -2849,7 +2860,7 @@ def fn_geo_intersection_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(rect(s + 1, s + 1, s + s + 1, s + s + 1))
     )
     pieces = (
-        src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb"))
+        spread(src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb")))
         .select(
             "c_custkey", "kind",
             GS.st_intersection_pieces(F.col("ga"), F.col("gb")).alias("pc"),
@@ -2975,11 +2986,11 @@ def fn_geo_intersection_any(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_wkt = F.when(F.col("kind") == kind, ak).otherwise(a_wkt)
         b_wkt = F.when(F.col("kind") == kind, bk).otherwise(b_wkt)
 
-    staged = src.select(
+    staged = spread(src.select(
         "c_custkey", "kind",
         G.st_geometry_from_text(a_wkt).alias("ga"),
         G.st_geometry_from_text(b_wkt).alias("gb"),
-    ).select(
+    )).select(
         "c_custkey", "kind",
         GS.st_intersection_any(F.col("ga"), F.col("gb")).alias("pc"),
     )
@@ -3077,9 +3088,9 @@ def fn_geo_relate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("kind") == 6, square(1.5, 1.5, 1))
         .otherwise(square(1, 1, 2))
     )
-    staged = src.select(
+    staged = spread(src.select(
         "c_custkey", "kind", a.alias("ga"), F.array(b_ring).alias("gb")
-    )
+    ))
     return staged.select(
         "c_custkey", "kind",
         GS.st_relate_polygons(F.col("ga"), F.col("gb")).alias("de9im"),
@@ -3784,12 +3795,12 @@ def fn_geo_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Collection-operand DE-9IM + intersection (beyond parity) ----------------
 
 _GC_RELATE_SRC = """
-    SELECT c_custkey, CAST(c_custkey % 5 AS INT) AS kind
+    SELECT c_custkey, CAST(c_custkey % 6 AS INT) AS kind
     FROM customer
     WHERE c_custkey % 23 = 0
 """
 
-# A is fixed: GC(square [0,4]^2, POINT (10 10)). B rotates five collection
+# A is fixed: GC(square [0,4]^2, POINT (10 10)). B rotates six collection
 # topologies; every matrix below is hand-derived from the union semantics
 # (and double-checked against the kernel in tests/test_polygon_overlay.py):
 # kind 0 B = GC(square inside A, the SAME point)      -> contains-like
@@ -3797,6 +3808,10 @@ _GC_RELATE_SRC = """
 # kind 2 B = GC(point inside, point on A's corner)    -> multipoint-in
 # kind 3 B = GC(disjoint square, far point)           -> disjoint
 # kind 4 B = GC(overlapping square, disjoint line)    -> overlap mix
+# kind 5 B = GC(MULTIPOLYGON(inside sq, disjoint sq), line off the point)
+#            -> multi-member flattening (r9): II=2 via the contained part,
+#            EI=2 via the disjoint part's interior, IB=1 via the contained
+#            part's shell, the point touching the line's endpoint
 _GC_RELATE_ORACLE = f"""
 WITH src AS ({_GC_RELATE_SRC})
 SELECT c_custkey, kind,
@@ -3805,19 +3820,22 @@ SELECT c_custkey, kind,
            WHEN 1 THEN 'F02F11212'
            WHEN 2 THEN '0F20F1FF2'
            WHEN 3 THEN 'FF2FF1212'
-           ELSE '212101212'
+           WHEN 4 THEN '212101212'
+           ELSE '212FF1212'
        END AS de9im,
        CASE kind
            WHEN 0 THEN 'ST_GeomCollection'
            WHEN 1 THEN 'ST_GeomCollection'
            WHEN 2 THEN 'ST_MultiPoint'
            WHEN 3 THEN 'ST_GeomCollection'
-           ELSE 'ST_Polygon'
+           WHEN 4 THEN 'ST_Polygon'
+           ELSE 'ST_GeomCollection'
        END AS result_tag,
-       CAST(CASE kind WHEN 0 THEN 1 WHEN 4 THEN 1 ELSE 0 END AS INT) AS n_polys,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 1 ELSE 0 END AS INT)
+           AS n_polys,
        CAST(CASE kind WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_lines,
-       CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 0 END AS INT)
-           AS n_points
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 5 THEN 1
+            ELSE 0 END AS INT) AS n_points
 FROM src
 ORDER BY c_custkey
 """
@@ -3852,18 +3870,23 @@ def fn_geo_collection_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{x0} {y0 + s}, {x0} {y0}))"
         )
 
+    mp = (
+        "MULTIPOLYGON (((1 1, 2 1, 2 2, 1 2, 1 1)), "
+        "((6 0, 8 0, 8 2, 6 2, 6 0)))"
+    )
     wkt_b = (
         F.when(F.col("kind") == 0, F.lit(gc(sq(1, 1, 2), "POINT (10 10)")))
         .when(F.col("kind") == 1, F.lit(gc(sq(4, 0, 4), "LINESTRING (10 10, 12 12)")))
         .when(F.col("kind") == 2, F.lit(gc("POINT (2 2)", "POINT (4 4)")))
         .when(F.col("kind") == 3, F.lit(gc(sq(6, 0, 2), "POINT (20 20)")))
-        .otherwise(F.lit(gc(sq(2, 2, 4), "LINESTRING (0 -1, 4 -1)")))
+        .when(F.col("kind") == 4, F.lit(gc(sq(2, 2, 4), "LINESTRING (0 -1, 4 -1)")))
+        .otherwise(F.lit(gc(mp, "LINESTRING (10 10, 12 12)")))
     )
-    staged_df = src.select(
+    staged_df = spread(src.select(
         "c_custkey", "kind",
         G.st_collection_from_wkt(F.lit(wkt_a)).alias("ca"),
         G.st_collection_from_wkt(wkt_b).alias("cb"),
-    )
+    ))
     pc = GS.st_intersection_collections(F.col("ca"), F.col("cb"))
     staged2 = staged_df.select(
         "c_custkey", "kind",

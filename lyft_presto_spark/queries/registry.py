@@ -56,6 +56,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a COMPUTE-heavy operand to core count.
+
+    Byte-proportional scan partitioning (maxPartitionBytes) puts a few
+    thousand rows of staged geometry operands into 1-2 partitions — fine
+    for codegen expressions, but a per-row Python-kernel stage (exact
+    polygon overlay, DE-9IM) then runs on 1-2 cores while 30 idle. Heavy
+    per-row kernels must partition by CPU, not bytes: at 100 TB the scan
+    is already wide and this repartition is a cheap no-op-ish rebalance;
+    at bench scale it is the difference between 1x and 32x parallelism.
+    The shuffle moves only the slim operand columns (the staged select),
+    never the fact table."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 # View-mount memo: (session, view name) -> sf_dir currently mounted. Temp-view
 # registration is a catalog RPC per call; skipping the no-op re-registration
 # keeps repeated query calls (bench reps, the driver's sweep) free of it while

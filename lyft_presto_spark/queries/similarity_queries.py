@@ -141,12 +141,19 @@ def sim_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ("min_sim", "float64")]}
             )
         X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(X, axis=1)
+        # unnormalized Gram, then num / (norm_a * norm_b) per pair — the
+        # SAME operation order as the oracle's dot(a,b)/(sqrt(dot(a,a))*
+        # sqrt(dot(b,b))); normalizing X first distributes the division
+        # across the multiply-adds and can differ by an ULP right at a
+        # 5e-7 rounding boundary, flipping round(...,6)
+        G = X @ X.T
+        norms = np.sqrt(np.diag(G).copy())
+        denom = np.outer(norms, norms)
         with np.errstate(divide="ignore", invalid="ignore"):
-            Xn = np.where(norms[:, None] > 0, X / norms[:, None], 0.0)
+            cos = np.where(denom > 0, G / denom, 0.0)
         # round BEFORE the threshold/extrema, matching the per-pair
         # round(cosine, 6) the oracle applies inside its blocked CTE
-        sims = np.round(Xn @ Xn.T, S.ROUND)[np.triu_indices(n, k=1)]
+        sims = np.round(cos, S.ROUND)[np.triu_indices(n, k=1)]
         return pd.DataFrame(
             {
                 "label": [np.int32(pdf["label"].iloc[0])],

@@ -4255,7 +4255,12 @@ def tpcds_q96_multi_screen_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpcds_q06_above_category_avg_buyers",
     oracle="""
     WITH cat_avg AS (
-        SELECT p_type, AVG(p_retailprice) AS type_avg
+        -- exact decimal sum, ONE double division (corpus discipline: double
+        -- AVG accumulates in engine-dependent order; ULP drift at the
+        -- 1.02x threshold would flip items in/out of the pricey set)
+        SELECT p_type,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(12,2))) AS DOUBLE)
+                 / COUNT(*) AS type_avg
         FROM part
         GROUP BY p_type
     ),
@@ -4291,8 +4296,14 @@ def tpcds_q06_above_category_avg_buyers(spark: SparkSession, sf_dir: str) -> Dat
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     w = Window.partitionBy("p_type")
+    # exact decimal sum then one double division — mirrors the oracle so the
+    # 1.02x threshold compares the SAME double on both engines
+    type_avg = (
+        F.sum(F.col("p_retailprice").cast("decimal(12,2)")).over(w).cast("double")
+        / F.count("*").over(w)
+    )
     pricey = (
-        part.withColumn("type_avg", F.avg("p_retailprice").over(w))
+        part.withColumn("type_avg", type_avg)
         .filter(F.col("p_retailprice") > 1.02 * F.col("type_avg"))
         .select("p_partkey")
     )
@@ -6019,13 +6030,19 @@ def tpcds_q26_catalog_demographic_averages(spark: SparkSession, sf_dir: str) -> 
     oracle=f"""
     WITH win AS (
         SELECT l_partkey AS pk, CAST(l_discount AS DOUBLE) AS disc,
+               CAST(l_discount AS DECIMAL(4,2)) AS disc_d,
                {_SQL_PRICE} AS price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_linenumber % 3 = 2
           AND o_orderdate >= TIMESTAMP '1996-03-01 00:00:00'
           AND o_orderdate < TIMESTAMP '1996-05-30 00:00:00'
     ),
-    avg_disc AS (SELECT pk, AVG(disc) AS ad FROM win GROUP BY pk)
+    -- exact decimal sum, ONE double division (double AVG order drifts
+    -- between engines; ULP drift at the 1.3x threshold flips rows)
+    avg_disc AS (
+        SELECT pk, CAST(SUM(disc_d) AS DOUBLE) / COUNT(*) AS ad
+        FROM win GROUP BY pk
+    )
     SELECT CAST(SUM(price) AS DOUBLE) AS excess_revenue
     FROM win JOIN avg_disc ON win.pk = avg_disc.pk
     WHERE disc > 1.3 * ad
@@ -6049,12 +6066,15 @@ def tpcds_q32_catalog_excess_discount(spark: SparkSession, sf_dir: str) -> DataF
         .select(
             F.col("l_partkey").alias("pk"),
             F.col("l_discount").cast("double").alias("disc"),
+            F.col("l_discount").cast("decimal(4,2)").alias("disc_d"),
             _dec("l_extendedprice", PRICE).alias("price"),
         )
     )
     w = Window.partitionBy("pk")
+    # exact decimal sum then one double division, mirroring the oracle
+    ad = F.sum("disc_d").over(w).cast("double") / F.count("*").over(w)
     return (
-        win.withColumn("ad", F.avg("disc").over(w))
+        win.withColumn("ad", ad)
         .filter(F.col("disc") > 1.3 * F.col("ad"))
         .agg(F.sum("price").cast("double").alias("excess_revenue"))
     )
