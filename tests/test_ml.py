@@ -11,23 +11,32 @@ from lyft_presto_spark.queries import all_queries
 
 def test_classifier_separates_derived_target(spark, sf_dir):
     """Held-out accuracy on the linearly-separable target must be high —
-    the reference's assertion shape (train on separable data, classify)."""
-    qs = all_queries()
-    confusion = {(r.actual, r.predicted): r.n for r in qs["ml_classify"].spark(spark, sf_dir).collect()}
+    the reference's assertion shape (train on separable data, classify).
+    The full confusion matrix (the evaluate_classifier_predictions shape)
+    lives here; the registry row emits the oracle-checkable per-class
+    counts + recall gates derived from it."""
+    from lyft_presto_spark.queries.ml_queries import ml_confusion_matrix
+
+    confusion = {(r.actual, r.predicted): r.n for r in ml_confusion_matrix(spark, sf_dir).collect()}
     total = sum(confusion.values())
     correct = confusion.get((0, 0), 0) + confusion.get((1, 1), 0)
     assert total > 0
     assert correct / total >= 0.9, f"accuracy {correct}/{total}"
+    # the registry row's per-class gates agree with the matrix
+    qs = all_queries()
+    for r in qs["ml_classify"].spark(spark, sf_dir).collect():
+        cls_total = sum(n for (a, _), n in confusion.items() if a == r.actual)
+        assert r.n_rows == cls_total
+        assert r.recall_ok == (confusion.get((r.actual, r.actual), 0) / cls_total >= 0.85)
 
 
 def test_classifier_is_deterministic(spark, sf_dir):
     """Two invocations (cached model; also a fresh fit) agree row-for-row."""
     from lyft_presto_spark.operators import ml as M
-    from lyft_presto_spark.queries.ml_queries import _cls_split
+    from lyft_presto_spark.queries.ml_queries import _cls_split, ml_confusion_matrix
 
-    qs = all_queries()
-    a = sorted(map(tuple, qs["ml_classify"].spark(spark, sf_dir).collect()))
-    b = sorted(map(tuple, qs["ml_classify"].spark(spark, sf_dir).collect()))
+    a = sorted(map(tuple, ml_confusion_matrix(spark, sf_dir).collect()))
+    b = sorted(map(tuple, ml_confusion_matrix(spark, sf_dir).collect()))
     assert a == b
     # fresh (uncached) fit on the same data reproduces the cached model's output
     train, test = _cls_split(spark, sf_dir)
