@@ -116,33 +116,68 @@ from .registry import REGISTRY, Query, query
 # rotation: tpcds 13 (10 r7-built + 3 NEW r8), geo 2, op 2, fn 4,
 # events 2, text 2, dedup 1, sim 1, multimodal 1 — every family keeps
 # >= 1 scored row, each through a first-time representative.
+# r9 rotation — ALL 28 non-TPC-H r8 slots were driver-green (VERDICT r8:
+# 50/50 green, 28 first-time), so all 28 yield. 26 go to rows the driver
+# has NEVER scored (VERDICT r8 next-round #1 asked for >= 20), prioritized
+# per the verdict: the generator connector (connector_tpchgen_orders, plus
+# the NEW r9 connector_tpchgen_q3 — TPC-H Q3 entirely on the 8-table
+# generator catalog), fn_geo_collection_relate (now with multi-member
+# flattening + verified preconditions), ml_classify/ml_regress (NEWLY
+# value-checked this round — VERDICT ask #4), the ten OLDEST-numbered
+# unscored TPC-DS shapes (q32 swapped in for q12 because q06 and q32 both
+# received the ADVICE r8 decimal-exactification fix and deserve driver
+# validation), the two oldest unscored op rows (op_window_range_interval —
+# the SCALE.md sliding-frame constant's query — and op_skew_salted_join),
+# four long-unscored fn rows, and first-time events/text/multimodal
+# representatives. dedup and sim have NO never-scored rows left (every row
+# driver-green in r1-r8), so each keeps one cheap re-scored keeper
+# (dedup_exact, sim_topk_bruteforce) to satisfy the one-scored-row-per-
+# family invariant.
+# Out (r8-green) -> in: fn_geo_intersection_any -> connector_tpchgen_orders;
+# fn_geo_erode_polygon -> connector_tpchgen_q3; tpcds_q44 -> tpcds_q02;
+# tpcds_q49 -> tpcds_q03; tpcds_q80 -> tpcds_q04; tpcds_q46 -> tpcds_q05;
+# tpcds_q64 -> tpcds_q06; tpcds_q70 -> tpcds_q07; tpcds_q54 -> tpcds_q08;
+# tpcds_q45 -> tpcds_q09; tpcds_q58 -> tpcds_q11; tpcds_q61 -> tpcds_q32;
+# tpcds_q25 -> fn_geo_collection_relate; tpcds_q97 -> ml_classify;
+# tpcds_q69 -> ml_regress; op_unpivot -> op_window_range_interval;
+# op_range_join_binned -> op_skew_salted_join; fn_regex -> fn_math;
+# fn_histogram -> fn_datetime; fn_reduce_agg -> fn_minmax_by;
+# fn_approx_most_frequent -> fn_quantile_rollup; events_session_window ->
+# events_hopping_window; events_error_bursts -> events_top_per_type;
+# text_token_stats -> text_bpe_token_count; text_repetition_signals ->
+# text_sequence_packing; multimodal_resize -> multimodal_video_frames;
+# dedup_embedding_cosine -> dedup_exact (keeper); sim_label_centroids ->
+# sim_topk_bruteforce (keeper). Family coverage after rotation: tpcds 10,
+# connector 2, ml 2, geo 1, op 2, fn 4, events 2, text 2, multimodal 1,
+# dedup 1, sim 1 — every family keeps >= 1 scored row.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (cheap, core evidence)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # Geometry: the two r7 builds the driver has never scored
-    "fn_geo_intersection_any", "fn_geo_erode_polygon",
-    # TPC-DS-shape corpus: the r7 builds never scored...
-    "tpcds_q44_best_worst_items", "tpcds_q49_return_ratio_ranks",
-    "tpcds_q80_channel_returns_rollup", "tpcds_q46_cross_nation_orders",
-    "tpcds_q64_cross_year_items", "tpcds_q70_rank_restricted_rollup",
-    "tpcds_q54_revenue_segments", "tpcds_q45_literal_or_subquery",
-    "tpcds_q58_equal_share_brands", "tpcds_q61_promo_share",
-    # ...plus three of the ten NEW r8 shapes (VERDICT r7 ask #5: >= 3)
-    "tpcds_q25_chained_repurchase_profit", "tpcds_q97_channel_overlap",
-    "tpcds_q69_exclusive_channel_customers",
+    # Generator connector (r8 build + the new r9 full-catalog Q3)
+    "connector_tpchgen_orders", "connector_tpchgen_q3",
+    # ML (newly value-checked oracles this round)
+    "ml_classify", "ml_regress",
+    # Geometry: collection relate with multi-member flattening
+    "fn_geo_collection_relate",
+    # TPC-DS-shape corpus: oldest never-scored numbers
+    "tpcds_q02_week_over_year_ratio", "tpcds_q03_brand_year_revenue",
+    "tpcds_q04_triple_channel_growth", "tpcds_q05_channel_profit_summary",
+    "tpcds_q06_above_category_avg_buyers", "tpcds_q07_demographic_averages",
+    "tpcds_q08_intersect_screened_sales", "tpcds_q09_case_scalar_subqueries",
+    "tpcds_q11_channel_growth", "tpcds_q32_catalog_excess_discount",
     # Core operator paths never scored
-    "op_unpivot", "op_range_join_binned",
+    "op_window_range_interval", "op_skew_salted_join",
     # Long-unscored function families
-    "fn_regex", "fn_histogram", "fn_reduce_agg", "fn_approx_most_frequent",
+    "fn_math", "fn_datetime", "fn_minmax_by", "fn_quantile_rollup",
     # Extension families — first-time representatives
-    "events_session_window", "events_error_bursts",
-    "text_token_stats", "text_repetition_signals",
-    "dedup_embedding_cosine",
-    "sim_label_centroids",
-    "multimodal_resize",
+    "events_hopping_window", "events_top_per_type",
+    "text_bpe_token_count", "text_sequence_packing",
+    "multimodal_video_frames",
+    # Family keepers (all dedup/sim rows already driver-green r1-r8)
+    "dedup_exact", "sim_topk_bruteforce",
 )
 
 
