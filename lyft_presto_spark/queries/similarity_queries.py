@@ -335,3 +335,72 @@ ORDER BY q_id, rank
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.register_vector_udfs(spark)
     return sql_over(spark, sf_dir, _knn_join_sql("spark"), ("embeddings",))
+
+
+# --- Deterministic sparse random projection (dimensionality reduction) -------
+
+_RP_IN_DIMS = 64
+_RP_OUT_DIMS = 8
+
+
+def _rp_sign(i: int, j: int) -> int:
+    """Achlioptas sparse projection entry for (in-dim i, out-dim j), density
+    1/3: +1, -1, or 0 from a tiny deterministic hash — the matrix is a pure
+    function of its coordinates, so it is never materialized or shipped."""
+    h = (i * 31 + j * 17) % 6
+    return 1 if h == 0 else (-1 if h == 1 else 0)
+
+
+def _rp_sql(dialect: str) -> str:
+    # Unroll y_j = sum_i s(i,j) * x_i at construction time with IDENTICAL
+    # left-to-right operand order in both dialects, so the float chain is
+    # bit-identical; the per-dim result is then rounded and exactified to
+    # decimal before any cross-row aggregation (summation-order discipline).
+    def elem(i: int) -> str:
+        acc = f"element_at(embedding, {i})" if dialect == "spark" else f"embedding[{i}]"
+        return f"CAST({acc} AS DOUBLE)"
+
+    ys = []
+    for j in range(1, _RP_OUT_DIMS + 1):
+        chain = "CAST(0 AS DOUBLE)"
+        for i in range(1, _RP_IN_DIMS + 1):
+            s = _rp_sign(i, j)
+            if s == 1:
+                chain = f"({chain} + {elem(i)})"
+            elif s == -1:
+                chain = f"({chain} - {elem(i)})"
+        ys.append(f"{chain} AS y{j}")
+    return f"""
+WITH projected AS (
+    SELECT label, vec_id, {", ".join(ys)}
+    FROM embeddings
+)
+SELECT label,
+       count(*) AS n_vecs,
+       CAST(sum(CASE WHEN y1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_y1,
+       CAST(sum(CAST(round(y1, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_y1,
+       CAST(sum(CAST(round(y2, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_y2,
+       CAST(sum(CAST(round(y3, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_y3
+FROM projected
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query(
+    "sim_random_projection",
+    oracle=_rp_sql("duck"),
+    doc="Deterministic sparse random projection (Achlioptas 2003) from 64 to "
+    "8 dims — the dimensionality-reduction step ahead of ANN indexing or "
+    "clustering. The projection matrix is a pure hash function of its "
+    "coordinates (never materialized, nothing broadcast); the projection "
+    "itself unrolls into codegen arithmetic that fuses into the scan "
+    "(map-side, zero extra shuffle — the only shuffle is the per-label "
+    "rollup). Per-dim sums exactified to decimal after one rounded double "
+    "chain with identical operand order in both engines. At higher input "
+    "dims the same operator becomes posexplode + join against a generated "
+    "sign table — linear matrix-multiply as relational algebra.",
+    tags=("similarity",),
+)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _rp_sql("spark"), ("embeddings",))

@@ -740,3 +740,85 @@ ORDER BY source
 )
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _stratified_sql("spark"), ("documents",))
+
+
+def _bigram_lm_sql(d: str) -> str:
+    # Corpus bigram language model + per-document fluency scoring — the
+    # classic LM-based quality filter (CCNet/Gopher shape) expressed as
+    # relational algebra: (1) tokenize map-side, (2) explode positional
+    # bigrams, (3) the MODEL is two aggregations (bigram counts + unigram
+    # context counts; both vocab-bounded, far smaller than the corpus),
+    # (4) score = per-doc mean of the conditional probability c12/c1 via
+    # two equi-joins back to the postings (AQE broadcasts the model side at
+    # bench scale; at 100 TB both joins stay shuffle-equi on the token key).
+    # Float discipline: p is ONE double division of two exact ints, rounded
+    # then exactified to decimal before the per-doc mean (cross-row
+    # summation order is partition-dependent), and the final corpus rollup
+    # sums decimals again before one double division.
+    toks = T.tokens("text", d)
+    if d == "spark":
+        exploded = (
+            "SELECT doc_id, element_at(toks, i) AS w1, "
+            "element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bigram "
+            "FROM tok_t LATERAL VIEW explode(sequence(1, size(toks) - 1)) AS i "
+            "WHERE size(toks) >= 2"
+        )
+    else:
+        exploded = (
+            "SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram "
+            "FROM tok_t, unnest(generate_series(1, len(toks) - 1)) AS t(i) "
+            "WHERE len(toks) >= 2"
+        )
+    return f"""
+WITH tok_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+big AS (
+    {exploded}
+),
+model AS (
+    SELECT bigram, count(*) AS c12 FROM big GROUP BY bigram
+),
+ctx AS (
+    SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(round(CAST(m.c12 AS DOUBLE) / u.c1, 6) AS DECIMAL(18,6)) AS p
+    FROM big b
+    JOIN model m ON b.bigram = m.bigram
+    JOIN ctx u ON b.w1 = u.w1
+),
+per_doc AS (
+    SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(p) AS DOUBLE) / count(*) AS fluency
+    FROM scored
+    GROUP BY doc_id
+)
+SELECT CASE WHEN fluency >= 0.5 THEN 'high'
+            WHEN fluency >= 0.2 THEN 'mid'
+            ELSE 'low' END AS fluency_band,
+       count(*) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(round(CAST(sum(CAST(round(fluency, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 6) AS DOUBLE) AS avg_fluency
+FROM per_doc
+GROUP BY 1
+ORDER BY fluency_band
+"""
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=_bigram_lm_sql("duck"),
+    doc="Bigram language-model fluency scoring (the CCNet/Gopher LM quality "
+    "filter as relational algebra): the model is two vocab-bounded "
+    "aggregations over exploded positional bigrams, scoring is two "
+    "equi-joins back to the postings plus a per-doc mean of the "
+    "conditional probability, banded into high/mid/low. No Python "
+    "anywhere; conditional probabilities exactified to decimal before "
+    "cross-row means.",
+    tags=("text", "extension"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _bigram_lm_sql("spark"), ("documents",))

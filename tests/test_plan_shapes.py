@@ -348,3 +348,18 @@ def test_tpcds_q94_correlates_are_one_window_pass(spark, sf_dir):
     # window flags: no cartesian, no second lineitem self-join shuffle.
     df = QS["tpcds_q94_multi_supplier_no_returns"].spark(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_random_projection_is_map_side_plus_one_rollup(spark, sf_dir):
+    # the unrolled projection must fuse into the scan: the ONLY exchanges
+    # are the per-label rollup's shuffle (+ the final sort's range exchange)
+    df = QS["sim_random_projection"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    assert count_exchanges(df) <= 2
+
+
+def test_bigram_lm_joins_stay_equi(spark, sf_dir):
+    # model + context joins back to the postings are equi-joins on the
+    # token keys, never cartesian (the LM stays vocab-bounded relational)
+    df = QS["text_bigram_lm_score"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
