@@ -73,6 +73,13 @@ HEADLINE_EXTRAS = (
     "tpcds_q25_chained_repurchase_profit",
     "tpcds_q97_channel_overlap",
     "tpcds_q74_min_ratio_growth_gate",
+    # r9 additions: the generator-connector TPC-H Q3 (executor-side row
+    # synthesis end-to-end), the restructured exact-rational overlay row
+    # (formerly the heaviest registry entry — keep it watched), and the
+    # bigram-LM quality filter (two model aggs + postings equi-joins).
+    "connector_tpchgen_q3",
+    "fn_geo_boolean_ops",
+    "text_bigram_lm_score",
 )
 
 

@@ -1039,3 +1039,75 @@ class TestCollectionRelate:
         r = intersection_collections(A, B)
         assert r["polys"] == [] and len(r["lines"]) == 1
         assert r["points"] == [{"x": 10.0, "y": 10.0}]
+
+
+class TestRatExactness:
+    """The lazy-normalizing rational (r9 perf rewrite) must be value-exact
+    against fractions.Fraction over every operation the overlay uses —
+    including hash/eq consistency across unreduced twins and plain ints."""
+
+    def test_rat_matches_fraction_over_random_expressions(self):
+        import random
+        from fractions import Fraction as F
+
+        from lyft_presto_spark.operators.polygon_overlay import Rat
+
+        rng = random.Random(20260815)
+        for _ in range(300):
+            fa = rng.randint(-50, 50) / (2 ** rng.randint(0, 6))
+            fb = rng.randint(-50, 50) / (2 ** rng.randint(0, 6)) or 0.25
+            ra, rb = Rat(fa), Rat(fb)
+            xa, xb = F(fa), F(fb)
+            for op in ("add", "sub", "mul", "div", "neg", "abs"):
+                if op == "add":
+                    got, want = ra + rb, xa + xb
+                elif op == "sub":
+                    got, want = ra - rb, xa - xb
+                elif op == "mul":
+                    got, want = ra * rb, xa * xb
+                elif op == "div":
+                    if rb.n == 0:
+                        continue
+                    got, want = ra / rb, xa / xb
+                elif op == "neg":
+                    got, want = -ra, -xa
+                else:
+                    got, want = abs(ra), abs(xa)
+                assert got.n * want.denominator == want.numerator * got.d, (
+                    fa, fb, op,
+                )
+            # comparisons agree with Fraction in all directions
+            assert (ra < rb) == (xa < xb)
+            assert (ra <= rb) == (xa <= xb)
+            assert (ra == rb) == (xa == xb)
+            assert (ra > rb) == (xa > xb)
+            assert (ra >= rb) == (xa >= xb)
+            # int mixing (the overlay compares orientations against 0)
+            assert (ra > 0) == (xa > 0)
+            assert (ra == 0) == (xa == 0)
+            assert float(ra) == float(xa)
+
+    def test_rat_hash_eq_consistency(self):
+        from lyft_presto_spark.operators.polygon_overlay import Rat
+
+        # unreduced twins are equal and hash equal (set/dict dedup relies
+        # on this after growth-free same-den arithmetic)
+        a = Rat(1.5) + Rat(0.5)  # 4/2, unreduced
+        b = Rat(2.0)  # 2/1
+        assert a == b and hash(a) == hash(b)
+        assert a == 2 and hash(a) == hash(2)  # numeric-tower hash contract
+        third = Rat(1) / Rat(3)
+        assert hash(third) == hash(Rat(2) / Rat(6))
+        # dict key identity across representations
+        d = {(a, a): "x"}
+        assert (b, b) in d
+
+    def test_rat_bit_guard_reduces_large_denominators(self):
+        from lyft_presto_spark.operators.polygon_overlay import (
+            _RAT_DEN_BITS,
+            Rat,
+        )
+
+        big = Rat._mk(3 * (1 << 300), 2 * (1 << 300))  # guard fires in _mk
+        assert big.d.bit_length() <= _RAT_DEN_BITS
+        assert big == Rat._mk(3, 2)
