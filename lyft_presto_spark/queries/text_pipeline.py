@@ -822,3 +822,126 @@ ORDER BY fluency_band
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _bigram_lm_sql("spark"), ("documents",))
+
+
+def _vocab_coverage_sql(d: str) -> str:
+    # Tokenizer-design statistic: what fraction of corpus TOKEN MASS the
+    # top-N vocabulary covers, at N = 100 / 500 / 2000. Scale shape: the
+    # frequency ranking is a distributed top-K (ORDER BY + LIMIT lowers to
+    # TakeOrderedAndProject — per-partition partial top-k, no global sort),
+    # so the ONLY windowed cumsum runs over the bounded 2000-row head —
+    # never a single-partition window over the whole vocabulary (at 100 TB
+    # the vocab can be ~1e8 rows; a global-order window there is the
+    # classic scale-killer). The corpus total comes from a separate scalar
+    # aggregate. Ties broken (count DESC, token ASC) — a total order, so
+    # the curve is deterministic. Integers until the final division.
+    toks = T.tokens("text", d)
+    if d == "spark":
+        exploded = "SELECT tok FROM tok_t LATERAL VIEW explode(toks) AS tok"
+    else:
+        exploded = "SELECT unnest(toks) AS tok FROM tok_t"
+    return f"""
+WITH tok_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+flat AS (
+    {exploded}
+),
+vocab AS (
+    SELECT tok, count(*) AS c FROM flat GROUP BY tok
+),
+head AS (
+    SELECT tok, c FROM vocab ORDER BY c DESC, tok ASC LIMIT 2000
+),
+ranked AS (
+    SELECT c,
+           row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk,
+           sum(c) OVER (ORDER BY c DESC, tok ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum
+    FROM head
+),
+total_t AS (
+    SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab
+)
+SELECT CAST(n AS BIGINT) AS top_n,
+       CAST(max(CASE WHEN rnk <= n THEN cum ELSE 0 END) AS BIGINT)
+           AS covered_tokens,
+       CAST(max(total) AS BIGINT) AS total_tokens,
+       round(CAST(max(CASE WHEN rnk <= n THEN cum ELSE 0 END) AS DOUBLE)
+             / max(total), 6) AS coverage
+FROM ranked
+CROSS JOIN total_t
+CROSS JOIN (SELECT 100 AS n UNION ALL SELECT 500 UNION ALL SELECT 2000) t
+GROUP BY n
+ORDER BY top_n
+"""
+
+
+@query(
+    "text_vocab_coverage",
+    oracle=_vocab_coverage_sql("duck"),
+    doc="Vocabulary coverage curve (tokenizer design): fraction of corpus "
+    "token mass covered by the top-N words at N=100/500/2000 — word "
+    "counts (vocab-bounded aggregation), a total-order frequency ranking "
+    "with a window cumsum, three threshold probes. Integers end-to-end "
+    "until one final division.",
+    tags=("text", "extension"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _vocab_coverage_sql("spark"), ("documents",))
+
+
+def _zipf_sql(d: str) -> str:
+    # Zipf's-law fit over the word-frequency distribution: OLS slope and
+    # intercept of ln(freq) against ln(rank) via the regr_* aggregate
+    # family (the reference's VarianceAggregation.java machinery) — a
+    # natural-corpus slope sits near -1. Log inputs are rounded to 9
+    # decimals BEFORE the regression so a <=1-ULP engine difference in
+    # ln() cannot drift the accumulators; outputs rounded to 4.
+    toks = T.tokens("text", d)
+    if d == "spark":
+        exploded = "SELECT tok FROM tok_t LATERAL VIEW explode(toks) AS tok"
+    else:
+        exploded = "SELECT unnest(toks) AS tok FROM tok_t"
+    return f"""
+WITH tok_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+flat AS (
+    {exploded}
+),
+vocab AS (
+    SELECT tok, count(*) AS c FROM flat GROUP BY tok
+),
+head AS (
+    -- fit the distribution HEAD (standard Zipf practice) so the ranking
+    -- is a distributed top-K, never a global-order window over the vocab
+    SELECT tok, c FROM vocab ORDER BY c DESC, tok ASC LIMIT 5000
+),
+ranked AS (
+    SELECT CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE) AS rnk,
+           CAST(c AS DOUBLE) AS freq
+    FROM head
+)
+SELECT CAST(count(*) AS BIGINT) AS n_fitted,
+       round(regr_slope(round(ln(freq), 9), round(ln(rnk), 9)), 4) AS zipf_slope,
+       round(regr_intercept(round(ln(freq), 9), round(ln(rnk), 9)), 4)
+           AS zipf_intercept,
+       CAST(regr_slope(round(ln(freq), 9), round(ln(rnk), 9)) < 0 AS BOOLEAN)
+           AS decreasing
+FROM ranked
+"""
+
+
+@query(
+    "text_zipf_fit",
+    oracle=_zipf_sql("duck"),
+    doc="Zipf's-law fit over the corpus word-frequency distribution: OLS "
+    "of ln(freq) on ln(rank) via regr_slope/regr_intercept over a "
+    "total-order ranking; log inputs rounded before the accumulators so "
+    "ULP-level ln() differences cannot drift the regression.",
+    tags=("text", "extension"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _zipf_sql("spark"), ("documents",))

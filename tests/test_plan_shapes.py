@@ -363,3 +363,14 @@ def test_bigram_lm_joins_stay_equi(spark, sf_dir):
     # token keys, never cartesian (the LM stays vocab-bounded relational)
     df = QS["text_bigram_lm_score"].spark(spark, sf_dir)
     assert_no_cartesian(df)
+
+
+def test_vocab_stats_rank_is_distributed_topk(spark, sf_dir):
+    # the frequency ranking must lower to TakeOrderedAndProject (partial
+    # per-partition top-k): a global-order window over the whole vocab is
+    # the 100 TB scale-killer these two queries were shaped to avoid
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    for name in ("text_vocab_coverage", "text_zipf_fit"):
+        plan = formatted_plan(QS[name].spark(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
