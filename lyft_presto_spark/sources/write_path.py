@@ -10,6 +10,10 @@ Reference mapping:
                     a production deployment would use a lakehouse format.
 - analyze         ≈ StatisticsWriterNode / ANALYZE (feeds the CBO exactly as
                     Presto's stats feed its cost-based optimizer)
+- optimize_table  ≈ extension: small-file compaction (Hive CONCATENATE /
+                    Iceberg rewrite_data_files analog — the reference
+                    delegates compaction to Hive; a 100 TB micro-batch
+                    ingest pipeline needs it as a first-class verb)
 
 Scale notes: writes go through Spark's committer (task-level speculative-safe
 commit, the TableFinish analog); partitioned CTAS lays out partition
@@ -61,6 +65,56 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
         spark.table(stage).write.insertInto(table, overwrite=True)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
+def optimize_table(
+    spark: SparkSession, table: str, target_file_mb: int = 128
+) -> dict[str, int]:
+    """Small-file compaction — the lakehouse OPTIMIZE verb (Hive
+    ``CONCATENATE`` / Iceberg ``rewrite_data_files`` analog; an extension
+    beyond the reference, which delegates compaction to Hive itself). A
+    100 TB ingest pipeline accretes small files from micro-batch appends;
+    scans then pay per-file open/footer costs and lose row-group locality.
+    This rewrites the table into ~``target_file_mb`` files via the same
+    staged-swap, never-``collect()`` discipline as ``delete_where``: file
+    sizing is metadata-only (``inputFiles`` + local size probe), the
+    rewrite is ONE distributed ``repartition(n)`` write (round-robin, so
+    output files are uniformly sized), and the swap back is a second
+    distributed write. Returns before/after file counts."""
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.table(table)
+    files = df.inputFiles()
+    before = len(files)
+    total_bytes = 0
+    for f in files:
+        p = urlparse(f).path
+        try:
+            total_bytes += os.path.getsize(p)
+        except OSError:
+            total_bytes += target_file_mb * 1024 * 1024  # unknown: assume full
+    n_target = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    # a partitioned table must repartition BY its partition columns:
+    # round-robin would send every output task into every partition
+    # directory, multiplying files instead of compacting them
+    part_cols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    from pyspark.sql import functions as F
+
+    if part_cols:
+        compacted = df.repartition(n_target, *[F.col(c) for c in part_cols])
+    else:
+        compacted = df.repartition(n_target)
+    stage = f"{table}__optimize_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    try:
+        compacted.write.format("parquet").saveAsTable(stage)
+        spark.table(stage).write.insertInto(table, overwrite=True)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    return {"files_before": before, "files_after": len(spark.table(table).inputFiles())}
 
 
 def analyze(spark: SparkSession, table: str, columns: tuple[str, ...] = ()) -> None:

@@ -129,3 +129,64 @@ def test_alter_table_add_columns_and_rename(spark, sf_dir, tmp_path_factory):
     tables = [t.name for t in spark.catalog.listTables()]
     assert "alter_dst" in tables and "alter_src" not in tables
     spark.sql("DROP TABLE IF EXISTS alter_dst")
+
+
+def test_optimize_table_compacts_small_files(spark, sf_dir, tmp_path, monkeypatch):
+    """OPTIMIZE (small-file compaction): many tiny appended files rewrite
+    into ~target-size files with byte-identical content, through the same
+    staged-swap never-collect() discipline as DELETE."""
+    import pyspark.sql
+
+    from lyft_presto_spark.sources.write_path import optimize_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_nation_opt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation.limit(0), table, str(tmp_path / "nation_opt"))
+    # micro-batch ingest shape: 8 tiny appends -> >= 8 small files
+    for i in range(8):
+        insert_into(spark, nation.filter(f"n_nationkey % 8 = {i}"), table)
+    before_rows = sorted(map(tuple, spark.table(table).collect()))
+    assert len(spark.table(table).inputFiles()) >= 8
+
+    def _no_collect(self):
+        raise AssertionError("optimize_table must not collect() to the driver")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", _no_collect)
+    try:
+        stats = optimize_table(spark, table, target_file_mb=128)
+    finally:
+        monkeypatch.undo()
+
+    assert stats["files_before"] >= 8
+    assert stats["files_after"] == 1  # tiny table -> one target-size file
+    after_rows = sorted(map(tuple, spark.table(table).collect()))
+    assert after_rows == before_rows  # content byte-identical
+    assert spark.table(table).schema == nation.schema
+    assert not [t for t in spark.catalog.listTables() if t.name == f"{table}__optimize_stage"]
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_optimize_table_respects_partitions(spark, sf_dir, tmp_path):
+    """Partitioned tables compact per partition directory: repartition BY
+    the partition columns, never round-robin across them."""
+    from lyft_presto_spark.sources.write_path import optimize_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_nation_opt_part"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(
+        spark, nation.limit(0), table, str(tmp_path / "nation_opt_part"),
+        partition_by=("n_regionkey",),
+    )
+    for i in range(4):
+        insert_into(spark, nation.filter(f"n_nationkey % 4 = {i}"), table)
+    before_rows = sorted(map(tuple, spark.table(table).collect()))
+    n_parts = spark.table(table).select("n_regionkey").distinct().count()
+    assert len(spark.table(table).inputFiles()) > n_parts
+
+    stats = optimize_table(spark, table, target_file_mb=128)
+    # one file per partition directory is the compacted floor
+    assert stats["files_after"] == n_parts
+    assert sorted(map(tuple, spark.table(table).collect())) == before_rows
+    spark.sql(f"DROP TABLE {table}")
