@@ -1111,3 +1111,123 @@ class TestRatExactness:
         big = Rat._mk(3 * (1 << 300), 2 * (1 << 300))  # guard fires in _mk
         assert big.d.bit_length() <= _RAT_DEN_BITS
         assert big == Rat._mk(3, 2)
+
+
+class TestOverlayAlgebraRandomized:
+    """Measure-theoretic identities over random rectilinear polygon pairs —
+    a 500-case net under the r9 Rat rewrite, far wider than the fixture
+    shapes: area(A) + area(B) == area(A|B) + area(A&B), diff == A - inter,
+    sym == union - inter, plus op-level consistency of overlay() vs
+    overlay_all(). Dyadic half-grid coordinates (the float-exact domain)."""
+
+    @staticmethod
+    def _rand_rect(rng):
+        x0 = rng.randrange(-8, 8) / 2.0
+        y0 = rng.randrange(-8, 8) / 2.0
+        w = rng.randrange(1, 9) / 2.0
+        h = rng.randrange(1, 9) / 2.0
+        return [[
+            {"x": x0, "y": y0}, {"x": x0 + w, "y": y0},
+            {"x": x0 + w, "y": y0 + h}, {"x": x0, "y": y0 + h},
+            {"x": x0, "y": y0},
+        ]]
+
+    @staticmethod
+    def _rand_lshape(rng):
+        # axis-aligned L: a rectangle minus a corner notch (vertices on the
+        # half grid; always simple, CCW)
+        x0 = rng.randrange(-6, 6) / 2.0
+        y0 = rng.randrange(-6, 6) / 2.0
+        w = rng.randrange(2, 9) / 2.0
+        h = rng.randrange(2, 9) / 2.0
+        nw = rng.randrange(1, max(2, int(w * 2))) / 2.0
+        nh = rng.randrange(1, max(2, int(h * 2))) / 2.0
+        nw, nh = min(nw, w - 0.5), min(nh, h - 0.5)
+        return [[
+            {"x": x0, "y": y0}, {"x": x0 + w, "y": y0},
+            {"x": x0 + w, "y": y0 + h - nh}, {"x": x0 + w - nw, "y": y0 + h - nh},
+            {"x": x0 + w - nw, "y": y0 + h}, {"x": x0, "y": y0 + h},
+            {"x": x0, "y": y0},
+        ]]
+
+    def test_inclusion_exclusion_over_random_pairs(self):
+        import random
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            overlay_all,
+            polygon_area,
+        )
+
+        rng = random.Random(99)
+        for case in range(500):
+            mk_a = self._rand_rect if case % 2 == 0 else self._rand_lshape
+            mk_b = self._rand_rect if case % 3 == 0 else self._rand_lshape
+            a, b = mk_a(rng), mk_b(rng)
+            r = overlay_all(a, b)
+            ar = polygon_area([a])
+            br = polygon_area([b])
+            ai = polygon_area(r["intersection"])
+            au = polygon_area(r["union"])
+            ad = polygon_area(r["difference"])
+            ays = polygon_area(r["symdifference"])
+            # half-grid rectilinear areas are exact multiples of 0.25: the
+            # identities must hold to float exactness (tiny eps for the
+            # float summation of the shoelace helper only)
+            eps = 1e-9
+            assert abs((ar + br) - (au + ai)) < eps, (case, a, b)
+            assert abs(ad - (ar - ai)) < eps, (case, a, b)
+            assert abs(ays - (au - ai)) < eps, (case, a, b)
+            assert -eps < ai <= min(ar, br) + eps
+            assert max(ar, br) - eps <= au <= ar + br + eps
+
+    def test_overlay_single_op_matches_overlay_all(self):
+        import random
+
+        from lyft_presto_spark.operators.polygon_overlay import (
+            overlay,
+            overlay_all,
+            polygon_area,
+        )
+
+        rng = random.Random(7)
+        for _ in range(60):
+            a, b = self._rand_lshape(rng), self._rand_rect(rng)
+            r = overlay_all(a, b)
+            for op in ("intersection", "union", "difference", "symdifference"):
+                single = overlay(a, b, op)
+                assert abs(polygon_area(single) - polygon_area(r[op])) < 1e-9
+
+    def test_rat_overlay_differential_vs_stock_fraction(self, monkeypatch):
+        """Differential guard for the r9 scalar swap: the SAME random pairs
+        overlaid with Rat and with fractions.Fraction produce identical
+        geometry (vertex-exact, not just areas)."""
+        import random
+        from fractions import Fraction as StockFraction
+
+        import lyft_presto_spark.operators.polygon_overlay as PO
+
+        rng = random.Random(4242)
+        pairs = [
+            (self._rand_lshape(rng), self._rand_rect(rng)) for _ in range(40)
+        ]
+        with_rat = [PO.overlay_all(a, b) for a, b in pairs]
+        monkeypatch.setattr(PO, "Fraction", StockFraction)
+        try:
+            with_frac = [PO.overlay_all(a, b) for a, b in pairs]
+        finally:
+            monkeypatch.undo()
+
+        def canon(res):
+            out = {}
+            for op, polys in res.items():
+                out[op] = sorted(
+                    sorted(
+                        tuple(sorted((float(p["x"]), float(p["y"])) for p in ring))
+                        for ring in rings
+                    )
+                    for rings in polys
+                )
+            return out
+
+        for (a, b), r1, r2 in zip(pairs, with_rat, with_frac):
+            assert canon(r1) == canon(r2), (a, b)
