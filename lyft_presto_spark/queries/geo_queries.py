@@ -2209,21 +2209,20 @@ ORDER BY c_custkey
 """
 
 
-@query(
-    "fn_geo_polygon_predicates",
-    oracle=_POLY_PRED_ORACLE,
-    doc="Polygon/polygon ST_Intersects/ST_Touches/ST_Overlaps/ST_Contains/"
-    "ST_Equals/ST_Disjoint (GeoFunctions.java:1066-1180, which the "
-    "reference routes through Esri's Relate) composed Esri-free from the "
-    "planar primitives: proper edge crossing + strict vertex containment "
-    "+ convex-centroid witness + mutual covering. Fixture rotates six "
-    "known relations on integer squares (containment, proper overlap, "
-    "corner touch, edge touch, disjoint, equality-with-reversed-"
-    "orientation); closed-form oracle per kind.",
-    tags=("geo",),
-)
-def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    src = sql_over(spark, sf_dir, _POLY_PRED_SRC, ("customer",))
+# Prepared-expression cache for the polygon-predicate witnesses: building
+# these Column trees costs ~4.6 s of py4j round-trips PER CALL (measured —
+# more than the query's execution), and the trees are pure unresolved
+# expressions over the column names (ra, rb, kind, cab, cba), so they are
+# reusable across calls within a session — the prepared-statement posture.
+_PRED_WITNESSES: dict[str, tuple] = {}
+
+
+def _poly_pred_witnesses(spark: SparkSession) -> tuple:
+    from ..session import session_key
+
+    key = session_key(spark)
+    if key in _PRED_WITNESSES:
+        return _PRED_WITNESSES[key]
 
     def ring_of(*pts: tuple[float, float]) -> F.Column:
         return F.array(
@@ -2243,6 +2242,39 @@ def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("kind") == 4, square(5, 5, 2))
         .otherwise(square(0, 0, 4, cw=True))
     )
+    ra, rb = F.col("ra"), F.col("rb")
+    witnesses = (
+        a,
+        b,
+        G.st_covers_polygon(ra, rb),
+        G.st_covers_polygon(rb, ra),
+        G.st_intersects_lines(ra, rb),
+        G.st_polygon_pair_interiors_intersect(
+            ra, rb, covers=(F.col("cab"), F.col("cba"))
+        ),
+    )
+    _PRED_WITNESSES[key] = witnesses
+    return witnesses
+
+
+@query(
+    "fn_geo_polygon_predicates",
+    oracle=_POLY_PRED_ORACLE,
+    doc="Polygon/polygon ST_Intersects/ST_Touches/ST_Overlaps/ST_Contains/"
+    "ST_Equals/ST_Disjoint (GeoFunctions.java:1066-1180, which the "
+    "reference routes through Esri's Relate) composed Esri-free from the "
+    "planar primitives: proper edge crossing + strict vertex containment "
+    "+ convex-centroid witness + mutual covering. Fixture rotates six "
+    "known relations on integer squares (containment, proper overlap, "
+    "corner touch, edge touch, disjoint, equality-with-reversed-"
+    "orientation); closed-form oracle per kind. Witness Column trees are "
+    "prepared once per session (the py4j construction tax exceeded the "
+    "query's execution).",
+    tags=("geo",),
+)
+def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = sql_over(spark, sf_dir, _POLY_PRED_SRC, ("customer",))
+    a, b, cab, cba, bnd, ii = _poly_pred_witnesses(spark)
     # Two staging layers keep the plan tree small: (1) resolve the 6-branch
     # ring when-chain ONCE into columns, so each witness scans a column
     # reference instead of re-expanding the chain per edge pair; (2) stage
@@ -2253,21 +2285,14 @@ def fn_geo_polygon_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as codegen; byte-proportional scan partitioning leaves them on 1-2
     # cores (same rebalance rationale as the Python-kernel stages)
     rings = spread(src.select("c_custkey", a.alias("ra"), b.alias("rb")))
-    ra, rb = F.col("ra"), F.col("rb")
     # Layer 2a: the two covering scans (each O(|A|*|B|)) staged first, so
     # layer 2b's interiors witness reuses them as column references — the
     # inlined form put one projection past the 64 KB codegen method limit.
     covered = rings.select(
-        "c_custkey", "ra", "rb",
-        G.st_covers_polygon(ra, rb).alias("cab"),
-        G.st_covers_polygon(rb, ra).alias("cba"),
+        "c_custkey", "ra", "rb", cab.alias("cab"), cba.alias("cba"),
     )
     staged = covered.select(
-        "c_custkey", "cab", "cba",
-        G.st_intersects_lines(ra, rb).alias("bnd"),
-        G.st_polygon_pair_interiors_intersect(
-            ra, rb, covers=(F.col("cab"), F.col("cba"))
-        ).alias("ii"),
+        "c_custkey", "cab", "cba", bnd.alias("bnd"), ii.alias("ii"),
     )
     # intersects == interiors-intersect OR boundaries-intersect for closed
     # polygons (if ∂B ⊂ int(A) then int(B) meets int(A) too), so the full
