@@ -139,15 +139,20 @@ class Rat:
         return Rat._mk(abs(self.n), self.d)
 
     def __eq__(self, o):
+        # Rat and int only — floats are lifted to Rat at every entry
+        # boundary (``Fraction(float(...))``), so supporting float here
+        # would only create a tower asymmetry: ``==`` accepting a float
+        # that ``<``/``<=`` reject, a hash/eq contract break
+        # (Rat(0.5) == 0.5 with differing hashes), and a ValueError on
+        # NaN via as_integer_ratio (ADVICE r9). NotImplemented lets
+        # Python fall back to reflected-op/identity → False, matching
+        # Fraction-vs-NaN semantics.
         if isinstance(o, Rat):
             if self.d == o.d:
                 return self.n == o.n
             return self.n * o.d == o.n * self.d
-        if isinstance(o, int):
+        if isinstance(o, int):  # bool included, like Fraction's tower
             return self.n == o * self.d
-        if isinstance(o, float):
-            on, od = o.as_integer_ratio()
-            return self.n * od == on * self.d
         return NotImplemented
 
     def __lt__(self, o):

@@ -757,13 +757,22 @@ def _bigram_lm_sql(d: str) -> str:
     # sums decimals again before one double division.
     toks = T.tokens("text", d)
     if d == "spark":
+        # the <2-token screen lives INSIDE tok_t, before the Generate:
+        # sequence(1, size-1) on a short doc is a DESCENDING [1,0] and
+        # element_at(toks, 0) throws under Spark 4 ANSI mode — correctness
+        # must not depend on the optimizer pushing an outer filter below
+        # the explode (ADVICE r9)
+        tok_src = (
+            f"SELECT doc_id, toks FROM (SELECT doc_id, {toks} AS toks FROM documents) "
+            "WHERE size(toks) >= 2"
+        )
         exploded = (
             "SELECT doc_id, element_at(toks, i) AS w1, "
             "element_at(toks, i) || ' ' || element_at(toks, i + 1) AS bigram "
-            "FROM tok_t LATERAL VIEW explode(sequence(1, size(toks) - 1)) AS i "
-            "WHERE size(toks) >= 2"
+            "FROM tok_t LATERAL VIEW explode(sequence(1, size(toks) - 1)) AS i"
         )
     else:
+        tok_src = f"SELECT doc_id, {toks} AS toks FROM documents"
         exploded = (
             "SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram "
             "FROM tok_t, unnest(generate_series(1, len(toks) - 1)) AS t(i) "
@@ -771,7 +780,7 @@ def _bigram_lm_sql(d: str) -> str:
         )
     return f"""
 WITH tok_t AS (
-    SELECT doc_id, {toks} AS toks FROM documents
+    {tok_src}
 ),
 big AS (
     {exploded}

@@ -144,11 +144,20 @@ def _h(i: int) -> int:
     return (i * _KNUTH + 40503) % _M32
 
 
-def orders_row(i: int) -> tuple:
+# FK moduli scale with the catalog scale factor: each row function takes the
+# catalog's scaled cardinalities so o_custkey / l_partkey / l_suppkey /
+# ps_suppkey always land inside the FK target's key range at ANY sf (the
+# reference's generator guarantees resolvable FKs at every scale factor the
+# same way). ``card=None`` means base scale — direct calls and the default
+# sf=1 catalog are unchanged.
+
+
+def orders_row(i: int, card: dict | None = None) -> tuple:
+    c = card or DEFAULT_ROWS
     h = _h(i)
     return (
         i,
-        h % 1500,
+        h % c["customer"],
         _STATUS[h % 3],
         (h % 10_000_000) / 100.0,
         _EPOCH + timedelta(days=h % 2400),
@@ -156,7 +165,8 @@ def orders_row(i: int) -> tuple:
     )
 
 
-def lineitem_row(i: int) -> tuple:
+def lineitem_row(i: int, card: dict | None = None) -> tuple:
+    c = card or DEFAULT_ROWS
     h = _h(i)
     return (
         i // 4,  # ~4 lines per order
@@ -165,22 +175,22 @@ def lineitem_row(i: int) -> tuple:
         (h % 9_000_000) / 100.0 + 900.0,
         float(h % 11) / 100.0,
         "R" if h % 10 == 0 else ("A" if h % 2 == 0 else "N"),
-        h % 2000,  # l_partkey (part cardinality 2000 at the default scale)
-        h % 200,  # l_suppkey (supplier cardinality 200)
+        h % c["part"],  # l_partkey inside the scaled part key range
+        h % c["supplier"],  # l_suppkey inside the scaled supplier key range
         _EPOCH + timedelta(days=h % 2500),  # l_shipdate
     )
 
 
-def region_row(i: int) -> tuple:
+def region_row(i: int, card: dict | None = None) -> tuple:
     return (i, _REGIONS[i % 5])
 
 
-def nation_row(i: int) -> tuple:
+def nation_row(i: int, card: dict | None = None) -> tuple:
     # region spread is index-derived (i % 5) so every region key resolves
     return (i, f"NATION#{i}", i % 5)
 
 
-def customer_row(i: int) -> tuple:
+def customer_row(i: int, card: dict | None = None) -> tuple:
     h = _h(i)
     return (
         i,
@@ -191,12 +201,12 @@ def customer_row(i: int) -> tuple:
     )
 
 
-def supplier_row(i: int) -> tuple:
+def supplier_row(i: int, card: dict | None = None) -> tuple:
     h = _h(i)
     return (i, f"Supplier#{i:09d}", h % 25, (h % 1_100_000 - 100_000) / 100.0)
 
 
-def part_row(i: int) -> tuple:
+def part_row(i: int, card: dict | None = None) -> tuple:
     h = _h(i)
     return (
         i,
@@ -209,10 +219,11 @@ def part_row(i: int) -> tuple:
     )
 
 
-def partsupp_row(i: int) -> tuple:
+def partsupp_row(i: int, card: dict | None = None) -> tuple:
     # 4 suppliers per part, like the reference's SUPPLIERS_PER_PART=4
+    c = card or DEFAULT_ROWS
     h = _h(i)
-    return (i // 4, h % 200, int(h % 10_000 + 1), (h % 100_000) / 100.0 + 1.0)
+    return (i // 4, h % c["supplier"], int(h % 10_000 + 1), (h % 100_000) / 100.0 + 1.0)
 
 
 _TABLES = {
@@ -229,9 +240,10 @@ _TABLES = {
 # Reference default cardinalities at the connector's base scale: the
 # reference's TpchMetadata.java:93 exposes the full catalog per schema; these
 # are the per-table row counts ``format("tpchgen")`` uses when ``rows`` is
-# not given, sized so every foreign key resolves (o_custkey = h % 1500 needs
-# 1500 customers; l_partkey = h % 2000 needs 2000 parts; l_suppkey /
-# ps_suppkey = h % 200 need 200 suppliers; partsupp is 4 rows per part).
+# not given. FK moduli are the (sf-scaled) cardinalities of the FK targets —
+# o_custkey = h % customer_count, l_partkey = h % part_count, l_suppkey /
+# ps_suppkey = h % supplier_count — so every foreign key resolves at ANY sf
+# (partsupp is 4 rows per part, like the reference's SUPPLIERS_PER_PART=4).
 DEFAULT_ROWS = {
     "region": 5,
     "nation": 25,
@@ -276,9 +288,10 @@ class TpchGenReader(DataSourceReader):
     key bound maps to an index bound exactly. Pushed filters are fully
     handled (not re-evaluated by Spark), every other filter is returned."""
 
-    def __init__(self, table: str, rows: int, partitions: int):
+    def __init__(self, table: str, rows: int, partitions: int, card: dict | None = None):
         self.table = table
         self.rows = rows
+        self.card = card or DEFAULT_ROWS  # scaled FK cardinalities
         self.n_parts = max(1, min(partitions, rows or 1))
         self.lo = 0  # half-open pruned index range [lo, hi)
         self.hi = rows
@@ -330,8 +343,9 @@ class TpchGenReader(DataSourceReader):
 
     def read(self, partition: _RangeSplit):
         gen = _TABLES[self.table][1]
+        card = self.card
         for i in range(partition.start, partition.end):
-            yield gen(i)
+            yield gen(i, card)
 
 
 class TpchGenDataSource(DataSource):
@@ -351,13 +365,20 @@ class TpchGenDataSource(DataSource):
             raise ValueError(f"tpchgen: unknown table {table!r}")
         return _TABLES[table][0]
 
+    def _cards(self) -> dict[str, int]:
+        """Catalog cardinalities at this sf — the FK moduli every row
+        function uses, so foreign keys resolve at any scale factor (sf<1
+        shrinks the moduli with the tables; sf>1 widens them)."""
+        sf = float(self.options.get("sf", "1"))
+        return {
+            t: (n if t in ("region", "nation") else max(1, int(n * sf)))
+            for t, n in DEFAULT_ROWS.items()
+        }
+
     def _rows(self, table: str) -> int:
         if "rows" in self.options:
             return int(self.options["rows"])
-        base = DEFAULT_ROWS.get(table, 1000)
-        if table in ("region", "nation"):  # fixed-size like the reference
-            return base
-        return int(base * float(self.options.get("sf", "1")))
+        return self._cards()[table]
 
     def reader(self, schema: StructType) -> DataSourceReader:
         table = self.options.get("table", "orders")
@@ -365,6 +386,7 @@ class TpchGenDataSource(DataSource):
             table,
             self._rows(table),
             int(self.options.get("partitions", "8")),
+            self._cards(),
         )
 
     def simpleStreamReader(self, schema: StructType):
@@ -373,6 +395,7 @@ class TpchGenDataSource(DataSource):
             table,
             self._rows(table),
             int(self.options.get("rowsPerBatch", "100")),
+            self._cards(),
         )
 
 
@@ -409,9 +432,10 @@ class TpchGenStreamReader(SimpleDataSourceStreamReader):
     """Micro-batches of ``rowsPerBatch`` generated rows; stops advancing at
     ``rows`` (a bounded stream, so availableNow drains it)."""
 
-    def __init__(self, table: str, rows: int, rows_per_batch: int):
+    def __init__(self, table: str, rows: int, rows_per_batch: int, card: dict | None = None):
         self.table = table
         self.rows = rows
+        self.card = card or DEFAULT_ROWS
         self.per = max(1, rows_per_batch)
 
     def initialOffset(self) -> dict:
@@ -424,4 +448,4 @@ class TpchGenStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         gen = _TABLES[self.table][1]
-        return iter([gen(i) for i in range(start["i"], end["i"])])
+        return iter([gen(i, self.card) for i in range(start["i"], end["i"])])

@@ -45,6 +45,34 @@ def insert_into(spark: SparkSession, df: DataFrame, table: str) -> None:
     df.write.insertInto(table, overwrite=False)
 
 
+def _staged_swap(spark: SparkSession, df: DataFrame, table: str, stage: str) -> None:
+    """Write ``df`` to ``stage``, then overwrite ``table`` from it.
+
+    Failure containment (ADVICE r9): if the STAGE write fails, the stage is
+    dropped and the target is untouched. If the SWAP overwrite fails
+    mid-write, the target may be truncated — so the stage table (now the
+    only complete copy of the data) is deliberately KEPT and its name
+    surfaced for recovery; only a fully successful swap drops it. (An
+    atomic-rename catalog would swap via ALTER instead; the parquet
+    session catalog has no atomic swap.)
+    """
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    try:
+        df.write.format("parquet").saveAsTable(stage)
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS {stage}")  # partial stage; target intact
+        raise
+    try:
+        spark.table(stage).write.insertInto(table, overwrite=True)
+    except Exception as e:
+        raise RuntimeError(
+            f"staged swap into {table!r} failed mid-overwrite; the complete "
+            f"pre-swap data is preserved in stage table {stage!r} — recover "
+            f"with: INSERT OVERWRITE {table} SELECT * FROM {stage}"
+        ) from e
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+
+
 def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
     """DELETE FROM table WHERE predicate, as overwrite-minus-matches.
 
@@ -57,14 +85,8 @@ def delete_where(spark: SparkSession, table: str, predicate: str) -> None:
     # (never .collect(): at 100 TB that is a guaranteed driver OOM, and the
     # Python round-trip perturbs timestamp/decimal types). The staged copy
     # breaks the read-own-table-mid-overwrite cycle; the swap back is a
-    # second distributed write.
-    stage = f"{table}__delete_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    try:
-        remaining.write.format("parquet").saveAsTable(stage)
-        spark.table(stage).write.insertInto(table, overwrite=True)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    # second distributed write (failure-contained in _staged_swap).
+    _staged_swap(spark, remaining, table, f"{table}__delete_stage")
 
 
 def optimize_table(
@@ -77,23 +99,15 @@ def optimize_table(
     scans then pay per-file open/footer costs and lose row-group locality.
     This rewrites the table into ~``target_file_mb`` files via the same
     staged-swap, never-``collect()`` discipline as ``delete_where``: file
-    sizing is metadata-only (``inputFiles`` + local size probe), the
+    sizing is metadata-only (``inputFiles`` + Hadoop FileSystem status —
+    scheme-agnostic, so HDFS/S3 paths size correctly, ADVICE r9), the
     rewrite is ONE distributed ``repartition(n)`` write (round-robin, so
     output files are uniformly sized), and the swap back is a second
     distributed write. Returns before/after file counts."""
-    import os
-    from urllib.parse import urlparse
-
     df = spark.table(table)
     files = df.inputFiles()
     before = len(files)
-    total_bytes = 0
-    for f in files:
-        p = urlparse(f).path
-        try:
-            total_bytes += os.path.getsize(p)
-        except OSError:
-            total_bytes += target_file_mb * 1024 * 1024  # unknown: assume full
+    total_bytes = _total_file_bytes(spark, files)
     n_target = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     # a partitioned table must repartition BY its partition columns:
     # round-robin would send every output task into every partition
@@ -107,14 +121,36 @@ def optimize_table(
         compacted = df.repartition(n_target, *[F.col(c) for c in part_cols])
     else:
         compacted = df.repartition(n_target)
-    stage = f"{table}__optimize_stage"
-    spark.sql(f"DROP TABLE IF EXISTS {stage}")
-    try:
-        compacted.write.format("parquet").saveAsTable(stage)
-        spark.table(stage).write.insertInto(table, overwrite=True)
-    finally:
-        spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    _staged_swap(spark, compacted, table, f"{table}__optimize_stage")
     return {"files_before": before, "files_after": len(spark.table(table).inputFiles())}
+
+
+def _total_file_bytes(spark: SparkSession, files: list[str]) -> int:
+    """Sum file sizes through the Hadoop FileSystem API — scheme-agnostic
+    (file://, hdfs://, s3a://), one listStatus RPC per parent directory
+    rather than one per file. A file whose status cannot be read counts as
+    SMALL (0 bytes): the failure mode is then "compacts a bit too hard",
+    never the ADVICE-r9 inversion where unknown files are assumed
+    target-sized and compaction silently becomes an expensive no-op."""
+    from collections import defaultdict
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    by_parent: dict[str, set[str]] = defaultdict(set)
+    for f in files:
+        jpath = jvm.org.apache.hadoop.fs.Path(f)
+        by_parent[str(jpath.getParent())].add(jpath.getName())
+    total = 0
+    for parent, names in by_parent.items():
+        try:
+            ppath = jvm.org.apache.hadoop.fs.Path(parent)
+            fs = ppath.getFileSystem(hconf)
+            for st in fs.listStatus(ppath):
+                if st.getPath().getName() in names:
+                    total += int(st.getLen())
+        except Exception:
+            continue  # unknown files count as small — compaction still runs
+    return total
 
 
 def analyze(spark: SparkSession, table: str, columns: tuple[str, ...] = ()) -> None:

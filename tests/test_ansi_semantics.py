@@ -54,3 +54,21 @@ def test_array_subscript_oob_errors(spark):
 def test_string_to_date_strictness(spark):
     assert _fails(spark, "SELECT CAST('2024-13-45' AS DATE)")
     assert spark.sql("SELECT try_cast('2024-13-45' AS DATE) AS v").collect()[0]["v"] is None
+
+
+def test_bigram_lm_short_docs_never_throw_under_ansi(spark):
+    """ADVICE r9: docs with <2 tokens must be screened BEFORE the bigram
+    Generate — sequence(1, size-1) on a short doc is a descending [1,0]
+    and element_at(toks, 0) throws under Spark 4 ANSI mode. Correctness
+    must hold in every plan shape, not only when the optimizer happens to
+    push an outer filter below the explode."""
+    from lyft_presto_spark.queries.text_pipeline import _bigram_lm_sql
+
+    rows = [(1, "only"), (2, ""), (3, "-"), (4, "two tokens here indeed")]
+    spark.createDataFrame(rows, "doc_id INT, text STRING").createOrReplaceTempView(
+        "documents_short_ansi"
+    )
+    sql = _bigram_lm_sql("spark").replace("FROM documents)", "FROM documents_short_ansi)")
+    out = spark.sql(sql).collect()  # must not raise INVALID_ARRAY_INDEX
+    assert sum(r.n_docs for r in out) == 1  # only doc 4 produces bigrams
+    spark.catalog.dropTempView("documents_short_ansi")

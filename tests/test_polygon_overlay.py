@@ -1102,6 +1102,26 @@ class TestRatExactness:
         d = {(a, a): "x"}
         assert (b, b) in d
 
+    def test_rat_float_comparisons_are_symmetric_and_nan_safe(self):
+        # ADVICE r9: floats are lifted at the boundary, so the tower must
+        # be SYMMETRIC — == does not secretly accept floats that < rejects,
+        # and NaN never raises (falls back to identity → False, matching
+        # Fraction-vs-NaN semantics).
+        import pytest
+
+        from lyft_presto_spark.operators.polygon_overlay import Rat
+
+        half = Rat(1) / Rat(2)
+        assert (half == 0.5) is False  # no float eq → no hash/eq break
+        assert (0.5 == half) is False
+        assert (half == float("nan")) is False  # no ValueError
+        assert half != float("nan")
+        with pytest.raises(TypeError):
+            half < 0.5  # ordering rejects floats, same as before
+        # bool stays inside the int tower, like Fraction
+        assert Rat(1) == True  # noqa: E712
+        assert Rat(0) == False  # noqa: E712
+
     def test_rat_bit_guard_reduces_large_denominators(self):
         from lyft_presto_spark.operators.polygon_overlay import (
             _RAT_DEN_BITS,

@@ -92,6 +92,26 @@ def test_sf_option_scales_variable_tables_only(spark):
     assert _read(spark, table="nation", sf=2).count() == 25
 
 
+def test_sf_scales_fk_moduli_so_joins_never_drop_rows(spark):
+    # ADVICE r9 (medium): at sf != 1 the FK moduli must scale with the FK
+    # target's cardinality — sf<1 must not dangle (inner joins silently
+    # dropping rows), sf>1 must reference the WIDENED key range.
+    cust = _read(spark, table="customer", sf=0.1)
+    ords = _read(spark, table="orders", sf=0.1)
+    assert cust.count() == 150
+    assert ords.join(cust, ords.o_custkey == cust.c_custkey, "left_anti").count() == 0
+    li = _read(spark, table="lineitem", sf=0.1)
+    part = _read(spark, table="part", sf=0.1)
+    supp = _read(spark, table="supplier", sf=0.1)
+    assert li.join(part, li.l_partkey == part.p_partkey, "left_anti").count() == 0
+    assert li.join(supp, li.l_suppkey == supp.s_suppkey, "left_anti").count() == 0
+    ps = _read(spark, table="partsupp", sf=0.1)
+    assert ps.join(supp, ps.ps_suppkey == supp.s_suppkey, "left_anti").count() == 0
+    # sf>1: FKs span the widened range, not just the base-scale prefix
+    o2 = _read(spark, table="orders", sf=2)
+    assert o2.agg({"o_custkey": "max"}).collect()[0][0] >= 1500
+
+
 def test_partsupp_key_pushdown_uses_4_rows_per_key(spark):
     got = _read(spark, table="partsupp", rows=8000).filter("ps_partkey = 33").collect()
     assert len(got) == 4

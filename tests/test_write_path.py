@@ -190,3 +190,76 @@ def test_optimize_table_respects_partitions(spark, sf_dir, tmp_path):
     assert stats["files_after"] == n_parts
     assert sorted(map(tuple, spark.table(table).collect())) == before_rows
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_staged_swap_failure_preserves_stage_table(spark, sf_dir, tmp_path):
+    """ADVICE r9: if the swap overwrite fails mid-write, the stage table is
+    the only complete copy — it must be KEPT and named in the error, not
+    dropped by a finally block."""
+    import pytest
+
+    from lyft_presto_spark.sources.write_path import _staged_swap
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_swapfail"
+    stage = f"{table}__delete_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    ctas(spark, nation, table, str(tmp_path / "swapfail"))
+    # force the SWAP (second phase) to fail: drop the target between the
+    # stage write and the overwrite by pointing the swap at a bad table name
+    broken = nation.selectExpr("n_nationkey AS wrong_col")  # schema mismatch
+    with pytest.raises(RuntimeError, match=stage):
+        _staged_swap(spark, broken, table, stage)
+    # stage survives with the complete staged data, target not silently lost
+    assert [t for t in spark.catalog.listTables() if t.name == stage]
+    assert spark.table(stage).count() == nation.count()
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_staged_swap_stage_write_failure_drops_partial_stage(spark, sf_dir, tmp_path):
+    """If the STAGE write itself fails the target is untouched and the
+    partial stage is cleaned up (nothing to recover: target still complete)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.sources.write_path import _staged_swap
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_stagefail"
+    stage = f"{table}__delete_stage"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(f"DROP TABLE IF EXISTS {stage}")
+    ctas(spark, nation, table, str(tmp_path / "stagefail"))
+    exploding = nation.withColumn(
+        "boom", F.assert_true(F.col("n_nationkey") < 0, F.lit("stage write fails"))
+    )
+    with pytest.raises(Exception):
+        _staged_swap(spark, exploding, table, stage)
+    assert not [t for t in spark.catalog.listTables() if t.name == stage]
+    assert spark.table(table).count() == nation.count()  # target intact
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_total_file_bytes_via_hadoop_fs(spark, sf_dir, tmp_path):
+    """File sizing goes through the Hadoop FileSystem API (scheme-agnostic,
+    ADVICE r9) and matches the local on-disk truth for file:// paths;
+    unreadable files count as SMALL so compaction never degrades to an
+    expensive same-file-count rewrite."""
+    import os
+    from urllib.parse import urlparse
+
+    from lyft_presto_spark.sources.write_path import _total_file_bytes
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_sizing"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation, table, str(tmp_path / "sizing"))
+    files = spark.table(table).inputFiles()
+    want = sum(os.path.getsize(urlparse(f).path) for f in files)
+    assert _total_file_bytes(spark, files) == want > 0
+    # unknown/unreadable paths: counted as 0 (assume-small), never as full
+    ghost = [str(tmp_path / "nope" / "missing.parquet")]
+    assert _total_file_bytes(spark, ghost) == 0
+    spark.sql(f"DROP TABLE {table}")
