@@ -187,6 +187,25 @@ def main() -> None:
         json.dump(result, f, indent=1)
         f.write("\n")
     print(json.dumps(result))
+    # The full JSON above is ~36 KB and the driver's stdout-tail window has
+    # truncated it three rounds running (BENCH_r07..r09 parsed: null). Emit a
+    # compact self-sufficient summary as the LAST stdout line — small enough
+    # that any tail window keeps it intact — so the driver's parse succeeds
+    # even without the committed artifact (VERDICT r9 next-round #2).
+    print(
+        json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": "sec",
+                "sf": result["sf"],
+                "n_queries": len(per_query),
+                "failed": failed,
+                "probe_median": result["probe"]["median"],
+                "full_results": os.path.basename(out_path),
+            }
+        )
+    )
     release_staged(spark)  # reclaim persisted signature/supply artifacts
     spark.stop()
     if failed:

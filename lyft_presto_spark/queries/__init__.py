@@ -150,34 +150,66 @@ from .registry import REGISTRY, Query, query
 # sim_topk_bruteforce (keeper). Family coverage after rotation: tpcds 10,
 # connector 2, ml 2, geo 1, op 2, fn 4, events 2, text 2, multimodal 1,
 # dedup 1, sim 1 — every family keeps >= 1 scored row.
+# r10 rotation — ALL 28 non-TPC-H r9 slots were driver-green (VERDICT r9:
+# 50/50 green, 26 first-time), so all 28 yield. 25 go to rows the driver
+# has NEVER scored (VERDICT r9 next-round #1 asked for >= 20), prioritized
+# per the verdict: the four r9-built-never-scored rows
+# (text_bigram_lm_score — now with the r10 posting pre-aggregation,
+# sim_random_projection, text_vocab_coverage, text_zipf_fit), the
+# generator-connector rows (connector_tpchgen_q6 from r9 plus the NEW r10
+# connector_tpchgen_q9 — the widest TPC-H join web on the generator
+# catalog, VERDICT ask #4), the freshly optimized generic-relate
+# dispatcher (fn_geo_relate_any — the r10 prepared-cache + single-parser
+# rework deserves driver validation), the oldest unscored op_*/fn_* rows,
+# the five OLDEST-numbered unscored TPC-DS shapes, and first-time
+# events/geo representatives. dedup, ml, and multimodal have NO
+# never-scored rows left (every row driver-green in r1-r9), so each keeps
+# one cheap re-scored keeper (dedup_exact, ml_classify, multimodal_decode)
+# to satisfy the one-scored-row-per-family invariant.
+# Out (r9-green) -> in: connector_tpchgen_orders -> connector_tpchgen_q6;
+# connector_tpchgen_q3 -> connector_tpchgen_q9 (NEW r10); ml_regress ->
+# text_bigram_lm_score; fn_geo_collection_relate -> fn_geo_relate_any;
+# tpcds_q02 -> tpcds_q12; tpcds_q03 -> tpcds_q13; tpcds_q04 -> tpcds_q15;
+# tpcds_q05 -> tpcds_q16; tpcds_q06 -> tpcds_q17; tpcds_q07 ->
+# sim_random_projection; tpcds_q08 -> text_vocab_coverage; tpcds_q09 ->
+# text_zipf_fit; tpcds_q11 -> events_json_props; tpcds_q32 ->
+# geo_convex_hull_agg; op_window_range_interval -> op_subquery_scalar;
+# op_skew_salted_join -> op_cte_reuse; fn_math -> op_join_using;
+# fn_datetime -> op_join_natural; fn_minmax_by -> op_window_ignore_nulls;
+# fn_quantile_rollup -> fn_bitwise; events_hopping_window ->
+# fn_conditional; events_top_per_type -> fn_url; text_bpe_token_count ->
+# fn_map; text_sequence_packing -> fn_binary_hash; multimodal_video_frames
+# -> fn_geo_accessors; sim_topk_bruteforce -> multimodal_decode (keeper);
+# dedup_exact stays (keeper); ml_classify stays (keeper). Family coverage
+# after rotation: tpcds 5, connector 2, text 3, geo 3, op 5, fn 5,
+# events 1, sim 1, dedup 1, ml 1, multimodal 1 — every family keeps
+# >= 1 scored row.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (cheap, core evidence)
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # Generator connector (r8 build + the new r9 full-catalog Q3)
-    "connector_tpchgen_orders", "connector_tpchgen_q3",
-    # ML (newly value-checked oracles this round)
-    "ml_classify", "ml_regress",
-    # Geometry: collection relate with multi-member flattening
-    "fn_geo_collection_relate",
-    # TPC-DS-shape corpus: oldest never-scored numbers
-    "tpcds_q02_week_over_year_ratio", "tpcds_q03_brand_year_revenue",
-    "tpcds_q04_triple_channel_growth", "tpcds_q05_channel_profit_summary",
-    "tpcds_q06_above_category_avg_buyers", "tpcds_q07_demographic_averages",
-    "tpcds_q08_intersect_screened_sales", "tpcds_q09_case_scalar_subqueries",
-    "tpcds_q11_channel_growth", "tpcds_q32_catalog_excess_discount",
-    # Core operator paths never scored
-    "op_window_range_interval", "op_skew_salted_join",
+    # Generator connector: Q6 pushdown shape (r9) + the NEW r10 Q9 join web
+    "connector_tpchgen_q6", "connector_tpchgen_q9",
+    # r9-built, never scored (VERDICT r9 priority)
+    "text_bigram_lm_score", "sim_random_projection",
+    "text_vocab_coverage", "text_zipf_fit",
+    # Geometry: the r10-optimized generic dispatcher + long-unscored rows
+    "fn_geo_relate_any", "fn_geo_accessors", "geo_convex_hull_agg",
+    # Oldest never-scored core-operator paths
+    "op_subquery_scalar", "op_cte_reuse", "op_join_using",
+    "op_join_natural", "op_window_ignore_nulls",
     # Long-unscored function families
-    "fn_math", "fn_datetime", "fn_minmax_by", "fn_quantile_rollup",
+    "fn_bitwise", "fn_conditional", "fn_url", "fn_map", "fn_binary_hash",
+    # TPC-DS-shape corpus: oldest never-scored numbers
+    "tpcds_q12_web_class_share", "tpcds_q13_band_disjunction_averages",
+    "tpcds_q15_disjunctive_mixed_screen", "tpcds_q16_urgent_multi_supplier",
+    "tpcds_q17_repurchase_stats",
     # Extension families — first-time representatives
-    "events_hopping_window", "events_top_per_type",
-    "text_bpe_token_count", "text_sequence_packing",
-    "multimodal_video_frames",
-    # Family keepers (all dedup/sim rows already driver-green r1-r8)
-    "dedup_exact", "sim_topk_bruteforce",
+    "events_json_props",
+    # Family keepers (no never-scored rows left in dedup/ml/multimodal)
+    "dedup_exact", "ml_classify", "multimodal_decode",
 )
 
 

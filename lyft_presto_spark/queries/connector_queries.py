@@ -241,3 +241,131 @@ def connector_tpchgen_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(cents * disc_pct).cast("bigint").alias("revenue_mcents"),
     )
+
+
+# --- TPC-H Q9 shape: the full join web over the generator catalog ------------
+# Product-type profit by nation and year — the widest join chain in TPC-H
+# (lineitem |><| orders |><| part |><| partsupp |><| supplier |><| nation),
+# every row synthesized on executors by the connector. The reference's
+# generator serves all 22 queries this way (TpchMetadata.java:93). Two
+# halves of the connector contract in one query: the l_orderkey bound is
+# CONSUMED by key-range pushdown (lineitem generation shrinks to
+# [0, 8000*4)), the p_type LIKE screen stays residual Spark-side. Profit
+# is exactified to integer milli-cents — revenue cents*(100-disc_pct)
+# minus cost supplycost_cents*qty*100 — so both engines sum exactly.
+# partsupp joins on BOTH keys (ps_partkey, ps_suppkey), the composite-key
+# equi-join Q9 is known for; the generator's independent l_suppkey hash
+# makes the pair sparse (~2% match), which both engines reproduce
+# identically from the shared row hash.
+
+_Q9_H = "((i * 2654435761 + 40503) % 4294967296)"
+
+_Q9_ORACLE = f"""
+WITH li AS (
+    SELECT i // 4 AS l_orderkey,
+           {_Q9_H} % 2000 AS l_partkey,
+           {_Q9_H} % 200 AS l_suppkey,
+           {_Q9_H} % 50 + 1 AS qty,
+           CAST(round((({_Q9_H} % 9000000) / 100.0 + 900.0) * 100, 0) AS BIGINT) AS cents,
+           {_Q9_H} % 11 AS disc_pct
+    FROM generate_series(0, 31999) AS t(i)
+),
+ord AS (
+    SELECT i AS o_orderkey,
+           TIMESTAMP '1995-01-01' + ({_Q9_H} % 2400) * INTERVAL 1 DAY AS o_orderdate
+    FROM generate_series(0, 9999) AS t(i)
+),
+prt AS (
+    SELECT i AS p_partkey,
+           CASE {_Q9_H} % 6
+                WHEN 0 THEN 'ECONOMY ANODIZED STEEL' WHEN 1 THEN 'LARGE BRUSHED BRASS'
+                WHEN 2 THEN 'MEDIUM POLISHED COPPER' WHEN 3 THEN 'PROMO BURNISHED NICKEL'
+                WHEN 4 THEN 'SMALL PLATED TIN' ELSE 'STANDARD POLISHED STEEL' END AS p_type
+    FROM generate_series(0, 1999) AS t(i)
+),
+ps AS (
+    SELECT i // 4 AS ps_partkey,
+           {_Q9_H} % 200 AS ps_suppkey,
+           {_Q9_H} % 100000 + 100 AS supp_cents
+    FROM generate_series(0, 7999) AS t(i)
+),
+sup AS (
+    SELECT i AS s_suppkey, {_Q9_H} % 25 AS s_nationkey
+    FROM generate_series(0, 199) AS t(i)
+),
+nat AS (
+    SELECT i AS n_nationkey, 'NATION#' || CAST(i AS VARCHAR) AS n_name
+    FROM generate_series(0, 24) AS t(i)
+)
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents * (100 - disc_pct) - supp_cents * qty * 100) AS BIGINT)
+           AS profit_mcents
+FROM li
+JOIN ord ON l_orderkey = o_orderkey
+JOIN prt ON l_partkey = p_partkey
+JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+JOIN sup ON l_suppkey = s_suppkey
+JOIN nat ON s_nationkey = n_nationkey
+WHERE p_type LIKE '%STEEL'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@query(
+    "connector_tpchgen_q9",
+    oracle=_Q9_ORACLE,
+    doc="TPC-H Q9 shape (product-type profit) end-to-end on the generator "
+    "catalog — the widest TPC-H join web (lineitem/orders/part/partsupp/"
+    "supplier/nation, partsupp on the composite key), every input row "
+    "synthesized on executors (TpchMetadata.java:93 serves all 22 queries "
+    "from the reference generator). l_orderkey < 8000 is consumed by "
+    "key-range pushdown; the p_type LIKE screen stays residual. Small "
+    "dims broadcast; profit exactified to integer milli-cents.",
+    tags=("connector",),
+)
+def connector_tpchgen_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch_datasource import register_tpchgen
+
+    register_tpchgen(spark)
+
+    def gen(table: str) -> DataFrame:
+        return (
+            spark.read.format("tpchgen")
+            .option("table", table)
+            .option("partitions", "8")
+            .load()
+        )
+
+    li = gen("lineitem").filter(F.col("l_orderkey") < 8000)  # pushed key range
+    ord_ = gen("orders")
+    prt = gen("part").filter(F.col("p_type").like("%STEEL"))  # residual screen
+    ps = gen("partsupp")
+    sup = gen("supplier")
+    nat = gen("nation")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    supp_cents = F.round(F.col("ps_supplycost") * 100, 0).cast("bigint")
+    qty = F.col("l_quantity").cast("bigint")
+    profit = cents * (100 - disc_pct) - supp_cents * qty * 100
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .join(
+            ps,
+            (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
+        )
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(profit).cast("bigint").alias("profit_mcents"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )

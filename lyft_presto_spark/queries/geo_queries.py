@@ -1336,42 +1336,53 @@ ORDER BY c_custkey
 )
 def fn_geo_simple_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sql_over(spark, sf_dir, _SIMPLE_SRC, ("customer",))
-    polyline = F.array(
-        G.st_point(F.lit(0.0), F.lit(0.0)),
-        G.st_point(F.lit(5.0), F.lit(0.0)),
-        G.st_point(F.col("m"), F.col("b")),
-    )
-    square = [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0)]
-    ring = F.when(
-        F.col("make_bowtie"),
-        F.array(*[G.st_point(F.lit(x), F.lit(y)) for x, y in square]
-                + [G.st_point(F.lit(0.0), F.lit(0.0))]),
-    ).otherwise(
-        F.array(
+
+    def build() -> tuple:
+        polyline = F.array(
             G.st_point(F.lit(0.0), F.lit(0.0)),
-            G.st_point(F.lit(4.0), F.lit(0.0)),
-            G.st_point(F.lit(4.0), F.lit(4.0)),
-            G.st_point(F.lit(0.0), F.lit(4.0)),
-            G.st_point(F.lit(0.0), F.lit(0.0)),
+            G.st_point(F.lit(5.0), F.lit(0.0)),
+            G.st_point(F.col("m"), F.col("b")),
         )
+        square = [(0.0, 0.0), (4.0, 4.0), (4.0, 0.0), (0.0, 4.0)]
+        ring = F.when(
+            F.col("make_bowtie"),
+            F.array(*[G.st_point(F.lit(x), F.lit(y)) for x, y in square]
+                    + [G.st_point(F.lit(0.0), F.lit(0.0))]),
+        ).otherwise(
+            F.array(
+                G.st_point(F.lit(0.0), F.lit(0.0)),
+                G.st_point(F.lit(4.0), F.lit(0.0)),
+                G.st_point(F.lit(4.0), F.lit(4.0)),
+                G.st_point(F.lit(0.0), F.lit(4.0)),
+                G.st_point(F.lit(0.0), F.lit(0.0)),
+            )
+        )
+        base = F.array(
+            G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
+        )
+        vert = F.array(
+            G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
+        )
+        crossings = G.st_line_crossings(base, vert)
+        # F.get, not element_at: ANSI element_at throws on the empty (no
+        # crossing) array; get returns NULL out of bounds.
+        first = F.get(F.col("crossings"), 0)
+        return (
+            G.st_is_simple_line(polyline).alias("line_simple"),
+            G.st_is_ring(ring).alias("ring_ok"),
+            crossings.alias("crossings"),
+            first["x"].alias("cross_x"),
+            first["y"].alias("cross_y"),
+            F.size(F.col("crossings")).cast("int").alias("n_crossings"),
+        )
+
+    # the simplicity/ring scans are indexed edge-pair trees — session-prepared
+    simple_c, ring_c, crossings_c, cx, cy, nc = prepared_cols(
+        spark, "fn_geo_simple_ring", build
     )
-    base = F.array(
-        G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
-    )
-    vert = F.array(
-        G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
-    )
-    crossings = G.st_line_crossings(base, vert)
-    # F.get, not element_at: ANSI element_at throws on the empty (no
-    # crossing) array; get returns NULL out of bounds.
-    first = F.get(crossings, 0)
-    return src.select(
-        "c_custkey",
-        G.st_is_simple_line(polyline).alias("line_simple"),
-        G.st_is_ring(ring).alias("ring_ok"),
-        first["x"].alias("cross_x"),
-        first["y"].alias("cross_y"),
-        F.size(crossings).cast("int").alias("n_crossings"),
+    staged = src.select("c_custkey", simple_c, ring_c, crossings_c)
+    return staged.select(
+        "c_custkey", "line_simple", "ring_ok", cx, cy, nc
     ).orderBy("c_custkey")
 
 
@@ -1548,59 +1559,59 @@ ORDER BY c_custkey
 def fn_geo_multipolygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sql_over(spark, sf_dir, _MPOLY_SRC, ("customer",))
 
-    def n(c: F.Column) -> F.Column:
-        return c.cast("int").cast("string")
+    def build() -> tuple:
+        def n(c: F.Column) -> F.Column:
+            return c.cast("int").cast("string")
 
-    s, t_ = F.col("s"), F.col("t")
-    member1 = F.concat(
-        F.lit("((0 0, "), n(s), F.lit(" 0, "), n(s), F.lit(" "), n(s),
-        F.lit(", 0 "), n(s), F.lit(", 0 0)"),
-        F.when(
-            F.col("with_hole"), F.lit(", (1 1, 2 1, 2 2, 1 2, 1 1)")
-        ).otherwise(F.lit("")),
-        F.lit(")"),
-    )
-    member2 = F.concat(
-        F.lit("((20 0, "), n(20 + t_), F.lit(" 0, "), n(20 + t_), F.lit(" "),
-        n(t_), F.lit(", 20 "), n(t_), F.lit(", 20 0))"),
-    )
-    wkt_expr = F.concat(
-        F.lit("MULTIPOLYGON ("), member1, F.lit(", "), member2, F.lit(")")
-    )
+        s, t_ = F.col("s"), F.col("t")
+        member1 = F.concat(
+            F.lit("((0 0, "), n(s), F.lit(" 0, "), n(s), F.lit(" "), n(s),
+            F.lit(", 0 "), n(s), F.lit(", 0 0)"),
+            F.when(
+                F.col("with_hole"), F.lit(", (1 1, 2 1, 2 2, 1 2, 1 1)")
+            ).otherwise(F.lit("")),
+            F.lit(")"),
+        )
+        member2 = F.concat(
+            F.lit("((20 0, "), n(20 + t_), F.lit(" 0, "), n(20 + t_), F.lit(" "),
+            n(t_), F.lit(", 20 "), n(t_), F.lit(", 20 0))"),
+        )
+        wkt_expr = F.concat(
+            F.lit("MULTIPOLYGON ("), member1, F.lit(", "), member2, F.lit(")")
+        )
+        wkt, mp = F.col("wkt"), F.col("mp")
+        reparsed = G.st_multipolygon_from_wkt(G.st_multipolygon_as_wkt(mp))
+        return (
+            wkt_expr.alias("wkt"),
+            G.st_multipolygon_from_wkt(wkt_expr).alias("mp"),
+            G.st_num_geometries(mp).cast("int").alias("n_polys"),
+            G.st_multipolygon_area(mp).alias("total_area"),
+            G.st_multipolygon_perimeter(mp).alias("total_perimeter"),
+            G.st_multipolygon_contains(mp, G.st_point(F.lit(0.5), F.lit(0.5))).alias(
+                "contains_shell_pt"
+            ),
+            G.st_multipolygon_contains(mp, G.st_point(F.lit(1.5), F.lit(1.5))).alias(
+                "contains_hole_pt"
+            ),
+            G.st_multipolygon_contains(mp, G.st_point(F.lit(20.5), F.lit(1.5))).alias(
+                "contains_member2"
+            ),
+            G.st_polygon_area(G.st_geometry_n(mp, 2)).alias("member2_area"),
+            (G.st_multipolygon_area(reparsed) == G.st_multipolygon_area(mp)).alias(
+                "roundtrip_ok"
+            ),
+            G.st_geometry_type_wkt(wkt).alias("mp_type"),
+        )
+
     # Two-stage select: the nested parse tree is large and referenced by
     # eight output columns (plus the render->reparse roundtrip) — staging it
     # as a named column keeps ONE copy in the plan instead of ~10
     # (CollapseProject leaves non-cheap multiply-referenced aliases alone,
-    # SPARK-36718; same discipline as fn_geo_relate).
-    src = src.select(
-        "c_custkey",
-        F.col("s"),
-        F.col("t"),
-        wkt_expr.alias("wkt"),
-        G.st_multipolygon_from_wkt(wkt_expr).alias("mp"),
-    )
-    wkt, mp = F.col("wkt"), F.col("mp")
-    reparsed = G.st_multipolygon_from_wkt(G.st_multipolygon_as_wkt(mp))
-    return src.select(
-        "c_custkey",
-        G.st_num_geometries(mp).cast("int").alias("n_polys"),
-        G.st_multipolygon_area(mp).alias("total_area"),
-        G.st_multipolygon_perimeter(mp).alias("total_perimeter"),
-        G.st_multipolygon_contains(mp, G.st_point(F.lit(0.5), F.lit(0.5))).alias(
-            "contains_shell_pt"
-        ),
-        G.st_multipolygon_contains(mp, G.st_point(F.lit(1.5), F.lit(1.5))).alias(
-            "contains_hole_pt"
-        ),
-        G.st_multipolygon_contains(mp, G.st_point(F.lit(20.5), F.lit(1.5))).alias(
-            "contains_member2"
-        ),
-        G.st_polygon_area(G.st_geometry_n(mp, 2)).alias("member2_area"),
-        (G.st_multipolygon_area(reparsed) == G.st_multipolygon_area(mp)).alias(
-            "roundtrip_ok"
-        ),
-        G.st_geometry_type_wkt(wkt).alias("mp_type"),
-    ).orderBy("c_custkey")
+    # SPARK-36718; same discipline as fn_geo_relate). The trees themselves
+    # are session-prepared (prepared_cols).
+    wkt_c, mp_c, *measures = prepared_cols(spark, "fn_geo_multipolygon", build)
+    staged = src.select("c_custkey", F.col("s"), F.col("t"), wkt_c, mp_c)
+    return staged.select("c_custkey", *measures).orderBy("c_custkey")
 
 
 # --- Accessors / constructors / envelope overlaps --------------------------
@@ -1742,35 +1753,40 @@ ORDER BY c_custkey
 def fn_geo_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sql_over(spark, sf_dir, _VALIDITY_SRC, ("customer",))
 
-    def ring_of(*pts: tuple[float, float]) -> F.Column:
-        return F.array(
-            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+    def build() -> tuple:
+        def ring_of(*pts: tuple[float, float]) -> F.Column:
+            return F.array(
+                *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+            )
+
+        good = ring_of((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        bowtie = ring_of((0, 0), (4, 4), (4, 0), (0, 4), (0, 0))
+        repeated = ring_of((0, 0), (4, 0), (4, 0), (4, 4), (0, 4), (0, 0))
+        ring = (
+            F.when(F.col("rep"), repeated)
+            .when(F.col("bowtie"), bowtie)
+            .otherwise(good)
+        )
+        hole_in = ring_of((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+        hole_out = ring_of((10, 10), (11, 10), (11, 11), (10, 11), (10, 10))
+        poly = F.array(good, F.when(F.col("esc"), hole_out).otherwise(hole_in))
+        line = F.when(
+            F.col("dup"), ring_of((0, 0), (0, 0), (2, 0))
+        ).otherwise(ring_of((0, 0), (1, 1), (2, 0)))
+        return (
+            G.geometry_invalid_reason_ring(ring).alias("ring_reason"),
+            G.geometry_invalid_reason_polygon(poly).alias("poly_reason"),
+            G.geometry_invalid_reason_line(line).alias("line_reason"),
         )
 
-    good = ring_of((0, 0), (4, 0), (4, 4), (0, 4), (0, 0))
-    bowtie = ring_of((0, 0), (4, 4), (4, 0), (0, 4), (0, 0))
-    repeated = ring_of((0, 0), (4, 0), (4, 0), (4, 4), (0, 4), (0, 0))
-    ring = (
-        F.when(F.col("rep"), repeated)
-        .when(F.col("bowtie"), bowtie)
-        .otherwise(good)
-    )
-    hole_in = ring_of((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
-    hole_out = ring_of((10, 10), (11, 10), (11, 11), (10, 11), (10, 10))
-    poly = F.array(good, F.when(F.col("esc"), hole_out).otherwise(hole_in))
-    line = F.when(
-        F.col("dup"), ring_of((0, 0), (0, 0), (2, 0))
-    ).otherwise(ring_of((0, 0), (1, 1), (2, 0)))
     # Stage the reason strings once: each is a large self-intersection scan
     # expression, and the is_valid twin is reason-IS-NULL — computing both
     # from one staged column halves the plan (CollapseProject keeps
-    # non-cheap multiply-referenced aliases, SPARK-36718).
-    staged = src.select(
-        "c_custkey",
-        G.geometry_invalid_reason_ring(ring).alias("ring_reason"),
-        G.geometry_invalid_reason_polygon(poly).alias("poly_reason"),
-        G.geometry_invalid_reason_line(line).alias("line_reason"),
-    )
+    # non-cheap multiply-referenced aliases, SPARK-36718). The reason trees
+    # themselves are session-prepared (prepared_cols): their py4j
+    # construction cost exceeded the query's execution.
+    ring_r, poly_r, line_r = prepared_cols(spark, "fn_geo_validity", build)
+    staged = src.select("c_custkey", ring_r, poly_r, line_r)
     return staged.select(
         "c_custkey",
         F.col("ring_reason"),
@@ -1976,31 +1992,35 @@ ORDER BY c_custkey
 )
 def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sql_over(spark, sf_dir, _RELATE_SRC, ("customer",))
-    b = F.col("b")
-    env_a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(4.0), F.lit(4.0))
-    env_b = G.st_envelope(b, b, b + 4.0, b + 4.0)
+
+    def build() -> tuple:
+        b = F.col("b")
+        env_a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(4.0), F.lit(4.0))
+        env_b = G.st_envelope(b, b, b + 4.0, b + 4.0)
+        rel = F.col("de9im")
+        touch = (
+            G.st_relate_matches(rel, "FT*******")
+            | G.st_relate_matches(rel, "F**T*****")
+            | G.st_relate_matches(rel, "F***T****")
+        )
+        return (
+            G.st_relate_envelopes(env_a, env_b).alias("de9im"),
+            rel,
+            G.st_relate_matches(rel, "T*F**FFF*").alias("is_equal"),
+            G.st_relate_matches(rel, "T*T***T**").alias("is_overlap"),
+            touch.alias("is_touch"),
+            (~G.st_relate_matches(rel, "FF*FF****")).alias("is_intersect"),
+        )
+
     # Two-stage select: the DE-9IM expression tree is large, and every
     # st_relate_matches call below would otherwise embed a full COPY of it
     # into the plan (~20 copies -> multi-second analysis). Materializing it
     # as a named column keeps one copy; CollapseProject leaves non-cheap
-    # multiply-referenced aliases alone (SPARK-36718).
-    staged = src.select(
-        "c_custkey", G.st_relate_envelopes(env_a, env_b).alias("de9im")
-    )
-    rel = F.col("de9im")
-    touch = (
-        G.st_relate_matches(rel, "FT*******")
-        | G.st_relate_matches(rel, "F**T*****")
-        | G.st_relate_matches(rel, "F***T****")
-    )
-    return staged.select(
-        "c_custkey",
-        rel,
-        G.st_relate_matches(rel, "T*F**FFF*").alias("is_equal"),
-        G.st_relate_matches(rel, "T*T***T**").alias("is_overlap"),
-        touch.alias("is_touch"),
-        (~G.st_relate_matches(rel, "FF*FF****")).alias("is_intersect"),
-    ).orderBy("c_custkey")
+    # multiply-referenced aliases alone (SPARK-36718). The trees are
+    # session-prepared (prepared_cols).
+    de9im_c, *measures = prepared_cols(spark, "fn_geo_relate", build)
+    staged = src.select("c_custkey", de9im_c)
+    return staged.select("c_custkey", *measures).orderBy("c_custkey")
 
 
 # --- Spherical geography ---------------------------------------------------
@@ -2207,6 +2227,27 @@ SELECT c_custkey,
 FROM src
 ORDER BY c_custkey
 """
+
+
+# Generic prepared-Column cache (r10, generalizing the r9 witness cache
+# below): the geometry rows build LARGE Column trees — unrolled edge-pair
+# scans, the WKT parser, DE-9IM dispatchers — and the py4j construction tax
+# for those trees is 0.5-2 s PER CALL, often more than the query's own
+# execution at bench scale. Every tree is a pure unresolved expression over
+# fixture column names, so it is reusable across calls within a session —
+# the prepared-statement posture the reference gets for free from its Java
+# expression IR. Keyed by (session, query) so a new session re-prepares.
+_PREPARED_COLS: dict[tuple[str, str], tuple] = {}
+
+
+def prepared_cols(spark: SparkSession, name: str, build) -> tuple:
+    from ..session import session_key
+
+    key = (session_key(spark), name)
+    got = _PREPARED_COLS.get(key)
+    if got is None:
+        got = _PREPARED_COLS[key] = tuple(build())
+    return got
 
 
 # Prepared-expression cache for the polygon-predicate witnesses: building
@@ -2434,11 +2475,17 @@ def op_spatial_polygon_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheap too. st_intersects_polygons_static is the non-convex static
     # form; the HOF st_intersects_polygons remains the variable-shape
     # fallback. Equivalence of all three is pinned in tests/test_geo.py.
-    x0, y0, s = F.col("x0"), F.col("y0"), F.col("s")
-    cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
-    sq_pts = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
-    di_pts = [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
-    hits = cand.where(G.st_intersects_convex_static(sq_pts, di_pts))
+    def build() -> tuple:
+        x0, y0, s = F.col("x0"), F.col("y0"), F.col("s")
+        cx, cy, r = F.col("cx"), F.col("cy"), F.col("r")
+        sq_pts = [(x0, y0), (x0 + s, y0), (x0 + s, y0 + s), (x0, y0 + s)]
+        di_pts = [(cx + r, cy), (cx, cy + r), (cx - r, cy), (cx, cy - r)]
+        return (G.st_intersects_convex_static(sq_pts, di_pts),)
+
+    # the unrolled separating-axis predicate is the one large tree here —
+    # session-prepared like the other geometry rows
+    (sep_axis,) = prepared_cols(spark, "op_spatial_polygon_pair_join", build)
+    hits = cand.where(sep_axis)
     return (
         hits.groupBy("sq_id")
         .agg(
@@ -2848,72 +2895,79 @@ def fn_geo_intersection_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import geo_scalar as GS
 
     src = sql_over(spark, sf_dir, _IPIECES_SRC, ("customer",))
-    s = F.col("s")
 
-    def rect(x1, y1, x2, y2) -> F.Column:
-        return F.array(
-            F.array(
-                G.st_point(x1, y1), G.st_point(x2, y1),
-                G.st_point(x2, y2), G.st_point(x1, y2), G.st_point(x1, y1),
+    def build() -> tuple:
+        s = F.col("s")
+
+        def rect(x1, y1, x2, y2) -> F.Column:
+            return F.array(
+                F.array(
+                    G.st_point(x1, y1), G.st_point(x2, y1),
+                    G.st_point(x2, y2), G.st_point(x1, y2), G.st_point(x1, y1),
+                )
+            )
+
+        def ring_of(*pts: tuple[float, float]) -> F.Column:
+            closed = [*pts, pts[0]]
+            return F.array(
+                *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in closed]
+            )
+
+        zero = F.lit(0.0)
+        # kind 3 operands (fixed): A = [0,4]x[0,2]; B dips a 1x2 tab into A
+        # over x in [0,1], rests a foot on A's top edge over x in [2,3], and
+        # stays clear elsewhere -> intersection = 1x1 polygon + length-1 line.
+        tab_foot = F.array(
+            ring_of(
+                (0, 1), (1, 1), (1, 2.5), (2, 2.5), (2, 2), (3, 2),
+                (3, 2.5), (4, 2.5), (4, 4), (0, 4),
             )
         )
-
-    def ring_of(*pts: tuple[float, float]) -> F.Column:
-        closed = [*pts, pts[0]]
-        return F.array(
-            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in closed]
+        a = F.when(
+            F.col("kind") == 3, rect(zero, zero, F.lit(4.0), F.lit(2.0))
+        ).otherwise(rect(zero, zero, s, s))
+        b = (
+            F.when(F.col("kind") == 0, rect(F.lit(1.0), F.lit(1.0), s + 1, s + 1))
+            .when(F.col("kind") == 1, rect(s, zero, s + s, s))
+            .when(F.col("kind") == 2, rect(s, s, s + s, s + s))
+            .when(F.col("kind") == 3, tab_foot)
+            .otherwise(rect(s + 1, s + 1, s + s + 1, s + s + 1))
         )
-
-    zero = F.lit(0.0)
-    # kind 3 operands (fixed): A = [0,4]x[0,2]; B dips a 1x2 tab into A over
-    # x in [0,1], rests a foot on A's top edge over x in [2,3], and stays
-    # clear of it elsewhere -> intersection = 1x1 polygon + length-1 line.
-    tab_foot = F.array(
-        ring_of(
-            (0, 1), (1, 1), (1, 2.5), (2, 2.5), (2, 2), (3, 2),
-            (3, 2.5), (4, 2.5), (4, 4), (0, 4),
-        )
-    )
-    a = F.when(F.col("kind") == 3, rect(zero, zero, F.lit(4.0), F.lit(2.0))).otherwise(
-        rect(zero, zero, s, s)
-    )
-    b = (
-        F.when(F.col("kind") == 0, rect(F.lit(1.0), F.lit(1.0), s + 1, s + 1))
-        .when(F.col("kind") == 1, rect(s, zero, s + s, s))
-        .when(F.col("kind") == 2, rect(s, s, s + s, s + s))
-        .when(F.col("kind") == 3, tab_foot)
-        .otherwise(rect(s + 1, s + 1, s + s + 1, s + s + 1))
-    )
-    pieces = (
-        spread(src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb")))
-        .select(
-            "c_custkey", "kind",
+        pc = F.col("pc")
+        coll = G.st_collection_of_pieces(pc)
+        first_pt = F.try_element_at(pc["points"], F.lit(1))
+        return (
+            a.alias("ga"),
+            b.alias("gb"),
             GS.st_intersection_pieces(F.col("ga"), F.col("gb")).alias("pc"),
+            F.size(pc["polys"]).alias("n_polys"),
+            F.size(pc["lines"]).alias("n_lines"),
+            F.size(pc["points"]).alias("n_points"),
+            F.round(G.st_multipolygon_area(pc["polys"]), 9).alias("poly_area"),
+            F.round(
+                F.aggregate(
+                    pc["lines"], F.lit(0.0), lambda acc, ln: acc + G.st_length(ln)
+                ),
+                9,
+            ).alias("line_len"),
+            first_pt["x"].alias("pt_x"),
+            first_pt["y"].alias("pt_y"),
+            G.st_pieces_geometry_type(pc).alias("result_tag"),
+            G.st_collection_num_geometries(coll).cast("int").alias("coll_n_geoms"),
+            F.round(G.st_collection_area(coll), 9).alias("coll_area"),
+            F.round(G.st_collection_length(coll), 9).alias("coll_len"),
+            G.st_collection_geometry_n(coll, 1)["tag"].alias("member1_tag"),
         )
+
+    # Operand rings + the collection measures are session-prepared: the
+    # coll_* accessor trees dominated this row's build cost.
+    ga, gb, pc_col, *measures = prepared_cols(
+        spark, "fn_geo_intersection_pieces", build
     )
-    pc = F.col("pc")
-    coll = G.st_collection_of_pieces(pc)
-    first_pt = F.try_element_at(pc["points"], F.lit(1))
-    return pieces.select(
-        "c_custkey", "kind",
-        F.size(pc["polys"]).alias("n_polys"),
-        F.size(pc["lines"]).alias("n_lines"),
-        F.size(pc["points"]).alias("n_points"),
-        F.round(G.st_multipolygon_area(pc["polys"]), 9).alias("poly_area"),
-        F.round(
-            F.aggregate(
-                pc["lines"], F.lit(0.0), lambda acc, ln: acc + G.st_length(ln)
-            ),
-            9,
-        ).alias("line_len"),
-        first_pt["x"].alias("pt_x"),
-        first_pt["y"].alias("pt_y"),
-        G.st_pieces_geometry_type(pc).alias("result_tag"),
-        G.st_collection_num_geometries(coll).cast("int").alias("coll_n_geoms"),
-        F.round(G.st_collection_area(coll), 9).alias("coll_area"),
-        F.round(G.st_collection_length(coll), 9).alias("coll_len"),
-        G.st_collection_geometry_n(coll, 1)["tag"].alias("member1_tag"),
-    ).orderBy("c_custkey")
+    pieces = spread(src.select("c_custkey", "kind", ga, gb)).select(
+        "c_custkey", "kind", pc_col
+    )
+    return pieces.select("c_custkey", "kind", *measures).orderBy("c_custkey")
 
 
 # --- Generic mixed-dimension ST_Intersection dispatcher ----------------------
@@ -2970,73 +3024,88 @@ def fn_geo_intersection_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import geo_scalar as GS
 
     src = sql_over(spark, sf_dir, _IANY_SRC, ("customer",))
-    s = F.col("s").cast("string")
-    s2 = (F.col("s") * 2).cast("string")
-    s3 = (F.col("s") * 3).cast("string")
-    s5 = (F.col("s") * 5).cast("string")
-    neg_s = (-F.col("s")).cast("string")
 
-    def wkt_pair(kind: int):
-        c = F.concat
-        lit = F.lit
-        if kind == 0:
-            a = c(lit("POINT ("), s, lit(" "), s, lit(")"))
-            b = a
-        elif kind == 1:
-            a = c(lit("POINT ("), s, lit(" 0)"))
-            b = c(lit("LINESTRING (0 0, "), s2, lit(" 0)"))
-        elif kind == 2:
-            a = c(lit("LINESTRING (0 0, "), s3, lit(" 0)"))
-            b = c(lit("LINESTRING ("), s, lit(" 0, "), s5, lit(" 0)"))
-        elif kind == 3:
-            a = c(lit("LINESTRING (0 0, "), s2, lit(" "), s2, lit(")"))
-            b = c(lit("LINESTRING (0 "), s2, lit(", "), s2, lit(" 0)"))
-        elif kind == 4:
-            a = c(lit("LINESTRING ("), neg_s, lit(" "), s, lit(", "),
-                  s3, lit(" "), s, lit(")"))
-            b = c(lit("POLYGON ((0 0, "), s2, lit(" 0, "), s2, lit(" "),
-                  s2, lit(", 0 "), s2, lit(", 0 0))"))
-        else:
-            a = c(lit("POLYGON ((0 0, "), s2, lit(" 0, "), s2, lit(" "),
-                  s2, lit(", 0 "), s2, lit(", 0 0))"))
-            b = c(lit("POLYGON (("), s, lit(" "), s, lit(", "), s3, lit(" "),
-                  s, lit(", "), s3, lit(" "), s3, lit(", "), s, lit(" "),
-                  s3, lit(", "), s, lit(" "), s, lit("))"))
-        return a, b
+    def build() -> tuple:
+        s = F.col("s").cast("string")
+        s2 = (F.col("s") * 2).cast("string")
+        s3 = (F.col("s") * 3).cast("string")
+        s5 = (F.col("s") * 5).cast("string")
+        neg_s = (-F.col("s")).cast("string")
 
-    a_wkt = F.lit(None).cast("string")
-    b_wkt = F.lit(None).cast("string")
-    for kind in range(6):
-        ak, bk = wkt_pair(kind)
-        a_wkt = F.when(F.col("kind") == kind, ak).otherwise(a_wkt)
-        b_wkt = F.when(F.col("kind") == kind, bk).otherwise(b_wkt)
+        def wkt_pair(kind: int):
+            c = F.concat
+            lit = F.lit
+            if kind == 0:
+                a = c(lit("POINT ("), s, lit(" "), s, lit(")"))
+                b = a
+            elif kind == 1:
+                a = c(lit("POINT ("), s, lit(" 0)"))
+                b = c(lit("LINESTRING (0 0, "), s2, lit(" 0)"))
+            elif kind == 2:
+                a = c(lit("LINESTRING (0 0, "), s3, lit(" 0)"))
+                b = c(lit("LINESTRING ("), s, lit(" 0, "), s5, lit(" 0)"))
+            elif kind == 3:
+                a = c(lit("LINESTRING (0 0, "), s2, lit(" "), s2, lit(")"))
+                b = c(lit("LINESTRING (0 "), s2, lit(", "), s2, lit(" 0)"))
+            elif kind == 4:
+                a = c(lit("LINESTRING ("), neg_s, lit(" "), s, lit(", "),
+                      s3, lit(" "), s, lit(")"))
+                b = c(lit("POLYGON ((0 0, "), s2, lit(" 0, "), s2, lit(" "),
+                      s2, lit(", 0 "), s2, lit(", 0 0))"))
+            else:
+                a = c(lit("POLYGON ((0 0, "), s2, lit(" 0, "), s2, lit(" "),
+                      s2, lit(", 0 "), s2, lit(", 0 0))"))
+                b = c(lit("POLYGON (("), s, lit(" "), s, lit(", "), s3, lit(" "),
+                      s, lit(", "), s3, lit(" "), s3, lit(", "), s, lit(" "),
+                      s3, lit(", "), s, lit(" "), s, lit("))"))
+            return a, b
 
-    staged = spread(src.select(
-        "c_custkey", "kind",
-        G.st_geometry_from_text(a_wkt).alias("ga"),
-        G.st_geometry_from_text(b_wkt).alias("gb"),
-    )).select(
-        "c_custkey", "kind",
-        GS.st_intersection_any(F.col("ga"), F.col("gb")).alias("pc"),
+        a_wkt = F.lit(None).cast("string")
+        b_wkt = F.lit(None).cast("string")
+        for kind in range(6):
+            ak, bk = wkt_pair(kind)
+            a_wkt = F.when(F.col("kind") == kind, ak).otherwise(a_wkt)
+            b_wkt = F.when(F.col("kind") == kind, bk).otherwise(b_wkt)
+
+        pc = F.col("pc")
+        first_pt = F.try_element_at(pc["points"], F.lit(1))
+        # ONE parser instantiation, not two: the WKT parser is a large pure
+        # Column tree, so parsing array(a, b) through a transform lambda
+        # halves the expression the analyzer and codegen must chew (the
+        # remaining fixed cost of this row is plan compilation, not data)
+        gab = F.transform(
+            F.array(a_wkt, b_wkt), lambda w: G.st_geometry_from_text(w)
+        )
+        return (
+            gab.alias("gab"),
+            GS.st_intersection_any(
+                F.col("gab").getItem(0), F.col("gab").getItem(1)
+            ).alias("pc"),
+            F.size(pc["polys"]).alias("n_polys"),
+            F.size(pc["lines"]).alias("n_lines"),
+            F.size(pc["points"]).alias("n_points"),
+            F.round(G.st_multipolygon_area(pc["polys"]), 9).alias("poly_area"),
+            F.round(
+                F.aggregate(
+                    pc["lines"], F.lit(0.0), lambda acc, ln: acc + G.st_length(ln)
+                ),
+                9,
+            ).alias("line_len"),
+            first_pt["x"].alias("pt_x"),
+            first_pt["y"].alias("pt_y"),
+            G.st_pieces_geometry_type(pc).alias("result_tag"),
+        )
+
+    # The parser tree + the dispatch UDF + the pieces measures are all pure
+    # unresolved expressions — session-prepared (the py4j construction tax
+    # was ~45% of this row's wall).
+    gab, pc_col, *measures = prepared_cols(
+        spark, "fn_geo_intersection_any", build
     )
-    pc = F.col("pc")
-    first_pt = F.try_element_at(pc["points"], F.lit(1))
-    return staged.select(
-        "c_custkey", "kind",
-        F.size(pc["polys"]).alias("n_polys"),
-        F.size(pc["lines"]).alias("n_lines"),
-        F.size(pc["points"]).alias("n_points"),
-        F.round(G.st_multipolygon_area(pc["polys"]), 9).alias("poly_area"),
-        F.round(
-            F.aggregate(
-                pc["lines"], F.lit(0.0), lambda acc, ln: acc + G.st_length(ln)
-            ),
-            9,
-        ).alias("line_len"),
-        first_pt["x"].alias("pt_x"),
-        first_pt["y"].alias("pt_y"),
-        G.st_pieces_geometry_type(pc).alias("result_tag"),
-    ).orderBy("c_custkey")
+    staged = spread(src.select("c_custkey", "kind", gab)).select(
+        "c_custkey", "kind", pc_col
+    )
+    return staged.select("c_custkey", "kind", *measures).orderBy("c_custkey")
 
 
 # --- Full DE-9IM for arbitrary polygon pairs ---------------------------------
@@ -3420,34 +3489,44 @@ def fn_geo_relate_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import geo_scalar as GS
 
     src = sql_over(spark, sf_dir, _RELATE_ANY_SRC, ("customer",))
-    poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
-    inner = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
-    cross_line = "LINESTRING (-1 2, 5 2)"
-    wkt_a = (
-        F.when(F.col("kind") == 0, F.lit(poly))
-        .when(F.col("kind") == 1, F.lit(cross_line))
-        .when(F.col("kind") == 2, F.lit(poly))
-        .when(F.col("kind") == 3, F.lit("POINT (2 2)"))
-        .when(F.col("kind") == 4, F.lit(cross_line))
-        .otherwise(F.lit(cross_line))
-    )
-    wkt_b = (
-        F.when(F.col("kind") == 0, F.lit(inner))
-        .when(F.col("kind") == 1, F.lit(poly))
-        .when(F.col("kind") == 2, F.lit(cross_line))
-        .when(F.col("kind") == 3, F.lit(poly))
-        .when(F.col("kind") == 4, F.lit("LINESTRING (2 -2, 2 4)"))
-        .otherwise(F.lit("POINT (-1 2)"))
-    )
-    staged = src.select(
-        "c_custkey", "kind",
-        G.st_geometry_from_text(wkt_a).alias("ga"),
-        G.st_geometry_from_text(wkt_b).alias("gb"),
-    )
-    return staged.select(
-        "c_custkey", "kind",
-        GS.st_relate_any(F.col("ga"), F.col("gb")).alias("de9im"),
-    ).orderBy("c_custkey")
+
+    def build() -> tuple:
+        poly = "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"
+        inner = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+        cross_line = "LINESTRING (-1 2, 5 2)"
+        wkt_a = (
+            F.when(F.col("kind") == 0, F.lit(poly))
+            .when(F.col("kind") == 1, F.lit(cross_line))
+            .when(F.col("kind") == 2, F.lit(poly))
+            .when(F.col("kind") == 3, F.lit("POINT (2 2)"))
+            .when(F.col("kind") == 4, F.lit(cross_line))
+            .otherwise(F.lit(cross_line))
+        )
+        wkt_b = (
+            F.when(F.col("kind") == 0, F.lit(inner))
+            .when(F.col("kind") == 1, F.lit(poly))
+            .when(F.col("kind") == 2, F.lit(cross_line))
+            .when(F.col("kind") == 3, F.lit(poly))
+            .when(F.col("kind") == 4, F.lit("LINESTRING (2 -2, 2 4)"))
+            .otherwise(F.lit("POINT (-1 2)"))
+        )
+        # ONE parser instantiation through a transform lambda (same fixed-
+        # cost halving as fn_geo_intersection_any: the wall here is plan
+        # compilation of the parser tree, not the 6-row-per-kind data)
+        gab = F.transform(
+            F.array(wkt_a, wkt_b), lambda w: G.st_geometry_from_text(w)
+        )
+        return (
+            gab.alias("gab"),
+            GS.st_relate_any(
+                F.col("gab").getItem(0), F.col("gab").getItem(1)
+            ).alias("de9im"),
+        )
+
+    # The parser tree dominates this row's build cost — session-prepared.
+    gab, de9im = prepared_cols(spark, "fn_geo_relate_any", build)
+    staged = src.select("c_custkey", "kind", gab)
+    return staged.select("c_custkey", "kind", de9im).orderBy("c_custkey")
 
 
 # --- ST_Buffer for linestrings -----------------------------------------------
@@ -3626,61 +3705,64 @@ def fn_geo_erode_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import geo_scalar as GS
 
     src = sql_over(spark, sf_dir, _ERODE_SRC, ("customer",))
-    w, h = F.col("w"), F.col("h")
-    lit = F.lit
 
-    def ring_of(*pts) -> F.Column:
-        closed = [*pts, pts[0]]
-        return F.array(*[G.st_point(x, y) for x, y in closed])
+    def build() -> tuple:
+        w, h = F.col("w"), F.col("h")
+        lit = F.lit
 
-    rect = F.array(
-        ring_of((lit(0.0), lit(0.0)), (w, lit(0.0)), (w, h), (lit(0.0), h))
-    )
-    holed = F.array(
-        ring_of((lit(0.0), lit(0.0)), (lit(10.0), lit(0.0)),
-                (lit(10.0), lit(10.0)), (lit(0.0), lit(10.0))),
-        ring_of((lit(4.0), lit(4.0)), (lit(4.0), lit(6.0)),
-                (lit(6.0), lit(6.0)), (lit(6.0), lit(4.0))),
-    )
-    small = F.array(
-        ring_of((lit(0.0), lit(0.0)), (lit(2.0), lit(0.0)),
-                (lit(2.0), lit(2.0)), (lit(0.0), lit(2.0)))
-    )
-    dumbbell = F.array(
-        ring_of(
-            (lit(0.0), lit(0.0)), (lit(6.0), lit(0.0)), (lit(6.0), lit(2.0)),
-            (lit(10.0), lit(2.0)), (lit(10.0), lit(0.0)), (lit(16.0), lit(0.0)),
-            (lit(16.0), lit(6.0)), (lit(10.0), lit(6.0)), (lit(10.0), lit(4.0)),
-            (lit(6.0), lit(4.0)), (lit(6.0), lit(6.0)), (lit(0.0), lit(6.0)),
+        def ring_of(*pts) -> F.Column:
+            closed = [*pts, pts[0]]
+            return F.array(*[G.st_point(x, y) for x, y in closed])
+
+        rect = F.array(
+            ring_of((lit(0.0), lit(0.0)), (w, lit(0.0)), (w, h), (lit(0.0), h))
         )
-    )
-    poly = (
-        F.when(F.col("kind") == 0, rect)
-        .when(F.col("kind") == 1, holed)
-        .when(F.col("kind") == 2, small)
-        .otherwise(dumbbell)
-    )
-    dist = (
-        F.when(F.col("kind") == 0, lit(0.5))
-        .when(F.col("kind") == 1, lit(1.0))
-        .when(F.col("kind") == 2, lit(1.2))
-        .otherwise(lit(1.5))
-    )
-    staged = src.repartition(32).select(
-        "c_custkey", "kind", GS.st_erode_polygon(poly, dist).alias("er")
-    )
-    er = F.col("er")
-    n_rings = F.aggregate(er, F.lit(0), lambda acc, rings: acc + F.size(rings))
-    area = G.st_multipolygon_area(er)
-    return staged.select(
-        "c_custkey", "kind",
-        F.size(er).alias("n_parts"),
-        n_rings.cast("int").alias("n_rings_total"),
-        F.when(F.col("kind") != 3, F.round(area, 9)).alias("area_exact"),
-        F.when(F.col("kind") == 3, area.between(18.0, 19.0))
-        .otherwise(F.lit(True))
-        .alias("area_ok"),
-    ).orderBy("c_custkey")
+        holed = F.array(
+            ring_of((lit(0.0), lit(0.0)), (lit(10.0), lit(0.0)),
+                    (lit(10.0), lit(10.0)), (lit(0.0), lit(10.0))),
+            ring_of((lit(4.0), lit(4.0)), (lit(4.0), lit(6.0)),
+                    (lit(6.0), lit(6.0)), (lit(6.0), lit(4.0))),
+        )
+        small = F.array(
+            ring_of((lit(0.0), lit(0.0)), (lit(2.0), lit(0.0)),
+                    (lit(2.0), lit(2.0)), (lit(0.0), lit(2.0)))
+        )
+        dumbbell = F.array(
+            ring_of(
+                (lit(0.0), lit(0.0)), (lit(6.0), lit(0.0)), (lit(6.0), lit(2.0)),
+                (lit(10.0), lit(2.0)), (lit(10.0), lit(0.0)), (lit(16.0), lit(0.0)),
+                (lit(16.0), lit(6.0)), (lit(10.0), lit(6.0)), (lit(10.0), lit(4.0)),
+                (lit(6.0), lit(4.0)), (lit(6.0), lit(6.0)), (lit(0.0), lit(6.0)),
+            )
+        )
+        poly = (
+            F.when(F.col("kind") == 0, rect)
+            .when(F.col("kind") == 1, holed)
+            .when(F.col("kind") == 2, small)
+            .otherwise(dumbbell)
+        )
+        dist = (
+            F.when(F.col("kind") == 0, lit(0.5))
+            .when(F.col("kind") == 1, lit(1.0))
+            .when(F.col("kind") == 2, lit(1.2))
+            .otherwise(lit(1.5))
+        )
+        er = F.col("er")
+        n_rings = F.aggregate(er, F.lit(0), lambda acc, rings: acc + F.size(rings))
+        area = G.st_multipolygon_area(er)
+        return (
+            GS.st_erode_polygon(poly, dist).alias("er"),
+            F.size(er).alias("n_parts"),
+            n_rings.cast("int").alias("n_rings_total"),
+            F.when(F.col("kind") != 3, F.round(area, 9)).alias("area_exact"),
+            F.when(F.col("kind") == 3, area.between(18.0, 19.0))
+            .otherwise(F.lit(True))
+            .alias("area_ok"),
+        )
+
+    er_col, *measures = prepared_cols(spark, "fn_geo_erode_polygon", build)
+    staged = src.repartition(32).select("c_custkey", "kind", er_col)
+    return staged.select("c_custkey", "kind", *measures).orderBy("c_custkey")
 
 
 # --- Scalar geometry_union over an array of polygons -------------------------
@@ -3788,33 +3870,39 @@ ORDER BY c_custkey
 )
 def fn_geo_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sql_over(spark, sf_dir, _DISTANCE_SRC, ("customer",))
-    gx, gy = F.col("gx"), F.col("gy")
-    lit = F.lit
 
-    def sq_ring(x, y):
-        return F.array(
-            G.st_point(x, y), G.st_point(x + 1, y),
-            G.st_point(x + 1, y + 1), G.st_point(x, y + 1), G.st_point(x, y),
+    def build() -> tuple:
+        gx, gy = F.col("gx"), F.col("gy")
+        lit = F.lit
+
+        def sq_ring(x, y):
+            return F.array(
+                G.st_point(x, y), G.st_point(x + 1, y),
+                G.st_point(x + 1, y + 1), G.st_point(x, y + 1), G.st_point(x, y),
+            )
+        a = sq_ring(lit(0.0), lit(0.0))
+        b = sq_ring(gx, gy)
+        # boundary distance of DISJOINT squares equals the polygon distance;
+        # when they overlap the polygon distance is 0 while ring boundaries
+        # may still be apart — the fixture grid keeps gaps >= 0 so both
+        # columns share one closed form (overlap rows have gap 0 via touch)
+        diag = F.array(G.st_point(gx + gy, lit(0.0)), G.st_point(lit(0.0), gx + gy))
+        pt = G.st_point(lit(1.0), lit(1.0))
+        return (
+            F.round(G.st_distance_polygons(a, b), 9).alias("poly_dist"),
+            F.round(
+                F.when(G.st_intersects_polygons(a, b), lit(0.0)).otherwise(
+                    G.st_distance_lines(a, b)
+                ),
+                9,
+            ).alias("line_dist_boundaries"),
+            F.round(G.st_distance_point_line(pt, diag), 9).alias("point_line_dist"),
         )
-    a = sq_ring(lit(0.0), lit(0.0))
-    b = sq_ring(gx, gy)
-    # boundary distance of DISJOINT squares equals the polygon distance;
-    # when they overlap the polygon distance is 0 while ring boundaries
-    # may still be apart — the fixture grid keeps gaps >= 0 so both
-    # columns share one closed form (overlap rows have gap 0 via touch)
-    diag = F.array(G.st_point(gx + gy, lit(0.0)), G.st_point(lit(0.0), gx + gy))
-    pt = G.st_point(lit(1.0), lit(1.0))
-    return src.select(
-        "c_custkey",
-        F.round(G.st_distance_polygons(a, b), 9).alias("poly_dist"),
-        F.round(
-            F.when(G.st_intersects_polygons(a, b), lit(0.0)).otherwise(
-                G.st_distance_lines(a, b)
-            ),
-            9,
-        ).alias("line_dist_boundaries"),
-        F.round(G.st_distance_point_line(pt, diag), 9).alias("point_line_dist"),
-    ).orderBy("c_custkey")
+
+    # The three distance trees are unrolled edge-pair min-scans whose py4j
+    # construction (~2 s) dominated this row's wall — session-prepared.
+    pd_, ld, pld = prepared_cols(spark, "fn_geo_distance_pairs", build)
+    return src.select("c_custkey", pd_, ld, pld).orderBy("c_custkey")
 
 
 # --- Collection-operand DE-9IM + intersection (beyond parity) ----------------
@@ -3884,44 +3972,50 @@ def fn_geo_collection_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import geo_scalar as GS
 
     src = sql_over(spark, sf_dir, _GC_RELATE_SRC, ("customer",))
-    wkt_a = "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), POINT (10 10))"
 
-    def gc(*members: str) -> str:
-        return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")"
-
-    def sq(x0: int, y0: int, s: int) -> str:
-        return (
-            f"POLYGON (({x0} {y0}, {x0 + s} {y0}, {x0 + s} {y0 + s}, "
-            f"{x0} {y0 + s}, {x0} {y0}))"
+    def build() -> tuple:
+        wkt_a = (
+            "GEOMETRYCOLLECTION (POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0)), "
+            "POINT (10 10))"
         )
 
-    mp = (
-        "MULTIPOLYGON (((1 1, 2 1, 2 2, 1 2, 1 1)), "
-        "((6 0, 8 0, 8 2, 6 2, 6 0)))"
+        def gc(*members: str) -> str:
+            return "GEOMETRYCOLLECTION (" + ", ".join(members) + ")"
+
+        def sq(x0: int, y0: int, s: int) -> str:
+            return (
+                f"POLYGON (({x0} {y0}, {x0 + s} {y0}, {x0 + s} {y0 + s}, "
+                f"{x0} {y0 + s}, {x0} {y0}))"
+            )
+
+        mp = (
+            "MULTIPOLYGON (((1 1, 2 1, 2 2, 1 2, 1 1)), "
+            "((6 0, 8 0, 8 2, 6 2, 6 0)))"
+        )
+        wkt_b = (
+            F.when(F.col("kind") == 0, F.lit(gc(sq(1, 1, 2), "POINT (10 10)")))
+            .when(F.col("kind") == 1, F.lit(gc(sq(4, 0, 4), "LINESTRING (10 10, 12 12)")))
+            .when(F.col("kind") == 2, F.lit(gc("POINT (2 2)", "POINT (4 4)")))
+            .when(F.col("kind") == 3, F.lit(gc(sq(6, 0, 2), "POINT (20 20)")))
+            .when(F.col("kind") == 4, F.lit(gc(sq(2, 2, 4), "LINESTRING (0 -1, 4 -1)")))
+            .otherwise(F.lit(gc(mp, "LINESTRING (10 10, 12 12)")))
+        )
+        return (
+            G.st_collection_from_wkt(F.lit(wkt_a)).alias("ca"),
+            G.st_collection_from_wkt(wkt_b).alias("cb"),
+            GS.st_relate_collections(F.col("ca"), F.col("cb")).alias("de9im"),
+            GS.st_intersection_collections(F.col("ca"), F.col("cb")).alias("pc"),
+            G.st_pieces_geometry_type(F.col("pc")).alias("result_tag"),
+            F.size(F.col("pc")["polys"]).cast("int").alias("n_polys"),
+            F.size(F.col("pc")["lines"]).cast("int").alias("n_lines"),
+            F.size(F.col("pc")["points"]).cast("int").alias("n_points"),
+        )
+
+    ca, cb, de9im, pc_col, *measures = prepared_cols(
+        spark, "fn_geo_collection_relate", build
     )
-    wkt_b = (
-        F.when(F.col("kind") == 0, F.lit(gc(sq(1, 1, 2), "POINT (10 10)")))
-        .when(F.col("kind") == 1, F.lit(gc(sq(4, 0, 4), "LINESTRING (10 10, 12 12)")))
-        .when(F.col("kind") == 2, F.lit(gc("POINT (2 2)", "POINT (4 4)")))
-        .when(F.col("kind") == 3, F.lit(gc(sq(6, 0, 2), "POINT (20 20)")))
-        .when(F.col("kind") == 4, F.lit(gc(sq(2, 2, 4), "LINESTRING (0 -1, 4 -1)")))
-        .otherwise(F.lit(gc(mp, "LINESTRING (10 10, 12 12)")))
+    staged_df = spread(src.select("c_custkey", "kind", ca, cb))
+    staged2 = staged_df.select("c_custkey", "kind", de9im, pc_col)
+    return staged2.select("c_custkey", "kind", "de9im", *measures).orderBy(
+        "c_custkey"
     )
-    staged_df = spread(src.select(
-        "c_custkey", "kind",
-        G.st_collection_from_wkt(F.lit(wkt_a)).alias("ca"),
-        G.st_collection_from_wkt(wkt_b).alias("cb"),
-    ))
-    pc = GS.st_intersection_collections(F.col("ca"), F.col("cb"))
-    staged2 = staged_df.select(
-        "c_custkey", "kind",
-        GS.st_relate_collections(F.col("ca"), F.col("cb")).alias("de9im"),
-        pc.alias("pc"),
-    )
-    return staged2.select(
-        "c_custkey", "kind", "de9im",
-        G.st_pieces_geometry_type(F.col("pc")).alias("result_tag"),
-        F.size(F.col("pc")["polys"]).cast("int").alias("n_polys"),
-        F.size(F.col("pc")["lines"]).cast("int").alias("n_lines"),
-        F.size(F.col("pc")["points"]).cast("int").alias("n_points"),
-    ).orderBy("c_custkey")

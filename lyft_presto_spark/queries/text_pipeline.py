@@ -785,22 +785,33 @@ WITH tok_t AS (
 big AS (
     {exploded}
 ),
+bigc AS (
+    -- pre-aggregate postings to (doc, w1, bigram, n) BEFORE the model
+    -- joins (VERDICT r9 next-round #5): the model aggregations and both
+    -- scoring joins then process one row per distinct in-doc bigram
+    -- instead of one per occurrence, cutting join input by the within-doc
+    -- duplication factor; the per-doc mean is recovered exactly as the
+    -- n-weighted mean sum(p*n)/sum(n)
+    SELECT doc_id, w1, bigram, count(*) AS n
+    FROM big
+    GROUP BY doc_id, w1, bigram
+),
 model AS (
-    SELECT bigram, count(*) AS c12 FROM big GROUP BY bigram
+    SELECT bigram, CAST(sum(n) AS BIGINT) AS c12 FROM bigc GROUP BY bigram
 ),
 ctx AS (
-    SELECT w1, count(*) AS c1 FROM big GROUP BY w1
+    SELECT w1, CAST(sum(n) AS BIGINT) AS c1 FROM bigc GROUP BY w1
 ),
 scored AS (
-    SELECT b.doc_id,
+    SELECT b.doc_id, b.n,
            CAST(round(CAST(m.c12 AS DOUBLE) / u.c1, 6) AS DECIMAL(18,6)) AS p
-    FROM big b
+    FROM bigc b
     JOIN model m ON b.bigram = m.bigram
     JOIN ctx u ON b.w1 = u.w1
 ),
 per_doc AS (
-    SELECT doc_id, count(*) AS n_bigrams,
-           CAST(sum(p) AS DOUBLE) / count(*) AS fluency
+    SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+           CAST(sum(p * n) AS DOUBLE) / sum(n) AS fluency
     FROM scored
     GROUP BY doc_id
 )
@@ -821,12 +832,12 @@ ORDER BY fluency_band
     "text_bigram_lm_score",
     oracle=_bigram_lm_sql("duck"),
     doc="Bigram language-model fluency scoring (the CCNet/Gopher LM quality "
-    "filter as relational algebra): the model is two vocab-bounded "
-    "aggregations over exploded positional bigrams, scoring is two "
-    "equi-joins back to the postings plus a per-doc mean of the "
-    "conditional probability, banded into high/mid/low. No Python "
-    "anywhere; conditional probabilities exactified to decimal before "
-    "cross-row means.",
+    "filter as relational algebra): postings pre-aggregate to "
+    "(doc, w1, bigram, n) so the model aggregations and both scoring "
+    "equi-joins process distinct in-doc bigrams, not occurrences; the "
+    "per-doc mean is the exact n-weighted mean. Banded into high/mid/low. "
+    "No Python anywhere; conditional probabilities exactified to decimal "
+    "before cross-row means.",
     tags=("text", "extension"),
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:

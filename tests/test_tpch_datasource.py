@@ -278,3 +278,30 @@ def test_q6_on_generator_pushes_key_range_keeps_residuals(spark):
     q = all_queries()["connector_tpchgen_q6"]
     row = q.spark(spark, "").collect()[0]
     assert row.n_lines > 0 and row.revenue_mcents > 0
+
+
+def test_q9_on_generator_catalog_pushdown_broadcast_no_cartesian(spark):
+    # the registered generator-backed TPC-H Q9 shape (widest join web):
+    # l_orderkey bound consumed by key-range pushdown, small dims
+    # broadcast, every join an equi-join
+    from pyspark.sql.datasource import LessThan
+
+    from lyft_presto_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+    from lyft_presto_spark.queries import all_queries
+    from lyft_presto_spark.sources.tpch_datasource import TpchGenReader
+
+    # reader-level pushdown pin: the q9 key bound shrinks lineitem
+    # generation to [0, 8000*4) and is fully consumed (no residual)
+    r = TpchGenReader("lineitem", 40_000, 8)
+    assert list(r.pushFilters([LessThan(("l_orderkey",), 8000)])) == []
+    assert (r.lo, r.hi) == (0, 32_000)
+
+    df = all_queries()["connector_tpchgen_q9"].spark(spark, "")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.n_lines > 0 for r in rows)
