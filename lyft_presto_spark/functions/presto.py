@@ -628,11 +628,12 @@ DELTAS = {
     "(point struct, array<struct<x,y>> linestrings/rings, one nesting "
     "level per composite: holed polygons, MULTIPOINT/MULTILINESTRING/"
     "MULTIPOLYGON; flat GEOMETRYCOLLECTION as array<tagged-union>). WKT "
-    "and WKB codecs round-trip the model; nested geometry collections and "
-    "arbitrary-pair Relate are out of scope — see COVERAGE.md geospatial "
-    "section. General polygon boolean ops returning GEOMETRY ARE "
-    "implemented (exact-rational planar overlay; see the `polygon boolean "
-    "ops (geometry output)` row).",
+    "and WKB codecs round-trip the model; one-level nested "
+    "GEOMETRYCOLLECTION members flatten at WKT parse time (union "
+    "semantics are nesting-invariant, r10); only two-deep nesting stays "
+    "NULL — see COVERAGE.md geospatial section. General polygon boolean "
+    "ops returning GEOMETRY ARE implemented (exact-rational planar "
+    "overlay; see the `polygon boolean ops (geometry output)` row).",
     "ST_LineString / ST_MultiPoint": "The reference throws "
     "INVALID_FUNCTION_ARGUMENT on a null/empty member point or consecutive "
     "duplicate vertices; the planar constructors return NULL instead so an "

@@ -3908,7 +3908,7 @@ def fn_geo_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Collection-operand DE-9IM + intersection (beyond parity) ----------------
 
 _GC_RELATE_SRC = """
-    SELECT c_custkey, CAST(c_custkey % 6 AS INT) AS kind
+    SELECT c_custkey, CAST(c_custkey % 7 AS INT) AS kind
     FROM customer
     WHERE c_custkey % 23 = 0
 """
@@ -3925,6 +3925,10 @@ _GC_RELATE_SRC = """
 #            -> multi-member flattening (r9): II=2 via the contained part,
 #            EI=2 via the disjoint part's interior, IB=1 via the contained
 #            part's shell, the point touching the line's endpoint
+# kind 6 B = GC(GC(square inside A), the SAME point) — the NESTED twin of
+#            kind 0 (r10 stretch): one-level collection-in-collection
+#            flattens at parse time, so the matrix/intersection must be
+#            IDENTICAL to kind 0's flat form
 _GC_RELATE_ORACLE = f"""
 WITH src AS ({_GC_RELATE_SRC})
 SELECT c_custkey, kind,
@@ -3934,21 +3938,19 @@ SELECT c_custkey, kind,
            WHEN 2 THEN '0F20F1FF2'
            WHEN 3 THEN 'FF2FF1212'
            WHEN 4 THEN '212101212'
+           WHEN 6 THEN '212FF1FF2'
            ELSE '212FF1212'
        END AS de9im,
        CASE kind
-           WHEN 0 THEN 'ST_GeomCollection'
-           WHEN 1 THEN 'ST_GeomCollection'
            WHEN 2 THEN 'ST_MultiPoint'
-           WHEN 3 THEN 'ST_GeomCollection'
            WHEN 4 THEN 'ST_Polygon'
            ELSE 'ST_GeomCollection'
        END AS result_tag,
-       CAST(CASE kind WHEN 0 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 1 ELSE 0 END AS INT)
-           AS n_polys,
+       CAST(CASE kind WHEN 0 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1
+            ELSE 0 END AS INT) AS n_polys,
        CAST(CASE kind WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_lines,
        CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 5 THEN 1
-            ELSE 0 END AS INT) AS n_points
+            WHEN 6 THEN 1 ELSE 0 END AS INT) AS n_points
 FROM src
 ORDER BY c_custkey
 """
@@ -3998,6 +4000,9 @@ def fn_geo_collection_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(F.col("kind") == 2, F.lit(gc("POINT (2 2)", "POINT (4 4)")))
             .when(F.col("kind") == 3, F.lit(gc(sq(6, 0, 2), "POINT (20 20)")))
             .when(F.col("kind") == 4, F.lit(gc(sq(2, 2, 4), "LINESTRING (0 -1, 4 -1)")))
+            # kind 6: the nested twin of kind 0 — GC(GC(sq), point)
+            # flattens at parse time to kind 0's flat collection
+            .when(F.col("kind") == 6, F.lit(gc(gc(sq(1, 1, 2)), "POINT (10 10)")))
             .otherwise(F.lit(gc(mp, "LINESTRING (10 10, 12 12)")))
         )
         return (

@@ -1541,3 +1541,44 @@ class TestPiecesNullSemantics:
         assert intersection_any(pt, degen) == {
             "polys": [], "lines": [], "points": []
         }
+
+
+def test_collection_from_wkt_flattens_one_nested_level(spark):
+    """r10 stretch (VERDICT r9 #6): a GEOMETRYCOLLECTION member inside a
+    collection flattens at parse time — union semantics are
+    nesting-invariant — while a TWO-deep nesting degrades to an opaque
+    ST_GeomCollection member that downstream kernels NULL out (the
+    reference throws on ANY collection operand,
+    GeoFunctions.java:1153-1158)."""
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.functions import geo as G
+
+    r = spark.range(1).select(
+        G.st_collection_from_wkt(F.lit(
+            "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION ("
+            "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)), POINT (5 5)), "
+            "LINESTRING (0 0, 1 1))"
+        )).alias("nested"),
+        G.st_collection_from_wkt(F.lit(
+            "GEOMETRYCOLLECTION (POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1)), "
+            "POINT (5 5), LINESTRING (0 0, 1 1))"
+        )).alias("flat"),
+        G.st_collection_from_wkt(F.lit(
+            "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION ("
+            "GEOMETRYCOLLECTION (POINT (1 1))))"
+        )).alias("two_deep"),
+        G.st_collection_from_wkt(F.lit(
+            "GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0), "
+            "(0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))), POINT (2 2))"
+        )).alias("holed_mp"),
+    ).collect()[0]
+    assert [m["tag"] for m in r["nested"]] == [
+        "ST_Polygon", "ST_Point", "ST_LineString",
+    ]
+    assert r["nested"] == r["flat"]  # flattening == the hand-flat twin
+    # two-deep: one opaque collection member, NULL payloads
+    assert [m["tag"] for m in r["two_deep"]] == ["ST_GeomCollection"]
+    assert r["two_deep"][0]["polygon"] is None
+    # depth-3 members (holed MULTIPOLYGON) are untouched by the flattener
+    assert [m["tag"] for m in r["holed_mp"]] == ["ST_MultiPolygon", "ST_Point"]
