@@ -1621,13 +1621,29 @@ def _interval_dims(a1: Column, a2: Column, b1: Column, b2: Column) -> dict:
     }
 
 
-def st_relate_envelopes(a: Column, b: Column) -> Column:
-    """stRelate (:1153) for two non-degenerate envelopes: the 9-char
-    DE-9IM string, row-major over (interior, boundary, exterior) of A ×
-    the same of B; each char is the intersection dimension '0'/'1'/'2'
-    or 'F'."""
+def st_envelope_axis_dims(a: Column, b: Column) -> dict[str, Column]:
+    """The 18 per-axis part-intersection dims feeding the envelope DE-9IM,
+    plus the nondegeneracy gate, as NAMED columns — so a query can stage
+    them in their own projection. Computed inline, the full DE-9IM tree
+    blows janino's 64 KB generated-method limit and the whole projection
+    falls back to interpreted evaluation (observed on fn_geo_relate);
+    staged, each projection codegens."""
     dx = _interval_dims(a["xmin"], a["xmax"], b["xmin"], b["xmax"])
     dy = _interval_dims(a["ymin"], a["ymax"], b["ymin"], b["ymax"])
+    dims = {f"dx_{p}{q}": c for (p, q), c in dx.items()}
+    dims.update({f"dy_{p}{q}": c for (p, q), c in dy.items()})
+    dims["nondeg"] = (
+        (a["xmin"] < a["xmax"]) & (a["ymin"] < a["ymax"])
+        & (b["xmin"] < b["xmax"]) & (b["ymin"] < b["ymax"])
+    )
+    return dims
+
+
+def st_relate_envelopes_from_dims(dims: dict[str, Column]) -> Column:
+    """The envelope DE-9IM combination over pre-staged axis dims (see
+    st_envelope_axis_dims)."""
+    dx = {(p, q): dims[f"dx_{p}{q}"] for p in "ibe" for q in "ibe"}
+    dy = {(p, q): dims[f"dy_{p}{q}"] for p in "ibe" for q in "ibe"}
 
     def term(px: Column, py: Column) -> Column:
         # product-set dim: sum when both axis parts nonempty, else empty
@@ -1689,11 +1705,17 @@ def st_relate_envelopes(a: Column, b: Column) -> Column:
         F.when(c < 0, F.lit("F")).otherwise(c.cast("string"))
         for c in (ii, ib, ie, bi, bb, be, ei, eb, ee)
     ]
-    nondegenerate = (
-        (a["xmin"] < a["xmax"]) & (a["ymin"] < a["ymax"])
-        & (b["xmin"] < b["xmax"]) & (b["ymin"] < b["ymax"])
-    )
-    return F.when(nondegenerate, F.concat(*ch))
+    return F.when(dims["nondeg"], F.concat(*ch))
+
+
+def st_relate_envelopes(a: Column, b: Column) -> Column:
+    """stRelate (:1153) for two non-degenerate envelopes: the 9-char
+    DE-9IM string, row-major over (interior, boundary, exterior) of A ×
+    the same of B; each char is the intersection dimension '0'/'1'/'2'
+    or 'F'. One-projection form — callers with a 64 KB-sensitive plan
+    stage st_envelope_axis_dims first and combine with
+    st_relate_envelopes_from_dims."""
+    return st_relate_envelopes_from_dims(st_envelope_axis_dims(a, b))
 
 
 def st_relate_matches(relate: Column, pattern: str) -> Column:

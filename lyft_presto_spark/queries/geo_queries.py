@@ -1997,6 +1997,8 @@ def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = F.col("b")
         env_a = G.st_envelope(F.lit(0.0), F.lit(0.0), F.lit(4.0), F.lit(4.0))
         env_b = G.st_envelope(b, b, b + 4.0, b + 4.0)
+        dims = G.st_envelope_axis_dims(env_a, env_b)
+        dim_cols = tuple(c.alias(n) for n, c in dims.items())
         rel = F.col("de9im")
         touch = (
             G.st_relate_matches(rel, "FT*******")
@@ -2004,7 +2006,11 @@ def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
             | G.st_relate_matches(rel, "F***T****")
         )
         return (
-            G.st_relate_envelopes(env_a, env_b).alias("de9im"),
+            len(dim_cols),
+            dim_cols,
+            G.st_relate_envelopes_from_dims(
+                {n: F.col(n) for n in dims}
+            ).alias("de9im"),
             rel,
             G.st_relate_matches(rel, "T*F**FFF*").alias("is_equal"),
             G.st_relate_matches(rel, "T*T***T**").alias("is_overlap"),
@@ -2012,14 +2018,19 @@ def fn_geo_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (~G.st_relate_matches(rel, "FF*FF****")).alias("is_intersect"),
         )
 
-    # Two-stage select: the DE-9IM expression tree is large, and every
-    # st_relate_matches call below would otherwise embed a full COPY of it
-    # into the plan (~20 copies -> multi-second analysis). Materializing it
-    # as a named column keeps one copy; CollapseProject leaves non-cheap
-    # multiply-referenced aliases alone (SPARK-36718). The trees are
-    # session-prepared (prepared_cols).
-    de9im_c, *measures = prepared_cols(spark, "fn_geo_relate", build)
-    staged = src.select("c_custkey", de9im_c)
+    # THREE-stage select: (1) the 19 axis-dim cells as named columns, (2)
+    # the DE-9IM combination over the staged cells, (3) the predicates
+    # over the staged matrix. Inline, the full tree blew janino's 64 KB
+    # generated-method limit and the projection silently fell back to
+    # interpreted evaluation; staged, every layer codegens, and each
+    # st_relate_matches references ONE copy of the matrix (CollapseProject
+    # leaves non-cheap multiply-referenced aliases alone, SPARK-36718).
+    # The trees are session-prepared (prepared_cols).
+    n_dims, dim_cols, de9im_c, *measures = prepared_cols(
+        spark, "fn_geo_relate", build
+    )
+    dims_staged = src.select("c_custkey", *dim_cols)
+    staged = dims_staged.select("c_custkey", de9im_c)
     return staged.select("c_custkey", *measures).orderBy("c_custkey")
 
 

@@ -404,3 +404,78 @@ ORDER BY label
 )
 def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _rp_sql("spark"), ("embeddings",))
+
+
+def _int8_quant_sql(d: str) -> str:
+    # Int8 (0..255) per-dimension affine quantization of the embedding
+    # column (NEW r10) — the storage-shrink step every vector index at
+    # 100 TB applies before IVF/HNSW (4x smaller + SIMD-friendly codes).
+    # Scale shape: the calibration is ONE bounded aggregation (64 dims ->
+    # 64 rows of min/max); the quantize pass equi-joins the exploded
+    # (vec, dim, x) postings to the 64-row calibration dim (broadcast),
+    # all map-side arithmetic. Cross-engine exactness: the CODES
+    # themselves are pinned exactly (integer checksum) — round() is
+    # half-up in Spark and half-away-from-zero in DuckDB, identical for
+    # the non-negative scaled values here; reconstruction errors are
+    # rounded and exactified to decimal before the order-independent sum.
+    if d == "spark":
+        flat = (
+            "SELECT vec_id, pos + 1 AS dim, CAST(x AS DOUBLE) AS x "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
+        )
+    else:
+        flat = (
+            "SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS x "
+            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)"
+        )
+    return f"""
+WITH flat AS (
+    {flat}
+),
+calib AS (
+    SELECT dim, min(x) AS mn, (max(x) - min(x)) / 255.0 AS scale
+    FROM flat
+    GROUP BY dim
+),
+coded AS (
+    SELECT f.vec_id, f.dim,
+           CASE WHEN c.scale = 0 THEN 0
+                ELSE CAST(least(255.0, round((f.x - c.mn) / c.scale, 0)) AS BIGINT)
+           END AS code,
+           f.x, c.mn, c.scale
+    FROM flat f
+    JOIN calib c ON f.dim = c.dim
+),
+errs AS (
+    SELECT vec_id,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(sum(CAST(round(abs(x - (mn + code * scale)), 12)
+               AS DECIMAL(20,12))) AS DECIMAL(28,12)) AS abs_err_sum,
+           max(CAST(round(abs(x - (mn + code * scale)), 12)
+               AS DECIMAL(20,12))) AS max_err
+    FROM coded
+    GROUP BY vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(code_sum) AS BIGINT) AS total_code_sum,
+       CAST(round(CAST(sum(abs_err_sum) AS DOUBLE) / sum(64), 9) AS DOUBLE)
+           AS mean_abs_err,
+       CAST(round(CAST(max(max_err) AS DOUBLE), 9) AS DOUBLE) AS max_abs_err
+FROM errs
+"""
+
+
+@query(
+    "sim_int8_quantization",
+    oracle=_int8_quant_sql("duck"),
+    doc="Int8 per-dimension affine quantization of the embedding column "
+    "(NEW r10 — the 4x storage shrink every 100 TB vector index applies "
+    "before IVF/HNSW): calibration is one bounded 64-row min/max "
+    "aggregation, the quantize pass equi-joins exploded postings to the "
+    "broadcast calibration dim, and the integer CODE CHECKSUM is pinned "
+    "exactly cross-engine (not just the reconstruction-error stats, "
+    "which are decimal-exactified before order-independent sums).",
+    tags=("similarity", "extension"),
+)
+def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _int8_quant_sql("spark"), ("embeddings",))

@@ -965,3 +965,208 @@ FROM ranked
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _zipf_sql("spark"), ("documents",))
+
+
+def _bm25_sql(d: str) -> str:
+    # BM25 retrieval as relational algebra (Robertson/Sparck Jones; the
+    # Lucene practical form with k1=1.2, b=0.75): the classic quality
+    # probe for a training-corpus search index. Scale shape: the corpus
+    # stats are one scalar aggregate; term frequencies are an exploded
+    # grouped aggregate (map-side combined) over ONLY the probe terms
+    # (the IN filter prunes before the shuffle); document frequencies
+    # aggregate the tiny tf table; the final ranking is ORDER BY + LIMIT
+    # -> TakeOrderedAndProject (distributed top-k, never a global sort).
+    # Float discipline: each per-term score is one deterministic double
+    # expression rounded and exactified to DECIMAL(18,9), summed exactly
+    # (order-independent), then rounded once for output.
+    toks = T.tokens("text", d)
+    if d == "spark":
+        flat = (
+            "SELECT doc_id, tok FROM tok_t LATERAL VIEW explode(toks) AS tok"
+        )
+        dl = "size(toks)"
+    else:
+        flat = "SELECT doc_id, unnest(toks) AS tok FROM tok_t"
+        dl = "len(toks)"
+    return f"""
+WITH tok_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+lens AS (
+    SELECT doc_id, CAST({dl} AS BIGINT) AS dl FROM tok_t
+),
+corpus AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM lens
+),
+flat AS (
+    {flat}
+),
+tf AS (
+    SELECT doc_id, tok, count(*) AS tf
+    FROM flat
+    WHERE tok IN ('spark', 'merge', 'window')
+    GROUP BY doc_id, tok
+),
+df AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+),
+term_scores AS (
+    SELECT t.doc_id,
+           CAST(round(
+               ln(1.0 + (c.n_docs - f.df + 0.5) / (f.df + 0.5))
+               * (t.tf * 2.2)
+               / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * l.dl / c.avgdl)),
+               9) AS DECIMAL(18,9)) AS s
+    FROM tf t
+    JOIN df f ON t.tok = f.tok
+    JOIN lens l ON t.doc_id = l.doc_id
+    CROSS JOIN corpus c
+),
+ranked AS (
+    SELECT doc_id,
+           CAST(count(*) AS INT) AS n_terms,
+           CAST(round(CAST(sum(s) AS DOUBLE), 6) AS DOUBLE) AS bm25
+    FROM term_scores
+    GROUP BY doc_id
+)
+SELECT doc_id, n_terms, bm25
+FROM ranked
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+
+@query(
+    "text_bm25_retrieval",
+    oracle=_bm25_sql("duck"),
+    doc="BM25 top-k retrieval as relational algebra (NEW r10 — the classic "
+    "corpus search probe a training-data pipeline runs for "
+    "decontamination audits and quality spot-checks): corpus stats are "
+    "one scalar aggregate, term frequencies an exploded grouped "
+    "aggregate pruned to the probe terms BEFORE the shuffle, document "
+    "frequencies aggregate the tiny tf table, and the ranking lowers to "
+    "TakeOrderedAndProject (distributed top-k — pinned in "
+    "test_plan_shapes). Per-term scores are exactified to decimal before "
+    "the order-independent sum.",
+    tags=("text", "extension"),
+)
+def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _bm25_sql("spark"), ("documents",))
+
+
+def _nb_classifier_sql(d: str) -> str:
+    # Hashed-feature multinomial Naive Bayes (the fastText-style linear
+    # text classifier as PURE relational algebra — NEW r10): train on the
+    # deterministic 80% doc_id-hash split, score the 20% holdout, report
+    # the confusion matrix. The MODEL is a bounded (lang x 1024-bucket)
+    # grid of Laplace-smoothed log-probabilities — two vocab-bounded
+    # aggregations left-joined onto the grid, orders of magnitude smaller
+    # than the corpus. Scoring is one equi-join of the holdout's hashed
+    # postings to the model on the bucket key (shuffle-equi at 100 TB),
+    # one grouped sum per (doc, lang), and an EXACT decimal argmax (max
+    # score per doc, then max lang among exact-equal maxima — no window,
+    # no nondeterministic arg_max). Every log term is rounded and
+    # exactified to DECIMAL(18,9) so cross-row sums are order-independent.
+    toks = T.tokens("text", d)
+    bucket = T.hash60("t", d) + " % 1024"
+    if d == "spark":
+        flat = (
+            "SELECT doc_id, lang, is_train, "
+            f"{bucket.replace('(t)', '(tok)').replace('md5(t)', 'md5(tok)')} AS bkt "
+            "FROM tok_t LATERAL VIEW explode(toks) AS tok"
+        )
+    else:
+        flat = (
+            "SELECT doc_id, lang, is_train, "
+            f"{bucket.replace('md5(t)', 'md5(tok)')} AS bkt "
+            "FROM tok_t, unnest(toks) AS u(tok)"
+        )
+    return f"""
+WITH tok_t AS (
+    SELECT doc_id, lang, ((doc_id * 2654435761) % 10 < 8) AS is_train,
+           {toks} AS toks
+    FROM documents
+),
+flat AS (
+    {flat}
+),
+langs AS (
+    SELECT DISTINCT lang FROM tok_t
+),
+buckets AS (
+    SELECT CAST(i AS BIGINT) AS bkt
+    FROM {"(SELECT explode(sequence(0, 1023)) AS i)" if d == "spark" else "(SELECT unnest(generate_series(0, 1023)) AS i)"} g
+),
+train_counts AS (
+    SELECT lang, bkt, count(*) AS c
+    FROM flat WHERE is_train
+    GROUP BY lang, bkt
+),
+train_totals AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS total
+    FROM flat WHERE is_train
+    GROUP BY lang
+),
+priors AS (
+    SELECT lang,
+           CAST(round(ln(CAST(count(*) AS DOUBLE)
+               / (SELECT count(*) FROM tok_t WHERE is_train)), 9)
+               AS DECIMAL(18,9)) AS prior
+    FROM tok_t WHERE is_train
+    GROUP BY lang
+),
+model AS (
+    SELECT l.lang, b.bkt,
+           CAST(round(ln((COALESCE(tc.c, 0) + 1.0) / (tt.total + 1024.0)), 9)
+               AS DECIMAL(18,9)) AS logp
+    FROM langs l
+    CROSS JOIN buckets b
+    JOIN train_totals tt ON tt.lang = l.lang
+    LEFT JOIN train_counts tc ON tc.lang = l.lang AND tc.bkt = b.bkt
+),
+test_postings AS (
+    SELECT doc_id, lang AS labeled_lang, bkt, count(*) AS n
+    FROM flat WHERE NOT is_train
+    GROUP BY doc_id, lang, bkt
+),
+scores AS (
+    SELECT tp.doc_id, tp.labeled_lang, m.lang,
+           CAST(sum(m.logp * tp.n) AS DECIMAL(28,9)) + p.prior AS s
+    FROM test_postings tp
+    JOIN model m ON m.bkt = tp.bkt
+    JOIN priors p ON p.lang = m.lang
+    GROUP BY tp.doc_id, tp.labeled_lang, m.lang, p.prior
+),
+best AS (
+    SELECT doc_id, max(s) AS mx FROM scores GROUP BY doc_id
+),
+pred AS (
+    SELECT s.doc_id, s.labeled_lang, max(s.lang) AS predicted_lang
+    FROM scores s
+    JOIN best b ON s.doc_id = b.doc_id AND s.s = b.mx
+    GROUP BY s.doc_id, s.labeled_lang
+)
+SELECT labeled_lang, predicted_lang, count(*) AS n_docs
+FROM pred
+GROUP BY labeled_lang, predicted_lang
+ORDER BY labeled_lang, predicted_lang
+"""
+
+
+@query(
+    "text_hashed_nb_classifier",
+    oracle=_nb_classifier_sql("duck"),
+    doc="Hashed-feature multinomial Naive Bayes text classifier (NEW r10 — "
+    "the fastText-style linear quality/domain classifier every corpus "
+    "pipeline trains, as pure relational algebra): deterministic 80/20 "
+    "doc_id-hash split, model = a bounded lang x 1024-bucket grid of "
+    "Laplace-smoothed decimal log-probs (two vocab-bounded aggregations), "
+    "scoring = one bucket-key equi-join + grouped decimal sums, argmax = "
+    "exact decimal max-then-max (no windows, no nondeterministic "
+    "arg_max). Reports the holdout confusion matrix.",
+    tags=("text", "extension", "ml"),
+)
+def text_hashed_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _nb_classifier_sql("spark"), ("documents",))

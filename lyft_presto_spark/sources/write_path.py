@@ -153,6 +153,55 @@ def _total_file_bytes(spark: SparkSession, files: list[str]) -> int:
     return total
 
 
+def merge_into(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: tuple[str, ...],
+    when_matched: str = "update",
+) -> dict[str, int]:
+    """MERGE INTO — the lakehouse upsert verb (ANSI MERGE / Delta-Iceberg
+    ``MERGE INTO`` analog; an extension beyond the reference, whose Hive
+    connector has no row-level upsert). Semantics: WHEN MATCHED THEN
+    UPDATE SET * (or DELETE), WHEN NOT MATCHED THEN INSERT * — the two
+    clauses every CDC/ingest pipeline needs.
+
+    Scale shape: ONE equi-join on the merge keys decides matched rows
+    (broadcast when the source is small, shuffle-equi at 100 TB — never
+    a cartesian), the rewrite is a distributed staged swap
+    (never ``collect()``), and the ANSI cardinality rule is enforced:
+    a source with duplicate merge keys raises (a matched target row
+    must match at most one source row) — the same error MERGE throws in
+    ANSI engines, checked with one distributed aggregation.
+
+    Returns {"matched": n, "inserted": n} (inserted = 0 for delete mode
+    merges only when the source fully overlaps the target)."""
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"merge_into: unknown when_matched {when_matched!r}")
+    keys = list(on)
+    target = spark.table(table)
+    # ANSI cardinality check: each key at most once in the source
+    dup = source.groupBy(*keys).count().filter("count > 1").limit(1).count()
+    if dup:
+        raise ValueError(
+            "merge_into: source has duplicate merge keys — a matched target "
+            "row must match at most one source row (ANSI MERGE cardinality)"
+        )
+    src = source.select(*target.columns)  # align column order to the target
+    matched = target.join(src.select(*keys), keys, "left_semi").count()
+    unmatched_target = target.join(src.select(*keys), keys, "left_anti")
+    if when_matched == "update":
+        # matched rows take the source version; unmatched source rows insert
+        merged = unmatched_target.unionByName(src)
+        inserted = src.count() - matched
+    else:  # delete: matched target rows go away; unmatched source rows insert
+        new_rows = src.join(target.select(*keys), keys, "left_anti")
+        inserted = new_rows.count()
+        merged = unmatched_target.unionByName(new_rows)
+    _staged_swap(spark, merged, table, f"{table}__merge_stage")
+    return {"matched": matched, "inserted": inserted}
+
+
 def analyze(spark: SparkSession, table: str, columns: tuple[str, ...] = ()) -> None:
     """ANALYZE TABLE — table and optional column stats for the CBO."""
     spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")

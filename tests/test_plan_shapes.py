@@ -374,3 +374,17 @@ def test_vocab_stats_rank_is_distributed_topk(spark, sf_dir):
     for name in ("text_vocab_coverage", "text_zipf_fit"):
         plan = formatted_plan(QS[name].spark(spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_bm25_ranking_is_distributed_topk_and_equijoin(spark, sf_dir):
+    # BM25 (NEW r10): the final ranking lowers to TakeOrderedAndProject
+    # (per-partition partial top-k), the tf/df/length joins stay equi
+    # (the single CROSS JOIN is the 1-row corpus-stats scalar — the
+    # standard scalar-subquery shape), and the probe-term IN filter
+    # prunes the exploded postings BEFORE the shuffle
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["text_bm25_retrieval"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert_no_cartesian(df, allow_scalar_bnlj=True)

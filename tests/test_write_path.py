@@ -263,3 +263,76 @@ def test_total_file_bytes_via_hadoop_fs(spark, sf_dir, tmp_path):
     ghost = [str(tmp_path / "nope" / "missing.parquet")]
     assert _total_file_bytes(spark, ghost) == 0
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_merge_into_upsert_updates_and_inserts(spark, sf_dir, tmp_path, monkeypatch):
+    """MERGE INTO (NEW r10): WHEN MATCHED UPDATE SET * + WHEN NOT MATCHED
+    INSERT * — matched rows take the source version, new keys append,
+    untouched rows survive byte-identical; distributed throughout."""
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.sources.write_path import merge_into
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_merge"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation, table, str(tmp_path / "merge"))
+    n = nation.count()
+    # source: update keys 0..4 (marked names), insert keys 1000..1002
+    updates = nation.filter("n_nationkey < 5").withColumn(
+        "n_name", F.concat(F.lit("UPDATED_"), F.col("n_name"))
+    )
+    inserts = nation.filter("n_nationkey < 3").select(
+        (F.col("n_nationkey") + 1000).alias("n_nationkey"),
+        F.col("n_name"),
+        *[F.col(c) for c in nation.columns if c not in ("n_nationkey", "n_name")],
+    )
+    stats = merge_into(
+        spark, table, updates.unionByName(inserts), on=("n_nationkey",)
+    )
+    assert stats == {"matched": 5, "inserted": 3}
+    got = spark.table(table)
+    assert got.count() == n + 3
+    assert got.filter("n_name LIKE 'UPDATED_%'").count() == 5
+    assert got.filter("n_nationkey >= 1000").count() == 3
+    # untouched rows identical
+    untouched = got.filter("n_nationkey >= 5 AND n_nationkey < 1000")
+    want = nation.filter("n_nationkey >= 5")
+    assert sorted(map(tuple, untouched.collect())) == sorted(map(tuple, want.collect()))
+    assert not [t for t in spark.catalog.listTables() if t.name == f"{table}__merge_stage"]
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_merge_into_delete_mode_and_cardinality_guard(spark, sf_dir, tmp_path):
+    """WHEN MATCHED DELETE removes matched target rows and still inserts
+    unmatched source rows; a source with duplicate merge keys raises the
+    ANSI MERGE cardinality violation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.sources.write_path import merge_into
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_merge_del"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation, table, str(tmp_path / "merge_del"))
+    n = nation.count()
+    src = nation.filter("n_nationkey < 4").unionByName(
+        nation.filter("n_nationkey = 0").select(
+            (F.col("n_nationkey") + 2000).alias("n_nationkey"),
+            *[F.col(c) for c in nation.columns if c != "n_nationkey"],
+        )
+    )
+    stats = merge_into(spark, table, src, on=("n_nationkey",), when_matched="delete")
+    assert stats == {"matched": 4, "inserted": 1}
+    got = spark.table(table)
+    assert got.count() == n - 4 + 1
+    assert got.filter("n_nationkey < 4").count() == 0
+    assert got.filter("n_nationkey = 2000").count() == 1
+    # duplicate-key source: ANSI cardinality violation, loud
+    dup_src = nation.filter("n_nationkey = 5").unionByName(
+        nation.filter("n_nationkey = 5")
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        merge_into(spark, table, dup_src, on=("n_nationkey",))
+    spark.sql(f"DROP TABLE {table}")
