@@ -80,6 +80,16 @@ HEADLINE_EXTRAS = (
     "connector_tpchgen_q3",
     "fn_geo_boolean_ops",
     "text_bigram_lm_score",
+    # r10 additions: the generator Q9 join web (widest TPC-H chain on the
+    # connector), BM25 retrieval (distributed top-k ranking), the hashed
+    # NB classifier (model-as-relational-algebra), int8 embedding
+    # quantization, and the prepared-cache-reworked generic intersection
+    # dispatcher (formerly the heaviest registry wall — keep it watched).
+    "connector_tpchgen_q9",
+    "text_bm25_retrieval",
+    "text_hashed_nb_classifier",
+    "sim_int8_quantization",
+    "fn_geo_intersection_any",
 )
 
 
