@@ -1056,7 +1056,7 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _bm25_sql("spark"), ("documents",))
 
 
-def _nb_classifier_sql(d: str) -> str:
+def _nb_classifier_sql(d: str, flat_view: str | None = None) -> str:
     # Hashed-feature multinomial Naive Bayes (the fastText-style linear
     # text classifier as PURE relational algebra — NEW r10): train on the
     # deterministic 80% doc_id-hash split, score the 20% holdout, report
@@ -1069,25 +1069,44 @@ def _nb_classifier_sql(d: str) -> str:
     # score per doc, then max lang among exact-equal maxima — no window,
     # no nondeterministic arg_max). Every log term is rounded and
     # exactified to DECIMAL(18,9) so cross-row sums are order-independent.
-    toks = T.tokens("text", d)
-    bucket = T.hash60("t", d) + " % 1024"
-    if d == "spark":
+    # Spark INLINES CTEs (N consumers = N computations): the postings CTE
+    # feeds three aggregations, so the Spark side stages it as a PERSISTED
+    # artifact and passes its view name via ``flat_view`` (the minhash
+    # signature-table discipline, operators/staging.py); tok_t then drops
+    # the tokenize work entirely. DuckDB materializes CTEs, so the oracle
+    # keeps the single-statement form.
+    bucket = T.hash60("tok", d) + " % 1024"
+    if flat_view:
+        tok_t = (
+            "SELECT doc_id, lang, ((doc_id * 2654435761) % 10 < 8) AS is_train "
+            "FROM documents"
+        )
+        flat = f"SELECT * FROM {flat_view}"
+    elif d == "spark":
+        toks = T.tokens("text", d)
+        tok_t = (
+            "SELECT doc_id, lang, ((doc_id * 2654435761) % 10 < 8) AS is_train, "
+            f"{toks} AS toks FROM documents"
+        )
         flat = (
             "SELECT doc_id, lang, is_train, "
-            f"{bucket.replace('(t)', '(tok)').replace('md5(t)', 'md5(tok)')} AS bkt "
+            f"{bucket} AS bkt "
             "FROM tok_t LATERAL VIEW explode(toks) AS tok"
         )
     else:
+        toks = T.tokens("text", d)
+        tok_t = (
+            "SELECT doc_id, lang, ((doc_id * 2654435761) % 10 < 8) AS is_train, "
+            f"{toks} AS toks FROM documents"
+        )
         flat = (
             "SELECT doc_id, lang, is_train, "
-            f"{bucket.replace('md5(t)', 'md5(tok)')} AS bkt "
+            f"{bucket} AS bkt "
             "FROM tok_t, unnest(toks) AS u(tok)"
         )
     return f"""
 WITH tok_t AS (
-    SELECT doc_id, lang, ((doc_id * 2654435761) % 10 < 8) AS is_train,
-           {toks} AS toks
-    FROM documents
+    {tok_t}
 ),
 flat AS (
     {flat}
@@ -1169,4 +1188,31 @@ ORDER BY labeled_lang, predicted_lang
     tags=("text", "extension", "ml"),
 )
 def text_hashed_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _nb_classifier_sql("spark"), ("documents",))
+    from ..operators.staging import staged
+
+    flat = staged(
+        spark, sf_dir, "nb_flat_postings",
+        lambda: sql_over(spark, sf_dir, _nb_flat_sql(), ("documents",)),
+    )
+    flat.createOrReplaceTempView("nb_flat_postings_v")
+    return sql_over(
+        spark, sf_dir,
+        _nb_classifier_sql("spark", flat_view="nb_flat_postings_v"),
+        ("documents",),
+    )
+
+
+def _nb_flat_sql() -> str:
+    """The staged Spark-side postings: one tokenize+explode+hash pass,
+    persisted and reused by every consumer aggregation."""
+    toks = T.tokens("text", "spark")
+    bucket = T.hash60("tok", "spark") + " % 1024"
+    return f"""
+WITH tok_t AS (
+    SELECT doc_id, lang, ((doc_id * 2654435761) % 10 < 8) AS is_train,
+           {toks} AS toks
+    FROM documents
+)
+SELECT doc_id, lang, is_train, {bucket} AS bkt
+FROM tok_t LATERAL VIEW explode(toks) AS tok
+"""
