@@ -350,13 +350,20 @@ def connector_tpchgen_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_cents = F.round(F.col("ps_supplycost") * 100, 0).cast("bigint")
     qty = F.col("l_quantity").cast("bigint")
     profit = cents * (100 - disc_pct) - supp_cents * qty * 100
+    # Join order: most selective first — the part screen (~1/3) broadcasts
+    # onto the fact scan, then the composite-key partsupp join (~2% match
+    # rate on the generator's independent hashes) shrinks the fact to a
+    # few hundred rows BEFORE the orders join, which AQE then upgrades to
+    # broadcast at runtime. Same results under any order (inner joins);
+    # at 100 TB this ordering moves the two big shuffles to the smallest
+    # intermediate.
     return (
-        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
-        .join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
         .join(
             ps,
             (ps.ps_partkey == li.l_partkey) & (ps.ps_suppkey == li.l_suppkey),
         )
+        .join(ord_, li.l_orderkey == ord_.o_orderkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
         .groupBy(

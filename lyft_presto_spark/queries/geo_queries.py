@@ -1427,21 +1427,26 @@ ORDER BY c_custkey
 )
 def fn_geo_line_touches(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = sql_over(spark, sf_dir, _TOUCH_SRC, ("customer",))
-    base = F.array(
-        G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
-    )
-    vert = F.array(
-        G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
-    )
-    coll = F.array(
-        G.st_point(F.col("c"), F.lit(0.0)), G.st_point(F.col("c") + 5.0, F.lit(0.0))
-    )
-    return src.select(
-        "c_custkey",
-        G.st_touches_lines(base, vert).alias("vert_touches"),
-        G.st_touches_lines(base, coll).alias("coll_touches"),
-        G.st_intersects_lines(base, coll).alias("coll_intersects"),
-    ).orderBy("c_custkey")
+
+    def build() -> tuple:
+        base = F.array(
+            G.st_point(F.lit(0.0), F.lit(0.0)), G.st_point(F.lit(10.0), F.lit(0.0))
+        )
+        vert = F.array(
+            G.st_point(F.col("k1"), F.lit(-1.0)), G.st_point(F.col("k1"), F.col("k2"))
+        )
+        coll = F.array(
+            G.st_point(F.col("c"), F.lit(0.0)), G.st_point(F.col("c") + 5.0, F.lit(0.0))
+        )
+        return (
+            G.st_touches_lines(base, vert).alias("vert_touches"),
+            G.st_touches_lines(base, coll).alias("coll_touches"),
+            G.st_intersects_lines(base, coll).alias("coll_intersects"),
+        )
+
+    # the touches predicates are edge-pair scan trees — session-prepared
+    vt, ct, ci = prepared_cols(spark, "fn_geo_line_touches", build)
+    return src.select("c_custkey", vt, ct, ci).orderBy("c_custkey")
 
 
 # --- Multi-geometries ------------------------------------------------------

@@ -742,19 +742,13 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _stratified_sql("spark"), ("documents",))
 
 
-def _bigram_lm_sql(d: str) -> str:
-    # Corpus bigram language model + per-document fluency scoring — the
-    # classic LM-based quality filter (CCNet/Gopher shape) expressed as
-    # relational algebra: (1) tokenize map-side, (2) explode positional
-    # bigrams, (3) the MODEL is two aggregations (bigram counts + unigram
-    # context counts; both vocab-bounded, far smaller than the corpus),
-    # (4) score = per-doc mean of the conditional probability c12/c1 via
-    # two equi-joins back to the postings (AQE broadcasts the model side at
-    # bench scale; at 100 TB both joins stay shuffle-equi on the token key).
-    # Float discipline: p is ONE double division of two exact ints, rounded
-    # then exactified to decimal before the per-doc mean (cross-row
-    # summation order is partition-dependent), and the final corpus rollup
-    # sums decimals again before one double division.
+def _bigram_postings_sql(d: str) -> str:
+    """The (doc, w1, bigram, n) posting table — tokenize + explode +
+    pre-aggregate (VERDICT r9 next-round #5: one row per distinct in-doc
+    bigram, not per occurrence, cutting the model joins' input by the
+    within-doc duplication factor). The Spark side STAGES this as a
+    persisted artifact: three consumers (model, ctx, scoring) would
+    otherwise each recompute the tokenize pass through CTE inlining."""
     toks = T.tokens("text", d)
     if d == "spark":
         # the <2-token screen lives INSIDE tok_t, before the Generate:
@@ -784,17 +778,34 @@ WITH tok_t AS (
 ),
 big AS (
     {exploded}
-),
-bigc AS (
-    -- pre-aggregate postings to (doc, w1, bigram, n) BEFORE the model
-    -- joins (VERDICT r9 next-round #5): the model aggregations and both
-    -- scoring joins then process one row per distinct in-doc bigram
-    -- instead of one per occurrence, cutting join input by the within-doc
-    -- duplication factor; the per-doc mean is recovered exactly as the
-    -- n-weighted mean sum(p*n)/sum(n)
-    SELECT doc_id, w1, bigram, count(*) AS n
-    FROM big
-    GROUP BY doc_id, w1, bigram
+)
+SELECT doc_id, w1, bigram, count(*) AS n
+FROM big
+GROUP BY doc_id, w1, bigram
+"""
+
+
+def _bigram_lm_sql(d: str, postings_view: str | None = None) -> str:
+    # Corpus bigram language model + per-document fluency scoring — the
+    # classic LM-based quality filter (CCNet/Gopher shape) expressed as
+    # relational algebra: (1) the pre-aggregated posting table (see
+    # _bigram_postings_sql; staged/persisted on the Spark side), (2) the
+    # MODEL is two aggregations (bigram counts + unigram context counts;
+    # both vocab-bounded, far smaller than the corpus), (3) score =
+    # per-doc n-weighted mean of the conditional probability c12/c1 via
+    # two equi-joins back to the postings (AQE broadcasts the model side at
+    # bench scale; at 100 TB both joins stay shuffle-equi on the token key).
+    # Float discipline: p is ONE double division of two exact ints, rounded
+    # then exactified to decimal before the per-doc mean (cross-row
+    # summation order is partition-dependent), and the final corpus rollup
+    # sums decimals again before one double division.
+    bigc = (
+        f"SELECT * FROM {postings_view}" if postings_view
+        else _bigram_postings_sql(d).strip()
+    )
+    return f"""
+WITH bigc AS (
+    {bigc}
 ),
 model AS (
     SELECT bigram, CAST(sum(n) AS BIGINT) AS c12 FROM bigc GROUP BY bigram
@@ -841,7 +852,18 @@ ORDER BY fluency_band
     tags=("text", "extension"),
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _bigram_lm_sql("spark"), ("documents",))
+    from ..operators.staging import staged
+
+    bigc = staged(
+        spark, sf_dir, "bigram_postings",
+        lambda: sql_over(spark, sf_dir, _bigram_postings_sql("spark"), ("documents",)),
+    )
+    bigc.createOrReplaceTempView("bigram_postings_v")
+    return sql_over(
+        spark, sf_dir,
+        _bigram_lm_sql("spark", postings_view="bigram_postings_v"),
+        ("documents",),
+    )
 
 
 def _vocab_coverage_sql(d: str) -> str:
