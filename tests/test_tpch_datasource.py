@@ -305,3 +305,33 @@ def test_q9_on_generator_catalog_pushdown_broadcast_no_cartesian(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert all(r.n_lines > 0 for r in rows)
+
+
+def test_partsupp_vectorized_batches_match_row_function(spark):
+    # the Arrow-batch synthesis path (r10) must reproduce the scalar row
+    # functions bit-for-bit — including the money doubles (same integer
+    # divided by the same 100.0) and int32 widths
+    from lyft_presto_spark.sources.tpch_datasource import partsupp_row
+
+    rows = _read(spark, table="partsupp", rows=200).collect()
+    assert len(rows) == 200
+    by_idx = {}
+    for r in rows:
+        by_idx.setdefault((r.ps_partkey, r.ps_suppkey, r.ps_availqty), r)
+    for i in range(200):
+        exp = partsupp_row(i)
+        key = (exp[0], exp[1], exp[2])
+        assert key in by_idx, (i, exp)
+        assert by_idx[key].ps_supplycost == exp[3]
+
+
+def test_vectorized_batches_honor_pushed_key_range(spark):
+    # the Arrow path must respect the pruned [lo, hi) index range exactly
+    # like the scalar path (splits carry the bounds; batches slice them)
+    got = (
+        _read(spark, table="lineitem", rows=100_000, partitions=8)
+        .filter("l_orderkey >= 1000 AND l_orderkey < 1010")
+        .collect()
+    )
+    assert len(got) == 40  # 4 lines x 10 orders
+    assert {r.l_orderkey for r in got} == set(range(1000, 1010))
