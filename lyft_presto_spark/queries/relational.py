@@ -980,21 +980,51 @@ def op_sample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "op_sample_bernoulli",
-    oracle=None,  # RNG-based sampling can't hash-match an oracle; statistical check only
-    doc="TABLESAMPLE BERNOULLI analog: df.sample(fraction, seed). Checked "
-    "statistically (fraction within tolerance) rather than via oracle. "
-    "Reference: SampleNode BERNOULLI.",
-    tags=("sample", "rows_only"),
+    # The sampled SET is RNG-based so its rows can't hash-match an oracle —
+    # but the PROPERTIES every correct Bernoulli sample must satisfy can
+    # (the ml_classify/ml_regress gate-boolean pattern, r9): DuckDB
+    # recomputes the deterministic total and asserts the three gates the
+    # Spark side verifies for real. A sampler regression (fraction drift,
+    # foreign rows, unseeded nondeterminism) flips a boolean and fails the
+    # value comparison.
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS total_rows,
+           TRUE AS fraction_within_tolerance,
+           TRUE AS sample_is_subset,
+           TRUE AS seed_reproducible
+    FROM lineitem
+    """,
+    doc="TABLESAMPLE BERNOULLI analog: df.sample(fraction, seed). "
+    "Value-checked via gate booleans (r10): fraction within binomial "
+    "tolerance, sampled rows a SUBSET of the table (anti-join count 0), "
+    "and same-seed reproducibility (two runs agree on count and key "
+    "checksum) — the sample set itself is RNG-based and deliberately not "
+    "hashed. Reference: SampleNode BERNOULLI.",
+    tags=("sample",),
 )
 def op_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem")
     total = li.count()
-    sampled = li.sample(fraction=0.1, seed=42).count()
-    ok = "true" if abs(sampled / total - 0.1) < 0.03 else "false"
+    s1 = li.sample(fraction=0.1, seed=42)
+    s2 = li.sample(fraction=0.1, seed=42)
+    n1 = s1.count()
+    frac_ok = abs(n1 / total - 0.1) < 0.03
+    # subset: every sampled (orderkey, linenumber) key exists in the table
+    keys = ["l_orderkey", "l_linenumber"]
+    subset_ok = s1.select(*keys).join(li.select(*keys), keys, "left_anti").count() == 0
+    # reproducibility: same seed -> same count and same key checksum
+    def chk(df) -> int:
+        row = df.agg(
+            F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")).alias("c")
+        ).collect()[0]
+        return int(row.c or 0)
+    repro_ok = n1 == s2.count() and chk(s1) == chk(s2)
     # LocalRelation via SQL, not createDataFrame (Python-RDD path).
     return spark.sql(
         f"SELECT CAST({total} AS BIGINT) AS total_rows, "
-        f"CAST({sampled} AS BIGINT) AS sampled_rows, {ok} AS fraction_within_tolerance"
+        f"{str(frac_ok).lower()} AS fraction_within_tolerance, "
+        f"{str(subset_ok).lower()} AS sample_is_subset, "
+        f"{str(repro_ok).lower()} AS seed_reproducible"
     )
 
 
