@@ -190,8 +190,10 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
     "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # Generator connector: Q6 pushdown shape (r9) + the NEW r10 Q9 join web
-    "connector_tpchgen_q6", "connector_tpchgen_q9",
+    # Generator connector: Q6 pushdown shape (r9) + the NEW r10 Q9 join
+    # web + the NEW r10 filelog log-segment scan (the Kafka contract
+    # without a broker, value-checked via generate_series regeneration)
+    "connector_tpchgen_q6", "connector_tpchgen_q9", "connector_filelog_clicks",
     # r9-built, never scored (VERDICT r9 priority)
     "text_bigram_lm_score", "sim_random_projection",
     "text_vocab_coverage", "text_zipf_fit",
@@ -202,10 +204,11 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "op_join_natural", "op_window_ignore_nulls",
     # Long-unscored function families
     "fn_bitwise", "fn_conditional", "fn_url", "fn_map", "fn_binary_hash",
-    # TPC-DS-shape corpus: oldest never-scored numbers
+    # TPC-DS-shape corpus: oldest never-scored numbers (q17 yielded its
+    # slot to the filelog connector row — connector evidence was the
+    # r9-ranked #1 gap)
     "tpcds_q12_web_class_share", "tpcds_q13_band_disjunction_averages",
     "tpcds_q15_disjunctive_mixed_screen", "tpcds_q16_urgent_multi_supplier",
-    "tpcds_q17_repurchase_stats",
     # Extension families — first-time representatives
     "events_json_props",
     # Family keepers (no never-scored rows left in dedup/ml/multimodal)

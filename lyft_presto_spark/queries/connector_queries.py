@@ -376,3 +376,106 @@ def connector_tpchgen_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# --- File-backed log connector end-to-end -------------------------------------
+# The Kafka scan contract (presto-kafka KafkaRecordSet.java:53) driven
+# through the filelog connector + the json decoder, value-checked: the
+# topic's records are a pure integer function of the record index (the
+# shared Knuth hash), so the DuckDB oracle REGENERATES them from
+# generate_series — same determinism contract as the tpchgen connector.
+# Record i lands in partition i % 4 at per-partition offset i // 4.
+
+_FLOG_ROWS = 10_000
+_FLOG_PARTS = 4
+
+_FLOG_ORACLE = f"""
+WITH g AS (
+    SELECT i,
+           (i * 2654435761 + 40503) % 4294967296 AS h,
+           i % {_FLOG_PARTS} AS part,
+           i // {_FLOG_PARTS} AS off
+    FROM generate_series(0, {_FLOG_ROWS - 1}) AS t(i)
+)
+SELECT 'e' || CAST(h % 5 AS VARCHAR) AS etype,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(i) AS BIGINT) AS id_sum,
+       CAST(count(DISTINCT part) AS BIGINT) AS n_partitions,
+       CAST(max(off) AS BIGINT) AS max_offset
+FROM g
+GROUP BY 1
+ORDER BY etype
+"""
+
+_FLOG_TOPICS: dict[tuple[str, str], str] = {}
+
+
+def _flog_topic_dir(spark: SparkSession) -> str:
+    """Materialize the synthetic topic once per session: 10k json records
+    in Kafka's segment layout (bounded — an ingest fixture, not data
+    motion; the analytics below never touch the driver)."""
+    import json as _json
+    import tempfile
+
+    from ..session import session_key
+    from ..sources.filelog_datasource import write_segments
+
+    key = (session_key(spark), "clicks")
+    path = _FLOG_TOPICS.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="filelog_clicks_")
+        records = [
+            (
+                i % _FLOG_PARTS,
+                f"k{i}".encode(),
+                _json.dumps(
+                    {
+                        "click_id": i,
+                        "etype": f"e{((i * 2654435761 + 40503) % 4294967296) % 5}",
+                    },
+                    separators=(",", ":"),
+                ).encode(),
+            )
+            for i in range(_FLOG_ROWS)
+        ]
+        write_segments(path, records, segment_records=1024)
+        _FLOG_TOPICS[key] = path
+    return path
+
+
+@query(
+    "connector_filelog_clicks",
+    oracle=_FLOG_ORACLE,
+    doc="The Kafka scan contract end-to-end without a broker (NEW r10): a "
+    "synthetic click topic in Kafka's segment layout is scanned by the "
+    "filelog connector (one split per segment, per-partition offsets), "
+    "decoded by the presto-record-decoder json analog, and aggregated — "
+    "and because every record is a pure integer function of its index, "
+    "the DuckDB oracle regenerates the identical records from "
+    "generate_series and value-checks the connector + decoder stack "
+    "(the tpchgen determinism contract applied to the log-scan SPI).",
+    tags=("connector",),
+)
+def connector_filelog_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.filelog_datasource import register_filelog
+    from ..sources.kafka_decoders import decode_json
+
+    register_filelog(spark)
+    path = _flog_topic_dir(spark)
+    batch = (
+        spark.read.format("filelog")
+        .option("path", path)
+        .option("topic", "clicks")
+        .load()
+    )
+    typed = decode_json(batch, "click_id BIGINT, etype STRING")
+    return (
+        typed.groupBy("etype")
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum("click_id").cast("bigint").alias("id_sum"),
+            F.countDistinct("partition").cast("bigint").alias("n_partitions"),
+            F.max("offset").cast("bigint").alias("max_offset"),
+        )
+        .orderBy("etype")
+    )
