@@ -995,24 +995,37 @@ def op_sample_system(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem
     """,
     doc="TABLESAMPLE BERNOULLI analog: df.sample(fraction, seed). "
-    "Value-checked via gate booleans (r10): fraction within binomial "
-    "tolerance, sampled rows a SUBSET of the table (anti-join count 0), "
-    "and same-seed reproducibility (two runs agree on count and key "
-    "checksum) — the sample set itself is RNG-based and deliberately not "
-    "hashed. Reference: SampleNode BERNOULLI.",
+    "Value-checked via gate booleans (r10, strengthened r11 per ADVICE): "
+    "fraction within binomial tolerance; sampled rows a SUBSET of an "
+    "INDEPENDENTLY RE-READ copy of the table (a fresh spark.read.parquet "
+    "scan, so the anti-join compares two distinct plans over the files — "
+    "not the sample's own parent plan, which would be tautological); and "
+    "same-seed reproducibility where the second sample hangs off that "
+    "independent scan too (two distinct plan trees must agree on count "
+    "and key checksum — a genuinely falsifiable determinism check). The "
+    "sample set itself is RNG-based and deliberately not hashed. "
+    "Reference: SampleNode BERNOULLI.",
     tags=("sample",),
 )
 def op_sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     li = t(spark, sf_dir, "lineitem")
+    # independent re-read: a fresh reader over the same files, NOT the
+    # sample's parent DataFrame — so subset/reproducibility compare two
+    # distinct plans and can actually fail (ADVICE r10)
+    li2 = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     total = li.count()
     s1 = li.sample(fraction=0.1, seed=42)
-    s2 = li.sample(fraction=0.1, seed=42)
+    s2 = li2.sample(fraction=0.1, seed=42)
     n1 = s1.count()
     frac_ok = abs(n1 / total - 0.1) < 0.03
-    # subset: every sampled (orderkey, linenumber) key exists in the table
+    # subset: every sampled (orderkey, linenumber) key exists in the
+    # independently re-read table
     keys = ["l_orderkey", "l_linenumber"]
-    subset_ok = s1.select(*keys).join(li.select(*keys), keys, "left_anti").count() == 0
-    # reproducibility: same seed -> same count and same key checksum
+    subset_ok = s1.select(*keys).join(li2.select(*keys), keys, "left_anti").count() == 0
+    # reproducibility: same seed over a DIFFERENT plan instance -> same
+    # count and same key checksum
     def chk(df) -> int:
         row = df.agg(
             F.sum(F.col("l_orderkey") * 7 + F.col("l_linenumber")).alias("c")

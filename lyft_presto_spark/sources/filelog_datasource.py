@@ -162,8 +162,12 @@ class FileLogReader(DataSourceReader):
     def read(self, split: _SegmentSplit):
         if split.part < 0:
             return
+        # iterate the file object — records stream through; memory stays
+        # bounded per split even for a multi-GB segment (ADVICE r10)
         with open(split.path, "rb") as f:
-            for i, line in enumerate(f.read().split(b"\n")):
+            for i, line in enumerate(f):
+                if line.endswith(b"\n"):
+                    line = line[:-1]
                 if not line:
                     continue
                 off = split.base + i
@@ -193,7 +197,9 @@ class FileLogStreamReader(SimpleDataSourceStreamReader):
         recs: dict[int, list[tuple[int, bytes, bytes]]] = {}
         for p, base, f in _segments(self.path):
             with open(f, "rb") as fh:
-                for i, line in enumerate(fh.read().split(b"\n")):
+                for i, line in enumerate(fh):
+                    if line.endswith(b"\n"):
+                        line = line[:-1]
                     if not line:
                         continue
                     k, _, v = line.partition(b"\t")

@@ -108,6 +108,12 @@ def optimize_table(
     files = df.inputFiles()
     before = len(files)
     total_bytes = _total_file_bytes(spark, files)
+    if before > 0 and total_bytes == 0:
+        # every size probe failed (e.g. a blanket transient FS outage):
+        # compacting on a guessed size of 0 would repartition(1) — a
+        # single-task full-table rewrite at scale. Abort instead; the
+        # caller retries when the filesystem answers again (ADVICE r10).
+        return {"files_before": before, "files_after": before, "skipped": 1}
     n_target = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
     # a partitioned table must repartition BY its partition columns:
     # round-robin would send every output task into every partition
@@ -172,10 +178,17 @@ def merge_into(
     (never ``collect()``), and the ANSI cardinality rule is enforced:
     a source with duplicate merge keys raises (a matched target row
     must match at most one source row) — the same error MERGE throws in
-    ANSI engines, checked with one distributed aggregation.
+    ANSI engines, checked with one distributed aggregation. The TARGET
+    may hold duplicate merge keys (ANSI allows it): update mode rewrites
+    EACH matched target row to the source version — the inner join below
+    produces exactly one output row per matched target row, so a
+    twice-duplicated target key yields two (identical-valued) updated
+    rows, exactly what ANSI MERGE specifies.
 
-    Returns {"matched": n, "inserted": n} (inserted = 0 for delete mode
-    merges only when the source fully overlaps the target)."""
+    Returns {"matched": n, "inserted": n} — matched counts TARGET rows
+    that matched a source key; inserted counts source rows whose key
+    matched no target row (so matched + inserted can exceed
+    ``source.count()`` when target keys repeat, and never goes negative)."""
     if when_matched not in ("update", "delete"):
         raise ValueError(f"merge_into: unknown when_matched {when_matched!r}")
     keys = list(on)
@@ -190,13 +203,20 @@ def merge_into(
     src = source.select(*target.columns)  # align column order to the target
     matched = target.join(src.select(*keys), keys, "left_semi").count()
     unmatched_target = target.join(src.select(*keys), keys, "left_anti")
+    # source rows whose key exists nowhere in the target → INSERT clause
+    new_rows = src.join(target.select(*keys).distinct(), keys, "left_anti")
+    inserted = new_rows.count()
     if when_matched == "update":
-        # matched rows take the source version; unmatched source rows insert
-        merged = unmatched_target.unionByName(src)
-        inserted = src.count() - matched
+        # each matched TARGET row takes the source version: inner join on
+        # the (source-unique) key emits one updated row per matched target
+        # row, preserving target-side duplicate-key multiplicity
+        updated = (
+            target.select(*keys)
+            .join(src, keys, "inner")
+            .select(*target.columns)
+        )
+        merged = unmatched_target.unionByName(updated).unionByName(new_rows)
     else:  # delete: matched target rows go away; unmatched source rows insert
-        new_rows = src.join(target.select(*keys), keys, "left_anti")
-        inserted = new_rows.count()
         merged = unmatched_target.unionByName(new_rows)
     _staged_swap(spark, merged, table, f"{table}__merge_stage")
     return {"matched": matched, "inserted": inserted}

@@ -336,3 +336,57 @@ def test_merge_into_delete_mode_and_cardinality_guard(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="cardinality"):
         merge_into(spark, table, dup_src, on=("n_nationkey",))
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_merge_into_duplicate_target_keys_update_each_row(spark, sf_dir, tmp_path):
+    """ANSI MERGE with duplicate TARGET keys (ADVICE r10): update mode must
+    rewrite EACH matched target row to the source version — a key present
+    twice in the target yields two updated rows — and the matched/inserted
+    counts stay non-negative and key-accurate."""
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.sources.write_path import merge_into
+
+    nation = load_table(spark, sf_dir, "nation")
+    table = "t_merge_dupt"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # target: nation with key 3 duplicated (two copies)
+    dup_target = nation.unionByName(nation.filter("n_nationkey = 3"))
+    ctas(spark, dup_target, table, str(tmp_path / "merge_dupt"))
+    n = dup_target.count()
+    # source: update key 3 (matches TWO target rows), insert key 3000
+    src = nation.filter("n_nationkey = 3").withColumn(
+        "n_name", F.lit("UPDATED")
+    ).unionByName(
+        nation.filter("n_nationkey = 0").select(
+            (F.col("n_nationkey") + 3000).alias("n_nationkey"),
+            *[F.col(c) for c in nation.columns if c != "n_nationkey"],
+        )
+    )
+    stats = merge_into(spark, table, src, on=("n_nationkey",))
+    # matched counts TARGET rows (2 copies of key 3); inserted the 1 new key
+    assert stats == {"matched": 2, "inserted": 1}
+    got = spark.table(table)
+    assert got.count() == n + 1  # both copies kept (updated), one insert
+    updated = got.filter("n_nationkey = 3")
+    assert updated.count() == 2  # ANSI: each matched row updated
+    assert updated.filter("n_name = 'UPDATED'").count() == 2
+    assert got.filter("n_nationkey = 3000").count() == 1
+    spark.sql(f"DROP TABLE {table}")
+
+
+def test_optimize_table_aborts_when_size_probe_fails(spark, nation, tmp_path, monkeypatch):
+    """A blanket size-probe failure (every file reads as 0 bytes) must abort
+    compaction rather than repartition(1) the whole table (ADVICE r10)."""
+    from lyft_presto_spark.sources import write_path
+
+    table = "t_opt_zero"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    ctas(spark, nation.repartition(4), table, str(tmp_path / "opt_zero"))
+    before = len(spark.table(table).inputFiles())
+    assert before > 1
+    monkeypatch.setattr(write_path, "_total_file_bytes", lambda *_: 0)
+    stats = write_path.optimize_table(spark, table)
+    assert stats == {"files_before": before, "files_after": before, "skipped": 1}
+    assert len(spark.table(table).inputFiles()) == before  # no rewrite ran
+    spark.sql(f"DROP TABLE {table}")
