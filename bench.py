@@ -189,9 +189,14 @@ def main() -> None:
     # BENCH_r07.json). Persist the full JSON to a committable artifact, then
     # print it LAST so whatever the capture window keeps is the freshest and
     # the artifact is the authoritative record (VERDICT r7 next-round #4).
+    # Default artifact is BENCHRUN_latest.json — NOT BENCHLOCAL.json — so the
+    # driver's per-round rerun can never overwrite the committed idle-window
+    # record and drift it away from the BENCHNOTES narrative (VERDICT r10
+    # next-round #4). The idle-box refresh writes BENCHLOCAL.json explicitly
+    # via SPARK_GRAFT_BENCH_OUT.
     out_path = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHLOCAL.json"),
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHRUN_latest.json"),
     )
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
