@@ -378,6 +378,179 @@ def connector_tpchgen_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- TPC-H Q1 shape: the pure-aggregation pricing summary ---------------------
+# Q1 is the canonical full-scan aggregate (pricing summary report). On the
+# generator catalog the l_orderkey bound is CONSUMED by key-range pushdown
+# (lineitem generation shrinks to [0, 6000*4) — rows outside are never
+# synthesized), while the shipdate screen stays residual and evaluates
+# Spark-side: the generator's dates are hash-derived per row (same as the
+# reference's generator), so a DATE range cannot prune generation in either
+# engine — presto-tpch likewise prunes only by split/key range. All money
+# exactified to integer cents before cross-row sums; the average is one
+# double division of two exact integers.
+
+_Q1_ORACLE = f"""
+WITH li AS (
+    SELECT i // 4 AS l_orderkey,
+           {_Q9_H} % 50 + 1 AS qty,
+           CAST(round((({_Q9_H} % 9000000) / 100.0 + 900.0) * 100, 0) AS BIGINT) AS cents,
+           {_Q9_H} % 11 AS disc_pct,
+           CASE WHEN {_Q9_H} % 10 = 0 THEN 'R'
+                WHEN {_Q9_H} % 2 = 0 THEN 'A' ELSE 'N' END AS l_returnflag,
+           TIMESTAMP '1995-01-01' + ({_Q9_H} % 2500) * INTERVAL 1 DAY AS l_shipdate
+    FROM generate_series(0, 23999) AS t(i)
+)
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty,
+       CAST(SUM(cents) AS BIGINT) AS sum_base_cents,
+       CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS sum_disc_mcents,
+       CAST(round(CAST(SUM(qty) AS DOUBLE) / count(*), 6) AS DOUBLE) AS avg_qty
+FROM li
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query(
+    "connector_tpchgen_q1",
+    oracle=_Q1_ORACLE,
+    doc="TPC-H Q1 shape (pricing summary: pure aggregation over the fact "
+    "scan) on the generator connector — partial aggregation happens inside "
+    "each generated split, so the shuffle carries 3 group rows per "
+    "partition, not 24k lines. l_orderkey < 6000 is consumed by key-range "
+    "pushdown (rows never synthesized); the shipdate screen stays residual "
+    "because generator dates are hash-derived per row — the reference's "
+    "generator cannot prune dates either (presto-tpch prunes only splits). "
+    "Money exactified to integer cents; avg = one division of exact ints.",
+    tags=("connector",),
+)
+def connector_tpchgen_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch_datasource import register_tpchgen
+
+    register_tpchgen(spark)
+    li = (
+        spark.read.format("tpchgen")
+        .option("table", "lineitem")
+        .option("partitions", "8")
+        .load()
+        .filter(
+            (F.col("l_orderkey") < 6000)  # consumed by key-range pushdown
+            & (F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        )
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(qty).cast("bigint").alias("sum_qty"),
+            F.sum(cents).cast("bigint").alias("sum_base_cents"),
+            F.sum(cents * (100 - disc_pct)).cast("bigint").alias("sum_disc_mcents"),
+            F.round(
+                F.sum(qty).cast("double") / F.count("*"), 6
+            ).cast("double").alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- TPC-H Q18 shape: semi-join over an aggregated HAVING ---------------------
+# Large-volume customers: orders whose lineitems aggregate past a quantity
+# threshold — the classic "IN (SELECT key GROUP BY key HAVING agg > T)"
+# shape (Q18), i.e. an aggregation feeding a SEMI-join back onto the fact.
+# Scale shape: the HAVING aggregate shrinks 40k lines to a few hundred
+# keys BEFORE any join; the semi-join then prunes orders, and only the
+# surviving orders rejoin lineitem for the final per-order quantity sum.
+# AQE broadcasts the tiny key set at bench scale; at 100 TB both joins
+# stay shuffle-equi on the order key — one key, co-partitionable end to
+# end (the fact is already hashed on l_orderkey by the HAVING aggregate,
+# so the rejoin reuses that exchange).
+
+_Q18_ORACLE = f"""
+WITH li AS (
+    SELECT i // 4 AS l_orderkey, {_Q9_H} % 50 + 1 AS qty
+    FROM generate_series(0, 39999) AS t(i)
+),
+big AS (
+    SELECT l_orderkey FROM li GROUP BY l_orderkey HAVING SUM(qty) > 130
+),
+ord AS (
+    SELECT i AS o_orderkey,
+           {_Q9_H} % 1500 AS o_custkey,
+           CAST(round((({_Q9_H} % 10000000) / 100.0) * 100, 0) AS BIGINT) AS price_cents,
+           TIMESTAMP '1995-01-01' + ({_Q9_H} % 2400) * INTERVAL 1 DAY AS o_orderdate
+    FROM generate_series(0, 9999) AS t(i)
+),
+cust AS (
+    SELECT i AS c_custkey,
+           'Customer#' || lpad(CAST(i AS VARCHAR), 9, '0') AS c_name
+    FROM generate_series(0, 1499) AS t(i)
+)
+SELECT c_name, o_orderkey, o_orderdate, price_cents,
+       CAST(SUM(qty) AS BIGINT) AS sum_qty
+FROM ord
+JOIN cust ON o_custkey = c_custkey
+JOIN li ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, o_orderkey, o_orderdate, price_cents
+ORDER BY price_cents DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@query(
+    "connector_tpchgen_q18",
+    oracle=_Q18_ORACLE,
+    doc="TPC-H Q18 shape (large-volume customers: semi-join over an "
+    "aggregated HAVING) on the generator catalog — the HAVING aggregate "
+    "shrinks the fact to a small key set BEFORE any join, the semi-join "
+    "prunes orders, and the rejoin reuses the l_orderkey hash exchange "
+    "the aggregate already produced. customer broadcast; quantities are "
+    "exact integers end-to-end. Reference serves Q18 from the same "
+    "generator (TpchMetadata.java:93, TestTpchDistributedQueries).",
+    tags=("connector",),
+)
+def connector_tpchgen_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tpch_datasource import register_tpchgen
+
+    register_tpchgen(spark)
+
+    def gen(table: str) -> DataFrame:
+        return (
+            spark.read.format("tpchgen")
+            .option("table", table)
+            .option("partitions", "8")
+            .load()
+        )
+
+    li = gen("lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 130)
+        .select("l_orderkey")
+    )
+    ord_ = gen("orders").withColumn(
+        "price_cents", F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    )
+    cust = gen("customer")
+    return (
+        ord_.join(big, ord_.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, ord_.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "price_cents")
+        .agg(F.sum(qty).cast("bigint").alias("sum_qty"))
+        .select("c_name", "o_orderkey", "o_orderdate", "price_cents", "sum_qty")
+        .orderBy(F.desc("price_cents"), "o_orderkey")
+        .limit(20)
+    )
+
+
 # --- File-backed log connector end-to-end -------------------------------------
 # The Kafka scan contract (presto-kafka KafkaRecordSet.java:53) driven
 # through the filelog connector + the json decoder, value-checked: the

@@ -335,3 +335,44 @@ def test_vectorized_batches_honor_pushed_key_range(spark):
     )
     assert len(got) == 40  # 4 lines x 10 orders
     assert {r.l_orderkey for r in got} == set(range(1000, 1010))
+
+
+def test_q1_on_generator_catalog_pushdown_partial_agg(spark):
+    # the registered generator-backed TPC-H Q1 shape (pricing summary):
+    # the l_orderkey bound is consumed by key-range pushdown, the
+    # shipdate screen stays residual, and the aggregate is partial
+    # (map-side) before the 3-group shuffle
+    from pyspark.sql.datasource import LessThan
+
+    from lyft_presto_spark.queries import all_queries
+    from lyft_presto_spark.sources.tpch_datasource import TpchGenReader
+
+    r = TpchGenReader("lineitem", 40_000, 8)
+    assert list(r.pushFilters([LessThan(("l_orderkey",), 6000)])) == []
+    assert (r.lo, r.hi) == (0, 24_000)
+
+    df = all_queries()["connector_tpchgen_q1"].spark(spark, "")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan.lower()  # map-side combine before the exchange
+    rows = df.collect()
+    assert [r.l_returnflag for r in rows] == ["A", "N", "R"]
+    assert all(r.n_lines > 0 and r.sum_qty > 0 for r in rows)
+
+
+def test_q18_on_generator_catalog_semi_join_no_cartesian(spark):
+    # the registered generator-backed TPC-H Q18 shape: the HAVING
+    # aggregate feeds a LEFT SEMI join onto orders; no cartesian anywhere
+    from lyft_presto_spark.plans.inspect import assert_no_cartesian
+    from lyft_presto_spark.queries import all_queries
+
+    df = all_queries()["connector_tpchgen_q18"].spark(spark, "")
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= 20
+    # every surviving order aggregates past the HAVING threshold
+    assert all(r.sum_qty > 130 for r in rows)
+    # descending by price, ties by key
+    prices = [r.price_cents for r in rows]
+    assert prices == sorted(prices, reverse=True)
