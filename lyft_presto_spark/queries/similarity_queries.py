@@ -479,3 +479,113 @@ FROM errs
 )
 def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _int8_quant_sql("spark"), ("embeddings",))
+
+
+def _pq_sql(d: str) -> str:
+    # Product-quantization codebook TRAINING (NEW r11) — the PQ step every
+    # billion-vector ANN index (IVF-PQ / Faiss) runs after coarse
+    # clustering: split the 64-dim embedding into M=4 contiguous
+    # subspaces of 16 dims, then k-means (K=4, two Lloyd iterations,
+    # deterministic init = the subvectors of vec_id 0..3) INDEPENDENTLY
+    # per subspace. Everything is exact integer arithmetic so both
+    # engines produce the identical codebook:
+    #  - coordinates are fix-point quantized ONCE: xq = round((x+4)*1e6)
+    #    (the +4 shift keeps every value positive, sidestepping the
+    #    engines' diverging negative-half rounding; squared distances are
+    #    shift-invariant)
+    #  - a centroid is carried as the exact rational (S, n) = (coordinate
+    #    sum, cluster size); the n^2-scaled distance to it is the exact
+    #    integer A = sum_d (n*xq_d - S_d)^2, and argmin across centroids
+    #    with different n compares the rationals A_c/n_c^2 by CROSS
+    #    MULTIPLICATION (A_y * n_x^2 < A_x * n_y^2) — never a division,
+    #    never a float; ties break on the smaller centroid id.
+    # Scale shape: flat postings are one posexplode (linear, map-side);
+    # each iteration is one equi-join of the postings against the
+    # BROADCAST codebook (M*K*16 = 256 rows — at 100 TB still tiny), one
+    # partial-aggregated SUM per (vec, subspace, centroid), a K-vs-K
+    # anti-join argmin per (vec, subspace), and one re-aggregation for
+    # the next codebook. No iteration-count blowup: two unrolled rounds,
+    # each a constant number of linear passes. DECIMAL(38,0) bounds hold
+    # by construction: n <= 1e5 vecs, xq <= 8e6 -> n*xq <= 8e11, squared
+    # 6.4e23, *16 dims ~ 1e25, * n^2 <= 1e35 < 1e38.
+    if d == "spark":
+        flat = (
+            "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
+            "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
+        )
+    else:
+        flat = (
+            "SELECT vec_id, CAST((i - 1) // 16 AS INT) AS m, i AS dim, "
+            "CAST(round((CAST(embedding[i] AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
+            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)"
+        )
+
+    def dist_cte(name: str, cb: str) -> str:
+        term = (
+            f"(CAST(b.n AS DECIMAL(20,0)) * CAST(f.xq AS DECIMAL(20,0)) "
+            f"- CAST(b.S AS DECIMAL(20,0)))"
+        )
+        return f"""
+{name} AS (
+    SELECT f.vec_id, f.m, b.c, b.n,
+           CAST(SUM({term} * {term}) AS DECIMAL(38,0)) AS A,
+           CAST(b.n AS DECIMAL(20,0)) * CAST(b.n AS DECIMAL(20,0)) AS n2
+    FROM flat f
+    JOIN {cb} b ON b.m = f.m AND b.d = f.dim
+    GROUP BY f.vec_id, f.m, b.c, b.n
+)"""
+
+    def assign_cte(name: str, dists: str) -> str:
+        return f"""
+{name} AS (
+    SELECT vec_id, m, c FROM {dists} x
+    WHERE NOT EXISTS (
+        SELECT 1 FROM {dists} y
+        WHERE y.vec_id = x.vec_id AND y.m = x.m
+          AND (y.A * x.n2 < x.A * y.n2
+               OR (y.A * x.n2 = x.A * y.n2 AND y.c < x.c))
+    )
+)"""
+
+    def cb_cte(name: str, assign: str) -> str:
+        return f"""
+{name} AS (
+    SELECT a.m, a.c, f.dim AS d,
+           CAST(SUM(f.xq) AS BIGINT) AS S,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM {assign} a
+    JOIN flat f ON f.vec_id = a.vec_id AND f.m = a.m
+    GROUP BY a.m, a.c, f.dim
+)"""
+
+    return f"""
+WITH flat AS (
+    {flat}
+),
+cb0 AS (
+    SELECT m, dim AS d, CAST(vec_id AS INT) AS c, xq AS S, CAST(1 AS BIGINT) AS n
+    FROM flat WHERE vec_id < 4
+),{dist_cte('d1', 'cb0')},{assign_cte('a1', 'd1')},{cb_cte('cb1', 'a1')},{dist_cte('d2', 'cb1')},{assign_cte('a2', 'd2')},{cb_cte('cb2', 'a2')}
+SELECT m AS subspace, c AS centroid, d AS dim, S AS s_sum, n AS n_assigned
+FROM cb2
+ORDER BY subspace, centroid, dim
+"""
+
+
+@query(
+    "sim_pq_codebook",
+    oracle=_pq_sql("duck"),
+    doc="Product-quantization codebook training (NEW r11 — the PQ half of "
+    "IVF-PQ, the compression every billion-vector ANN index applies): "
+    "M=4 subspaces x K=4 centroids, two Lloyd iterations as relational "
+    "algebra. Centroids are exact rationals (coordinate-sum, count); "
+    "nearest-centroid argmin compares n^2-scaled integer distances by "
+    "cross multiplication — zero floats, zero divisions, so the trained "
+    "codebook is bit-identical cross-engine. Each iteration: one "
+    "broadcast equi-join of exploded postings to the 256-row codebook, "
+    "one partial-agg distance sum, a K-vs-K anti-join argmin.",
+    tags=("similarity", "extension"),
+)
+def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sql_over(spark, sf_dir, _pq_sql("spark"), ("embeddings",))

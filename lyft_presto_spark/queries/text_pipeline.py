@@ -1245,3 +1245,161 @@ WITH tok_t AS (
 SELECT doc_id, lang, is_train, {bucket} AS bkt
 FROM tok_t LATERAL VIEW explode(toks) AS tok
 """
+
+
+# --- BPE pair-merge training (r11) -------------------------------------------
+# The byte-pair-encoding TRAINING step — the core of how LLM tokenizers
+# (GPT-2/SentencePiece-BPE) are built — expressed as pure relational
+# algebra over the corpus, three merge rounds unrolled:
+#   round k: (1) count adjacent token pairs corpus-wide (explode + one
+#   hash aggregation with map-side combine), (2) pick the most frequent
+#   pair with an EXACT deterministic tie-break (ORDER BY count DESC,
+#   pair lexicographic LIMIT 1 — a 1-row global top-1, lowered to
+#   TakeOrderedAndProject), (3) apply the merge to every document with a
+#   literal string replace (map-side, zero shuffle).
+# Documents are carried as boundary-safe token strings "|tok1 |tok2 ... "
+# — each token prefixed by '|' and suffixed by ' ', so the merge pattern
+# "|a |b " consumes its own delimiters and left-to-right non-overlapping
+# replace() IS greedy BPE application; no token boundary is ever shared
+# between adjacent matches. Token counts after each round are the number
+# of '|' markers — a length difference, no re-tokenization.
+# Scale: each round is one linear corpus pass + a vocab-bounded pair
+# aggregation + a 1-row broadcast; the merge table (the model) is K rows.
+# At 100 TB the pair aggregation shuffles (tok,tok) keys with partial
+# aggregation — bounded by vocab², in practice by live pair count — and
+# the replace pass is embarrassingly parallel. The Spark side stages each
+# round's merged strings (persisted once), since three consumers (next
+# round's pair count, the token count, the next merge) would otherwise
+# re-run the whole chain through CTE inlining.
+# Reference: beyond parity — the reference has no tokenizer-training
+# surface; this is the LLM-data-pipeline extension family.
+
+
+def _bpe_s0_sql(d: str) -> str:
+    toks = T.tokens("text", d)
+    if d == "spark":
+        return f"""
+SELECT doc_id, concat('|', array_join(toks, ' |'), ' ') AS s
+FROM (SELECT doc_id, {toks} AS toks FROM documents)
+WHERE size(toks) >= 1
+"""
+    return f"""
+SELECT doc_id, '|' || array_to_string(toks, ' |') || ' ' AS s
+FROM (SELECT doc_id, {toks} AS toks FROM documents)
+WHERE len(toks) >= 1
+"""
+
+
+def _bpe_best_sql(d: str, view: str) -> str:
+    """Top-1 adjacent pair of the round: exact count, deterministic
+    lexicographic tie-break."""
+    if d == "spark":
+        return f"""
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+FROM (
+    SELECT element_at(e, i) AS w1, element_at(e, i + 1) AS w2
+    FROM (
+        SELECT e FROM (SELECT filter(split(s, ' '), x -> x <> '') AS e FROM {view})
+        WHERE size(e) >= 2
+    ) t LATERAL VIEW explode(sequence(1, size(e) - 1)) AS i
+) p
+GROUP BY w1, w2
+ORDER BY c DESC, w1, w2
+LIMIT 1
+"""
+    return f"""
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+FROM (
+    SELECT e[i] AS w1, e[i + 1] AS w2
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS e FROM {view}) t,
+         unnest(generate_series(1, len(e) - 1)) AS u(i)
+    WHERE len(e) >= 2
+) p
+GROUP BY w1, w2
+ORDER BY c DESC, w1, w2
+LIMIT 1
+"""
+
+
+_BPE_ROUNDS = 3
+
+
+def _bpe_oracle_sql() -> str:
+    """The full 3-round chain as one DuckDB query (CTE per round)."""
+    parts = [f"WITH s0 AS ({_bpe_s0_sql('duck').strip()})"]
+    for k in range(1, _BPE_ROUNDS + 1):
+        best = _bpe_best_sql("duck", f"s{k - 1}").strip()
+        parts.append(f"b{k} AS ({best})")
+        parts.append(
+            f"s{k} AS (SELECT doc_id, "
+            f"replace(s, w1 || ' ' || w2 || ' ', w1 || substr(w2, 2) || ' ') AS s "
+            f"FROM s{k - 1}, b{k})"
+        )
+        parts.append(
+            f"t{k} AS (SELECT CAST(SUM(length(s) - length(replace(s, '|', ''))) AS BIGINT) AS n "
+            f"FROM s{k})"
+        )
+    selects = [
+        f"SELECT {k} AS round, substr(w1, 2) || '+' || substr(w2, 2) AS merged_pair, "
+        f"c AS pair_count, (SELECT n FROM t{k}) AS tokens_after FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY round"
+
+
+@query(
+    "text_bpe_merge_train",
+    oracle=_bpe_oracle_sql(),
+    doc="BPE tokenizer TRAINING (three merge rounds) as relational algebra: "
+    "per round, one corpus-wide adjacent-pair aggregation (map-side "
+    "combine), an exact top-1 merge pick (count DESC, lexicographic "
+    "tie-break), and a boundary-safe literal replace applied map-side to "
+    "every document — left-to-right non-overlapping replace() IS greedy "
+    "BPE because every token carries its own '|'/' ' delimiters. The "
+    "merged strings are staged per round (three consumers each). Exact "
+    "integer counts end-to-end; DuckDB replays the identical chain.",
+    tags=("text", "extension"),
+)
+def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.staging import staged
+
+    cur = staged(
+        spark, sf_dir, "bpe_s0",
+        lambda: sql_over(spark, sf_dir, _bpe_s0_sql("spark"), ("documents",)),
+    )
+    rounds = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        view = f"bpe_s{k - 1}_v"
+        cur.createOrReplaceTempView(view)
+        best = spark.sql(_bpe_best_sql("spark", view))  # 1-row top-1
+        prev = cur
+
+        def build_next(prev=prev, best=best):
+            return prev.crossJoin(F.broadcast(best)).select(
+                "doc_id",
+                F.expr(
+                    "replace(s, w1 || ' ' || w2 || ' ', w1 || substr(w2, 2) || ' ')"
+                ).alias("s"),
+            )
+
+        cur = staged(spark, sf_dir, f"bpe_s{k}", build_next)
+        tokens_after = cur.agg(
+            F.sum(F.length("s") - F.length(F.replace(F.col("s"), F.lit("|"))))
+            .cast("bigint")
+            .alias("tokens_after")
+        )
+        rounds.append(
+            best.select(
+                F.lit(k).cast("int").alias("round"),
+                F.concat(
+                    F.expr("substr(w1, 2)"), F.lit("+"), F.expr("substr(w2, 2)")
+                ).alias("merged_pair"),
+                F.col("c").alias("pair_count"),
+            ).crossJoin(F.broadcast(tokens_after))
+        )
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("round")
