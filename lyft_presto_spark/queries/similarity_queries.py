@@ -481,7 +481,7 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _int8_quant_sql("spark"), ("embeddings",))
 
 
-def _pq_sql(d: str) -> str:
+def _pq_sql(d: str, flat_view: str | None = None) -> str:
     # Product-quantization codebook TRAINING (NEW r11) — the PQ step every
     # billion-vector ANN index (IVF-PQ / Faiss) runs after coarse
     # clustering: split the 64-dim embedding into M=4 contiguous
@@ -559,6 +559,8 @@ def _pq_sql(d: str) -> str:
     GROUP BY a.m, a.c, f.dim
 )"""
 
+    if flat_view:
+        flat = f"SELECT * FROM {flat_view}"
     return f"""
 WITH flat AS (
     {flat}
@@ -588,4 +590,22 @@ ORDER BY subspace, centroid, dim
     tags=("similarity", "extension"),
 )
 def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _pq_sql("spark"), ("embeddings",))
+    from ..operators.staging import staged
+
+    # the flat postings feed cb0 + both iterations' distance joins and
+    # re-aggregations (5 consumers); CTE inlining would posexplode the
+    # embeddings five times — stage them once (the bigram/NB discipline)
+    flat = staged(
+        spark, sf_dir, "pq_flat",
+        lambda: sql_over(
+            spark, sf_dir,
+            "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
+            "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
+            ("embeddings",),
+        ),
+    )
+    flat.createOrReplaceTempView("pq_flat_v")
+    return sql_over(
+        spark, sf_dir, _pq_sql("spark", flat_view="pq_flat_v"), ("embeddings",)
+    )
