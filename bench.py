@@ -90,6 +90,15 @@ HEADLINE_EXTRAS = (
     "text_hashed_nb_classifier",
     "sim_int8_quantization",
     "fn_geo_intersection_any",
+    # r11 additions: BPE merge training (three staged corpus passes +
+    # top-1 picks), PQ codebook training (two exact-integer Lloyd
+    # iterations), PQ ADC search (coding + LUT ranking), and the two new
+    # generator-catalog shapes.
+    "text_bpe_merge_train",
+    "sim_pq_codebook",
+    "sim_pq_adc_search",
+    "connector_tpchgen_q1",
+    "connector_tpchgen_q18",
 )
 
 

@@ -481,7 +481,7 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _int8_quant_sql("spark"), ("embeddings",))
 
 
-def _pq_sql(d: str, flat_view: str | None = None) -> str:
+def _pq_sql(d: str, flat_view: str | None = None, adc: bool = False) -> str:
     # Product-quantization codebook TRAINING (NEW r11) — the PQ step every
     # billion-vector ANN index (IVF-PQ / Faiss) runs after coarse
     # clustering: split the 64-dim embedding into M=4 contiguous
@@ -561,17 +561,48 @@ def _pq_sql(d: str, flat_view: str | None = None) -> str:
 
     if flat_view:
         flat = f"SELECT * FROM {flat_view}"
-    return f"""
+    chain = f"""
 WITH flat AS (
     {flat}
 ),
 cb0 AS (
     SELECT m, dim AS d, CAST(vec_id AS INT) AS c, xq AS S, CAST(1 AS BIGINT) AS n
     FROM flat WHERE vec_id < 4
-),{dist_cte('d1', 'cb0')},{assign_cte('a1', 'd1')},{cb_cte('cb1', 'a1')},{dist_cte('d2', 'cb1')},{assign_cte('a2', 'd2')},{cb_cte('cb2', 'a2')}
+),{dist_cte('d1', 'cb0')},{assign_cte('a1', 'd1')},{cb_cte('cb1', 'a1')},{dist_cte('d2', 'cb1')},{assign_cte('a2', 'd2')},{cb_cte('cb2', 'a2')}"""
+    if not adc:
+        return chain + """
 SELECT m AS subspace, c AS centroid, d AS dim, S AS s_sum, n AS n_assigned
 FROM cb2
 ORDER BY subspace, centroid, dim
+"""
+    # ADC search tail: code every vector against the trained codebook
+    # (one more dist+argmin round), round the centroids to exact integer
+    # coordinates mu = round-half-up(S/n) via pure integer ops
+    # ((2S+n) idiv 2n — S is positive by the +4 shift), build the query's
+    # M*K lookup table, and rank by the summed table entries.
+    idiv = "DIV" if d == "spark" else "//"
+    return chain + f""",{dist_cte('d3', 'cb2')},{assign_cte('codes', 'd3')},
+qv AS (
+    SELECT m, dim, xq FROM flat WHERE vec_id = 0
+),
+mu AS (
+    SELECT m, c, d, (2 * S + n) {idiv} (2 * n) AS mu FROM cb2
+),
+lut AS (
+    SELECT q.m, b.c, CAST(SUM((q.xq - b.mu) * (q.xq - b.mu)) AS BIGINT) AS pdist
+    FROM qv q JOIN mu b ON b.m = q.m AND b.d = q.dim
+    GROUP BY q.m, b.c
+),
+adc AS (
+    SELECT cds.vec_id, CAST(SUM(l.pdist) AS BIGINT) AS adc_dist
+    FROM codes cds JOIN lut l ON l.m = cds.m AND l.c = cds.c
+    GROUP BY cds.vec_id
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_dist
+FROM adc
+WHERE vec_id <> 0
+ORDER BY adc_dist, vec_id
+LIMIT 10
 """
 
 
@@ -608,4 +639,40 @@ def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat.createOrReplaceTempView("pq_flat_v")
     return sql_over(
         spark, sf_dir, _pq_sql("spark", flat_view="pq_flat_v"), ("embeddings",)
+    )
+
+
+@query(
+    "sim_pq_adc_search",
+    oracle=_pq_sql("duck", adc=True),
+    doc="PQ asymmetric-distance (ADC) top-k search (NEW r11 — how IVF-PQ "
+    "actually answers queries): every database vector is coded against "
+    "the trained codebook (one more exact cross-multiplied argmin round), "
+    "the query builds its M*K=16-entry lookup table against integer- "
+    "rounded centroids (mu = round-half-up(S/n) computed as (2S+n) idiv "
+    "2n — pure integer ops, identical cross-engine), and ranking sums "
+    "LUT entries per code. The ranking lowers to a distributed top-k; "
+    "the LUT and codebook are broadcast-tiny at any scale — the database "
+    "vectors are never touched again after coding, which is the entire "
+    "point of PQ at 100 TB (code once, search in compressed space).",
+    tags=("similarity", "extension"),
+)
+def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged
+
+    flat = staged(
+        spark, sf_dir, "pq_flat",
+        lambda: sql_over(
+            spark, sf_dir,
+            "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
+            "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
+            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
+            ("embeddings",),
+        ),
+    )
+    flat.createOrReplaceTempView("pq_flat_v")
+    return sql_over(
+        spark, sf_dir,
+        _pq_sql("spark", flat_view="pq_flat_v", adc=True),
+        ("embeddings",),
     )

@@ -388,3 +388,44 @@ def test_bm25_ranking_is_distributed_topk_and_equijoin(spark, sf_dir):
     plan = formatted_plan(df)
     assert "TakeOrderedAndProject" in plan
     assert_no_cartesian(df, allow_scalar_bnlj=True)
+
+
+def test_bpe_merge_train_topk_pick_and_no_cartesian(spark, sf_dir):
+    # BPE training (NEW r11): each round's merge pick is a global top-1 —
+    # it must lower to TakeOrderedAndProject (per-partition partial
+    # top-k), never a global sort; the only cross joins are the 1-row
+    # best-pair / token-count scalars broadcast onto the corpus
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["text_bpe_merge_train"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    # each merge strictly shrinks the corpus token count
+    counts = [r.tokens_after for r in rows]
+    assert counts[0] > counts[1] > counts[2]
+    assert all(r.pair_count > 0 for r in rows)
+
+
+def test_pq_codebook_and_adc_are_equijoin_only(spark, sf_dir):
+    # PQ (NEW r11): every join in training and search is an equi-join on
+    # (m, dim) / (m, c) / (vec_id, m) — no cartesian anywhere (the argmin
+    # NOT EXISTS decorrelates to an anti-join on the group key)
+    cb = QS["sim_pq_codebook"].spark(spark, sf_dir)
+    assert_no_cartesian(cb)
+    rows = cb.collect()
+    assert len(rows) > 0
+    # subspace/centroid grid: every surviving cluster carries all 16 dims
+    from collections import Counter
+    dims_per_cluster = Counter((r.subspace, r.centroid) for r in rows)
+    assert all(v == 16 for v in dims_per_cluster.values())
+    assert all(r.n_assigned > 0 for r in rows)
+
+    adc = QS["sim_pq_adc_search"].spark(spark, sf_dir)
+    assert_no_cartesian(adc)
+    top = adc.collect()
+    assert 0 < len(top) <= 10
+    dists = [r.adc_dist for r in top]
+    assert dists == sorted(dists)  # ranked ascending, exact ints
+    assert all(r.vec_id != 0 for r in top)  # query excluded
