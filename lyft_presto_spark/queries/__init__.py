@@ -223,20 +223,21 @@ from .registry import REGISTRY, Query, query
 # Late-r11 amendment: the three operators BUILT this round (BPE merge
 # training, PQ codebook, PQ ADC search) go straight into the head so r11
 # does not recreate the built-but-never-scored debt VERDICT r10 flagged;
-# three more TPC-H rows (q4/q5/q12 — driver-green 10-for-10) fund the
-# slots, leaving TPC-H with 17 scored rows this round. First-time count:
-# 29.
+# four more TPC-H rows (q4/q5/q12/q14 — driver-green 10-for-10) fund
+# the slots (ml_auc_rank joins them), leaving TPC-H with 16 scored rows
+# this round. First-time count: 30.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H corpus (core evidence; q2/q4/q5/q11/q12 rotated out this
     # round to fund first-time slots — all driver-green 10-for-10)
     "tpch_q1", "tpch_q3", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
     # NEW r11 generator-catalog shapes (VERDICT r10 ask #2)
     "connector_tpchgen_q1", "connector_tpchgen_q18",
     # NEW r11 operators — scored the round they were built
     "text_bpe_merge_train", "sim_pq_codebook", "sim_pq_adc_search",
+    "ml_auc_rank",
     # r10-built, never scored (VERDICT r10 priority #1)
     "text_bm25_retrieval", "text_hashed_nb_classifier",
     "sim_int8_quantization",

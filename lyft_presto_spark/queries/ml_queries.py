@@ -159,3 +159,88 @@ def ml_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(recovered).alias("coefs_ok"),
         F.lit(intercept_ok).alias("intercept_ok"),
     )
+
+
+def _auc_sql(d: str) -> str:
+    # Rank-sum (Mann-Whitney) ROC-AUC with exact midrank tie handling
+    # (NEW r11) — the evaluation step every model-based quality filter
+    # runs before setting its keep threshold. The reference's presto-ml
+    # evaluates classifiers with a textual confusion summary
+    # (MLFunctions.java evaluate_classifier_predictions); AUC is the
+    # threshold-free extension a filtering pipeline actually tunes on.
+    # Classifier under test: the English-stopword-ratio score (a real
+    # weak language detector); positives are lang='en' documents.
+    # Exactness: ties are heavy by construction (scores round to 2dp), so
+    # midranks matter — the rank sum is computed PER DISTINCT SCORE as
+    # p * (2*cum_before + c + 1) which is exactly twice the midrank sum,
+    # all integers; AUC = (2*R_pos - P*(P+1)) / (2*P*N) is emitted as the
+    # exact integer numerator/denominator pair plus one rounded double.
+    # Scale: one linear scoring pass, one score-key aggregation
+    # (map-side combine), then the window runs over the DISTINCT-SCORE
+    # table — bounded cardinality (101 possible 2dp ratios), never the
+    # corpus, so the single-partition window is a model-sized artifact
+    # exactly like the NB/BM25 model tables.
+    from ..operators import text as T
+
+    toks = T.tokens("text", d)
+    sz = T.array_size("toks", d)
+    n_stop = (
+        "size(filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))"
+        if d == "spark"
+        else "len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in','is','it')))"
+    )
+    return f"""
+WITH feat AS (
+    SELECT doc_id, (lang = 'en') AS is_pos,
+           CAST(round(CAST({n_stop} AS DOUBLE) / {sz}, 2) AS DECIMAL(6,2)) AS score
+    FROM (SELECT doc_id, lang, {toks} AS toks FROM documents)
+    WHERE {sz} >= 1
+),
+by_score AS (
+    SELECT score, CAST(count(*) AS BIGINT) AS c,
+           CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS p
+    FROM feat GROUP BY score
+),
+ranked AS (
+    SELECT score, c, p,
+           CAST(coalesce(sum(c) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_before
+    FROM by_score
+),
+tot AS (
+    SELECT CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(c - p) AS BIGINT) AS n_neg
+    FROM by_score
+),
+ranksum AS (
+    SELECT CAST(sum(p * (2 * cum_before + c + 1)) AS BIGINT) AS two_rpos
+    FROM ranked
+)
+SELECT t.n_pos, t.n_neg,
+       CAST(r.two_rpos - t.n_pos * (t.n_pos + 1) AS BIGINT) AS auc_num2,
+       CAST(2 * t.n_pos * t.n_neg AS BIGINT) AS auc_den2,
+       CAST(round(CAST(r.two_rpos - t.n_pos * (t.n_pos + 1) AS DOUBLE)
+            / (2 * t.n_pos * t.n_neg), 6) AS DOUBLE) AS auc
+FROM ranksum r, tot t
+"""
+
+
+@query(
+    "ml_auc_rank",
+    oracle=_auc_sql("duck"),
+    doc="Rank-sum ROC-AUC with exact midrank tie handling (NEW r11) — the "
+    "threshold-free evaluation a model-based quality filter tunes on "
+    "(extends presto-ml's evaluate_classifier_predictions confusion "
+    "summary, MLFunctions.java). Classifier under test: the English-"
+    "stopword-ratio score vs the lang='en' label. The Mann-Whitney rank "
+    "sum is computed per DISTINCT score as p*(2*cum_before+c+1) — twice "
+    "the midrank sum, exact integers end to end — and AUC ships as the "
+    "integer numerator/denominator pair plus one rounded double. The "
+    "window runs over the bounded distinct-score table (<= 101 rows), "
+    "never the corpus.",
+    tags=("ml", "extension"),
+)
+def ml_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .registry import sql_over
+
+    return sql_over(spark, sf_dir, _auc_sql("spark"), ("documents",))
