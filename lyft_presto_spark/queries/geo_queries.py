@@ -3210,7 +3210,7 @@ def fn_geo_relate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Mixed-dimension DE-9IM: line/polygon and point/polygon ------------------
 
 _RELATE_MIXED_SRC = """
-    SELECT c_custkey, CAST(c_custkey % 8 AS INT) AS kind
+    SELECT c_custkey, CAST(c_custkey % 7 AS INT) AS kind
     FROM customer
     WHERE c_custkey % 21 = 0
 """
