@@ -1,0 +1,42 @@
+"""bench.py contract: the headline set stays in sync with the registry.
+
+``bench.py`` filters ``HEADLINE_EXTRAS`` with ``if n in queries`` so a
+renamed/removed query would SILENTLY drop out of the bench (the driver
+would keep parsing a shrinking headline set with no error). Pin the names
+here so a rename fails loudly, and pin the artifact-path default so the
+driver's per-round rerun can never overwrite the committed idle-window
+BENCHLOCAL.json (VERDICT r10 next-round #4).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", os.path.join(REPO, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_headline_extra_is_registered():
+    from lyft_presto_spark.queries import all_queries
+
+    bench = _load_bench()
+    names = set(all_queries())
+    missing = [n for n in bench.HEADLINE_EXTRAS if n not in names]
+    assert not missing, f"bench HEADLINE_EXTRAS not registered: {missing}"
+
+
+def test_bench_default_artifact_is_not_the_committed_idle_record():
+    # the default out path must be BENCHRUN_latest.json; BENCHLOCAL.json is
+    # written only explicitly (SPARK_GRAFT_BENCH_OUT) during the idle-box
+    # refresh, so the committed narrative and artifact cannot drift apart
+    with open(os.path.join(REPO, "bench.py")) as f:
+        src = f.read()
+    assert '"BENCHRUN_latest.json"' in src
+    assert 'os.environ.get(\n        "SPARK_GRAFT_BENCH_OUT"' in src
