@@ -69,7 +69,22 @@ def staged(
     with key_lock:  # only same-key callers wait; build() runs outside _LOCK
         df = _STAGED.get(key)
         if df is None:
-            df = build().persist()
+            # localCheckpoint, NOT persist(): Spark's cache manager
+            # substitutes InMemoryRelations on the ANALYZED plan
+            # (withCachedData) but WITH-CTEs inline only later in the
+            # optimizer, so a persisted artifact referenced inside any
+            # CTE body silently misses the cache and re-runs its whole
+            # build per consumer (found r11 via the PQ plans: the bigram
+            # posting table re-tokenized the corpus 3x through exactly
+            # this hole). localCheckpoint cuts lineage instead — the
+            # artifact becomes an opaque LogicalRDD leaf that survives
+            # CTE inlining, view re-registration, and cache-manager
+            # misses alike. eager=False defers materialization to first
+            # use. (Non-reliable checkpoint is safe here: single-JVM
+            # local mode cannot lose executors; a multi-node deployment
+            # of this pattern would write the artifact as a table —
+            # same lifecycle, durable blocks.)
+            df = build().localCheckpoint(eager=False)
             with _LOCK:
                 _STAGED[key] = df
     return df

@@ -481,63 +481,101 @@ def sim_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _int8_quant_sql("spark"), ("embeddings",))
 
 
-def _pq_sql(d: str, flat_view: str | None = None, adc: bool = False) -> str:
-    # Product-quantization codebook TRAINING (NEW r11) — the PQ step every
-    # billion-vector ANN index (IVF-PQ / Faiss) runs after coarse
-    # clustering: split the 64-dim embedding into M=4 contiguous
-    # subspaces of 16 dims, then k-means (K=4, two Lloyd iterations,
-    # deterministic init = the subvectors of vec_id 0..3) INDEPENDENTLY
-    # per subspace. Everything is exact integer arithmetic so both
-    # engines produce the identical codebook:
-    #  - coordinates are fix-point quantized ONCE: xq = round((x+4)*1e6)
-    #    (the +4 shift keeps every value positive, sidestepping the
-    #    engines' diverging negative-half rounding; squared distances are
-    #    shift-invariant)
-    #  - a centroid is carried as the exact rational (S, n) = (coordinate
-    #    sum, cluster size); the n^2-scaled distance to it is the exact
-    #    integer A = sum_d (n*xq_d - S_d)^2, and argmin across centroids
-    #    with different n compares the rationals A_c/n_c^2 by CROSS
-    #    MULTIPLICATION (A_y * n_x^2 < A_x * n_y^2) — never a division,
-    #    never a float; ties break on the smaller centroid id.
-    # Scale shape: flat postings are one posexplode (linear, map-side);
-    # each iteration is one equi-join of the postings against the
-    # BROADCAST codebook (M*K*16 = 256 rows — at 100 TB still tiny), one
-    # partial-aggregated SUM per (vec, subspace, centroid), a K-vs-K
-    # anti-join argmin per (vec, subspace), and one re-aggregation for
-    # the next codebook. No iteration-count blowup: two unrolled rounds,
-    # each a constant number of linear passes. DECIMAL(38,0) bounds hold
-    # by construction: n <= 1e5 vecs, xq <= 8e6 -> n*xq <= 8e11, squared
-    # 6.4e23, *16 dims ~ 1e25, * n^2 <= 1e35 < 1e38.
-    if d == "spark":
-        flat = (
-            "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
-            "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
-            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
-        )
-    else:
-        flat = (
-            "SELECT vec_id, CAST((i - 1) // 16 AS INT) AS m, i AS dim, "
-            "CAST(round((CAST(embedding[i] AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
-            "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)"
-        )
 
-    def dist_cte(name: str, cb: str) -> str:
-        term = (
-            f"(CAST(b.n AS DECIMAL(20,0)) * CAST(f.xq AS DECIMAL(20,0)) "
-            f"- CAST(b.S AS DECIMAL(20,0)))"
-        )
-        return f"""
+# --- Product quantization (NEW r11): codebook training + ADC search ----------
+# The PQ step every billion-vector ANN index (IVF-PQ / Faiss) runs after
+# coarse clustering: split the 64-dim embedding into M=4 contiguous
+# subspaces of 16 dims, then k-means (K=4, two Lloyd iterations,
+# deterministic init = the subvectors of vec_id 0..3) INDEPENDENTLY per
+# subspace. Everything is exact integer arithmetic so both engines
+# produce the identical codebook:
+#  - coordinates are fix-point quantized ONCE: xq = round((x+4)*1e6)
+#    (the +4 shift keeps every value positive, sidestepping the engines'
+#    diverging negative-half rounding; squared distances are
+#    shift-invariant)
+#  - a centroid is carried as the exact rational (S, n) = (coordinate
+#    sum, cluster size); the n^2-scaled distance to it is the exact
+#    integer A = sum_d (n*xq_d - S_d)^2, and argmin across centroids with
+#    different n compares the rationals A_c/n_c^2 by CROSS MULTIPLICATION
+#    (A_y * n_x^2 < A_x * n_y^2) — never a division, never a float; ties
+#    break on the smaller centroid id.
+# Scale shape: flat postings are one posexplode (linear, map-side); each
+# iteration is one equi-join of the postings against the BROADCAST
+# codebook (M*K*16 = 256 rows — at 100 TB still tiny), one
+# partial-aggregated SUM per (vec, subspace, centroid), a K-vs-K
+# anti-join argmin per (vec, subspace), and one re-aggregation for the
+# next codebook. DECIMAL(38,0) bounds hold by construction: n <= 1e5
+# vecs, xq <= 8e6 -> n*xq <= 8e11, squared 6.4e23, *16 dims ~ 1e25,
+# * n^2 <= 1e35 < 1e38.
+# The Spark side STAGES flat + each iteration's codebook (persisted,
+# operators/staging.py): the training chain has 3-4 consumers per stage
+# (the next distance join references it from both sides of the argmin
+# NOT EXISTS, plus the re-aggregation), and CTE inlining would re-run the
+# whole two-iteration chain per consumer — measured 4.9 s vs ~1 s staged
+# at sf0.1 for the ADC query. The DuckDB oracle keeps the single-query
+# CTE chain (DuckDB materializes reused CTEs).
+
+_PQ_FLAT_SPARK = (
+    "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
+    "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
+    "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x"
+)
+_PQ_FLAT_DUCK = (
+    "SELECT vec_id, CAST((i - 1) // 16 AS INT) AS m, i AS dim, "
+    "CAST(round((CAST(embedding[i] AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
+    "FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)"
+)
+_PQ_CB0 = (
+    "SELECT m, dim AS d, CAST(vec_id AS INT) AS c, xq AS S, CAST(1 AS BIGINT) AS n "
+    "FROM flat WHERE vec_id < 4"
+)
+
+
+def _pq_dist_cte(name: str, cb: str, flat_src: str = "flat") -> str:
+    term = (
+        "(CAST(b.n AS DECIMAL(20,0)) * CAST(f.xq AS DECIMAL(20,0)) "
+        "- CAST(b.S AS DECIMAL(20,0)))"
+    )
+    return f"""
 {name} AS (
     SELECT f.vec_id, f.m, b.c, b.n,
            CAST(SUM({term} * {term}) AS DECIMAL(38,0)) AS A,
            CAST(b.n AS DECIMAL(20,0)) * CAST(b.n AS DECIMAL(20,0)) AS n2
-    FROM flat f
+    FROM {flat_src} f
     JOIN {cb} b ON b.m = f.m AND b.d = f.dim
     GROUP BY f.vec_id, f.m, b.c, b.n
 )"""
 
-    def assign_cte(name: str, dists: str) -> str:
+
+def _pq_assign_cte(name: str, dists: str, d: str = "duck") -> str:
+    # Argmin under the cross-multiplied rational order. Two spellings of
+    # the SAME unique minimum (the order is total: ties in A/n^2 break on
+    # the unique centroid id):
+    #  - duck: NOT EXISTS self-join (clearest declarative form; DuckDB
+    #    materializes the referenced CTE once)
+    #  - spark: a single-pass exact FOLD over array_agg(struct(c, A, n2))
+    #    — one aggregation, no self-join, so the distance table is
+    #    consumed ONCE (the NOT EXISTS form re-ran the whole upstream
+    #    chain from both sides of the anti-join; measured 2x on the ADC
+    #    tail). array_agg order does not matter: the fold computes the
+    #    order-independent unique minimum.
+    if d == "spark":
+        cmp_ = (
+            "e.A * acc.n2 < acc.A * e.n2 OR "
+            "(e.A * acc.n2 = acc.A * e.n2 AND e.c < acc.c)"
+        )
         return f"""
+{name} AS (
+    SELECT vec_id, m,
+           aggregate(slice(arr, 2, size(arr) - 1), element_at(arr, 1),
+                     (acc, e) -> IF({cmp_}, e, acc)).c AS c
+    FROM (
+        SELECT vec_id, m, array_agg(struct(c, A, n2)) AS arr
+        FROM {dists}
+        GROUP BY vec_id, m
+    )
+)"""
+    return f"""
 {name} AS (
     SELECT vec_id, m, c FROM {dists} x
     WHERE NOT EXISTS (
@@ -548,45 +586,43 @@ def _pq_sql(d: str, flat_view: str | None = None, adc: bool = False) -> str:
     )
 )"""
 
-    def cb_cte(name: str, assign: str) -> str:
-        return f"""
+
+def _pq_cb_cte(name: str, assign: str) -> str:
+    return _pq_cb_cte_src(name, assign, "flat")
+
+
+def _pq_cb_cte_src(name: str, assign: str, flat_src: str) -> str:
+    return f"""
 {name} AS (
     SELECT a.m, a.c, f.dim AS d,
            CAST(SUM(f.xq) AS BIGINT) AS S,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM {assign} a
-    JOIN flat f ON f.vec_id = a.vec_id AND f.m = a.m
+    JOIN {flat_src} f ON f.vec_id = a.vec_id AND f.m = a.m
     GROUP BY a.m, a.c, f.dim
 )"""
 
-    if flat_view:
-        flat = f"SELECT * FROM {flat_view}"
-    chain = f"""
-WITH flat AS (
-    {flat}
-),
-cb0 AS (
-    SELECT m, dim AS d, CAST(vec_id AS INT) AS c, xq AS S, CAST(1 AS BIGINT) AS n
-    FROM flat WHERE vec_id < 4
-),{dist_cte('d1', 'cb0')},{assign_cte('a1', 'd1')},{cb_cte('cb1', 'a1')},{dist_cte('d2', 'cb1')},{assign_cte('a2', 'd2')},{cb_cte('cb2', 'a2')}"""
-    if not adc:
-        return chain + """
+
+_PQ_CODEBOOK_SELECT = """
 SELECT m AS subspace, c AS centroid, d AS dim, S AS s_sum, n AS n_assigned
 FROM cb2
 ORDER BY subspace, centroid, dim
 """
+
+
+def _pq_adc_tail(d: str, flat_src: str = "flat", cb_src: str = "cb2") -> str:
     # ADC search tail: code every vector against the trained codebook
     # (one more dist+argmin round), round the centroids to exact integer
     # coordinates mu = round-half-up(S/n) via pure integer ops
     # ((2S+n) idiv 2n — S is positive by the +4 shift), build the query's
     # M*K lookup table, and rank by the summed table entries.
     idiv = "DIV" if d == "spark" else "//"
-    return chain + f""",{dist_cte('d3', 'cb2')},{assign_cte('codes', 'd3')},
+    return f""",{_pq_dist_cte('d3', cb_src, flat_src)},{_pq_assign_cte('codes', 'd3', d)},
 qv AS (
-    SELECT m, dim, xq FROM flat WHERE vec_id = 0
+    SELECT m, dim, xq FROM {flat_src} WHERE vec_id = 0
 ),
 mu AS (
-    SELECT m, c, d, (2 * S + n) {idiv} (2 * n) AS mu FROM cb2
+    SELECT m, c, d, (2 * S + n) {idiv} (2 * n) AS mu FROM {cb_src}
 ),
 lut AS (
     SELECT q.m, b.c, CAST(SUM((q.xq - b.mu) * (q.xq - b.mu)) AS BIGINT) AS pdist
@@ -606,6 +642,72 @@ LIMIT 10
 """
 
 
+def _pq_sql(d: str, flat_view: str | None = None, adc: bool = False) -> str:
+    """Single-query form: the full training chain (cb0 -> cb2) plus either
+    the codebook select or the ADC tail. The DuckDB oracle always uses
+    this; the Spark engine path uses the staged per-iteration form below."""
+    flat = _PQ_FLAT_SPARK if d == "spark" else _PQ_FLAT_DUCK
+    if flat_view:
+        flat = f"SELECT * FROM {flat_view}"
+    chain = f"""
+WITH flat AS (
+    {flat}
+),
+cb0 AS (
+    {_PQ_CB0}
+),{_pq_dist_cte('d1', 'cb0')},{_pq_assign_cte('a1', 'd1', d)},{_pq_cb_cte('cb1', 'a1')},{_pq_dist_cte('d2', 'cb1')},{_pq_assign_cte('a2', 'd2', d)},{_pq_cb_cte('cb2', 'a2')}"""
+    return chain + (_pq_adc_tail(d) if adc else _PQ_CODEBOOK_SELECT)
+
+
+def _pq_iteration_sql(flat_view: str, cb_view: str, out_suffix: str) -> str:
+    """One Lloyd iteration as a standalone query over staged views: the
+    distance join + argmin + re-aggregation, reading the PREVIOUS
+    codebook from ``cb_view`` instead of recomputing its chain."""
+    # Leaf views are referenced DIRECTLY, never wrapped in pass-through
+    # CTEs: Spark resolves cached plans on the ANALYZED tree
+    # (withCachedData) but inlines WITH-CTEs only later in the optimizer,
+    # so `WITH x AS (SELECT * FROM staged_view)` MISSES the InMemoryRelation
+    # and silently recomputes the staged artifact (measured 1.9 s vs 0.4 s
+    # on the 256-row codebook select).
+    chain = (
+        _pq_dist_cte(f"d{out_suffix}", cb_view, flat_view).lstrip(",").lstrip()
+        + ","
+        + _pq_assign_cte(f"a{out_suffix}", f"d{out_suffix}", "spark")
+        + ","
+        + _pq_cb_cte_src("cbnext", f"a{out_suffix}", flat_view)
+    )
+    return f"WITH {chain}\nSELECT * FROM cbnext"
+
+
+def _pq_staged_cb2(spark: SparkSession, sf_dir: str):
+    """Stage flat + cb0 + cb1 + cb2 (persisted once per session/sf); the
+    iteration chain never re-runs through CTE inlining. Returns the cb2
+    DataFrame with views pq_flat_v / pq_cb2_v registered."""
+    from ..operators.staging import staged
+
+    flat = staged(
+        spark, sf_dir, "pq_flat",
+        lambda: sql_over(spark, sf_dir, _PQ_FLAT_SPARK, ("embeddings",)),
+    )
+    flat.createOrReplaceTempView("pq_flat_v")
+    cb0 = staged(
+        spark, sf_dir, "pq_cb0",
+        lambda: spark.sql(_PQ_CB0.replace("FROM flat", "FROM pq_flat_v")),
+    )
+    cb0.createOrReplaceTempView("pq_cb0_v")
+    cb1 = staged(
+        spark, sf_dir, "pq_cb1",
+        lambda: spark.sql(_pq_iteration_sql("pq_flat_v", "pq_cb0_v", "1")),
+    )
+    cb1.createOrReplaceTempView("pq_cb1_v")
+    cb2 = staged(
+        spark, sf_dir, "pq_cb2",
+        lambda: spark.sql(_pq_iteration_sql("pq_flat_v", "pq_cb1_v", "2")),
+    )
+    cb2.createOrReplaceTempView("pq_cb2_v")
+    return cb2
+
+
 @query(
     "sim_pq_codebook",
     oracle=_pq_sql("duck"),
@@ -617,28 +719,17 @@ LIMIT 10
     "cross multiplication — zero floats, zero divisions, so the trained "
     "codebook is bit-identical cross-engine. Each iteration: one "
     "broadcast equi-join of exploded postings to the 256-row codebook, "
-    "one partial-agg distance sum, a K-vs-K anti-join argmin.",
+    "one partial-agg distance sum, a K-vs-K anti-join argmin. Spark "
+    "stages flat + per-iteration codebooks (3-4 consumers each).",
     tags=("similarity", "extension"),
 )
 def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
-
-    # the flat postings feed cb0 + both iterations' distance joins and
-    # re-aggregations (5 consumers); CTE inlining would posexplode the
-    # embeddings five times — stage them once (the bigram/NB discipline)
-    flat = staged(
-        spark, sf_dir, "pq_flat",
-        lambda: sql_over(
-            spark, sf_dir,
-            "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
-            "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
-            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
-            ("embeddings",),
-        ),
-    )
-    flat.createOrReplaceTempView("pq_flat_v")
+    _pq_staged_cb2(spark, sf_dir)
+    # direct view reference — a pass-through CTE would miss the cache
     return sql_over(
-        spark, sf_dir, _pq_sql("spark", flat_view="pq_flat_v"), ("embeddings",)
+        spark, sf_dir,
+        _PQ_CODEBOOK_SELECT.replace("FROM cb2", "FROM pq_cb2_v"),
+        ("embeddings",),
     )
 
 
@@ -658,21 +749,10 @@ def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "extension"),
 )
 def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
-
-    flat = staged(
-        spark, sf_dir, "pq_flat",
-        lambda: sql_over(
-            spark, sf_dir,
-            "SELECT vec_id, CAST(pos DIV 16 AS INT) AS m, pos + 1 AS dim, "
-            "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT) AS xq "
-            "FROM embeddings LATERAL VIEW posexplode(embedding) AS pos, x",
-            ("embeddings",),
-        ),
-    )
-    flat.createOrReplaceTempView("pq_flat_v")
+    _pq_staged_cb2(spark, sf_dir)
+    tail = _pq_adc_tail("spark", flat_src="pq_flat_v", cb_src="pq_cb2_v")
     return sql_over(
         spark, sf_dir,
-        _pq_sql("spark", flat_view="pq_flat_v", adc=True),
+        "WITH " + tail.lstrip(",").lstrip(),  # d3/codes/... are real CTEs
         ("embeddings",),
     )

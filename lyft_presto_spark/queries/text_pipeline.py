@@ -805,17 +805,22 @@ def _bigram_lm_sql(d: str, postings_view: str | None = None) -> str:
     # then exactified to decimal before the per-doc mean (cross-row
     # summation order is partition-dependent), and the final corpus rollup
     # sums decimals again before one double division.
-    bigc = (
-        f"SELECT * FROM {postings_view}" if postings_view
-        else _bigram_postings_sql(d).strip()
-    )
+    # The staged view is referenced DIRECTLY in the FROM clauses, never
+    # wrapped in a pass-through CTE: Spark resolves cached plans on the
+    # analyzed tree but inlines WITH-CTEs later in the optimizer, so
+    # `WITH bigc AS (SELECT * FROM staged_view)` misses the
+    # InMemoryRelation and silently re-runs the tokenize pass per
+    # consumer (found via the PQ plans, r11).
+    if postings_view:
+        src = postings_view
+        bigc_cte = ""
+    else:
+        src = "bigc"
+        bigc_cte = f"bigc AS (\n    {_bigram_postings_sql(d).strip()}\n),\n"
     hint = "/*+ BROADCAST(m), BROADCAST(u) */ " if d == "spark" else ""
     return f"""
-WITH bigc AS (
-    {bigc}
-),
-model AS (
-    SELECT w1, bigram, CAST(sum(n) AS BIGINT) AS c12 FROM bigc GROUP BY w1, bigram
+WITH {bigc_cte}model AS (
+    SELECT w1, bigram, CAST(sum(n) AS BIGINT) AS c12 FROM {src} GROUP BY w1, bigram
 ),
 ctx AS (
     SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM model GROUP BY w1
@@ -823,7 +828,7 @@ ctx AS (
 scored AS (
     SELECT {hint}b.doc_id, b.n,
            CAST(round(CAST(m.c12 AS DOUBLE) / u.c1, 6) AS DECIMAL(18,6)) AS p
-    FROM bigc b
+    FROM {src} b
     JOIN model m ON b.bigram = m.bigram
     JOIN ctx u ON b.w1 = u.w1
 ),
@@ -1133,14 +1138,22 @@ def _nb_classifier_sql(d: str, flat_view: str | None = None) -> str:
             f"{bucket} AS bkt "
             "FROM tok_t, unnest(toks) AS u(tok)"
         )
+    # flat_src: the staged view is referenced directly (pass-through CTEs
+    # miss Spark's cache — see _bigram_lm_sql)
+    if flat_view:
+        flat_src = flat_view
+        flat_cte = ""
+    else:
+        flat_src = "flat"
+        flat_cte = f"""flat AS (
+    {flat}
+),
+"""
     return f"""
 WITH tok_t AS (
     {tok_t}
 ),
-flat AS (
-    {flat}
-),
-langs AS (
+{flat_cte}langs AS (
     SELECT DISTINCT lang FROM tok_t
 ),
 buckets AS (
@@ -1149,12 +1162,12 @@ buckets AS (
 ),
 train_counts AS (
     SELECT lang, bkt, count(*) AS c
-    FROM flat WHERE is_train
+    FROM {flat_src} WHERE is_train
     GROUP BY lang, bkt
 ),
 train_totals AS (
     SELECT lang, CAST(count(*) AS BIGINT) AS total
-    FROM flat WHERE is_train
+    FROM {flat_src} WHERE is_train
     GROUP BY lang
 ),
 priors AS (
@@ -1176,7 +1189,7 @@ model AS (
 ),
 test_postings AS (
     SELECT doc_id, lang AS labeled_lang, bkt, count(*) AS n
-    FROM flat WHERE NOT is_train
+    FROM {flat_src} WHERE NOT is_train
     GROUP BY doc_id, lang, bkt
 ),
 scores AS (
