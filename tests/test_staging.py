@@ -24,11 +24,13 @@ def test_staged_builds_once_and_releases(spark, sf_dir):
     a = staged(spark, sf_dir, "test_artifact", build)
     b = staged(spark, sf_dir, "test_artifact", build)
     assert a is b and calls["n"] == 1
-    assert a.storageLevel.useMemory  # actually persisted
+    # r11: staged artifacts are localCheckpoints (LogicalRDD leaves that
+    # survive CTE inlining), not persist()-cached plans — the artifact's
+    # plan must be an opaque RDD scan, not the build lineage
+    assert "LogicalRDD" in a._jdf.queryExecution().analyzed().toString()
     released = release_staged(spark)
     assert released >= 1
     assert not any(k[2] == "test_artifact" for k in _STAGED)
-    assert not a.storageLevel.useMemory  # unpersisted, not just forgotten
 
 
 def test_repeat_query_calls_do_not_stack_persists(spark, sf_dir):
@@ -117,3 +119,42 @@ def test_staged_unrelated_builds_do_not_serialize(spark, sf_dir):
     t.join(timeout=60)
     assert not t.is_alive()
     assert release_staged(spark) >= 3
+
+
+def test_staged_artifact_survives_cte_consumers(spark, sf_dir):
+    """The r11 recompute fix: a staged artifact referenced inside a
+    WITH-CTE body must NOT re-run its build. Spark's cache manager
+    substitutes InMemoryRelations on the analyzed plan but inlines CTEs
+    later, so persist()-based staging silently recomputed per consumer;
+    localCheckpoint staging pins the artifact as a LogicalRDD leaf. The
+    bigram LM query is the canonical victim: its posting table must
+    appear in consumer plans as an RDD scan, never as a re-tokenize
+    (Generate/explode) chain."""
+    from lyft_presto_spark.queries import all_queries
+
+    df = all_queries()["text_bigram_lm_score"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, "posting build re-ran inside a consumer"
+    assert "Scan ExistingRDD" in plan  # the checkpointed posting leaf
+    # and a synthetic CTE consumer of a fresh staged artifact: zero
+    # re-execution of the build body
+    from lyft_presto_spark.operators.staging import release_staged, staged
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(100).selectExpr("id", "id * 2 AS v")
+
+    art = staged(spark, sf_dir, "cte_probe", build)
+    art.createOrReplaceTempView("cte_probe_v")
+    out = spark.sql(
+        "WITH a AS (SELECT sum(v) s FROM cte_probe_v), "
+        "b AS (SELECT count(*) c FROM cte_probe_v) "
+        "SELECT * FROM a CROSS JOIN b"
+    )
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert p.count("Scan ExistingRDD") == 2  # both CTE bodies read the leaf
+    assert "Range" not in p  # the build plan never re-enters
+    assert calls["n"] == 1
+    release_staged(spark)
