@@ -301,7 +301,7 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _packing_sql("spark"), ("documents",))
 
 
-def _decontaminate_sql(d: str) -> str:
+def _decontaminate_sql(d: str, sh_view: str | None = None) -> str:
     # Train/test decontamination: a test document is contaminated when >= 50%
     # of its distinct 3-gram shingles also appear anywhere in the train split.
     # Shape: the train corpus is reduced to its DISTINCT shingle set first
@@ -313,12 +313,15 @@ def _decontaminate_sql(d: str) -> str:
     toks = T.tokens("text", d)
     sh = T.shingles("toks", d)
     h = T.hash60("CAST(doc_id AS STRING)", d)
+    # staged-view path: sh_t feeds the inverted index (whose two
+    # consumers re-inline it) and the scored rollup — three shingle
+    # computations of the corpus unstaged (see _bigram_lm_sql)
+    src = sh_view or "sh_t"
     if d == "spark":
-        exploded = "SELECT doc_id, split, shingle FROM sh_t LATERAL VIEW explode(sh) AS shingle"
+        exploded = f"SELECT doc_id, split, shingle FROM {src} LATERAL VIEW explode(sh) AS shingle"
     else:
-        exploded = "SELECT doc_id, split, unnest(sh) AS shingle FROM sh_t"
-    return f"""
-WITH split_docs AS (
+        exploded = f"SELECT doc_id, split, unnest(sh) AS shingle FROM {src}"
+    sh_ctes = "" if sh_view else f"""split_docs AS (
     SELECT doc_id, lang, {toks} AS toks,
            CASE WHEN {h} % 1000 < 800 THEN 'train'
                 WHEN {h} % 1000 < 900 THEN 'val'
@@ -330,7 +333,9 @@ sh_t AS (
            {_size(sh, d)} AS n_sh
     FROM split_docs
 ),
-inv AS (
+"""
+    return f"""
+WITH {sh_ctes}inv AS (
     {exploded}
 ),
 train_shingles AS (
@@ -345,7 +350,7 @@ test_overlap AS (
 scored AS (
     SELECT d.lang,
            CAST(COALESCE(o.n_common, 0) AS DOUBLE) / d.n_sh AS overlap_ratio
-    FROM (SELECT doc_id, lang, n_sh FROM sh_t WHERE split = 'test') d
+    FROM (SELECT doc_id, lang, n_sh FROM {src} WHERE split = 'test') d
     LEFT JOIN test_overlap o ON d.doc_id = o.doc_id
 )
 SELECT lang,
@@ -368,10 +373,34 @@ ORDER BY lang
     tags=("text", "extension"),
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _decontaminate_sql("spark"), ("documents",))
+    from ..operators.staging import staged
+
+    toks = T.tokens("text", "spark")
+    sh = T.shingles("toks", "spark")
+    h = T.hash60("CAST(doc_id AS STRING)", "spark")
+    build_sql = f"""
+SELECT doc_id, lang, split, {sh} AS sh, {_size(sh, "spark")} AS n_sh
+FROM (
+    SELECT doc_id, lang, {toks} AS toks,
+           CASE WHEN {h} % 1000 < 800 THEN 'train'
+                WHEN {h} % 1000 < 900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+"""
+    sh_t = staged(
+        spark, sf_dir, "decontaminate_shingles",
+        lambda: sql_over(spark, sf_dir, build_sql, ("documents",)),
+    )
+    sh_t.createOrReplaceTempView("decontaminate_shingles_v")
+    return sql_over(
+        spark, sf_dir,
+        _decontaminate_sql("spark", sh_view="decontaminate_shingles_v"),
+        ("documents",),
+    )
 
 
-def _repetition_sql(d: str) -> str:
+def _repetition_sql(d: str, tok_view: str | None = None) -> str:
     # Gopher-style within-document repetition signals: fraction of token
     # occurrences taken by the single most frequent token, and fraction of
     # 2-gram occurrences that are repeats (1 - distinct/total). Both are
@@ -399,11 +428,22 @@ def _repetition_sql(d: str) -> str:
             f"SELECT doc_id, unnest(bigs) AS big FROM ("
             f"SELECT doc_id, {bigs} AS bigs FROM toks_t WHERE len(toks) >= 2) big_t"
         )
-    return f"""
-WITH toks_t AS (
+    # staged-view path: reference the token table directly (pass-through
+    # CTEs miss Spark's cache — see _bigram_lm_sql); toks_t feeds both
+    # the unigram and bigram explodes, so unstaged it tokenizes twice
+    if tok_view:
+        src = tok_view
+        tok_cte = ""
+        uni = uni.replace("toks_t", src)
+        big = big.replace("toks_t", src)
+    else:
+        src = "toks_t"
+        tok_cte = f"""toks_t AS (
     SELECT doc_id, source, {toks} AS toks FROM documents
 ),
-uni_counts AS (
+"""
+    return f"""
+WITH {tok_cte}uni_counts AS (
     SELECT doc_id, tok, count(*) AS c
     FROM ({uni}) u
     GROUP BY doc_id, tok
@@ -450,7 +490,23 @@ ORDER BY source
     tags=("text", "extension"),
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _repetition_sql("spark"), ("documents",))
+    from ..operators.staging import staged
+
+    toks = T.tokens("text", "spark")
+    tok_t = staged(
+        spark, sf_dir, "repetition_tokens",
+        lambda: sql_over(
+            spark, sf_dir,
+            f"SELECT doc_id, source, {toks} AS toks FROM documents",
+            ("documents",),
+        ),
+    )
+    tok_t.createOrReplaceTempView("repetition_tokens_v")
+    return sql_over(
+        spark, sf_dir,
+        _repetition_sql("spark", tok_view="repetition_tokens_v"),
+        ("documents",),
+    )
 
 
 MIXTURE_CAP_TOKENS = 20_000
@@ -878,7 +934,7 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _vocab_coverage_sql(d: str) -> str:
+def _vocab_coverage_sql(d: str, vocab_view: str | None = None) -> str:
     # Tokenizer-design statistic: what fraction of corpus TOKEN MASS the
     # top-N vocabulary covers, at N = 100 / 500 / 2000. Scale shape: the
     # frequency ranking is a distributed top-K (ORDER BY + LIMIT lowers to
@@ -894,8 +950,11 @@ def _vocab_coverage_sql(d: str) -> str:
         exploded = "SELECT tok FROM tok_t LATERAL VIEW explode(toks) AS tok"
     else:
         exploded = "SELECT unnest(toks) AS tok FROM tok_t"
-    return f"""
-WITH tok_t AS (
+    # staged-view path: vocab feeds BOTH the top-K head and the corpus
+    # total — unstaged, the tokenize+explode+count pass runs twice (see
+    # _bigram_lm_sql for why a pass-through CTE would not help)
+    src = vocab_view or "vocab"
+    vocab_ctes = "" if vocab_view else f"""tok_t AS (
     SELECT doc_id, {toks} AS toks FROM documents
 ),
 flat AS (
@@ -904,8 +963,10 @@ flat AS (
 vocab AS (
     SELECT tok, count(*) AS c FROM flat GROUP BY tok
 ),
-head AS (
-    SELECT tok, c FROM vocab ORDER BY c DESC, tok ASC LIMIT 2000
+"""
+    return f"""
+WITH {vocab_ctes}head AS (
+    SELECT tok, c FROM {src} ORDER BY c DESC, tok ASC LIMIT 2000
 ),
 ranked AS (
     SELECT c,
@@ -916,7 +977,7 @@ ranked AS (
     FROM head
 ),
 total_t AS (
-    SELECT CAST(sum(c) AS BIGINT) AS total FROM vocab
+    SELECT CAST(sum(c) AS BIGINT) AS total FROM {src}
 )
 SELECT CAST(n AS BIGINT) AS top_n,
        CAST(max(CASE WHEN rnk <= n THEN cum ELSE 0 END) AS BIGINT)
@@ -943,7 +1004,24 @@ ORDER BY top_n
     tags=("text", "extension"),
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _vocab_coverage_sql("spark"), ("documents",))
+    from ..operators.staging import staged
+
+    toks = T.tokens("text", "spark")
+    vocab = staged(
+        spark, sf_dir, "vocab_counts",
+        lambda: sql_over(
+            spark, sf_dir,
+            f"SELECT tok, count(*) AS c FROM (SELECT doc_id, {toks} AS toks "
+            "FROM documents) t LATERAL VIEW explode(toks) AS tok GROUP BY tok",
+            ("documents",),
+        ),
+    )
+    vocab.createOrReplaceTempView("vocab_counts_v")
+    return sql_over(
+        spark, sf_dir,
+        _vocab_coverage_sql("spark", vocab_view="vocab_counts_v"),
+        ("documents",),
+    )
 
 
 def _zipf_sql(d: str) -> str:
@@ -1001,7 +1079,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _zipf_sql("spark"), ("documents",))
 
 
-def _bm25_sql(d: str) -> str:
+def _bm25_sql(d: str, tok_view: str | None = None) -> str:
     # BM25 retrieval as relational algebra (Robertson/Sparck Jones; the
     # Lucene practical form with k1=1.2, b=0.75): the classic quality
     # probe for a training-corpus search index. Scale shape: the corpus
@@ -1014,20 +1092,30 @@ def _bm25_sql(d: str) -> str:
     # expression rounded and exactified to DECIMAL(18,9), summed exactly
     # (order-independent), then rounded once for output.
     toks = T.tokens("text", d)
+    # tok_src: the staged token table is referenced directly (a
+    # pass-through CTE would miss Spark's cache — see _bigram_lm_sql);
+    # tok_t feeds lens AND flat, and lens feeds corpus AND term_scores,
+    # so without staging the tokenize pass runs three times.
+    if tok_view:
+        tok_src = tok_view
+        tok_cte = ""
+    else:
+        tok_src = "tok_t"
+        tok_cte = f"""tok_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+"""
     if d == "spark":
         flat = (
-            "SELECT doc_id, tok FROM tok_t LATERAL VIEW explode(toks) AS tok"
+            f"SELECT doc_id, tok FROM {tok_src} LATERAL VIEW explode(toks) AS tok"
         )
         dl = "size(toks)"
     else:
-        flat = "SELECT doc_id, unnest(toks) AS tok FROM tok_t"
+        flat = f"SELECT doc_id, unnest(toks) AS tok FROM {tok_src}"
         dl = "len(toks)"
     return f"""
-WITH tok_t AS (
-    SELECT doc_id, {toks} AS toks FROM documents
-),
-lens AS (
-    SELECT doc_id, CAST({dl} AS BIGINT) AS dl FROM tok_t
+WITH {tok_cte}lens AS (
+    SELECT doc_id, CAST({dl} AS BIGINT) AS dl FROM {tok_src}
 ),
 corpus AS (
     SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -1087,7 +1175,21 @@ LIMIT 10
     tags=("text", "extension"),
 )
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sql_over(spark, sf_dir, _bm25_sql("spark"), ("documents",))
+    from ..operators.staging import staged
+
+    toks = T.tokens("text", "spark")
+    tok_t = staged(
+        spark, sf_dir, "bm25_tokens",
+        lambda: sql_over(
+            spark, sf_dir,
+            f"SELECT doc_id, {toks} AS toks FROM documents",
+            ("documents",),
+        ),
+    )
+    tok_t.createOrReplaceTempView("bm25_tokens_v")
+    return sql_over(
+        spark, sf_dir, _bm25_sql("spark", tok_view="bm25_tokens_v"), ("documents",)
+    )
 
 
 def _nb_classifier_sql(d: str, flat_view: str | None = None) -> str:
