@@ -561,23 +561,38 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "cte", "subquery"),
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged
+
+    # the revenue view feeds the supplier join AND the MAX scalar
+    # subquery; Spark inlines CTEs, so unstaged it scans lineitem twice —
+    # the reference materializes q15's revenue view for the same reason.
+    # Staged as a LogicalRDD leaf (operators/staging.py) so both
+    # consumers read one materialization.
+    revenue = staged(
+        spark, sf_dir, "tpch_q15_revenue",
+        lambda: sql_over(
+            spark, sf_dir,
+            f"""
+            SELECT l_suppkey AS supplier_no, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            GROUP BY l_suppkey
+            """,
+            ("lineitem",),
+        ),
+    )
+    revenue.createOrReplaceTempView("tpch_q15_revenue_v")
     return sql_over(
         spark,
         sf_dir,
-        f"""
-        WITH revenue AS (
-          SELECT l_suppkey AS supplier_no, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS total_revenue
-          FROM lineitem
-          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-            AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-          GROUP BY l_suppkey
-        )
+        """
         SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        FROM supplier JOIN tpch_q15_revenue_v ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM tpch_q15_revenue_v)
         ORDER BY s_suppkey
         """,
-        ("supplier", "lineitem"),
+        ("supplier",),
     )
 
 
@@ -836,18 +851,21 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q11's global-fraction HAVING with an uncorrelated scalar subquery, q20's
 # nested IN/semi-join chain.
 
-_Q2_SQL = """
-WITH supply AS (
+_Q2_SUPPLY = """
     SELECT l_partkey AS partkey, l_suppkey AS suppkey,
            min(CAST(l_extendedprice AS DECIMAL(12,2)) / CAST(l_quantity AS DECIMAL(12,2))) AS unit_cost
     FROM lineitem
     WHERE l_quantity > 0
     GROUP BY l_partkey, l_suppkey
-)
+"""
+
+# {supply}: the CTE name (oracle) or the staged view name (Spark) — the
+# supply aggregate feeds the main join AND the correlated min subquery
+_Q2_BODY = """
 SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
        CAST(sp.unit_cost AS DOUBLE) AS supplycost
 FROM part
-JOIN supply sp ON sp.partkey = p_partkey
+JOIN {supply} sp ON sp.partkey = p_partkey
 JOIN supplier ON s_suppkey = sp.suppkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -855,7 +873,7 @@ WHERE p_size = 15
   AND r_name = 'REGION_1'
   AND sp.unit_cost = (
       SELECT min(sp2.unit_cost)
-      FROM supply sp2
+      FROM {supply} sp2
       JOIN supplier s2 ON s2.s_suppkey = sp2.suppkey
       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
@@ -863,6 +881,11 @@ WHERE p_size = 15
   )
 ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
 LIMIT 100
+"""
+
+_Q2_SQL = f"""
+WITH supply AS ({_Q2_SUPPLY})
+{_Q2_BODY.format(supply="supply")}
 """
 
 
@@ -876,9 +899,19 @@ LIMIT 100
     tags=("tpch", "join", "subquery"),
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged
+
+    # the supply aggregate feeds the main join AND the correlated min
+    # subquery; unstaged, the lineitem grouping runs twice (CTE inlining)
+    supply = staged(
+        spark, sf_dir, "tpch_q2_supply",
+        lambda: sql_over(spark, sf_dir, _Q2_SUPPLY, ("lineitem",)),
+    )
+    supply.createOrReplaceTempView("tpch_q2_supply_v")
     return sql_over(
-        spark, sf_dir, _Q2_SQL,
-        ("part", "supplier", "nation", "region", "lineitem"),
+        spark, sf_dir,
+        _Q2_BODY.format(supply="tpch_q2_supply_v"),
+        ("part", "supplier", "nation", "region"),
     )
 
 
