@@ -41,6 +41,14 @@ RUNS = max(int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")), 3)
 # per extension family (events analytics, text, dedup, similarity). Keeping
 # the extension list to representatives bounds per-round bench wall-clock;
 # correctness for the rest is covered by the oracle gate.
+# Default artifact is BENCHRUN_latest.json — NOT BENCHLOCAL.json — so the
+# driver's per-round rerun can never overwrite the committed idle-window
+# record (VERDICT r10 #4). Module-level so the contract test asserts the
+# resolved value, not source formatting (ADVICE r11).
+DEFAULT_BENCH_OUT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCHRUN_latest.json"
+)
+
 HEADLINE_PREFIXES = ("tpch_",)
 HEADLINE_EXTRAS = (
     "events_tumbling_window",
@@ -203,10 +211,7 @@ def main() -> None:
     # record and drift it away from the BENCHNOTES narrative (VERDICT r10
     # next-round #4). The idle-box refresh writes BENCHLOCAL.json explicitly
     # via SPARK_GRAFT_BENCH_OUT.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCHRUN_latest.json"),
-    )
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", DEFAULT_BENCH_OUT)
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
         f.write("\n")

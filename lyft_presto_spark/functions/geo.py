@@ -2309,11 +2309,15 @@ def st_collection_from_wkt(wkt: Column) -> Column:
     GC level (the balanced-paren pattern matches anywhere in the string,
     so deep nests reduce inside-out), and three chained passes stay pure
     codegen — no loop operator exists in an expression tree, so the depth
-    bound is the price of staying JVM-side. Still-deeper nesting leaves a
-    GEOMETRYCOLLECTION token in the residue, which fails the residue
-    check below and yields NULL — never a wrong answer. Malformed WKT —
-    wrong tag, or residue between member tokens that is not commas/
-    whitespace — also yields NULL."""
+    bound is the price of staying JVM-side. Nesting beyond the bound
+    degrades safely, never to a wrong answer, through one of two nets
+    (ADVICE r11 doc fix): a leftover GC whose parens still fit
+    _GC_MEMBER's depth-3 pattern parses as an opaque ST_GeomCollection
+    member whose payload kernels NULL (the four_deep test's path); only a
+    leftover exceeding _GC_MEMBER's paren depth reaches the residue check
+    below and NULLs the whole parse. Malformed WKT — wrong tag, or
+    residue between member tokens that is not commas/whitespace — also
+    yields NULL."""
     shell = F.regexp_extract(
         wkt, r"^\s*GEOMETRYCOLLECTION\s*\(\s*(.*)\s*\)\s*$", 1
     )

@@ -13,12 +13,42 @@ leaked cached partitions until executor eviction. This module makes the
 lifetime explicit, the same posture as ``operators/ivf.py``'s build-once /
 probe-many index:
 
-- ``staged(spark, sf_dir, name, build)``: get-or-create a persisted DataFrame
-  keyed by (session, sf_dir, name). Exactly one cached copy per artifact per
+- ``staged(spark, sf_dir, name, build)``: get-or-create a staged DataFrame
+  keyed by (session, sf_dir, name). Exactly one staged copy per artifact per
   session regardless of call count — the production "materialized signature
   dataset" model.
-- ``release_staged(spark=None)``: unpersist and drop all artifacts (or one
-  session's). Benches/tests/services call this at pass or teardown boundaries.
+- ``staged_view(...)``: same, plus registers (and returns the name of) a
+  temp view whose name embeds a digest of ``sf_dir`` — two concurrent
+  callers at different scale dirs can never bind a query to the wrong
+  scale's artifact (ADVICE r11).
+- ``release_staged(spark=None)``: drop all artifacts (or one session's) and
+  free their storage. Benches/tests/services call this at pass or teardown
+  boundaries. For checkpoint-staged artifacts this unpersists the underlying
+  checkpointed RDD (``Dataset.unpersist`` is a cache-manager no-op for a
+  LogicalRDD leaf — ADVICE r11), so blocks are freed immediately, not at
+  eventual ContextCleaner GC.
+
+Two staging mechanisms, selected by ``SPARK_GRAFT_STAGING``:
+
+- ``local`` (default): ``localCheckpoint(eager=False)``. Spark's cache
+  manager substitutes InMemoryRelations on the ANALYZED plan
+  (withCachedData) but WITH-CTEs inline only later in the optimizer, so a
+  ``persist()``-cached artifact referenced inside any CTE body silently
+  misses the cache and re-runs its whole build per consumer (found r11 via
+  the PQ plans: the bigram posting table re-tokenized the corpus 3x through
+  exactly this hole). localCheckpoint cuts lineage instead — the artifact
+  becomes an opaque LogicalRDD leaf that survives CTE inlining, view
+  re-registration, and cache-manager misses alike. Non-reliable checkpoint
+  is single-JVM-safe ONLY: lineage is cut, so on a real cluster an executor
+  loss makes the blocks unrecoverable and fails the job.
+- ``table``: the durable mode a multi-node 100 TB deployment uses
+  (SCALE.md). The artifact is written once as parquet under
+  ``SPARK_GRAFT_STAGING_DIR`` (write to a unique stage dir, then one atomic
+  directory rename — the loser of a cross-process race reads the winner's
+  table) and read back as a plain file-relation leaf. Same
+  leaf-not-lineage property, plus durability: blocks are HDFS/S3 files, an
+  executor loss re-reads them, and a NEW session (or process) finds the
+  artifact on disk and skips the build entirely.
 
 Reference analog: the reference materializes reused subplans via
 CommonSubqueryRewriter/cte materialization rather than re-executing them; the
@@ -27,18 +57,30 @@ memory ownership lives with the coordinator, not the query text.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
+import tempfile
 import threading
+import uuid
 from collections.abc import Callable
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-_STAGED: dict[tuple[str, str, str], DataFrame] = {}
+
+@dataclass
+class _Entry:
+    df: DataFrame
+    release: Callable[[], None]  # frees the artifact's storage, idempotent
+
+
+_STAGED: dict[tuple[str, str, str], _Entry] = {}
 # _LOCK guards the maps only and is never held across build(): builds of
 # unrelated artifacts (different names/sessions) must not serialize behind
 # one slow plan construction, and a build that re-enters staged() for a
 # *different* artifact must not deadlock (ADVICE r3). Same-key callers block
-# on each other via a per-key lock so a race can't persist twice and leak
+# on each other via a per-key lock so a race can't stage twice and leak
 # the losing copy until session end.
 _LOCK = threading.Lock()
 _KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
@@ -50,51 +92,133 @@ def _session_key(spark: SparkSession) -> str:
     return session_key(spark)
 
 
+def staging_mode() -> str:
+    """``local`` (localCheckpoint, default) or ``table`` (durable parquet)."""
+    mode = os.environ.get("SPARK_GRAFT_STAGING", "local")
+    if mode not in ("local", "table"):
+        raise ValueError(f"SPARK_GRAFT_STAGING must be local|table, got {mode!r}")
+    return mode
+
+
+def staging_root() -> str:
+    """Directory holding table-mode artifacts (cross-session, cross-process)."""
+    return os.environ.get(
+        "SPARK_GRAFT_STAGING_DIR",
+        os.path.join(tempfile.gettempdir(), "lyft_presto_spark_staging"),
+    )
+
+
+def dir_digest(sf_dir: str) -> str:
+    """Short stable digest of a scale dir — view-name and path key material."""
+    return hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+
+
+def _stage_local(build: Callable[[], DataFrame]) -> _Entry:
+    df = build().localCheckpoint(eager=False)
+    # Capture the checkpointed RDD NOW: Dataset.unpersist only uncaches
+    # cache-manager entries, which a localCheckpoint never has, so releasing
+    # through the Dataset would leave the blocks alive until ContextCleaner
+    # GC (ADVICE r11). The analyzed plan of a checkpointed Dataset is the
+    # LogicalRDD leaf itself; its rdd() is the handle whose blocks hold the
+    # artifact once materialized.
+    try:
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
+    except Exception:  # noqa: BLE001 — plan shape drift: degrade to GC lifecycle
+        jrdd = None
+
+    def release() -> None:
+        try:
+            if jrdd is not None:
+                jrdd.unpersist(False)
+            else:
+                df.unpersist()
+        except Exception:  # noqa: BLE001 — session already stopped
+            pass
+
+    return _Entry(df=df, release=release)
+
+
+def _stage_table(
+    spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
+) -> _Entry:
+    final = os.path.join(staging_root(), dir_digest(sf_dir), name)
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        # Build into a unique stage dir, then one atomic directory rename.
+        # os.rename onto an existing directory fails on POSIX, so exactly
+        # one process wins a cross-process race; the loser discards its
+        # stage dir and reads the winner's table. (On HDFS/S3 the same
+        # protocol is a rename/commit — write_path._staged_swap is the
+        # catalog-table twin of this file-level swap.)
+        stage = f"{final}.__stage_{uuid.uuid4().hex}"
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        build().write.mode("errorifexists").parquet(stage)
+        try:
+            os.rename(stage, final)
+        except OSError:
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                raise  # lost the race to a non-table? surface it
+            shutil.rmtree(stage, ignore_errors=True)
+    df = spark.read.parquet(final)
+    # Durable artifacts outlive the session by design: release only drops
+    # the in-memory handle. purge_staged_tables() deletes the files.
+    return _Entry(df=df, release=lambda: None)
+
+
 def staged(
     spark: SparkSession,
     sf_dir: str,
     name: str,
     build: Callable[[], DataFrame],
 ) -> DataFrame:
-    """Get-or-create the persisted artifact ``name`` for (session, sf_dir)."""
+    """Get-or-create the staged artifact ``name`` for (session, sf_dir)."""
     key = (_session_key(spark), os.path.abspath(sf_dir), name)
-    df = _STAGED.get(key)
-    if df is not None:
-        return df
+    entry = _STAGED.get(key)
+    if entry is not None:
+        return entry.df
     with _LOCK:
-        df = _STAGED.get(key)  # double-checked: loser of the race reuses
-        if df is not None:
-            return df
+        entry = _STAGED.get(key)  # double-checked: loser of the race reuses
+        if entry is not None:
+            return entry.df
         key_lock = _KEY_LOCKS.setdefault(key, threading.Lock())
     with key_lock:  # only same-key callers wait; build() runs outside _LOCK
-        df = _STAGED.get(key)
-        if df is None:
-            # localCheckpoint, NOT persist(): Spark's cache manager
-            # substitutes InMemoryRelations on the ANALYZED plan
-            # (withCachedData) but WITH-CTEs inline only later in the
-            # optimizer, so a persisted artifact referenced inside any
-            # CTE body silently misses the cache and re-runs its whole
-            # build per consumer (found r11 via the PQ plans: the bigram
-            # posting table re-tokenized the corpus 3x through exactly
-            # this hole). localCheckpoint cuts lineage instead — the
-            # artifact becomes an opaque LogicalRDD leaf that survives
-            # CTE inlining, view re-registration, and cache-manager
-            # misses alike. eager=False defers materialization to first
-            # use. (Non-reliable checkpoint is safe here: single-JVM
-            # local mode cannot lose executors; a multi-node deployment
-            # of this pattern would write the artifact as a table —
-            # same lifecycle, durable blocks.)
-            df = build().localCheckpoint(eager=False)
+        entry = _STAGED.get(key)
+        if entry is None:
+            if staging_mode() == "table":
+                entry = _stage_table(spark, sf_dir, name, build)
+            else:
+                entry = _stage_local(build)
             with _LOCK:
-                _STAGED[key] = df
-    return df
+                _STAGED[key] = entry
+    return entry.df
+
+
+def staged_view(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+) -> str:
+    """``staged()`` + register a temp view; returns the view name.
+
+    The view name embeds ``dir_digest(sf_dir)`` so concurrent callers at
+    different scale dirs register DIFFERENT views — a fixed global name let
+    two threads race createOrReplaceTempView vs spark.sql analysis and bind
+    a query to the wrong scale's artifact (ADVICE r11). Same-key re-calls
+    re-register the same DataFrame under the same name (idempotent).
+    """
+    df = staged(spark, sf_dir, name, build)
+    view = f"{name}_{dir_digest(sf_dir)}"
+    df.createOrReplaceTempView(view)
+    return view
 
 
 def release_staged(spark: SparkSession | None = None) -> int:
-    """Unpersist staged artifacts; returns how many were released.
+    """Release staged artifacts; returns how many were dropped.
 
     With ``spark`` given, only that session's artifacts are dropped; with
-    None, everything (safe: unpersist on a stopped session is ignored).
+    None, everything. Checkpoint-staged artifacts have their RDD blocks
+    unpersisted immediately; table-staged artifacts keep their files (use
+    ``purge_staged_tables`` to delete those).
     """
     with _LOCK:
         if spark is not None:
@@ -102,12 +226,14 @@ def release_staged(spark: SparkSession | None = None) -> int:
             keys = [k for k in _STAGED if k[0] == sk]
         else:
             keys = list(_STAGED)
-        dfs = [_STAGED.pop(k) for k in keys]
+        entries = [_STAGED.pop(k) for k in keys]
         for k in keys:
             _KEY_LOCKS.pop(k, None)
-    for df in dfs:
-        try:
-            df.unpersist()
-        except Exception:  # noqa: BLE001 — session already stopped
-            pass
+    for e in entries:
+        e.release()
     return len(keys)
+
+
+def purge_staged_tables() -> None:
+    """Delete all table-mode artifact files under the staging root."""
+    shutil.rmtree(staging_root(), ignore_errors=True)

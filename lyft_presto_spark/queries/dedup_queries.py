@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as T
-from ..operators.staging import staged
+from ..operators.staging import staged, staged_view
 from .registry import query, sql_over, t as read_table
 
 
@@ -238,8 +238,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codegen grouped aggregates with a managed persisted lifetime
     # (operators/staging.py) — at production scale this is the materialized
     # signature dataset every pass reuses; release_staged() reclaims it.
-    sigs = staged(spark, sf_dir, "minhash_sigs", lambda: _minhash_sigs(spark, sf_dir))
-    sigs.createOrReplaceTempView("minhash_sigs")
+    sigs_v = staged_view(
+        spark, sf_dir, "minhash_sigs", lambda: _minhash_sigs(spark, sf_dir)
+    )
     structs = ", ".join(
         "struct({b} AS band_idx, {k} AS band_key)".format(b=b, k=D.band_key("sig", b, "spark"))
         for b in range(D.BANDS)
@@ -247,7 +248,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = D.sig_similarity("a.sig", "b.sig", "spark")
     return spark.sql(f"""
 WITH bands AS (
-    SELECT doc_id, b.band_idx, b.band_key FROM minhash_sigs
+    SELECT doc_id, b.band_idx, b.band_key FROM {sigs_v}
     LATERAL VIEW explode(array({structs})) AS b
 ),
 candidates AS (
@@ -258,8 +259,8 @@ candidates AS (
 )
 SELECT c.doc_a, c.doc_b, {sim} AS est_jaccard
 FROM candidates c
-JOIN minhash_sigs a ON a.doc_id = c.doc_a
-JOIN minhash_sigs b ON b.doc_id = c.doc_b
+JOIN {sigs_v} a ON a.doc_id = c.doc_a
+JOIN {sigs_v} b ON b.doc_id = c.doc_b
 ORDER BY est_jaccard DESC, doc_a, doc_b
 """)
 
@@ -328,8 +329,9 @@ ORDER BY hamming_dist, doc_a, doc_b
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same staging as minhash: codegen per-bit vote aggregates, persisted
     # signatures so the banded self-join reads them twice without recompute.
-    sims = staged(spark, sf_dir, "simhash_sigs", lambda: _simhash_sigs(spark, sf_dir))
-    sims.createOrReplaceTempView("simhash_sigs")
+    sims_v = staged_view(
+        spark, sf_dir, "simhash_sigs", lambda: _simhash_sigs(spark, sf_dir)
+    )
     structs = ", ".join(
         "struct({b} AS band_idx, {k} AS band_key)".format(
             b=b, k=D.simhash_band("sh64", b, "spark")
@@ -339,7 +341,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = D.hamming("x.sh64", "y.sh64", "spark")
     return spark.sql(f"""
 WITH bands AS (
-    SELECT doc_id, sh64, b.band_idx, b.band_key FROM simhash_sigs
+    SELECT doc_id, sh64, b.band_idx, b.band_key FROM {sims_v}
     LATERAL VIEW explode(array({structs})) AS b
 )
 SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b, {ham} AS hamming_dist
@@ -354,7 +356,7 @@ ORDER BY hamming_dist, doc_a, doc_b
 _JACCARD_T = 0.2
 
 
-def _jaccard_sql(dialect: str) -> str:
+def _jaccard_sql(dialect: str, inv_view: str = "inv_staged") -> str:
     # Exact n-gram Jaccard pairs >= t. The ORACLE (duck) is the naive
     # inverted-index self-join (every shingle posts). The SPARK plan is the
     # published prefix-filtering exact similarity join (ppjoin family):
@@ -409,7 +411,7 @@ WITH pair_common AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            max(a.n_sh) AS n_a, max(b.n_sh) AS n_b,
            count(*) AS n_common
-    FROM inv_staged a JOIN inv_staged b
+    FROM {inv_view} a JOIN {inv_view} b
       ON a.h = b.h AND a.doc_id < b.doc_id
      AND a.n_sh * {inv_len} >= b.n_sh AND b.n_sh * {inv_len} >= a.n_sh
     GROUP BY a.doc_id, b.doc_id
@@ -417,7 +419,7 @@ WITH pair_common AS (
 {tail}"""
 
 
-def _staged_jaccard_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _staged_jaccard_postings(spark: SparkSession, sf_dir: str) -> str:
     """(doc_id, n_sh, h) posting rows, persisted once per (session, sf_dir).
 
     Reuses the minhash pipeline's codegen shingle-hash explosion
@@ -440,7 +442,7 @@ def _staged_jaccard_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h",
         )
 
-    return staged(spark, sf_dir, "jaccard_postings", build)
+    return staged_view(spark, sf_dir, "jaccard_postings", build)
 
 
 @query(
@@ -454,8 +456,8 @@ def _staged_jaccard_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _staged_jaccard_postings(spark, sf_dir).createOrReplaceTempView("inv_staged")
-    return sql_over(spark, sf_dir, _jaccard_sql("spark"), ())
+    inv_v = _staged_jaccard_postings(spark, sf_dir)
+    return sql_over(spark, sf_dir, _jaccard_sql("spark", inv_view=inv_v), ())
 
 
 def _embed_dedup_sql(dialect: str) -> str:
@@ -544,8 +546,8 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.cc import connected_components
 
-    _staged_jaccard_postings(spark, sf_dir).createOrReplaceTempView("inv_staged")
-    pairs = sql_over(spark, sf_dir, _jaccard_sql("spark"), ()).select(
+    inv_v = _staged_jaccard_postings(spark, sf_dir)
+    pairs = sql_over(spark, sf_dir, _jaccard_sql("spark", inv_view=inv_v), ()).select(
         "doc_a", "doc_b"
     )
     cc = connected_components(pairs, "doc_a", "doc_b")

@@ -1321,16 +1321,15 @@ ORDER BY region
     tags=("functions",),
 )
 def fn_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
-    joined = staged(
+    joined_v = staged_view(
         spark,
         sf_dir,
         "qrollup_joined",
         lambda: sql_over(spark, sf_dir, _QROLLUP_JOIN_SQL, ("orders", "customer", "nation")),
     )
-    joined.createOrReplaceTempView("qrollup_joined")
-    return spark.sql(_quantile_rollup_sql("spark", joined="qrollup_joined"))
+    return spark.sql(_quantile_rollup_sql("spark", joined=joined_v))
 
 
 # --- spooky_hash_v2 known-answer tests (VarbinaryFunctions.java spooky;

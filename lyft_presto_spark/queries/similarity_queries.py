@@ -679,33 +679,30 @@ def _pq_iteration_sql(flat_view: str, cb_view: str, out_suffix: str) -> str:
     return f"WITH {chain}\nSELECT * FROM cbnext"
 
 
-def _pq_staged_cb2(spark: SparkSession, sf_dir: str):
+def _pq_staged_cb2(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Stage flat + cb0 + cb1 + cb2 (persisted once per session/sf); the
-    iteration chain never re-runs through CTE inlining. Returns the cb2
-    DataFrame with views pq_flat_v / pq_cb2_v registered."""
-    from ..operators.staging import staged
+    iteration chain never re-runs through CTE inlining. Returns the
+    (flat, cb2) sf_dir-scoped view names (ADVICE r11: fixed global view
+    names raced across concurrent sf_dirs)."""
+    from ..operators.staging import staged_view
 
-    flat = staged(
+    flat_v = staged_view(
         spark, sf_dir, "pq_flat",
         lambda: sql_over(spark, sf_dir, _PQ_FLAT_SPARK, ("embeddings",)),
     )
-    flat.createOrReplaceTempView("pq_flat_v")
-    cb0 = staged(
+    cb0_v = staged_view(
         spark, sf_dir, "pq_cb0",
-        lambda: spark.sql(_PQ_CB0.replace("FROM flat", "FROM pq_flat_v")),
+        lambda: spark.sql(_PQ_CB0.replace("FROM flat", f"FROM {flat_v}")),
     )
-    cb0.createOrReplaceTempView("pq_cb0_v")
-    cb1 = staged(
+    cb1_v = staged_view(
         spark, sf_dir, "pq_cb1",
-        lambda: spark.sql(_pq_iteration_sql("pq_flat_v", "pq_cb0_v", "1")),
+        lambda: spark.sql(_pq_iteration_sql(flat_v, cb0_v, "1")),
     )
-    cb1.createOrReplaceTempView("pq_cb1_v")
-    cb2 = staged(
+    cb2_v = staged_view(
         spark, sf_dir, "pq_cb2",
-        lambda: spark.sql(_pq_iteration_sql("pq_flat_v", "pq_cb1_v", "2")),
+        lambda: spark.sql(_pq_iteration_sql(flat_v, cb1_v, "2")),
     )
-    cb2.createOrReplaceTempView("pq_cb2_v")
-    return cb2
+    return flat_v, cb2_v
 
 
 @query(
@@ -724,11 +721,11 @@ def _pq_staged_cb2(spark: SparkSession, sf_dir: str):
     tags=("similarity", "extension"),
 )
 def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _pq_staged_cb2(spark, sf_dir)
+    _, cb2_v = _pq_staged_cb2(spark, sf_dir)
     # direct view reference — a pass-through CTE would miss the cache
     return sql_over(
         spark, sf_dir,
-        _PQ_CODEBOOK_SELECT.replace("FROM cb2", "FROM pq_cb2_v"),
+        _PQ_CODEBOOK_SELECT.replace("FROM cb2", f"FROM {cb2_v}"),
         ("embeddings",),
     )
 
@@ -749,8 +746,8 @@ def sim_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "extension"),
 )
 def sim_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _pq_staged_cb2(spark, sf_dir)
-    tail = _pq_adc_tail("spark", flat_src="pq_flat_v", cb_src="pq_cb2_v")
+    flat_v, cb2_v = _pq_staged_cb2(spark, sf_dir)
+    tail = _pq_adc_tail("spark", flat_src=flat_v, cb_src=cb2_v)
     return sql_over(
         spark, sf_dir,
         "WITH " + tail.lstrip(",").lstrip(),  # d3/codes/... are real CTEs

@@ -373,7 +373,7 @@ ORDER BY lang
     tags=("text", "extension"),
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
     toks = T.tokens("text", "spark")
     sh = T.shingles("toks", "spark")
@@ -388,14 +388,13 @@ FROM (
     FROM documents
 )
 """
-    sh_t = staged(
+    sh_v = staged_view(
         spark, sf_dir, "decontaminate_shingles",
         lambda: sql_over(spark, sf_dir, build_sql, ("documents",)),
     )
-    sh_t.createOrReplaceTempView("decontaminate_shingles_v")
     return sql_over(
         spark, sf_dir,
-        _decontaminate_sql("spark", sh_view="decontaminate_shingles_v"),
+        _decontaminate_sql("spark", sh_view=sh_v),
         ("documents",),
     )
 
@@ -490,10 +489,10 @@ ORDER BY source
     tags=("text", "extension"),
 )
 def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
     toks = T.tokens("text", "spark")
-    tok_t = staged(
+    tok_v = staged_view(
         spark, sf_dir, "repetition_tokens",
         lambda: sql_over(
             spark, sf_dir,
@@ -501,10 +500,9 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("documents",),
         ),
     )
-    tok_t.createOrReplaceTempView("repetition_tokens_v")
     return sql_over(
         spark, sf_dir,
-        _repetition_sql("spark", tok_view="repetition_tokens_v"),
+        _repetition_sql("spark", tok_view=tok_v),
         ("documents",),
     )
 
@@ -920,16 +918,15 @@ ORDER BY fluency_band
     tags=("text", "extension"),
 )
 def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
-    bigc = staged(
+    bigc_v = staged_view(
         spark, sf_dir, "bigram_postings",
         lambda: sql_over(spark, sf_dir, _bigram_postings_sql("spark"), ("documents",)),
     )
-    bigc.createOrReplaceTempView("bigram_postings_v")
     return sql_over(
         spark, sf_dir,
-        _bigram_lm_sql("spark", postings_view="bigram_postings_v"),
+        _bigram_lm_sql("spark", postings_view=bigc_v),
         ("documents",),
     )
 
@@ -1004,10 +1001,10 @@ ORDER BY top_n
     tags=("text", "extension"),
 )
 def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
     toks = T.tokens("text", "spark")
-    vocab = staged(
+    vocab_v = staged_view(
         spark, sf_dir, "vocab_counts",
         lambda: sql_over(
             spark, sf_dir,
@@ -1016,10 +1013,9 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("documents",),
         ),
     )
-    vocab.createOrReplaceTempView("vocab_counts_v")
     return sql_over(
         spark, sf_dir,
-        _vocab_coverage_sql("spark", vocab_view="vocab_counts_v"),
+        _vocab_coverage_sql("spark", vocab_view=vocab_v),
         ("documents",),
     )
 
@@ -1175,10 +1171,10 @@ LIMIT 10
     tags=("text", "extension"),
 )
 def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
     toks = T.tokens("text", "spark")
-    tok_t = staged(
+    tok_v = staged_view(
         spark, sf_dir, "bm25_tokens",
         lambda: sql_over(
             spark, sf_dir,
@@ -1186,9 +1182,8 @@ def text_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("documents",),
         ),
     )
-    tok_t.createOrReplaceTempView("bm25_tokens_v")
     return sql_over(
-        spark, sf_dir, _bm25_sql("spark", tok_view="bm25_tokens_v"), ("documents",)
+        spark, sf_dir, _bm25_sql("spark", tok_view=tok_v), ("documents",)
     )
 
 
@@ -1332,16 +1327,15 @@ ORDER BY labeled_lang, predicted_lang
     tags=("text", "extension", "ml"),
 )
 def text_hashed_nb_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
-    flat = staged(
+    flat_v = staged_view(
         spark, sf_dir, "nb_flat_postings",
         lambda: sql_over(spark, sf_dir, _nb_flat_sql(), ("documents",)),
     )
-    flat.createOrReplaceTempView("nb_flat_postings_v")
     return sql_over(
         spark, sf_dir,
-        _nb_classifier_sql("spark", flat_view="nb_flat_postings_v"),
+        _nb_classifier_sql("spark", flat_view=flat_v),
         ("documents",),
     )
 
@@ -1478,7 +1472,7 @@ def _bpe_oracle_sql() -> str:
 def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
-    from ..operators.staging import staged
+    from ..operators.staging import dir_digest, staged
 
     cur = staged(
         spark, sf_dir, "bpe_s0",
@@ -1486,7 +1480,9 @@ def text_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rounds = []
     for k in range(1, _BPE_ROUNDS + 1):
-        view = f"bpe_s{k - 1}_v"
+        # sf_dir-scoped view name (ADVICE r11: fixed global names race
+        # across concurrent scale dirs)
+        view = f"bpe_s{k - 1}_{dir_digest(sf_dir)}"
         cur.createOrReplaceTempView(view)
         best = spark.sql(_bpe_best_sql("spark", view))  # 1-row top-1
         prev = cur

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.staging import staged
+from ..operators.staging import staged_view
 from .registry import query, sql_over, t
 
 # Tight decimal casts: l_extendedprice < 1e6, discount/tax in [0,1].
@@ -561,14 +561,14 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("tpch", "cte", "subquery"),
 )
 def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+
 
     # the revenue view feeds the supplier join AND the MAX scalar
     # subquery; Spark inlines CTEs, so unstaged it scans lineitem twice —
     # the reference materializes q15's revenue view for the same reason.
     # Staged as a LogicalRDD leaf (operators/staging.py) so both
     # consumers read one materialization.
-    revenue = staged(
+    revenue_v = staged_view(
         spark, sf_dir, "tpch_q15_revenue",
         lambda: sql_over(
             spark, sf_dir,
@@ -582,14 +582,13 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem",),
         ),
     )
-    revenue.createOrReplaceTempView("tpch_q15_revenue_v")
     return sql_over(
         spark,
         sf_dir,
-        """
+        f"""
         SELECT s_suppkey, s_name, total_revenue
-        FROM supplier JOIN tpch_q15_revenue_v ON s_suppkey = supplier_no
-        WHERE total_revenue = (SELECT MAX(total_revenue) FROM tpch_q15_revenue_v)
+        FROM supplier JOIN {revenue_v} ON s_suppkey = supplier_no
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM {revenue_v})
         ORDER BY s_suppkey
         """,
         ("supplier",),
@@ -899,18 +898,17 @@ WITH supply AS ({_Q2_SUPPLY})
     tags=("tpch", "join", "subquery"),
 )
 def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import staged
+    from ..operators.staging import staged_view
 
     # the supply aggregate feeds the main join AND the correlated min
     # subquery; unstaged, the lineitem grouping runs twice (CTE inlining)
-    supply = staged(
+    supply_v = staged_view(
         spark, sf_dir, "tpch_q2_supply",
         lambda: sql_over(spark, sf_dir, _Q2_SUPPLY, ("lineitem",)),
     )
-    supply.createOrReplaceTempView("tpch_q2_supply_v")
     return sql_over(
         spark, sf_dir,
-        _Q2_BODY.format(supply="tpch_q2_supply_v"),
+        _Q2_BODY.format(supply=supply_v),
         ("part", "supplier", "nation", "region"),
     )
 
@@ -953,7 +951,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with a managed persisted lifetime (operators/staging.py) — one lineitem
     # scan + join instead of two, one cached copy per session no matter how
     # many times the query runs.
-    supply = staged(
+    supply_v = staged_view(
         spark,
         sf_dir,
         "tpch_q11_supply",
@@ -972,12 +970,11 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("lineitem", "supplier", "nation"),
         ),
     )
-    supply.createOrReplaceTempView("q11_supply")
     return spark.sql(
-        """
+        f"""
         SELECT partkey, CAST(value_dec AS DOUBLE) AS part_value
-        FROM q11_supply
-        WHERE value_dec > (SELECT SUM(value_dec) * 0.0001 FROM q11_supply)
+        FROM {supply_v}
+        WHERE value_dec > (SELECT SUM(value_dec) * 0.0001 FROM {supply_v})
         ORDER BY part_value DESC, partkey
         """
     )

@@ -35,8 +35,13 @@ def test_every_headline_extra_is_registered():
 def test_bench_default_artifact_is_not_the_committed_idle_record():
     # the default out path must be BENCHRUN_latest.json; BENCHLOCAL.json is
     # written only explicitly (SPARK_GRAFT_BENCH_OUT) during the idle-box
-    # refresh, so the committed narrative and artifact cannot drift apart
+    # refresh, so the committed narrative and artifact cannot drift apart.
+    # Assert the imported constant, not source formatting (ADVICE r11: the
+    # old source-text grep broke on any innocuous rewrap).
+    bench = _load_bench()
+    assert os.path.basename(bench.DEFAULT_BENCH_OUT) == "BENCHRUN_latest.json"
+    assert os.path.dirname(bench.DEFAULT_BENCH_OUT) == REPO
+    # and the env override is what selects any other destination
     with open(os.path.join(REPO, "bench.py")) as f:
         src = f.read()
-    assert '"BENCHRUN_latest.json"' in src
-    assert 'os.environ.get(\n        "SPARK_GRAFT_BENCH_OUT"' in src
+    assert "SPARK_GRAFT_BENCH_OUT" in src

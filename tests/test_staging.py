@@ -14,6 +14,26 @@ from lyft_presto_spark.queries import all_queries
 from lyft_presto_spark.session import load_table, session_key
 
 
+def test_release_staged_frees_checkpoint_blocks(spark, sf_dir):
+    """ADVICE r11: Dataset.unpersist is a cache-manager no-op for a
+    localCheckpoint artifact, so the old release left the blocks alive
+    until ContextCleaner GC. The fixed release unpersists the underlying
+    checkpointed RDD — storage must be freed IMMEDIATELY."""
+    release_staged(spark)
+    sc = spark.sparkContext._jsc.sc()
+
+    def cached_ids():
+        return {i.id() for i in sc.getRDDStorageInfo() if i.numCachedPartitions() > 0}
+
+    before = cached_ids()
+    df = staged(spark, sf_dir, "block_probe", lambda: spark.range(200000).toDF("v"))
+    assert df.count() == 200000  # materialize the checkpoint blocks
+    new_ids = cached_ids() - before
+    assert new_ids, "checkpoint materialization left no cached blocks to test"
+    release_staged(spark)
+    assert not (cached_ids() & new_ids), "release left checkpoint blocks cached"
+
+
 def test_staged_builds_once_and_releases(spark, sf_dir):
     calls = {"n": 0}
 
@@ -158,3 +178,128 @@ def test_staged_artifact_survives_cte_consumers(spark, sf_dir):
     assert "Range" not in p  # the build plan never re-enters
     assert calls["n"] == 1
     release_staged(spark)
+
+
+# ---------------------------------------------------------------------------
+# Durable table-backed staging (VERDICT r11 next-round #2): SCALE.md's "the
+# 100 TB deployment writes the reused intermediate as a table" now has a code
+# path. SPARK_GRAFT_STAGING=table writes the artifact as parquet (unique
+# stage dir + one atomic rename) and reads it back as a file-relation leaf —
+# same leaf-not-lineage property as localCheckpoint, plus durability: a NEW
+# session or process finds it on disk and skips the build entirely.
+# ---------------------------------------------------------------------------
+
+
+def test_table_staged_builds_once_leaf_and_reuses_across_sessions(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    from lyft_presto_spark.operators.staging import staged_view
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "table")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    release_staged()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(50).selectExpr("id", "id * 3 AS v")
+
+    a = staged(spark, sf_dir, "durable_probe", build)
+    b = staged(spark, sf_dir, "durable_probe", build)
+    assert a is b and calls["n"] == 1
+    assert a.count() == 50
+    # leaf-not-lineage: the artifact's plan is a parquet relation, never
+    # the Range build lineage — it survives CTE inlining like the
+    # localCheckpoint leaf does (the r11 recompute fix, durable form)
+    analyzed = a._jdf.queryExecution().analyzed().toString()
+    assert "Range" not in analyzed and "Relation" in analyzed
+    a.createOrReplaceTempView("durable_probe_v")
+    plan = (
+        spark.sql(
+            "WITH x AS (SELECT sum(v) s FROM durable_probe_v), "
+            "y AS (SELECT count(*) c FROM durable_probe_v) "
+            "SELECT * FROM x CROSS JOIN y"
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Range" not in plan  # the build never re-enters via CTEs
+    # "session restart": drop ALL in-memory staging state, then stage from
+    # a different session object — the artifact must come back from disk
+    # without the build running again
+    release_staged()
+    s2 = spark.newSession()
+    c = staged(s2, sf_dir, "durable_probe", build)
+    assert calls["n"] == 1  # read back, not rebuilt
+    assert c.count() == 50
+    assert sorted(r.v for r in c.collect()) == [i * 3 for i in range(50)]
+    # staged_view embeds the sf_dir digest (ADVICE r11 race fix)
+    view = staged_view(spark, sf_dir, "durable_probe", build)
+    assert view != "durable_probe" and view.startswith("durable_probe_")
+    release_staged()
+
+
+def test_table_staged_survives_process_restart(spark, sf_dir, tmp_path, monkeypatch):
+    """A genuinely separate process (own JVM, own SparkSession) builds the
+    artifact; this session's staged() must find it on disk and never call
+    its own build. This is the cross-session durability claim of
+    SCALE.md's table-backed staging, proven across a real process
+    boundary."""
+    import os
+    import subprocess
+    import sys
+
+    script = r"""
+import os, sys
+from pyspark.sql import SparkSession
+sys.path.insert(0, os.environ["REPO"])
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.sql.shuffle.partitions", "2")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from lyft_presto_spark.operators.staging import staged
+df = staged(spark, os.environ["SFD"], "xproc_probe",
+            lambda: spark.range(20).selectExpr("id", "id * 7 AS v"))
+assert df.count() == 20
+spark.stop()
+"""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_STAGING="table",
+        SPARK_GRAFT_STAGING_DIR=str(tmp_path),
+        REPO=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        SFD=sf_dir,
+    )
+    subprocess.run([sys.executable, "-c", script], env=env, check=True, timeout=300)
+    # Now read it from THIS process's session: build must never run.
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "table")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    release_staged()
+    try:
+        def build():
+            pytest.fail("build ran despite an on-disk durable artifact")
+
+        df = staged(spark, sf_dir, "xproc_probe", build)
+        assert sorted(r.v for r in df.collect()) == [i * 7 for i in range(20)]
+    finally:
+        release_staged()
+
+
+def test_table_staged_consumers_stay_oracle_green(spark, sf_dir, tmp_path, monkeypatch):
+    """The staged consumers must produce identical (oracle-green) results
+    under the durable table mode — staging mechanism is a pure execution
+    detail, invisible to query semantics."""
+    from lyft_presto_spark.testing import compare_with_oracle
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "table")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    release_staged()
+    qs = all_queries()
+    try:
+        for name in ("tpch_q11", "tpch_q15", "text_bigram_lm_score"):
+            q = qs[name]
+            compare_with_oracle(q.spark(spark, sf_dir), q.oracle, sf_dir, name=name)
+    finally:
+        release_staged()
