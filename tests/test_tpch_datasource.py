@@ -376,3 +376,74 @@ def test_q18_on_generator_catalog_semi_join_no_cartesian(spark):
     # descending by price, ties by key
     prices = [r.price_cents for r in rows]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_q5_on_generator_catalog_region_gate_broadcast_no_cartesian(spark):
+    # the registered generator-backed TPC-H Q5 shape (NEW r12): six-way
+    # join with the composite customer-nation = supplier-nation local
+    # gate; dims broadcast, every join an equi-join, key bound reader-
+    # pushable on the live path
+    from pyspark.sql.datasource import LessThan
+
+    from lyft_presto_spark.plans.inspect import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+    from lyft_presto_spark.queries import all_queries
+    from lyft_presto_spark.sources.tpch_datasource import TpchGenReader
+
+    # reader-level pushdown pin: the q5 key bound shrinks lineitem
+    # generation to [0, 8000*4) and is fully consumed (no residual)
+    r = TpchGenReader("lineitem", 40_000, 8)
+    assert list(r.pushFilters([LessThan(("l_orderkey",), 8000)])) == []
+    assert (r.lo, r.hi) == (0, 32_000)
+
+    df = all_queries()["connector_tpchgen_q5"].spark(spark, "")
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert 0 < len(rows) <= 5  # at most the 5 ASIA nations
+    assert all(r.n_lines > 0 and r.revenue_mcents > 0 for r in rows)
+    revs = [r.revenue_mcents for r in rows]
+    assert revs == sorted(revs, reverse=True)
+
+
+def test_q21_on_generator_catalog_semi_and_anti_join_no_cartesian(spark):
+    # the registered generator-backed TPC-H Q21 shape (NEW r12): the
+    # spec-form EXISTS + NOT EXISTS pair must decorrelate into a
+    # LeftSemi + LeftAnti join web over the same generated fact
+    from lyft_presto_spark.plans.inspect import assert_no_cartesian
+    from lyft_presto_spark.queries import all_queries
+
+    df = all_queries()["connector_tpchgen_q21"].spark(spark, "")
+    assert_no_cartesian(df)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(r.numwait > 0 for r in rows)
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+
+
+def test_gen_catalog_materializes_each_table_once(spark):
+    # _gen_catalog (r12): the generator join webs read a session-staged
+    # materialization — repeat calls reuse one artifact per table (the
+    # datagen-once model), and the staged leaf is lineage-free
+    from lyft_presto_spark.operators.staging import _STAGED, release_staged
+    from lyft_presto_spark.queries import all_queries
+    from lyft_presto_spark.session import session_key
+
+    release_staged(spark)
+    qs = all_queries()
+    for _ in range(2):
+        qs["connector_tpchgen_q9"].spark(spark, "").collect()
+    names = sorted(
+        k[2] for k in _STAGED if k[0] == session_key(spark) and k[2].startswith("tpchgen_")
+    )
+    assert names == [
+        "tpchgen_lineitem", "tpchgen_nation", "tpchgen_orders",
+        "tpchgen_part", "tpchgen_partsupp", "tpchgen_supplier",
+    ]
+    release_staged(spark)
