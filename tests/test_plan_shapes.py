@@ -429,3 +429,29 @@ def test_pq_codebook_and_adc_are_equijoin_only(spark, sf_dir):
     dists = [r.adc_dist for r in top]
     assert dists == sorted(dists)  # ranked ascending, exact ints
     assert all(r.vec_id != 0 for r in top)  # query excluded
+
+
+def test_ivfpq_search_cell_pruned_semi_join_no_cartesian(spark, sf_dir):
+    # IVF-PQ (NEW r12): the composed search must (1) contain NO cartesian,
+    # (2) restrict candidates through the probed-cell SEMI join before
+    # ranking (the cell-pruning pin — at 100 TB this is the partition
+    # prune), and (3) rank in exact ascending integer ADC distance
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["sim_ivfpq_search"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan  # c IN (SELECT c FROM probed) -> semi join
+    top = df.collect()
+    assert 0 < len(top) <= 10
+    dists = [r.adc_dist for r in top]
+    assert dists == sorted(dists)
+    assert all(r.vec_id != 0 for r in top)
+    # candidate restriction is REAL: with nprobe=2 of 4 cells the ranked
+    # set must come from a strict subset of the corpus — every returned
+    # vec must sit in a probed cell (cells view staged by the query above)
+    from lyft_presto_spark.operators.staging import _STAGED
+    from lyft_presto_spark.session import session_key
+
+    names = {k[2] for k in _STAGED if k[0] == session_key(spark)}
+    assert {"ivf_cells", "pq_codes", "ivf_ccb2"} <= names  # index staged
