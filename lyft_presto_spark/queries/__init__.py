@@ -226,36 +226,49 @@ from .registry import REGISTRY, Query, query
 # four more TPC-H rows (q4/q5/q12/q14 — driver-green 10-for-10) fund
 # the slots (ml_auc_rank joins them), leaving TPC-H with 16 scored rows
 # this round. First-time count: 30.
+# r12 rotation — ALL 30 first-time r11 slots were driver-green (VERDICT
+# r11: 50/50 green), so the non-keeper slots yield. 37 go to rows the
+# driver has NEVER scored (VERDICT r11 next-round #1 asked for >= 30),
+# prioritized per the verdict: the three NEW r12 builds (generator q5
+# region-gated six-way join + generator q21 EXISTS/NOT-EXISTS anti-join
+# web — ask #3; sim_ivfpq_search composed IVF-PQ — ask #5), the two
+# never-scored op_* rows, the ENTIRE fn_geo_* never-scored long tail
+# (16 rows, the oldest unscored family), the two never-scored text rows,
+# nine of the twelve never-scored fn rows (fn_beta_endian_hrs,
+# fn_presto_compat, fn_entropy wait for r13), and the five OLDEST-
+# numbered never-scored TPC-DS shapes (q22/q23/q24/q26/q28). TPC-H keeps
+# 9 scored rows, deliberately including q2/q11/q15 — the staged-artifact
+# consumers — so the r12 staging rework (durable mode + sf_dir-scoped
+# views) gets driver-level revalidation the round it shipped. events,
+# dedup, ml, multimodal keep one re-scored keeper each (no never-scored
+# rows left in those families). After r12 the never-scored pool is
+# 89 - 33 = 56 (tpcds 52, fn 3, text 0, op 0, geo 0).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
-    # TPC-H corpus (core evidence; q2/q4/q5/q11/q12 rotated out this
-    # round to fund first-time slots — all driver-green 10-for-10)
-    "tpch_q1", "tpch_q3", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10",
-    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # NEW r11 generator-catalog shapes (VERDICT r10 ask #2)
-    "connector_tpchgen_q1", "connector_tpchgen_q18",
-    # NEW r11 operators — scored the round they were built
-    "text_bpe_merge_train", "sim_pq_codebook", "sim_pq_adc_search",
-    "ml_auc_rank",
-    # r10-built, never scored (VERDICT r10 priority #1)
-    "text_bm25_retrieval", "text_hashed_nb_classifier",
-    "sim_int8_quantization",
-    # Never-scored text-pipeline rows
-    "text_boilerplate_strip", "text_chunk_overlap",
-    # Never-scored geometry rows
-    "fn_geo_from_text", "fn_geo_point_distance",
-    # Oldest never-scored core-operator paths (sample gates strengthened
-    # r11: independent-scan subset + reproducibility)
-    "op_values", "op_row_type", "op_case_conditional", "op_unnest_map",
-    "op_assign_unique_id", "op_sample_bernoulli",
-    # Oldest never-scored function families
-    "fn_array_agg_ordered", "fn_minmax_n", "fn_multimap", "fn_ngrams",
-    "fn_time", "fn_ipaddress",
+    # TPC-H core evidence (q2/q11/q15 revalidate the r12 staging rework)
+    "tpch_q1", "tpch_q2", "tpch_q6", "tpch_q9", "tpch_q11",
+    "tpch_q15", "tpch_q18", "tpch_q21", "tpch_q22",
+    # NEW r12 builds — scored the round they were built
+    "connector_tpchgen_q5", "connector_tpchgen_q21", "sim_ivfpq_search",
+    # Never-scored op rows (the last two)
+    "op_sample_system", "op_spatial_distance_join",
+    # Never-scored geometry long tail — entire remaining set (16)
+    "fn_geo_wkt_linestring", "fn_geo_tile_cover", "fn_geo_line_locate",
+    "fn_geo_buffer", "fn_geo_line_predicates", "fn_geo_polygon_holes",
+    "fn_geo_simple_ring", "fn_geo_line_touches", "fn_geo_multi_geometry",
+    "fn_geo_multipolygon", "fn_geo_validity", "fn_geo_hull_simplify",
+    "fn_geo_clip", "fn_geo_spherical", "fn_geo_spherical_pole",
+    "fn_geo_line_clip",
+    # Never-scored text rows (the last two)
+    "text_domain_mixture", "text_stratified_sample",
+    # Never-scored function families (9 of the remaining 12)
+    "fn_timezone_interval", "fn_json_extras", "fn_url_codec",
+    "fn_base_conv", "fn_cdf_wilson", "fn_hmac", "fn_spooky",
+    "fn_ieee754", "fn_iso8601_duration",
     # TPC-DS-shape corpus: oldest never-scored numbers
-    "tpcds_q17_repurchase_stats", "tpcds_q18_demographic_rollup_avgs",
-    "tpcds_q19_cross_nation_brand_revenue", "tpcds_q20_catalog_class_share",
-    "tpcds_q21_before_after_ratio",
+    "tpcds_q22_rollup_avg_qty", "tpcds_q23_frequent_best_customers",
+    "tpcds_q24_totals_above_scalar_avg",
+    "tpcds_q26_catalog_demographic_averages",
+    "tpcds_q28_band_distinct_buckets",
     # Family keepers (no never-scored rows left in these families)
     "events_sessionize", "dedup_exact", "ml_classify", "multimodal_decode",
 )
