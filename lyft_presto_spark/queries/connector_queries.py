@@ -739,13 +739,10 @@ ORDER BY numwait DESC, s_name
     tags=("connector",),
 )
 def connector_tpchgen_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.staging import dir_digest
-
-    views = {}
-    for table in ("orders", "lineitem", "supplier", "nation"):
-        v = f"tpchgen_{table}_{dir_digest(sf_dir)}"
-        _gen_catalog(spark, sf_dir, table).createOrReplaceTempView(v)
-        views[table] = v
+    views = {
+        table: _gen_view(spark, sf_dir, table)
+        for table in ("orders", "lineitem", "supplier", "nation")
+    }
     return spark.sql(f"""
 SELECT s_name, count(*) AS numwait
 FROM {views['supplier']}
@@ -768,6 +765,737 @@ WHERE o.o_orderstatus = 'F'
   )
 GROUP BY s_name
 ORDER BY numwait DESC, s_name
+""")
+
+
+# --- Seven more TPC-H shapes on the generator catalog (r12 widening) ----------
+# VERDICT r11 "What's missing" #5: the reference's generator serves all 22
+# TPC-H queries (TpchMetadata.java:93); this block takes the corpus from 7
+# to 14 shapes — q4 (EXISTS), q10 (returned-item top-n), q13 (outer-join
+# order-count distribution), q14 (promo share with CASE-gated sums), q16
+# (distinct-supplier counts on partsupp), q17 (correlated per-part average
+# screen), q19 (disjunctive OR-of-ANDs predicate web). One shared DuckDB
+# CTE prelude regenerates every table from generate_series with the shared
+# row hash (unreferenced CTEs are not executed); the Spark side reads the
+# session-materialized catalog (_gen_catalog). Generator artifact note:
+# the single row hash couples l_quantity to l_partkey (2000 % 50 == 0, so
+# a part's lines all share one quantity); q17's "small" screen therefore
+# compares extendedprice — which varies within a part — not quantity.
+
+_GEN_DEFS = f"""
+WITH ord AS (
+    SELECT i AS o_orderkey, {_Q9_H} % 1500 AS o_custkey,
+           CASE {_Q9_H} % 3 WHEN 0 THEN 'F' WHEN 1 THEN 'O' ELSE 'P' END AS o_orderstatus,
+           CAST(round((({_Q9_H} % 10000000) / 100.0) * 100, 0) AS BIGINT) AS o_cents,
+           TIMESTAMP '1995-01-01' + ({_Q9_H} % 2400) * INTERVAL 1 DAY AS o_orderdate,
+           CASE {_Q9_H} % 5 WHEN 0 THEN '1-URGENT' WHEN 1 THEN '2-HIGH' WHEN 2 THEN '3-MEDIUM'
+                WHEN 3 THEN '4-NOT SPECIFIED' ELSE '5-LOW' END AS o_orderpriority
+    FROM generate_series(0, 9999) AS t(i)
+),
+li AS (
+    SELECT i // 4 AS l_orderkey, {_Q9_H} % 50 + 1 AS qty,
+           CAST(round((({_Q9_H} % 9000000) / 100.0 + 900.0) * 100, 0) AS BIGINT) AS cents,
+           {_Q9_H} % 11 AS disc_pct,
+           CASE WHEN {_Q9_H} % 10 = 0 THEN 'R' WHEN {_Q9_H} % 2 = 0 THEN 'A' ELSE 'N' END AS l_returnflag,
+           {_Q9_H} % 2000 AS l_partkey, {_Q9_H} % 200 AS l_suppkey,
+           TIMESTAMP '1995-01-01' + ({_Q9_H} % 2500) * INTERVAL 1 DAY AS l_shipdate
+    FROM generate_series(0, 39999) AS t(i)
+),
+cust AS (
+    SELECT i AS c_custkey, 'Customer#' || lpad(CAST(i AS VARCHAR), 9, '0') AS c_name,
+           {_Q9_H} % 25 AS c_nationkey,
+           CAST({_Q9_H} % 1100000 - 100000 AS BIGINT) AS acct_cents
+    FROM generate_series(0, 1499) AS t(i)
+),
+prt AS (
+    SELECT i AS p_partkey, 'Brand#' || CAST({_Q9_H} % 25 + 10 AS VARCHAR) AS p_brand,
+           CASE {_Q9_H} % 6 WHEN 0 THEN 'ECONOMY ANODIZED STEEL' WHEN 1 THEN 'LARGE BRUSHED BRASS'
+                WHEN 2 THEN 'MEDIUM POLISHED COPPER' WHEN 3 THEN 'PROMO BURNISHED NICKEL'
+                WHEN 4 THEN 'SMALL PLATED TIN' ELSE 'STANDARD POLISHED STEEL' END AS p_type,
+           {_Q9_H} % 50 + 1 AS p_size,
+           CASE {_Q9_H} % 4 WHEN 0 THEN 'JUMBO PKG' WHEN 1 THEN 'LG CASE' WHEN 2 THEN 'MED BOX' ELSE 'SM DRUM' END AS p_container
+    FROM generate_series(0, 1999) AS t(i)
+),
+ps AS (
+    SELECT i // 4 AS ps_partkey, {_Q9_H} % 200 AS ps_suppkey, {_Q9_H} % 10000 + 1 AS ps_availqty,
+           CAST(round((({_Q9_H} % 100000) / 100.0 + 1.0) * 100, 0) AS BIGINT) AS supp_cents
+    FROM generate_series(0, 7999) AS t(i)
+),
+sup AS (
+    SELECT i AS s_suppkey, 'Supplier#' || lpad(CAST(i AS VARCHAR), 9, '0') AS s_name,
+           {_Q9_H} % 25 AS s_nationkey,
+           CAST({_Q9_H} % 1100000 - 100000 AS BIGINT) AS s_acct_cents
+    FROM generate_series(0, 199) AS t(i)
+),
+nat AS (
+    SELECT i AS n_nationkey, 'NATION#' || CAST(i AS VARCHAR) AS n_name, i % 5 AS n_regionkey
+    FROM generate_series(0, 24) AS t(i)
+),
+reg AS (
+    SELECT i AS r_regionkey,
+           CASE i WHEN 0 THEN 'AFRICA' WHEN 1 THEN 'AMERICA' WHEN 2 THEN 'ASIA'
+                  WHEN 3 THEN 'EUROPE' ELSE 'MIDDLE EAST' END AS r_name
+    FROM generate_series(0, 4) AS t(i)
+)
+"""
+
+
+def _gen_view(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Catalog table as an sf_dir-scoped temp view (for SQL-form queries)."""
+    from ..operators.staging import dir_digest
+
+    v = f"tpchgen_{table}_{dir_digest(sf_dir)}"
+    _gen_catalog(spark, sf_dir, table).createOrReplaceTempView(v)
+    return v
+
+
+@query(
+    "connector_tpchgen_q4",
+    oracle=_GEN_DEFS + """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM ord
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM li WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    doc="TPC-H Q4 shape (order-priority checking) on the generator catalog "
+    "(r12 corpus widening): EXISTS over the generated fact decorrelated "
+    "to a LeftSemi join; 'late' = shipped >60 days after order date "
+    "(the generator carries no commit/receipt dates, same adaptation as "
+    "the parquet fixture). Reference: q04.sql via TpchMetadata.java:93.",
+    tags=("connector",),
+)
+def connector_tpchgen_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = _gen_view(spark, sf_dir, "orders"), _gen_view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+SELECT o_orderpriority, count(*) AS order_count
+FROM {o}
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM {l} WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""")
+
+
+@query(
+    "connector_tpchgen_q10",
+    oracle=_GEN_DEFS + """
+SELECT c_custkey, c_name, n_name,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS revenue_mcents
+FROM cust JOIN ord ON c_custkey = o_custkey JOIN li ON l_orderkey = o_orderkey
+JOIN nat ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_mcents DESC, c_custkey LIMIT 20
+""",
+    doc="TPC-H Q10 shape (returned-item reporting) on the generator "
+    "catalog (r12 corpus widening): returnflag screen on the generated "
+    "fact, date-screened orders, broadcast customer/nation dims, exact "
+    "milli-cent revenue, distributed top-20. Reference: q10.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _gen_catalog(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    ord_ = _gen_catalog(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cust = _gen_catalog(spark, sf_dir, "customer")
+    nat = _gen_catalog(spark, sf_dir, "nation")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(cents * (100 - disc_pct)).cast("bigint").alias("revenue_mcents"),
+        )
+        .orderBy(F.desc("revenue_mcents"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "connector_tpchgen_q13",
+    oracle=_GEN_DEFS + """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM cust LEFT JOIN ord ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) cc
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""",
+    doc="TPC-H Q13 shape (customer order-count distribution) on the "
+    "generator catalog (r12 corpus widening): LEFT OUTER join with the "
+    "non-key screen INSIDE the join condition (null-extension semantics, "
+    "not a post-filter), then the double aggregation. Reference: q13.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o = _gen_view(spark, sf_dir, "customer"), _gen_view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM {c} LEFT JOIN {o}
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) cc
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+""")
+
+
+@query(
+    "connector_tpchgen_q14",
+    oracle=_GEN_DEFS + """
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN cents * (100 - disc_pct) ELSE 0 END) AS BIGINT) AS promo_mcents,
+       CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS total_mcents,
+       round(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%' THEN cents * (100 - disc_pct) ELSE 0 END)
+             / SUM(cents * (100 - disc_pct)), 6) AS promo_pct
+FROM li JOIN prt ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+""",
+    doc="TPC-H Q14 shape (promotion-revenue share) on the generator "
+    "catalog (r12 corpus widening): CASE-gated and total milli-cent sums "
+    "in ONE aggregation pass (exact integers), the percentage one final "
+    "double division rounded to 6 places. Reference: q14.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _gen_catalog(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    prt = _gen_catalog(spark, sf_dir, "part")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    mc = cents * (100 - disc_pct)
+    promo = F.when(F.col("p_type").like("PROMO%"), mc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_mcents"),
+            F.sum(mc).cast("bigint").alias("total_mcents"),
+        )
+        .select(
+            "promo_mcents",
+            "total_mcents",
+            F.round(
+                F.lit(100.0) * F.col("promo_mcents") / F.col("total_mcents"), 6
+            ).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "connector_tpchgen_q16",
+    oracle=_GEN_DEFS + """
+SELECT p_brand, p_type, p_size, CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN prt ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#15' AND p_type NOT LIKE 'PROMO%' AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 30
+""",
+    doc="TPC-H Q16 shape (parts/supplier relationship) on the generator "
+    "catalog (r12 corpus widening) — the first corpus row on the "
+    "generated PARTSUPP table: negated brand/type screens + IN size list, "
+    "COUNT(DISTINCT ps_suppkey) per part attribute group "
+    "(MarkDistinctNode machinery). Reference: q16.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = _gen_catalog(spark, sf_dir, "partsupp")
+    prt = _gen_catalog(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#15")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    return (
+        ps.join(F.broadcast(prt), ps.ps_partkey == prt.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+@query(
+    "connector_tpchgen_q17",
+    oracle=_GEN_DEFS + """
+SELECT CAST(count(*) AS BIGINT) AS n_small,
+       CAST(SUM(l1.qty) AS BIGINT) AS small_qty_sum,
+       CAST(SUM(l1.cents) AS BIGINT) AS small_cents
+FROM li l1 JOIN prt ON l1.l_partkey = p_partkey
+WHERE p_container = 'MED BOX'
+  AND l1.cents * 5 * (SELECT COUNT(*) FROM li l2 WHERE l2.l_partkey = l1.l_partkey)
+      < (SELECT SUM(l2.cents) FROM li l2 WHERE l2.l_partkey = l1.l_partkey)
+""",
+    doc="TPC-H Q17 shape (small-order screen vs per-part average) on the "
+    "generator catalog (r12 corpus widening): the correlated per-part "
+    "average in EXACT integer form — cents*5*cnt < sum is the spec's "
+    "price < 0.2*avg(price) cross-multiplied, so no engine ever rounds a "
+    "boundary differently. Screens on extendedprice, not quantity: the "
+    "generator's single row hash makes a part's lines share one quantity "
+    "(2000 % 50 == 0), which would void the screen. Reference: q17.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = _gen_view(spark, sf_dir, "lineitem"), _gen_view(spark, sf_dir, "part")
+    return spark.sql(f"""
+SELECT count(*) AS n_small,
+       CAST(SUM(CAST(l1.l_quantity AS BIGINT)) AS BIGINT) AS small_qty_sum,
+       CAST(SUM(CAST(round(l1.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS small_cents
+FROM {l} l1 JOIN {p} ON l1.l_partkey = p_partkey
+WHERE p_container = 'MED BOX'
+  AND CAST(round(l1.l_extendedprice * 100, 0) AS BIGINT) * 5
+      * (SELECT COUNT(*) FROM {l} l2 WHERE l2.l_partkey = l1.l_partkey)
+      < (SELECT SUM(CAST(round(l2.l_extendedprice * 100, 0) AS BIGINT))
+         FROM {l} l2 WHERE l2.l_partkey = l1.l_partkey)
+""")
+
+
+@query(
+    "connector_tpchgen_q19",
+    oracle=_GEN_DEFS + """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS revenue_mcents
+FROM li JOIN prt ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_container = 'SM DRUM' AND qty BETWEEN 1 AND 30)
+   OR (p_brand = 'Brand#23' AND p_container = 'MED BOX' AND qty BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#34' AND p_container = 'LG CASE' AND qty BETWEEN 20 AND 50)
+""",
+    doc="TPC-H Q19 shape (discounted revenue, disjunctive predicate web) "
+    "on the generator catalog (r12 corpus widening): the OR-of-ANDs mixes "
+    "join-side (brand/container) and fact-side (quantity) predicates so "
+    "it can only evaluate POST-join — the planner must keep the equi-join "
+    "and apply the disjunction as a residual filter. Exact milli-cents. "
+    "Reference: q19.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _gen_catalog(spark, sf_dir, "lineitem")
+    prt = _gen_catalog(spark, sf_dir, "part")
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_container") == "SM DRUM") & qty.between(1, 30))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_container") == "MED BOX") & qty.between(10, 40))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_container") == "LG CASE") & qty.between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .filter(cond)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(cents * (100 - disc_pct)).cast("bigint").alias("revenue_mcents"),
+        )
+    )
+
+
+# --- Final eight TPC-H shapes: the generator corpus reaches all 22 ------------
+# q2 (min-cost supplier, correlated MIN), q7 (two-nation volume), q8
+# (market share), q11 (important stock, HAVING vs scalar), q12 (priority
+# CASE-sums; grouped by l_returnflag — the generator has no shipmode,
+# same adaptation as the parquet fixture), q15 (top supplier via revenue
+# view), q20 (nested-IN potential promotion over partsupp availability),
+# q22 (idle-customer anti-join; 'inactive' = no order since 1999 — every
+# generated customer has SOME order, so the spec's no-orders-at-all form
+# is vacuously empty). With these the generator catalog serves the same
+# 22 query shapes the reference's TpchMetadata.java:93 does.
+
+
+@query(
+    "connector_tpchgen_q2",
+    oracle=_GEN_DEFS + """
+SELECT s_acct_cents, s_name, n_name, p_partkey, p_brand, supp_cents
+FROM prt JOIN ps ON p_partkey = ps_partkey
+JOIN sup ON s_suppkey = ps_suppkey
+JOIN nat ON s_nationkey = n_nationkey
+JOIN reg ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type LIKE '%STEEL' AND r_name = 'EUROPE'
+  AND supp_cents = (
+    SELECT MIN(ps2.supp_cents)
+    FROM ps ps2 JOIN sup s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nat n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN reg r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acct_cents DESC, n_name, s_name, p_partkey LIMIT 10
+""",
+    doc="TPC-H Q2 shape (minimum-cost supplier) on the generator catalog "
+    "(r12 corpus completion): five-way dim join + correlated MIN scalar "
+    "subquery over the generated PARTSUPP (decorrelated by Catalyst to "
+    "an aggregate + join); supply cost exact integer cents so the MIN "
+    "equality never hits a float boundary. Reference: q02.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = {t: _gen_view(spark, sf_dir, t)
+         for t in ("part", "partsupp", "supplier", "nation", "region")}
+    return spark.sql(f"""
+SELECT CAST(round(s_acctbal * 100, 0) AS BIGINT) AS s_acct_cents,
+       s_name, n_name, p_partkey, p_brand,
+       CAST(round(ps_supplycost * 100, 0) AS BIGINT) AS supp_cents
+FROM {v['part']} JOIN {v['partsupp']} ON p_partkey = ps_partkey
+JOIN {v['supplier']} ON s_suppkey = ps_suppkey
+JOIN {v['nation']} ON s_nationkey = n_nationkey
+JOIN {v['region']} ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND p_type LIKE '%STEEL' AND r_name = 'EUROPE'
+  AND CAST(round(ps_supplycost * 100, 0) AS BIGINT) = (
+    SELECT MIN(CAST(round(ps2.ps_supplycost * 100, 0) AS BIGINT))
+    FROM {v['partsupp']} ps2 JOIN {v['supplier']} s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN {v['nation']} n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN {v['region']} r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acct_cents DESC, n_name, s_name, p_partkey LIMIT 10
+""")
+
+
+@query(
+    "connector_tpchgen_q7",
+    oracle=_GEN_DEFS + """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(mc) AS BIGINT) AS revenue_mcents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate) AS l_year,
+         cents * (100 - disc_pct) AS mc
+  FROM sup JOIN li ON s_suppkey = l_suppkey
+  JOIN ord ON o_orderkey = l_orderkey
+  JOIN cust ON c_custkey = o_custkey
+  JOIN nat n1 ON s_nationkey = n1.n_nationkey
+  JOIN nat n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION#5' AND n2.n_name = 'NATION#10')
+      OR (n1.n_name = 'NATION#10' AND n2.n_name = 'NATION#5'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+) v
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    doc="TPC-H Q7 shape (volume shipping between two nations) on the "
+    "generator catalog (r12 corpus completion): the nation dim joined "
+    "TWICE (supplier side + customer side) with the symmetric either-"
+    "direction disjunction, yearly exact milli-cent volume. "
+    "Reference: q07.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _gen_catalog(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    ord_ = _gen_catalog(spark, sf_dir, "orders")
+    cust = _gen_catalog(spark, sf_dir, "customer")
+    sup = _gen_catalog(spark, sf_dir, "supplier")
+    n1 = _gen_catalog(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _gen_catalog(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    pair = (
+        ((F.col("supp_nation") == "NATION#5") & (F.col("cust_nation") == "NATION#10"))
+        | ((F.col("supp_nation") == "NATION#10") & (F.col("cust_nation") == "NATION#5"))
+    )
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.sum(cents * (100 - disc_pct)).cast("bigint").alias("revenue_mcents"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "connector_tpchgen_q8",
+    oracle=_GEN_DEFS + """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION#2' THEN mc ELSE 0 END) AS BIGINT) AS nation_mcents,
+       CAST(SUM(mc) AS BIGINT) AS total_mcents,
+       round(CAST(SUM(CASE WHEN nation = 'NATION#2' THEN mc ELSE 0 END) AS DOUBLE) / SUM(mc), 6) AS mkt_share
+FROM (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year, cents * (100 - disc_pct) AS mc,
+         n2.n_name AS nation
+  FROM prt JOIN li ON p_partkey = l_partkey
+  JOIN sup ON s_suppkey = l_suppkey
+  JOIN ord ON l_orderkey = o_orderkey
+  JOIN cust ON o_custkey = c_custkey
+  JOIN nat n1 ON c_nationkey = n1.n_nationkey
+  JOIN reg ON n1.n_regionkey = r_regionkey
+  JOIN nat n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY ANODIZED STEEL'
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+) v
+GROUP BY o_year ORDER BY o_year
+""",
+    doc="TPC-H Q8 shape (national market share) on the generator catalog "
+    "(r12 corpus completion): seven-table join with nation joined twice "
+    "(market region via customer, share nation via supplier); numerator "
+    "and denominator kept as exact integer milli-cents, one final double "
+    "division rounded to 6 places. Reference: q08.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _gen_catalog(spark, sf_dir, "lineitem")
+    prt = _gen_catalog(spark, sf_dir, "part").filter(
+        F.col("p_type") == "ECONOMY ANODIZED STEEL"
+    )
+    ord_ = _gen_catalog(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _gen_catalog(spark, sf_dir, "customer")
+    sup = _gen_catalog(spark, sf_dir, "supplier")
+    n1 = _gen_catalog(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = _gen_catalog(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    reg = _gen_catalog(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    mc = cents * (100 - disc_pct)
+    nation_mc = F.when(F.col("nation") == "NATION#2", mc).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(prt), li.l_partkey == prt.p_partkey)
+        .join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .join(F.broadcast(cust), ord_.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(reg), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(nation_mc).cast("bigint").alias("nation_mcents"),
+            F.sum(mc).cast("bigint").alias("total_mcents"),
+        )
+        .select(
+            "o_year", "nation_mcents", "total_mcents",
+            F.round(
+                F.col("nation_mcents").cast("double") / F.col("total_mcents"), 6
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "connector_tpchgen_q11",
+    oracle=_GEN_DEFS + """,
+value_by_part AS (
+  SELECT ps_partkey AS partkey, CAST(SUM(supp_cents * ps_availqty) AS BIGINT) AS value_cq
+  FROM ps JOIN sup ON s_suppkey = ps_suppkey
+  JOIN nat ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION#7'
+  GROUP BY ps_partkey
+)
+SELECT partkey, value_cq
+FROM value_by_part
+WHERE value_cq * 500 > (SELECT SUM(value_cq) FROM value_by_part)
+ORDER BY value_cq DESC, partkey
+""",
+    doc="TPC-H Q11 shape (important stock) on the generator catalog (r12 "
+    "corpus completion): per-part supplycost*availqty value over the "
+    "generated PARTSUPP, HAVING vs an uncorrelated scalar of the same "
+    "aggregate; the 0.2% fraction compared as value*500 > total — exact "
+    "integers, no float boundary. The one-build/two-consumer reuse is "
+    "the parquet tpch_q11's staged discipline; here the aggregate is "
+    "small enough that Spark's scalar-subquery plan reuses the exchange. "
+    "Reference: q11.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = {t: _gen_view(spark, sf_dir, t) for t in ("partsupp", "supplier", "nation")}
+    return spark.sql(f"""
+WITH value_by_part AS (
+  SELECT ps_partkey AS partkey,
+         CAST(SUM(CAST(round(ps_supplycost * 100, 0) AS BIGINT)
+                  * CAST(ps_availqty AS BIGINT)) AS BIGINT) AS value_cq
+  FROM {v['partsupp']} JOIN {v['supplier']} ON s_suppkey = ps_suppkey
+  JOIN {v['nation']} ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION#7'
+  GROUP BY ps_partkey
+)
+SELECT partkey, value_cq
+FROM value_by_part
+WHERE value_cq * 500 > (SELECT SUM(value_cq) FROM value_by_part)
+ORDER BY value_cq DESC, partkey
+""")
+
+
+@query(
+    "connector_tpchgen_q12",
+    oracle=_GEN_DEFS + """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM ord JOIN li ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    doc="TPC-H Q12 shape (priority CASE-sums per group) on the generator "
+    "catalog (r12 corpus completion), adapted like the parquet fixture: "
+    "no shipmode in the schema, so groups are l_returnflag over a "
+    "shipdate year. Reference: q12.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _gen_catalog(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    ord_ = _gen_catalog(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "connector_tpchgen_q15",
+    oracle=_GEN_DEFS + """,
+revenue AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM(cents * (100 - disc_pct)) AS BIGINT) AS total_mcents
+  FROM li
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_mcents
+FROM sup JOIN revenue ON s_suppkey = supplier_no
+WHERE total_mcents = (SELECT MAX(total_mcents) FROM revenue)
+ORDER BY s_suppkey
+""",
+    doc="TPC-H Q15 shape (top supplier via revenue view) on the generator "
+    "catalog (r12 corpus completion): the quarterly revenue aggregate "
+    "feeds both the supplier join and the MAX scalar subquery — staged "
+    "once (the parquet tpch_q15 discipline), exact milli-cents so MAX "
+    "equality is never a float compare. Reference: q15.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged_view
+
+    li_v = _gen_view(spark, sf_dir, "lineitem")
+    sup_v = _gen_view(spark, sf_dir, "supplier")
+    rev_v = staged_view(
+        spark, sf_dir, "tpchgen_q15_revenue",
+        lambda: spark.sql(f"""
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))) AS BIGINT)
+                       AS total_mcents
+            FROM {li_v}
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        """),
+    )
+    return spark.sql(f"""
+SELECT s_suppkey, s_name, total_mcents
+FROM {sup_v} JOIN {rev_v} ON s_suppkey = supplier_no
+WHERE total_mcents = (SELECT MAX(total_mcents) FROM {rev_v})
+ORDER BY s_suppkey
+""")
+
+
+@query(
+    "connector_tpchgen_q20",
+    oracle=_GEN_DEFS + """
+SELECT s_name, n_name
+FROM sup JOIN nat ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION#12'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM ps
+    WHERE ps_partkey IN (SELECT p_partkey FROM prt WHERE p_type LIKE 'STANDARD%')
+      AND ps_availqty * 2 > (
+        SELECT COALESCE(CAST(SUM(qty) AS BIGINT), 0) FROM li
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      )
+  )
+ORDER BY s_name
+""",
+    doc="TPC-H Q20 shape (potential part promotion) on the generator "
+    "catalog (r12 corpus completion): nested IN subqueries — suppliers "
+    "whose STANDARD-part availability exceeds half the year's shipped "
+    "quantity, the inner correlated SUM on the composite (partkey, "
+    "suppkey) with COALESCE for never-shipped pairs. Exact integers "
+    "(availqty*2 > sum is the spec's availqty > 0.5*sum "
+    "cross-multiplied). Reference: q20.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = {t: _gen_view(spark, sf_dir, t)
+         for t in ("supplier", "nation", "partsupp", "part", "lineitem")}
+    return spark.sql(f"""
+SELECT s_name, n_name
+FROM {v['supplier']} JOIN {v['nation']} ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION#12'
+  AND s_suppkey IN (
+    SELECT ps_suppkey FROM {v['partsupp']}
+    WHERE ps_partkey IN (SELECT p_partkey FROM {v['part']} WHERE p_type LIKE 'STANDARD%')
+      AND CAST(ps_availqty AS BIGINT) * 2 > (
+        SELECT COALESCE(CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT), 0) FROM {v['lineitem']}
+        WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      )
+  )
+ORDER BY s_name
+""")
+
+
+@query(
+    "connector_tpchgen_q22",
+    oracle=_GEN_DEFS + """
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust, CAST(SUM(acct_cents) AS BIGINT) AS totacct_cents
+FROM cust JOIN nat ON c_nationkey = n_nationkey
+WHERE acct_cents * (SELECT COUNT(*) FROM cust WHERE acct_cents > 0)
+      > (SELECT SUM(acct_cents) FROM cust WHERE acct_cents > 0)
+  AND NOT EXISTS (SELECT 1 FROM ord WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name ORDER BY n_name
+""",
+    doc="TPC-H Q22 shape (global sales opportunity) on the generator "
+    "catalog (r12 corpus completion): above-positive-average balance as "
+    "an exact integer cross-multiplication (acct*count > sum — never a "
+    "float average), anti-join on recent orders ('inactive' = none since "
+    "1999: every generated customer has some order, so the spec's "
+    "no-orders-ever form is vacuously empty; grouped by nation like the "
+    "parquet fixture — no phone country codes). Reference: q22.sql.",
+    tags=("connector",),
+)
+def connector_tpchgen_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, n = (_gen_view(spark, sf_dir, t) for t in ("customer", "orders", "nation"))
+    return spark.sql(f"""
+SELECT n_name, count(*) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) AS totacct_cents
+FROM {c} JOIN {n} ON c_nationkey = n_nationkey
+WHERE CAST(round(c_acctbal * 100, 0) AS BIGINT)
+      * (SELECT COUNT(*) FROM {c} WHERE c_acctbal > 0)
+      > (SELECT SUM(CAST(round(c_acctbal * 100, 0) AS BIGINT)) FROM {c} WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM {o} WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY n_name ORDER BY n_name
 """)
 
 
