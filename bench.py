@@ -107,6 +107,14 @@ HEADLINE_EXTRAS = (
     "sim_pq_adc_search",
     "connector_tpchgen_q1",
     "connector_tpchgen_q18",
+    # r12 additions: the composed IVF-PQ search (coarse probe + ADC over
+    # the probed cells' codes), and the two heaviest new generator-catalog
+    # shapes — the region-gated six-way q5 and the EXISTS/NOT-EXISTS
+    # anti-join web q21 (the corpus now serves all 22 TPC-H shapes; these
+    # two are its widest join web and its decorrelated semi+anti pair).
+    "sim_ivfpq_search",
+    "connector_tpchgen_q5",
+    "connector_tpchgen_q21",
 )
 
 
