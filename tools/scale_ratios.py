@@ -36,6 +36,11 @@ ALERT = float(os.environ.get("SPARK_GRAFT_RATIO_ALERT", "8"))
 # Wall floor: below this, fixed overhead (session, planning, task dispatch)
 # dominates and the ratio measures noise, not scaling.
 FLOOR_S = 0.5
+# Spike ceiling: a single-sample wall above this is presumed an ambient
+# stall (GC, noisy neighbor) and re-measured with min kept — the r11/r12
+# legitimate registry max sits near 2 s, so 2.5 s separates plan cost from
+# environment events with margin.
+SPIKE_S = float(os.environ.get("SPARK_GRAFT_RATIO_SPIKE", "2.5"))
 
 # Queries whose semantics are super-linear in the input by design.
 # (sim_pairs_blocked left this set in r8: the per-block Gram rewrite pays
@@ -113,6 +118,18 @@ def main() -> None:
             out[name] = {"error": str(e)[:200]}
             alerts.append(name)
             continue
+        ratio = tb / ta if ta > 0 else float("inf")
+        # Spike re-measure (r12): three full r12 sweeps spiked 4-10 s on
+        # three DIFFERENT queries (op_spatial_polygon_pair_join, then
+        # fn_geo_collection, then fn_geo_validity/tpcds_q14) — ambient
+        # multi-second stalls, not plans; a single-sample wall above the
+        # legitimate registry ceiling is presumed ambient and re-measured
+        # (min kept), so the committed artifact's max-wall reading is a
+        # plan property, not a noisy-neighbor event.
+        if ta > SPIKE_S:
+            ta = min(ta, wall(name, SF_A))
+        if tb > SPIKE_S:
+            tb = min(tb, wall(name, SF_B))
         ratio = tb / ta if ta > 0 else float("inf")
         flagged = ratio > ALERT and tb > FLOOR_S and name not in EXEMPT
         if flagged:
