@@ -298,7 +298,14 @@ def test_table_staged_consumers_stay_oracle_green(spark, sf_dir, tmp_path, monke
     release_staged()
     qs = all_queries()
     try:
-        for name in ("tpch_q11", "tpch_q15", "text_bigram_lm_score"):
+        # the heaviest staged chains: scalar-subquery reuse (q11/q15),
+        # the bigram postings, the 6-stage PQ+IVF index (ivfpq), and a
+        # generator-catalog join web (parquet round-trips the synthesized
+        # timestamps/doubles)
+        for name in (
+            "tpch_q11", "tpch_q15", "text_bigram_lm_score",
+            "sim_ivfpq_search", "connector_tpchgen_q9",
+        ):
             q = qs[name]
             compare_with_oracle(q.spark(spark, sf_dir), q.oracle, sf_dir, name=name)
     finally:
