@@ -93,7 +93,16 @@ RATIO_EXTRAS = (
 
 def main() -> None:
     queries = all_queries()
-    if SWEEP_FULL_REGISTRY:
+    if len(sys.argv) > 1:
+        # Incremental mode: measure ONLY the named queries and merge into
+        # the existing RATIOS.json (new registry rows between full sweeps
+        # get sweep-methodology entries without a 25-minute full rerun).
+        names = sys.argv[1:]
+        unknown = [n for n in names if n not in queries]
+        if unknown:
+            print(f"unknown queries: {unknown}", file=sys.stderr)
+            sys.exit(2)
+    elif SWEEP_FULL_REGISTRY:
         names = sorted(queries)
     else:
         names = [n for n in sorted(queries) if n.startswith(HEADLINE_PREFIXES)]
@@ -155,14 +164,20 @@ def main() -> None:
             alerts.append(name)
         release_staged(spark)
 
-    doc = {
-        "sf_a": SF_A,
-        "sf_b": SF_B,
-        "alert_threshold": ALERT,
-        "alerts": alerts,
-        "queries": out,
-    }
     path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RATIOS.json")
+    if len(sys.argv) > 1 and os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+        doc["queries"].update(out)
+        doc["alerts"] = sorted(set(doc.get("alerts", [])) | set(alerts))
+    else:
+        doc = {
+            "sf_a": SF_A,
+            "sf_b": SF_B,
+            "alert_threshold": ALERT,
+            "alerts": alerts,
+            "queries": out,
+        }
     with open(path, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(f"wrote {path}; alerts: {alerts or 'none'}")
