@@ -32,6 +32,48 @@ def test_every_headline_extra_is_registered():
     assert not missing, f"bench HEADLINE_EXTRAS not registered: {missing}"
 
 
+def test_last_output_line_is_the_metric(tmp_path):
+    """End-to-end: the LAST line of a bench run's merged output parses as the
+    compact metric JSON.
+
+    The driver captures the tail of the combined output stream, so anything
+    printed (or logged) after the metric displaces it — r12's BENCH_r12.json
+    had parsed: null because release_staged()'s unpersist WARNs flooded in
+    after the print. bench.py now runs ALL teardown (release_staged,
+    spark.stop, at ERROR log level) before the metric lines; this pins it
+    against regression with a real subprocess run, stderr merged into stdout
+    exactly as a tail capture would see it.
+    """
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.update(
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_BENCH_ONLY="tpch_q6",
+        SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_contract.json"),
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        env=env,
+        cwd=REPO,
+        timeout=600,
+        check=True,
+    )
+    lines = [ln for ln in proc.stdout.decode().splitlines() if ln.strip()]
+    assert lines, "bench produced no output"
+    tail = json.loads(lines[-1])  # must parse — this IS the driver's signal
+    assert tail["metric"] == "headline_total_median_wall"
+    assert tail["failed"] == []
+    assert tail["n_queries"] == 1
+    # the full result object is the second-to-last line and must also parse
+    full = json.loads(lines[-2])
+    assert set(full["queries"]) == {"tpch_q6"}
+
+
 def test_bench_default_artifact_is_not_the_committed_idle_record():
     # the default out path must be BENCHRUN_latest.json; BENCHLOCAL.json is
     # written only explicitly (SPARK_GRAFT_BENCH_OUT) during the idle-box
