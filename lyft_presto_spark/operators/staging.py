@@ -113,6 +113,33 @@ def dir_digest(sf_dir: str) -> str:
     return hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
 
 
+def content_fingerprint(sf_dir: str) -> str:
+    """Digest of the scale dir's data files' (relpath, size, mtime).
+
+    Table-mode artifacts persist across processes; keyed on the path alone,
+    a regenerated source dataset at the same path would silently keep
+    serving every later session the stale artifact (ADVICE r12). Folding
+    the input files' identity into the artifact path makes a changed input
+    MISS the on-disk artifact and rebuild. mtime is read at nanosecond
+    granularity where the filesystem provides it; the walk is sorted so the
+    digest is order-independent of os.walk's directory enumeration.
+    """
+    h = hashlib.sha256()
+    entries = []
+    root = os.path.abspath(sf_dir)
+    for dirpath, _dirnames, filenames in os.walk(root):
+        for fn in filenames:
+            p = os.path.join(dirpath, fn)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            entries.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    for rel, size, mtime in sorted(entries):
+        h.update(f"{rel}\x00{size}\x00{mtime}\x00".encode())
+    return h.hexdigest()[:12]
+
+
 def _stage_local(build: Callable[[], DataFrame]) -> _Entry:
     df = build().localCheckpoint(eager=False)
     # Capture the checkpointed RDD NOW: Dataset.unpersist only uncaches
@@ -139,9 +166,22 @@ def _stage_local(build: Callable[[], DataFrame]) -> _Entry:
 
 
 def _stage_table(
-    spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[], DataFrame],
+    version: str,
 ) -> _Entry:
-    final = os.path.join(staging_root(), dir_digest(sf_dir), name)
+    # The artifact path folds in (a) the scale-dir path digest, (b) a
+    # fingerprint of the scale dir's data files, and (c) the caller's
+    # build-version token: a regenerated input OR a changed build misses
+    # the stale on-disk artifact and rebuilds (ADVICE r12). Stale
+    # fingerprint dirs are dead weight, reclaimed by purge_staged_tables().
+    final = os.path.join(
+        staging_root(),
+        f"{dir_digest(sf_dir)}-{content_fingerprint(sf_dir)}",
+        f"{name}@v{version}",
+    )
     if not os.path.exists(os.path.join(final, "_SUCCESS")):
         # Build into a unique stage dir, then one atomic directory rename.
         # os.rename onto an existing directory fails on POSIX, so exactly
@@ -169,9 +209,20 @@ def staged(
     sf_dir: str,
     name: str,
     build: Callable[[], DataFrame],
+    version: str = "1",
 ) -> DataFrame:
-    """Get-or-create the staged artifact ``name`` for (session, sf_dir)."""
-    key = (_session_key(spark), os.path.abspath(sf_dir), name)
+    """Get-or-create the staged artifact ``name`` for (session, sf_dir).
+
+    ``version`` is the artifact's build-version token: bump it when the
+    build's logic/SQL changes so table-mode deployments miss (and rebuild)
+    the durable artifact written by the old logic (ADVICE r12). Local mode
+    is per-session so the token is key material only.
+    """
+    # The resolved mode is part of the key: flipping SPARK_GRAFT_STAGING
+    # mid-session must re-stage under the new mechanism, never silently
+    # serve artifacts staged under the other one (ADVICE r12).
+    mode = staging_mode()
+    key = (_session_key(spark), os.path.abspath(sf_dir), name, mode, version)
     entry = _STAGED.get(key)
     if entry is not None:
         return entry.df
@@ -183,8 +234,8 @@ def staged(
     with key_lock:  # only same-key callers wait; build() runs outside _LOCK
         entry = _STAGED.get(key)
         if entry is None:
-            if staging_mode() == "table":
-                entry = _stage_table(spark, sf_dir, name, build)
+            if mode == "table":
+                entry = _stage_table(spark, sf_dir, name, build, version)
             else:
                 entry = _stage_local(build)
             with _LOCK:
@@ -197,6 +248,7 @@ def staged_view(
     sf_dir: str,
     name: str,
     build: Callable[[], DataFrame],
+    version: str = "1",
 ) -> str:
     """``staged()`` + register a temp view; returns the view name.
 
@@ -206,7 +258,7 @@ def staged_view(
     a query to the wrong scale's artifact (ADVICE r11). Same-key re-calls
     re-register the same DataFrame under the same name (idempotent).
     """
-    df = staged(spark, sf_dir, name, build)
+    df = staged(spark, sf_dir, name, build, version=version)
     view = f"{name}_{dir_digest(sf_dir)}"
     df.createOrReplaceTempView(view)
     return view

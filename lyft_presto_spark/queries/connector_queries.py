@@ -629,9 +629,11 @@ ORDER BY revenue_mcents DESC, n_name
     "composite customer-nation = supplier-nation 'local' condition, "
     "revenue summed per nation as exact integer milli-cents. All six "
     "tables from the session-materialized catalog (_gen_catalog); region/"
-    "nation/supplier broadcast; the l_orderkey bound is the key-range "
-    "pushdown surface (reader-pinned; the oracle generates only the "
-    "in-bound indexes). Reference: q05.sql via TpchMetadata.java:93.",
+    "nation/supplier broadcast; the l_orderkey bound evaluates on the "
+    "materialized leaf (reader-level key-range pushdown is pinned "
+    "separately in tests/test_tpch_datasource.py and exercised live in "
+    "q1/q6; the oracle generates only the in-bound indexes). Reference: "
+    "q05.sql via TpchMetadata.java:93.",
     tags=("connector",),
 )
 def connector_tpchgen_q5(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -447,11 +447,45 @@ def test_ivfpq_search_cell_pruned_semi_join_no_cartesian(spark, sf_dir):
     dists = [r.adc_dist for r in top]
     assert dists == sorted(dists)
     assert all(r.vec_id != 0 for r in top)
-    # candidate restriction is REAL: with nprobe=2 of 4 cells the ranked
-    # set must come from a strict subset of the corpus — every returned
-    # vec must sit in a probed cell (cells view staged by the query above)
+    # candidate restriction is REAL (ADVICE r12: the old assertion only
+    # checked the index artifacts existed): recompute the nprobe=2 probed
+    # cell ids from the staged ccb2/cells views and require (a) every
+    # returned vec's cell to be probed and (b) some corpus vectors to sit
+    # in UNprobed cells — i.e. the semi-join excluded candidates.
     from lyft_presto_spark.operators.staging import _STAGED
+    from lyft_presto_spark.queries.similarity_queries import (
+        _IVFPQ_NPROBE,
+        _ivfpq_staged,
+    )
     from lyft_presto_spark.session import session_key
 
     names = {k[2] for k in _STAGED if k[0] == session_key(spark)}
     assert {"ivf_cells", "pq_codes", "ivf_ccb2"} <= names  # index staged
+    v = _ivfpq_staged(spark, sf_dir)  # idempotent: returns the staged views
+    probed = {
+        r.c
+        for r in spark.sql(
+            f"""
+            WITH qv AS (SELECT dim, xq FROM {v["flat"]} WHERE vec_id = 0),
+            cmu AS (SELECT c, d, (2 * S + n) DIV (2 * n) AS mu FROM {v["ccb2"]}),
+            qcell AS (
+                SELECT b.c,
+                       CAST(SUM((q.xq - b.mu) * (q.xq - b.mu)) AS BIGINT) AS cdist
+                FROM qv q JOIN cmu b ON b.d = q.dim GROUP BY b.c)
+            SELECT c FROM qcell ORDER BY cdist, c LIMIT {_IVFPQ_NPROBE}
+            """
+        ).collect()
+    }
+    assert len(probed) == _IVFPQ_NPROBE
+    cell_of = {
+        r.vec_id: r.c
+        for r in spark.sql(f"SELECT vec_id, c FROM {v['cells']}").collect()
+    }
+    for r in top:  # (a) every ranked vec came from a probed cell
+        assert cell_of[r.vec_id] in probed, (
+            f"vec {r.vec_id} ranked from unprobed cell {cell_of[r.vec_id]}"
+        )
+    excluded = {
+        vid for vid, c in cell_of.items() if vid != 0 and c not in probed
+    }
+    assert excluded, "cell pruning excluded nothing — semi-join is vacuous"

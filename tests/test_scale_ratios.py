@@ -37,6 +37,45 @@ def _wall(q, spark, sf: str) -> float:
     return time.perf_counter() - t0
 
 
+def test_incremental_merge_clears_remeasured_alerts_and_rejects_mixed_scales():
+    """ADVICE r12: the old merge unioned new alerts into the stored set (a
+    re-measured-clean query could never clear its alert short of a full
+    sweep) and never checked the doc's scale pair against the current env."""
+    import importlib.util
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "scale_ratios", os.path.join(repo, "tools", "scale_ratios.py")
+    )
+    sr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sr)
+
+    doc = {
+        "sf_a": "a_dir", "sf_b": "b_dir",
+        "alerts": ["q_bad", "q_untouched"],
+        "queries": {"q_bad": {"ratio": 12.0, "flagged": True}},
+    }
+    # q_bad re-measured clean: its alert clears; q_untouched's survives;
+    # a fresh alert from this run (q_new) joins.
+    merged = sr.merge_incremental(
+        doc,
+        out={"q_bad": {"ratio": 1.1, "flagged": False},
+             "q_new": {"ratio": 9.0, "flagged": True}},
+        alerts=["q_new"],
+        names=["q_bad", "q_new"],
+        sf_a="a_dir", sf_b="b_dir",
+    )
+    assert merged["alerts"] == ["q_new", "q_untouched"]
+    assert merged["queries"]["q_bad"]["ratio"] == 1.1
+    # mixed scale pair: refuse loudly rather than blend entries
+    with pytest.raises(sr.ScaleMismatch):
+        sr.merge_incremental(
+            {"sf_a": "a_dir", "sf_b": "OTHER", "alerts": [], "queries": {}},
+            out={}, alerts=[], names=[], sf_a="a_dir", sf_b="b_dir",
+        )
+
+
 @pytest.mark.parametrize("name", GUARDED)
 def test_query_scales_linearly(spark, name):
     qs = all_queries()

@@ -287,6 +287,92 @@ spark.stop()
         release_staged()
 
 
+def test_table_staged_misses_on_changed_input_or_build_version(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r12 (medium): table artifacts were keyed only by (sf_dir path,
+    name) and persisted across processes with no invalidation — regenerated
+    source data or changed build SQL silently served the stale parquet. The
+    artifact path now folds in a content fingerprint of the scale dir's data
+    files plus the caller's build-version token: either change must MISS and
+    rebuild."""
+    import os
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "table")
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path / "staging"))
+    # a private, mutable "scale dir" so we can regenerate its data
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    (data_dir / "t.parquet").write_bytes(b"v1-bytes")
+    release_staged()
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(10).selectExpr("id", f"{calls['n']} AS gen")
+
+    sd = str(data_dir)
+    a = staged(spark, sd, "fp_probe", build)
+    assert calls["n"] == 1 and a.agg(F.max("gen")).first()[0] == 1
+    release_staged()  # drop in-memory handles; disk artifact remains
+    staged(spark, sd, "fp_probe", build)
+    assert calls["n"] == 1  # unchanged input: served from disk, no rebuild
+    # regenerate the input (different size => different fingerprint even on
+    # coarse-mtime filesystems)
+    time.sleep(0.01)
+    (data_dir / "t.parquet").write_bytes(b"v2-bytes-longer")
+    release_staged()
+    b = staged(spark, sd, "fp_probe", build)
+    assert calls["n"] == 2, "regenerated input served a stale table artifact"
+    assert b.agg(F.max("gen")).first()[0] == 2
+    # changed build logic, same input: the version token must miss
+    release_staged()
+    c = staged(spark, sd, "fp_probe", build, version="2")
+    assert calls["n"] == 3, "changed build version served the old artifact"
+    assert c.agg(F.max("gen")).first()[0] == 3
+    # and the old version is still addressable (distinct artifact paths)
+    release_staged()
+    d = staged(spark, sd, "fp_probe", build)
+    assert calls["n"] == 3 and d.agg(F.max("gen")).first()[0] == 2
+    release_staged()
+    # artifact layout: <root>/<dirdigest>-<fingerprint>/<name>@v<version>
+    roots = sorted(p.name for p in (tmp_path / "staging").iterdir())
+    assert len(roots) == 2  # two fingerprints (v1 input, v2 input)
+    assert all("-" in r for r in roots)
+
+
+def test_staged_key_includes_mode_so_a_switch_restages(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r12 (low): the _STAGED cache ignored the staging mode, so
+    flipping SPARK_GRAFT_STAGING mid-session kept serving artifacts staged
+    under the other mechanism. The resolved mode is now key material: a
+    switch re-stages under the new mechanism."""
+    monkeypatch.setenv("SPARK_GRAFT_STAGING_DIR", str(tmp_path))
+    release_staged(spark)
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return spark.range(25).selectExpr("id AS v")
+
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "local")
+    a = staged(spark, sf_dir, "mode_probe", build)
+    assert calls["n"] == 1
+    assert "LogicalRDD" in a._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "table")
+    b = staged(spark, sf_dir, "mode_probe", build)
+    assert calls["n"] == 2, "mode switch served the other mode's artifact"
+    analyzed = b._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" not in analyzed and "Relation" in analyzed
+    # and switching back hits the still-cached local entry (no third build)
+    monkeypatch.setenv("SPARK_GRAFT_STAGING", "local")
+    c = staged(spark, sf_dir, "mode_probe", build)
+    assert calls["n"] == 2 and c is a
+    release_staged()
+
+
 def test_table_staged_consumers_stay_oracle_green(spark, sf_dir, tmp_path, monkeypatch):
     """The staged consumers must produce identical (oracle-green) results
     under the durable table mode — staging mechanism is a pure execution

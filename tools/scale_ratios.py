@@ -91,6 +91,31 @@ RATIO_EXTRAS = (
 )
 
 
+class ScaleMismatch(ValueError):
+    """Incremental merge attempted against a differently-scaled RATIOS doc."""
+
+
+def merge_incremental(
+    doc: dict, out: dict, alerts: list[str], names: list[str], sf_a: str, sf_b: str
+) -> dict:
+    """Merge an incremental run's entries into an existing RATIOS document.
+
+    Two ADVICE r12 contracts: (1) the existing doc must have been measured
+    at the same (sf_a, sf_b) pair — otherwise one artifact mixes scales
+    under a single header; (2) every re-measured name's fate is decided by
+    THIS run — a previously-alerting query that re-measures clean clears
+    its alert without a full sweep.
+    """
+    if doc.get("sf_a") != sf_a or doc.get("sf_b") != sf_b:
+        raise ScaleMismatch(
+            f"RATIOS doc measured at ({doc.get('sf_a')}, {doc.get('sf_b')}); "
+            f"current env is ({sf_a}, {sf_b})"
+        )
+    doc["queries"].update(out)
+    doc["alerts"] = sorted((set(doc.get("alerts", [])) - set(names)) | set(alerts))
+    return doc
+
+
 def main() -> None:
     queries = all_queries()
     if len(sys.argv) > 1:
@@ -168,8 +193,12 @@ def main() -> None:
     if len(sys.argv) > 1 and os.path.exists(path):
         with open(path) as f:
             doc = json.load(f)
-        doc["queries"].update(out)
-        doc["alerts"] = sorted(set(doc.get("alerts", [])) | set(alerts))
+        try:
+            doc = merge_incremental(doc, out, alerts, names, SF_A, SF_B)
+        except ScaleMismatch as e:
+            print(f"{e} — refusing to merge mixed-scale entries; run a full sweep.",
+                  file=sys.stderr)
+            sys.exit(2)
     else:
         doc = {
             "sf_a": SF_A,
