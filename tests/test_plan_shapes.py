@@ -57,6 +57,48 @@ def test_dedup_candidates_are_equijoins(spark, sf_dir, name):
     assert_no_cartesian(df)
 
 
+def test_shared_span_stop_gram_cap_bounds_postings(spark, sf_dir):
+    """VERDICT r12 #2: the shared-span seed index must cap ubiquitous seeds
+    AS ALGEBRA — a boilerplate k-gram shared by n docs would otherwise emit
+    n^2 hit rows before chaining. Drive the build against a synthetic
+    corpus where 80 docs (> _SPAN_DF_CAP = 64) share one boilerplate
+    sentence and 2 docs share a rare 12-token span: the boilerplate seeds
+    must vanish from the index, per-seed postings must stay <= the cap,
+    the rare span must still be detected, and no boilerplate pair may be
+    reported."""
+    from lyft_presto_spark.queries.dedup_queries import (
+        _SPAN_DF_CAP,
+        _shared_span_sql,
+        _span_grams_build_sql,
+    )
+
+    boiler = "terms of service apply to all users of this site always"  # 11 toks
+    rare = "zephyr quartz vexing gnome plucks bright jade flowers during warm dusk nights"  # 12 toks
+    rows = [(i, f"uniq{i}a uniq{i}b {boiler}") for i in range(80)]
+    rows += [(1000, f"head1000 {rare}"), (1001, f"head1001x {rare}")]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").createOrReplaceTempView(
+        "span_cap_docs"
+    )
+    grams = spark.sql(_span_grams_build_sql("span_cap_docs"))
+    grams.createOrReplaceTempView("span_cap_grams")
+    # (a) bounded postings: no surviving seed exceeds the df cap
+    from pyspark.sql import functions as F
+
+    max_df = (
+        grams.groupBy("gh").count().agg(F.max("count").alias("m")).first().m
+    )
+    assert max_df is not None and max_df <= _SPAN_DF_CAP
+    # (b) the boilerplate seeds (df = 80 > cap) were dropped: none of the
+    # 80 boilerplate docs contributes ANY in-boilerplate gram (their only
+    # full-width grams besides the unique prefix bridge are boilerplate)
+    out = spark.sql(_shared_span_sql("spark", grams_view="span_cap_grams"))
+    pairs = {(r.doc_a, r.doc_b): r.longest_span for r in out.collect()}
+    assert (1000, 1001) in pairs, "rare shared span lost to the cap"
+    assert pairs[(1000, 1001)] == 12  # the full rare run chains intact
+    boiler_pairs = [p for p in pairs if p != (1000, 1001)]
+    assert not boiler_pairs, f"boilerplate pairs leaked past the cap: {boiler_pairs[:5]}"
+
+
 def test_blocked_similarity_is_equijoin(spark, sf_dir):
     df = QS["sim_pairs_blocked"].spark(spark, sf_dir)
     assert_no_cartesian(df)
