@@ -938,3 +938,144 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH " + tail.lstrip(",").lstrip(),
         ("embeddings",),
     )
+
+
+# --- IVF partitioned-index write path (NEW r13 — VERDICT r12 ask #6) ---------
+# The partition-prune claim for IVF-PQ at 100 TB rests on the index being
+# WRITTEN with the coarse cell as the partition key (operators/ivf.py's
+# write_ivf_index partitionBy("cell") is the MLlib twin). This query pins
+# the whole path with a full-value oracle: build the exact-Lloyd coarse
+# index (the same deterministic training as sim_ivfpq_search), WRITE it as
+# cell-partitioned parquet (write-once: unique stage dir + atomic rename,
+# path keyed on the scale dir's content fingerprint), READ it back with a
+# probed-cell predicate that must reach the scan as PartitionFilters
+# (pinned in tests/test_plan_shapes.py), and rank the surviving candidates
+# by exact integer squared L2 to the query vector. Training, cell
+# assignment, probe, and ranking all replay bit-for-bit in DuckDB.
+
+_IVF_IDX_VERSION = "1"  # bump when the index row layout / training changes
+
+
+def _ivf_index_write_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once cell-partitioned parquet IVF index; returns its path.
+
+    Rows are (vec_id, dim, xq) under partition directories c=<cell>. The
+    same unique-stage-dir + atomic-rename protocol as table staging
+    (operators/staging.py:_stage_table) — the loser of a cross-process
+    race reads the winner's index; a regenerated scale dir or bumped
+    version misses the stale artifact via the path fingerprint.
+    """
+    import os
+    import shutil
+    import uuid
+
+    from ..operators.staging import content_fingerprint, dir_digest, staging_root
+
+    final = os.path.join(
+        staging_root(),
+        f"{dir_digest(sf_dir)}-{content_fingerprint(sf_dir)}",
+        f"ivf_flat_index@v{_IVF_IDX_VERSION}",
+    )
+    if not os.path.exists(os.path.join(final, "_SUCCESS")):
+        v = _ivfpq_staged(spark, sf_dir)
+        idx = spark.sql(
+            f"SELECT f.vec_id, f.dim, f.xq, cl.c FROM {v['flat']} f "
+            f"JOIN {v['cells']} cl ON cl.vec_id = f.vec_id"
+        )
+        stage = f"{final}.__stage_{uuid.uuid4().hex}"
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        idx.write.mode("errorifexists").partitionBy("c").parquet(stage)
+        try:
+            os.rename(stage, final)
+        except OSError:
+            if not os.path.exists(os.path.join(final, "_SUCCESS")):
+                raise
+            shutil.rmtree(stage, ignore_errors=True)
+    return final
+
+
+_IVF_PROBE_TAIL = """
+qv AS (
+    SELECT dim, xq FROM {flat} WHERE vec_id = 0
+),
+cmu AS (
+    SELECT c, d, (2 * S + n) {idiv} (2 * n) AS mu FROM {ccb}
+),
+qcell AS (
+    SELECT b.c, CAST(SUM((q.xq - b.mu) * (q.xq - b.mu)) AS BIGINT) AS cdist
+    FROM qv q JOIN cmu b ON b.d = q.dim
+    GROUP BY b.c
+),
+probed AS (
+    SELECT c FROM qcell ORDER BY cdist, c LIMIT {nprobe}
+)"""
+
+_IVF_RANK_TAIL = """
+SELECT CAST(cand.vec_id AS BIGINT) AS vec_id,
+       CAST(MIN(cand.c) AS INT) AS cell,
+       CAST(SUM((cand.xq - q.xq) * (cand.xq - q.xq)) AS BIGINT) AS l2q_dist
+FROM cand JOIN qv q ON q.dim = cand.dim
+GROUP BY cand.vec_id
+ORDER BY l2q_dist, vec_id
+LIMIT 10
+"""
+
+
+def _ivf_partition_probe_oracle() -> str:
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflat WHERE vec_id < 4"
+    )
+    probe = _IVF_PROBE_TAIL.format(flat="cflat", ccb="ccb2", idiv="//", nprobe=_IVFPQ_NPROBE)
+    return f"""
+WITH flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflat AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflat')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflat')},{_pq_dist_cte('cd2', 'ccb1', 'cflat')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflat')},{_pq_dist_cte('cd3', 'ccb2', 'cflat')},{_pq_assign_cte('cells', 'cd3', 'duck')},{probe.lstrip()},
+idx AS (
+    SELECT f.vec_id, f.dim, f.xq, cl.c FROM cflat f
+    JOIN cells cl ON cl.vec_id = f.vec_id
+),
+cand AS (
+    SELECT * FROM idx WHERE vec_id <> 0 AND c IN (SELECT c FROM probed)
+){_IVF_RANK_TAIL}"""
+
+
+@query(
+    "sim_ivf_partition_probe",
+    oracle=_ivf_partition_probe_oracle(),
+    doc="IVF partitioned-index write path + partition-pruned probe (NEW "
+    "r13 — VERDICT r12 ask #6): the exact-Lloyd coarse index (same "
+    "deterministic training as sim_ivfpq_search) is WRITTEN once as "
+    "cell-partitioned parquet (atomic-rename publish, content-"
+    "fingerprinted path) and read back with the nprobe=2 probed cells "
+    "inlined as literals, so the predicate prunes whole partition "
+    "directories at the scan (PartitionFilters pinned in "
+    "tests/test_plan_shapes.py — at 100 TB this is ~nprobe/K of the "
+    "index I/O, the claim operators/ivf.py's partitionBy('cell') write "
+    "makes). Candidates rank by exact integer squared L2; the probe's "
+    "2-int collect is a bounded driver fetch like the 1-row query-vector "
+    "reads (SCALE.md). The oracle replays training, assignment, probe, "
+    "and ranking bit-for-bit.",
+    tags=("similarity", "extension"),
+)
+def sim_ivf_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _ivf_index_write_path(spark, sf_dir)
+    v = _ivfpq_staged(spark, sf_dir)
+    probe_sql = "WITH " + _IVF_PROBE_TAIL.format(
+        flat=v["flat"], ccb=v["ccb2"], idiv="DIV", nprobe=_IVFPQ_NPROBE
+    ).lstrip() + "\nSELECT c FROM probed"
+    probed = sorted(r.c for r in spark.sql(probe_sql).collect())  # bounded: nprobe ints
+    idx = spark.read.parquet(path)
+    cand = idx.where(F.col("c").isin(probed) & (F.col("vec_id") != 0))
+    cand.createOrReplaceTempView("ivf_idx_cand")
+    qv_sql = f"SELECT dim, xq FROM {v['flat']} WHERE vec_id = 0"
+    return spark.sql(
+        "WITH qv AS (" + qv_sql + "), cand AS (SELECT * FROM ivf_idx_cand)"
+        + _IVF_RANK_TAIL
+    )
