@@ -243,34 +243,50 @@ from .registry import REGISTRY, Query, query
 # dedup, ml, multimodal keep one re-scored keeper each (no never-scored
 # rows left in those families). After r12 the never-scored pool is
 # 89 - 33 = 56 (tpcds 52, fn 3, text 0, op 0, geo 0).
+# r13 rotation — ALL 37 first-time r12 slots were driver-green (VERDICT
+# r12: 50/50 green), so the non-keeper slots yield. 38 go to rows the
+# driver has NEVER scored (VERDICT r12 next-round #2 asked for >= 30,
+# newest debt first): the NEW r13 build (sim_ivf_partition_probe — the
+# cell-partitioned IVF index write path, ask #6, scored the round it
+# ships), dedup_shared_span (built r12, reworked this round with the
+# stop-gram df cap — ask #3), ALL 15 never-scored generator-catalog
+# shapes (the corpus-completeness claim gets its hard signal), the three
+# remaining never-scored fn rows (fn_beta_endian_hrs, fn_presto_compat,
+# fn_entropy), and the 18 OLDEST-numbered never-scored TPC-DS shapes
+# (q29-q53). TPC-H keeps 6 scored rows (q1/q3/q6/q9/q18/q21 — all
+# driver-green 10+ rounds; q3 revalidates the broadcast-join path).
+# events, text, dedup*, sim*, ml, multimodal, op, geo keep one scored row
+# each (dedup and sim through their first-time rows; the others via cheap
+# re-scored keepers). After r13 the never-scored pool is 71 - 37 = 34
+# (all tpcds; the +1 new registry row is scored the round it was built).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
-    # TPC-H core evidence (q2/q11/q15 revalidate the r12 staging rework)
-    "tpch_q1", "tpch_q2", "tpch_q6", "tpch_q9", "tpch_q11",
-    "tpch_q15", "tpch_q18", "tpch_q21", "tpch_q22",
-    # NEW r12 builds — scored the round they were built
-    "connector_tpchgen_q5", "connector_tpchgen_q21", "sim_ivfpq_search",
-    # Never-scored op rows (the last two)
-    "op_sample_system", "op_spatial_distance_join",
-    # Never-scored geometry long tail — entire remaining set (16)
-    "fn_geo_wkt_linestring", "fn_geo_tile_cover", "fn_geo_line_locate",
-    "fn_geo_buffer", "fn_geo_line_predicates", "fn_geo_polygon_holes",
-    "fn_geo_simple_ring", "fn_geo_line_touches", "fn_geo_multi_geometry",
-    "fn_geo_multipolygon", "fn_geo_validity", "fn_geo_hull_simplify",
-    "fn_geo_clip", "fn_geo_spherical", "fn_geo_spherical_pole",
-    "fn_geo_line_clip",
-    # Never-scored text rows (the last two)
-    "text_domain_mixture", "text_stratified_sample",
-    # Never-scored function families (9 of the remaining 12)
-    "fn_timezone_interval", "fn_json_extras", "fn_url_codec",
-    "fn_base_conv", "fn_cdf_wilson", "fn_hmac", "fn_spooky",
-    "fn_ieee754", "fn_iso8601_duration",
-    # TPC-DS-shape corpus: oldest never-scored numbers
-    "tpcds_q22_rollup_avg_qty", "tpcds_q23_frequent_best_customers",
-    "tpcds_q24_totals_above_scalar_avg",
-    "tpcds_q26_catalog_demographic_averages",
-    "tpcds_q28_band_distinct_buckets",
+    # TPC-H core evidence
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
+    # NEW r13 build — scored the round it was built (VERDICT r12 ask #6)
+    "sim_ivf_partition_probe",
+    # Newest debt: the r12-built span detector, now with the df cap (ask #3)
+    "dedup_shared_span",
+    # Never-scored generator-catalog shapes — the entire remaining set (15)
+    "connector_tpchgen_q2", "connector_tpchgen_q4", "connector_tpchgen_q7",
+    "connector_tpchgen_q8", "connector_tpchgen_q10", "connector_tpchgen_q11",
+    "connector_tpchgen_q12", "connector_tpchgen_q13", "connector_tpchgen_q14",
+    "connector_tpchgen_q15", "connector_tpchgen_q16", "connector_tpchgen_q17",
+    "connector_tpchgen_q19", "connector_tpchgen_q20", "connector_tpchgen_q22",
+    # Never-scored function rows (the last three)
+    "fn_beta_endian_hrs", "fn_presto_compat", "fn_entropy",
+    # TPC-DS-shape corpus: the 18 oldest never-scored numbers
+    "tpcds_q29_quantity_chain", "tpcds_q30_high_return_customers",
+    "tpcds_q31_qoq_channel_growth", "tpcds_q33_three_channel_category",
+    "tpcds_q34_bulk_order_cohort", "tpcds_q35_demographic_stats",
+    "tpcds_q37_price_band_active_items", "tpcds_q38_three_channel_intersect",
+    "tpcds_q39_cv_self_join", "tpcds_q40_returns_adjusted_pivot",
+    "tpcds_q41_dimension_self_exists", "tpcds_q42_category_month_years",
+    "tpcds_q43_weekday_pivot", "tpcds_q47_monthly_deviation",
+    "tpcds_q48_disjunctive_scan", "tpcds_q50_return_lag_buckets",
+    "tpcds_q52_brand_month_report", "tpcds_q53_quarterly_deviation_screen",
     # Family keepers (no never-scored rows left in these families)
-    "events_sessionize", "dedup_exact", "ml_classify", "multimodal_decode",
+    "events_sessionize", "text_quality_score", "ml_classify",
+    "multimodal_decode", "op_values", "geo_union_agg",
 )
 
 
