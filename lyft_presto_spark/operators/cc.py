@@ -62,17 +62,18 @@ def connected_components(
     # localCheckpoint (not just persist): each round's frame must TRUNCATE
     # lineage, or the logical plan doubles per round and Catalyst
     # re-optimization time explodes — the standard iterative-algorithm trap
-    # (MLlib checkpoints for the same reason). Edges and the initial labels
-    # are consumed every round / twice in round 1, so they checkpoint
-    # eagerly; each ROUND's frame checkpoints lazily and is materialized by
-    # the convergence probe (one driver action per round).
-    e = e.localCheckpoint()
+    # (MLlib checkpoints for the same reason). ALL checkpoints are lazy:
+    # round 1's convergence probe materializes edges, initial labels, and
+    # the first round's frame in ONE job (an eager checkpoint per frame
+    # cost two extra driver actions of pure scheduling latency); later
+    # rounds read the cached blocks.
+    e = e.localCheckpoint(eager=False)
 
     labels = (
         e.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     # Convergence probe: sum of labels, in DECIMAL(38,0) so the comparison
