@@ -738,3 +738,129 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --- Incremental ingestion dedup (NEW r13) -----------------------------------
+# The 100 TB production pattern the batch operators above compose into: a
+# NEW ingest batch (the delta) is deduplicated against the standing corpus
+# without ever re-touching corpus x corpus. Exact hits are a digest
+# equi-join of the delta against the corpus digest index; near-dup hits
+# are the delta's shingle postings equi-joined against the corpus posting
+# index with the same lossless 1/t size band as dedup_ngram_jaccard. All
+# per-batch work is proportional to the BATCH (plus the one-time standing
+# index, staged); the corpus is never re-clustered. The fixture simulates
+# the two sides with a deterministic doc_id split (doc_id % 7 = 0 is the
+# batch); in production the standing index is corpus-only and the batch
+# posts fresh rows — side-filtered joins over one shared index are the
+# strictly more general algebra. Within-batch duplicates are out of scope
+# here by design (that is dedup_exact / dedup_minhash_lsh applied to the
+# batch alone); this operator is the cross-batch gate.
+
+_DELTA_MOD = 7  # doc_id % 7 = 0 simulates the ingest batch (~14% of docs)
+
+
+def _incremental_delta_sql(
+    dialect: str, inv_view: str | None = None, src: str = "documents"
+) -> str:
+    toks = T.tokens("text", dialect)
+    norm = (
+        f"array_to_string({toks}, ' ')" if dialect == "duck"
+        else f"array_join({toks}, ' ')"
+    )
+    m = _DELTA_MOD
+    if dialect == "duck":
+        sh = T.shingles("toks", dialect)
+        postings_ctes = f"""
+toks_t AS (
+    SELECT doc_id, {toks} AS toks FROM {src}
+),
+sh_t AS (
+    SELECT doc_id, {sh} AS sh, {T.array_size(sh, dialect)} AS n_sh FROM toks_t
+),
+inv AS (
+    SELECT doc_id, n_sh, unnest(sh) AS k FROM sh_t
+),"""
+        inv_src, band = "inv", ""
+    else:
+        postings_ctes = ""
+        inv_src = inv_view or "inv_staged"
+        inv_len = round(1.0 / _JACCARD_T, 6)
+        # lossless 1/t size band, same as _jaccard_sql's spark plan
+        band = (
+            f" AND a.n_sh * {inv_len} >= b.n_sh"
+            f" AND b.n_sh * {inv_len} >= a.n_sh"
+        )
+    key_a = "a.k" if dialect == "duck" else "a.h"
+    key_b = "b.k" if dialect == "duck" else "b.h"
+    lead = "WITH" if not postings_ctes else "WITH" + postings_ctes.rstrip(",") + ","
+    return f"""
+{lead}
+hashed AS (
+    SELECT doc_id, md5({norm}) AS digest FROM {src}
+),
+delta AS (
+    SELECT doc_id, digest FROM hashed WHERE doc_id % {m} = 0
+),
+exact_hit AS (
+    SELECT d.doc_id, min(c.doc_id) AS matched_doc
+    FROM delta d
+    JOIN hashed c ON c.digest = d.digest AND c.doc_id % {m} <> 0
+    GROUP BY d.doc_id
+),
+pair_common AS (
+    SELECT a.doc_id AS delta_doc, b.doc_id AS corpus_doc,
+           max(a.n_sh) AS n_a, max(b.n_sh) AS n_b,
+           count(*) AS n_common
+    FROM {inv_src} a JOIN {inv_src} b
+      ON {key_a} = {key_b}
+     AND a.doc_id % {m} = 0 AND b.doc_id % {m} <> 0{band}
+    GROUP BY a.doc_id, b.doc_id
+),
+near_best AS (
+    SELECT delta_doc, corpus_doc, jaccard FROM (
+        SELECT delta_doc, corpus_doc,
+               round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard,
+               row_number() OVER (
+                   PARTITION BY delta_doc
+                   ORDER BY CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) DESC,
+                            corpus_doc
+               ) AS rn
+        FROM pair_common
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_JACCARD_T}
+    ) ranked
+    WHERE rn = 1
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+            WHEN nb.delta_doc IS NOT NULL THEN 'near'
+            ELSE 'keep' END AS verdict,
+       CASE WHEN e.doc_id IS NOT NULL THEN e.matched_doc
+            ELSE nb.corpus_doc END AS matched_doc,
+       CASE WHEN e.doc_id IS NOT NULL THEN NULL
+            ELSE nb.jaccard END AS near_jaccard
+FROM delta d
+LEFT JOIN exact_hit e ON e.doc_id = d.doc_id
+LEFT JOIN near_best nb ON nb.delta_doc = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query(
+    "dedup_incremental_delta",
+    oracle=_incremental_delta_sql("duck"),
+    doc="Incremental ingestion dedup (NEW r13): a new batch (doc_id % 7 = "
+    "0) gated against the standing corpus — exact verdicts via a digest "
+    "equi-join, near verdicts via the delta's postings equi-joined "
+    "against the SHARED staged shingle index (the same artifact the "
+    "jaccard family stages) with the lossless 1/t size band; per-batch "
+    "cost proportional to the batch, corpus never re-clustered, "
+    "corpus x corpus never joined. Spark joins 60-bit posting hashes; "
+    "the oracle joins raw shingle strings (collision tripwire). Best "
+    "near match picked by (jaccard DESC, corpus_doc) row_number.",
+    tags=("dedup", "extension"),
+)
+def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    inv_v = _staged_jaccard_postings(spark, sf_dir)
+    return sql_over(
+        spark, sf_dir, _incremental_delta_sql("spark", inv_view=inv_v), ("documents",)
+    )

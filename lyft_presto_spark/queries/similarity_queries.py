@@ -1079,3 +1079,96 @@ def sim_ivf_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH qv AS (" + qv_sql + "), cand AS (SELECT * FROM ivf_idx_cand)"
         + _IVF_RANK_TAIL
     )
+
+
+# --- IVF recall evaluation (NEW r13): ANN quality as relational algebra ------
+# Every production ANN deployment tracks recall@k of the pruned search
+# against exact brute force — usually as offline evaluation jobs. Both
+# sides are deterministic exact-integer computations here, so the whole
+# evaluation is ONE query both engines replay bit-for-bit: the brute-force
+# top-10 ranks every corpus vector by exact squared L2 in the quantized
+# space; the IVF side ranks only the nprobe=2 probed cells' vectors (the
+# same candidate restriction sim_ivf_partition_probe prunes partitions
+# with); recall = |ivf_top ∩ bf_top| / k. At 100 TB the brute-force side
+# is the expensive-but-linear offline pass (one scan + TakeOrdered), run
+# on a sampled query set; the comparison join is k-row-bounded.
+
+_IVF_RECALL_TAIL = """
+bf AS (
+    SELECT f.vec_id,
+           CAST(SUM((f.xq - q.xq) * (f.xq - q.xq)) AS BIGINT) AS d
+    FROM {flat} f JOIN qv q ON q.dim = f.dim
+    WHERE f.vec_id <> 0
+    GROUP BY f.vec_id
+),
+bf_top AS (
+    SELECT vec_id FROM bf ORDER BY d, vec_id LIMIT 10
+),
+cand AS (
+    SELECT cl.vec_id FROM {cells} cl
+    WHERE cl.vec_id <> 0 AND cl.c IN (SELECT c FROM probed)
+),
+ivf AS (
+    SELECT f.vec_id,
+           CAST(SUM((f.xq - q.xq) * (f.xq - q.xq)) AS BIGINT) AS d
+    FROM {flat} f
+    JOIN cand ON cand.vec_id = f.vec_id
+    JOIN qv q ON q.dim = f.dim
+    GROUP BY f.vec_id
+),
+ivf_top AS (
+    SELECT vec_id FROM ivf ORDER BY d, vec_id LIMIT 10
+)
+SELECT CAST(10 AS INT) AS k,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       round(CAST(count(*) AS DOUBLE) / 10, 6) AS recall
+FROM ivf_top JOIN bf_top ON ivf_top.vec_id = bf_top.vec_id
+"""
+
+
+def _ivf_recall_oracle() -> str:
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflat WHERE vec_id < 4"
+    )
+    probe = _IVF_PROBE_TAIL.format(
+        flat="cflat", ccb="ccb2", idiv="//", nprobe=_IVFPQ_NPROBE
+    )
+    return f"""
+WITH flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflat AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflat')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflat')},{_pq_dist_cte('cd2', 'ccb1', 'cflat')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflat')},{_pq_dist_cte('cd3', 'ccb2', 'cflat')},{_pq_assign_cte('cells', 'cd3', 'duck')},{probe.lstrip()},{_IVF_RECALL_TAIL.format(flat='cflat', cells='cells')}"""
+
+
+@query(
+    "sim_ivf_recall",
+    oracle=_ivf_recall_oracle(),
+    doc="IVF recall@10 evaluation as relational algebra (NEW r13): exact "
+    "brute-force top-10 (one linear scan + TakeOrdered over the "
+    "quantized space) joined against the nprobe=2 probed-cell top-10 — "
+    "the offline ANN quality job every vector deployment runs, here a "
+    "single deterministic query whose training, probe, both rankings, "
+    "and the recall fraction replay bit-for-bit in the oracle. The "
+    "comparison join is k-row bounded; the candidate side reuses the "
+    "staged coarse index (build-once) and restricts through the same "
+    "cell semi-join the partitioned index prunes with.",
+    tags=("similarity", "extension"),
+)
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _ivfpq_staged(spark, sf_dir)
+    probe = _IVF_PROBE_TAIL.format(
+        flat=v["flat"], ccb=v["ccb2"], idiv="DIV", nprobe=_IVFPQ_NPROBE
+    )
+    sql = (
+        "WITH "
+        + probe.lstrip().lstrip(",")
+        + ","
+        + _IVF_RECALL_TAIL.format(flat=v["flat"], cells=v["cells"])
+    )
+    return sql_over(spark, sf_dir, sql, ("embeddings",))

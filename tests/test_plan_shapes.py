@@ -57,6 +57,59 @@ def test_dedup_candidates_are_equijoins(spark, sf_dir, name):
     assert_no_cartesian(df)
 
 
+def test_incremental_delta_verdict_precedence_and_equijoins(spark, sf_dir):
+    """NEW r13: incremental ingestion dedup. The fixture has NO exact
+    duplicates (zero-row audit: the 'exact' branch would be vacuous on
+    fixture evidence alone), so drive the template against a synthetic
+    corpus where a batch doc is byte-identical to a corpus doc AND
+    near-identical to another: 'exact' must win precedence, near verdicts
+    must pick the best corpus match, and fresh docs keep. The fixture run
+    then pins no-cartesian and batch-sided candidate generation."""
+    from lyft_presto_spark.operators import text as T
+    from lyft_presto_spark.queries.dedup_queries import _incremental_delta_sql
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seven wizards "
+        "brew strong potions under a pale autumn moon tonight"
+    )
+    rows = [
+        (1, base),                                   # corpus
+        (2, base + " extra trailing words here"),    # corpus near-variant
+        (3, "completely different corpus text about sailing ships and tides"),
+        (7, base),                                   # batch: exact dup of 1 (and near 2)
+        (14, base + " extra trailing words here appended"),  # batch: near of 2
+        (21, "fresh unseen batch document about volcanic glass formations"),
+    ]
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").createOrReplaceTempView(
+        "delta_probe_docs"
+    )
+    toks = T.tokens("text", "spark")
+    sh = T.shingles("toks", "spark")
+    spark.sql(
+        f"""
+        SELECT doc_id, size(sh) AS n_sh, {T.hash60("s", "spark")} AS h
+        FROM (SELECT doc_id, {sh} AS sh
+              FROM (SELECT doc_id, {toks} AS toks FROM delta_probe_docs))
+        LATERAL VIEW explode(sh) AS s
+        """
+    ).createOrReplaceTempView("delta_probe_inv")
+    out = spark.sql(
+        _incremental_delta_sql("spark", inv_view="delta_probe_inv", src="delta_probe_docs")
+    )
+    by_id = {r.doc_id: r for r in out.collect()}
+    assert set(by_id) == {7, 14, 21}  # exactly the batch (doc_id % 7 = 0)
+    assert by_id[7].verdict == "exact" and by_id[7].matched_doc == 1
+    assert by_id[7].near_jaccard is None  # exact wins precedence over near
+    assert by_id[14].verdict == "near" and by_id[14].matched_doc == 2
+    assert by_id[14].near_jaccard > 0.5
+    assert by_id[21].verdict == "keep" and by_id[21].matched_doc is None
+    # fixture run: candidate generation is equi-join only, batch-sided
+    df = QS["dedup_incremental_delta"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    verdicts = {r.verdict for r in df.collect()}
+    assert "near" in verdicts and "keep" in verdicts  # both live on the fixture
+
+
 def test_ivf_partitioned_index_probe_prunes_partitions(spark, sf_dir):
     """NEW r13 (VERDICT r12 ask #6): the cell-partitioned IVF index write
     path. The probe's cell predicate must reach the parquet scan as
