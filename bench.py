@@ -115,6 +115,14 @@ HEADLINE_EXTRAS = (
     "sim_ivfpq_search",
     "connector_tpchgen_q5",
     "connector_tpchgen_q21",
+    # r13 additions: the cell-partitioned IVF index write+probe path and
+    # the recall@10 evaluation (the index's storage and quality stories),
+    # the incremental ingestion dedup gate (delta vs standing corpus), and
+    # the shared-span detector now that its stop-gram df cap is algebra.
+    "sim_ivf_partition_probe",
+    "sim_ivf_recall",
+    "dedup_incremental_delta",
+    "dedup_shared_span",
 )
 
 
