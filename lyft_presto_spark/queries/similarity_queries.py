@@ -1172,3 +1172,125 @@ def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _IVF_RECALL_TAIL.format(flat=v["flat"], cells=v["cells"])
     )
     return sql_over(spark, sf_dir, sql, ("embeddings",))
+
+
+# --- IVF index upsert (NEW r13): index maintenance without retraining --------
+# The lifecycle step between build (sim_ivf_partition_probe) and search
+# (sim_ivfpq_search): new vectors arrive AFTER the index is trained, and a
+# production deployment codes them against the FROZEN coarse codebook and
+# appends them to their cells — it does not retrain (periodic re-clustering
+# is an offline compaction decision). Here the coarse quantizer trains on
+# the CORPUS ONLY (vec_id % 5 <> 4; init ids 0..3 are corpus by
+# construction) and the batch (vec_id % 5 = 4) is coded with one distance
+# + exact argmin round against that frozen codebook — the upsert's work is
+# proportional to the BATCH. Output is the per-cell index census
+# (corpus / batch / after), fully replayed by the oracle; the physical
+# append to the cell-partitioned index is pinned in
+# tests/test_plan_shapes.py (partition dirs gain exactly the batch rows).
+
+_UPSERT_BATCH_MOD = 5  # vec_id % 5 = 4 is the late-arriving batch
+
+
+def _upsert_staged(spark: SparkSession, sf_dir: str) -> dict[str, str]:
+    from ..operators.staging import staged_view
+
+    flat_v, _cb2 = _pq_staged_cb2(spark, sf_dir)
+    m = _UPSERT_BATCH_MOD
+    cflatc_v = staged_view(
+        spark, sf_dir, "ups_cflatc",
+        lambda: spark.sql(
+            f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {flat_v} "
+            f"WHERE vec_id % {m} <> {m - 1}"
+        ),
+    )
+    ccb0_v = staged_view(
+        spark, sf_dir, "ups_ccb0",
+        lambda: spark.sql(
+            f"SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+            f"xq AS S, CAST(1 AS BIGINT) AS n FROM {cflatc_v} WHERE vec_id < 4"
+        ),
+    )
+    ccb1_v = staged_view(
+        spark, sf_dir, "ups_ccb1",
+        lambda: spark.sql(_pq_iteration_sql(cflatc_v, ccb0_v, "1")),
+    )
+    ccb2_v = staged_view(
+        spark, sf_dir, "ups_ccb2",
+        lambda: spark.sql(_pq_iteration_sql(cflatc_v, ccb1_v, "2")),
+    )
+    cellsc_v = staged_view(
+        spark, sf_dir, "ups_cells",
+        lambda: spark.sql(_pq_code_sql(cflatc_v, ccb2_v)),
+    )
+    return {"flat": flat_v, "cflatc": cflatc_v, "ccb2": ccb2_v, "cells": cellsc_v}
+
+
+_UPSERT_TAIL = """
+corpus_census AS (
+    SELECT c, count(*) AS n_corpus FROM {cells} GROUP BY c
+),
+batch_census AS (
+    SELECT c, count(*) AS n_batch FROM bcodes GROUP BY c
+)
+SELECT CAST(COALESCE(cc.c, bc.c) AS INT) AS cell,
+       CAST(COALESCE(cc.n_corpus, 0) AS BIGINT) AS n_corpus,
+       CAST(COALESCE(bc.n_batch, 0) AS BIGINT) AS n_batch,
+       CAST(COALESCE(cc.n_corpus, 0) + COALESCE(bc.n_batch, 0) AS BIGINT) AS n_after
+FROM corpus_census cc FULL JOIN batch_census bc ON bc.c = cc.c
+ORDER BY cell
+"""
+
+
+def _upsert_oracle() -> str:
+    m = _UPSERT_BATCH_MOD
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflatc WHERE vec_id < 4"
+    )
+    return f"""
+WITH flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflatc AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} <> {m - 1}
+),
+bflat AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} = {m - 1}
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflatc')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflatc')},{_pq_dist_cte('cd2', 'ccb1', 'cflatc')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflatc')},{_pq_dist_cte('cd3', 'ccb2', 'cflatc')},{_pq_assign_cte('cells', 'cd3', 'duck')},{_pq_dist_cte('bd', 'ccb2', 'bflat')},{_pq_assign_cte('bcodes', 'bd', 'duck')},{_UPSERT_TAIL.format(cells='cells').lstrip()}"""
+
+
+@query(
+    "sim_ivf_index_upsert",
+    oracle=_upsert_oracle(),
+    doc="IVF index upsert census (NEW r13 — index MAINTENANCE): the coarse "
+    "quantizer trains on the corpus only (vec_id % 5 <> 4, exact-integer "
+    "relational Lloyd, staged build-once); the late-arriving batch is "
+    "coded against that FROZEN codebook with one distance + exact-argmin "
+    "round — upsert work proportional to the batch, no retraining, no "
+    "corpus re-coding. Emits the per-cell census (corpus/batch/after); "
+    "the physical append to the cell-partitioned on-disk index is pinned "
+    "in tests/test_plan_shapes.py. Training, both codings, and the "
+    "census replay bit-for-bit in the oracle.",
+    tags=("similarity", "extension"),
+)
+def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _upsert_staged(spark, sf_dir)
+    m = _UPSERT_BATCH_MOD
+    bflat = (
+        f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
+        f"WHERE vec_id % {m} = {m - 1}"
+    )
+    chain = (
+        f"WITH bflat AS ({bflat}),"
+        + _pq_dist_cte("bd", v["ccb2"], "bflat")
+        + ","
+        + _pq_assign_cte("bcodes", "bd", "spark")
+        + ","
+        + _UPSERT_TAIL.format(cells=v["cells"]).lstrip()
+    )
+    return sql_over(spark, sf_dir, chain, ("embeddings",))

@@ -140,6 +140,54 @@ def test_ivf_partitioned_index_probe_prunes_partitions(spark, sf_dir):
     assert all(r.vec_id != 0 for r in rows)  # query vector excluded
 
 
+def test_ivf_index_upsert_census_matches_physical_append(spark, sf_dir, tmp_path):
+    """NEW r13: index maintenance. The upsert census query promises what a
+    physical append to the cell-partitioned index would produce; prove it —
+    write the corpus cells partitionBy('c'), APPEND the batch's frozen-
+    codebook codes (no retraining, no corpus re-coding), and the read-back
+    per-cell counts must equal the query's n_after, with the same
+    partition directories on disk."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.queries.similarity_queries import (
+        _UPSERT_BATCH_MOD,
+        _pq_assign_cte,
+        _pq_dist_cte,
+        _upsert_staged,
+    )
+
+    census = {r.cell: r for r in QS["sim_ivf_index_upsert"].spark(spark, sf_dir).collect()}
+    assert census and all(r.n_after == r.n_corpus + r.n_batch for r in census.values())
+    assert any(r.n_batch > 0 for r in census.values())  # the batch is non-trivial
+    v = _upsert_staged(spark, sf_dir)
+    idx_path = str(tmp_path / "ups_idx")
+    spark.sql(f"SELECT vec_id, c FROM {v['cells']}").write.partitionBy("c").parquet(idx_path)
+    m = _UPSERT_BATCH_MOD
+    bflat = (
+        f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
+        f"WHERE vec_id % {m} = {m - 1}"
+    )
+    batch_codes = spark.sql(
+        f"WITH bflat AS ({bflat}),"
+        + _pq_dist_cte("bd", v["ccb2"], "bflat")
+        + ","
+        + _pq_assign_cte("bcodes", "bd", "spark")
+        + "SELECT vec_id, c FROM bcodes"
+    )
+    batch_codes.write.mode("append").partitionBy("c").parquet(idx_path)
+    back = (
+        spark.read.parquet(idx_path)
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {r.c: r.n for r in back} == {c: r.n_after for c, r in census.items()}
+    dirs = {d for d in os.listdir(idx_path) if d.startswith("c=")}
+    assert dirs == {f"c={c}" for c in census}
+
+
 def test_shared_span_stop_gram_cap_bounds_postings(spark, sf_dir):
     """VERDICT r12 #2: the shared-span seed index must cap ubiquitous seeds
     AS ALGEBRA — a boilerplate k-gram shared by n docs would otherwise emit
