@@ -121,6 +121,7 @@ HEADLINE_EXTRAS = (
     # the shared-span detector now that its stop-gram df cap is algebra.
     "sim_ivf_partition_probe",
     "sim_ivf_recall",
+    "sim_ivf_index_upsert",
     "dedup_incremental_delta",
     "dedup_shared_span",
 )
