@@ -1574,7 +1574,7 @@ def tpcds_q31_qoq_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN part ON sa.pk = p_partkey
     JOIN nation ON sa.nk = n_nationkey
     WHERE CAST(sa.revenue AS DOUBLE) <= 0.1 * sb.ave
-    ORDER BY n_name, p_name
+    ORDER BY n_name, p_name, sa.pk
     LIMIT 100
     """,
     doc="TPC-DS q65 shape (sql/presto/tpcds/q65.sql): per-(store, item) "
@@ -1609,9 +1609,15 @@ def tpcds_q65_below_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name", "p_name",
             F.col("revenue_dec").cast("double").alias("revenue"),
             F.round("ave", 6).alias("store_avg"),
+            F.col("pk"),
         )
-        .orderBy("n_name", "p_name")
+        # pk tiebreaks the LIMIT: p_name repeats across parts, so
+        # (n_name, p_name) alone is not a total order and row 98 of the
+        # sf0.1 result differed per engine (r13 preflight). (nk, pk) is
+        # the sa grain, so (n_name, pk) is unique.
+        .orderBy("n_name", "p_name", "pk")
         .limit(100)
+        .drop("pk")
     )
 
 
