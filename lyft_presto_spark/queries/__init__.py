@@ -253,15 +253,15 @@ from .registry import REGISTRY, Query, query
 # shapes (the corpus-completeness claim gets its hard signal), the three
 # remaining never-scored fn rows (fn_beta_endian_hrs, fn_presto_compat,
 # fn_entropy), and the 18 OLDEST-numbered never-scored TPC-DS shapes
-# (q29-q48; q50/q52/q53 wait for r14 — their slots fund the three
-# later-r13 builds dedup_incremental_delta, sim_ivf_recall, and
-# sim_ivf_index_upsert, honoring the new-operators-never-wait rule).
-# TPC-H keeps 6 scored rows
+# (q29-q47; q48/q50/q52/q53 wait for r14 — their slots fund the four
+# later-r13 builds dedup_incremental_delta, sim_ivf_recall,
+# sim_ivf_index_upsert, and dedup_incremental_minhash, honoring the
+# new-operators-never-wait rule). TPC-H keeps 6 scored rows
 # (q1/q3/q6/q9/q18/q21 — all driver-green 10+ rounds; q3 revalidates the
 # broadcast-join path). events, text, dedup*, sim*, ml, multimodal, op,
 # geo keep one scored row each (dedup and sim through their first-time
 # rows; the others via cheap re-scored keepers). After r13 the
-# never-scored pool is 71 - 34 = 37 (all tpcds; the +4 new registry rows
+# never-scored pool is 71 - 33 = 38 (all tpcds; the +5 new registry rows
 # are scored the round they were built).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # TPC-H core evidence
@@ -269,7 +269,7 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # NEW r13 builds — scored the round they were built (ask #6; the
     # incremental ingestion gate; ANN recall evaluation; index upsert)
     "sim_ivf_partition_probe", "dedup_incremental_delta", "sim_ivf_recall",
-    "sim_ivf_index_upsert",
+    "sim_ivf_index_upsert", "dedup_incremental_minhash",
     # Newest debt: the r12-built span detector, now with the df cap (ask #3)
     "dedup_shared_span",
     # Never-scored generator-catalog shapes — the entire remaining set (15)
@@ -288,7 +288,6 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "tpcds_q39_cv_self_join", "tpcds_q40_returns_adjusted_pivot",
     "tpcds_q41_dimension_self_exists", "tpcds_q42_category_month_years",
     "tpcds_q43_weekday_pivot", "tpcds_q47_monthly_deviation",
-    "tpcds_q48_disjunctive_scan",
     # Family keepers (no never-scored rows left in these families)
     "events_sessionize", "text_quality_score", "ml_classify",
     "multimodal_decode", "op_values", "geo_union_agg",

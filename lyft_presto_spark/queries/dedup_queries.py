@@ -864,3 +864,125 @@ def dedup_incremental_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(
         spark, sf_dir, _incremental_delta_sql("spark", inv_view=inv_v), ("documents",)
     )
+
+
+# --- Incremental ingestion gate, LSH form (NEW r13) ---------------------------
+# The 100 TB near-dup path of dedup_incremental_delta: at corpus scale the
+# exact posting join gives way to the MinHash signature index — signatures
+# are the STANDING artifact (the same staged minhash_sigs table
+# dedup_minhash_lsh builds), and the batch's candidate generation is a
+# band-key equi-join of batch bands against corpus bands, never all-pairs
+# and never corpus x corpus. Per batch doc the best corpus candidate by
+# estimated jaccard decides the verdict; the threshold (>= 0.25 signature
+# agreement, i.e. >= 4 of 16 hashes) sits above the band-collision floor
+# (a band match already implies 4 consecutive agreeing hashes).
+
+_MINHASH_GATE_T = 0.25
+
+
+def _incremental_minhash_tail(sim: str) -> str:
+    m = _DELTA_MOD
+    return f"""
+cand AS (
+    SELECT x.doc_id AS delta_doc, y.doc_id AS corpus_doc
+    FROM bands x JOIN bands y
+      ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+     AND x.doc_id % {m} = 0 AND y.doc_id % {m} <> 0
+    GROUP BY x.doc_id, y.doc_id
+),
+scored AS (
+    SELECT c.delta_doc, c.corpus_doc, {sim} AS est_jaccard
+    FROM cand c
+    JOIN sigs a ON a.doc_id = c.delta_doc
+    JOIN sigs b ON b.doc_id = c.corpus_doc
+),
+best AS (
+    SELECT delta_doc, corpus_doc, est_jaccard FROM (
+        SELECT delta_doc, corpus_doc, est_jaccard,
+               row_number() OVER (
+                   PARTITION BY delta_doc
+                   ORDER BY est_jaccard DESC, corpus_doc
+               ) AS rn
+        FROM scored
+        WHERE est_jaccard >= {_MINHASH_GATE_T}
+    ) r WHERE rn = 1
+),
+delta AS (
+    SELECT doc_id FROM documents WHERE doc_id % {m} = 0
+)
+SELECT d.doc_id,
+       CASE WHEN b.delta_doc IS NOT NULL THEN 'near' ELSE 'keep' END AS verdict,
+       b.corpus_doc AS matched_doc,
+       b.est_jaccard
+FROM delta d LEFT JOIN best b ON b.delta_doc = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def _incremental_minhash_oracle() -> str:
+    toks = T.tokens("text", "duck")
+    sh = T.shingles("toks", "duck")
+    hashes = D.shingle_hashes("sh", "duck")
+    sig = D.minhash_sig("hashes", "duck")
+    band_rows = (
+        "SELECT doc_id, u.band_idx AS band_idx, "
+        + "CASE u.band_idx "
+        + " ".join(
+            f"WHEN {b} THEN {D.band_key('sig', b, 'duck')}" for b in range(D.BANDS)
+        )
+        + " END AS band_key "
+        "FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, "
+        f"{D.BANDS - 1})) AS band_idx) u"
+    )
+    sim = D.sig_similarity("a.sig", "b.sig", "duck")
+    return f"""
+WITH toks_t AS (
+    SELECT doc_id, {toks} AS toks FROM documents
+),
+sh_t AS (
+    SELECT doc_id, {sh} AS sh FROM toks_t
+),
+hashes_t AS (
+    SELECT doc_id, {hashes} AS hashes FROM sh_t
+),
+sigs AS (
+    SELECT doc_id, {sig} AS sig FROM hashes_t
+),
+bands AS (
+    {band_rows}
+),{_incremental_minhash_tail(sim).lstrip()}"""
+
+
+@query(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    doc="Incremental ingestion gate, LSH form (NEW r13 — the scale path of "
+    "dedup_incremental_delta's near branch): the batch's bands equi-join "
+    "the STANDING staged signature index's corpus bands (the same "
+    "artifact dedup_minhash_lsh stages — signatures computed once, "
+    "shared across every gate and clustering pass), best corpus match by "
+    "estimated jaccard >= 0.25 decides the verdict. Per-batch work "
+    "proportional to the batch's bands; corpus never re-signed, "
+    "corpus x corpus never joined.",
+    tags=("dedup", "extension"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs_v = staged_view(
+        spark, sf_dir, "minhash_sigs", lambda: _minhash_sigs(spark, sf_dir)
+    )
+    structs = ", ".join(
+        "struct({b} AS band_idx, {k} AS band_key)".format(
+            b=b, k=D.band_key("sig", b, "spark")
+        )
+        for b in range(D.BANDS)
+    )
+    sim = D.sig_similarity("a.sig", "b.sig", "spark")
+    sql = f"""
+WITH sigs AS (
+    SELECT doc_id, sig FROM {sigs_v}
+),
+bands AS (
+    SELECT doc_id, b.band_idx, b.band_key FROM {sigs_v}
+    LATERAL VIEW explode(array({structs})) AS b
+),{_incremental_minhash_tail(sim).lstrip()}"""
+    return sql_over(spark, sf_dir, sql, ("documents",))

@@ -49,7 +49,11 @@ def test_q1_single_agg_shuffle(spark, sf_dir):
     assert count_exchanges(df) <= 2
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard"])
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+     "dedup_incremental_minhash"],
+)
 def test_dedup_candidates_are_equijoins(spark, sf_dir, name):
     # LSH banding exists precisely to avoid all-pairs comparison; the plan
     # must contain no cartesian product.
