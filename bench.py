@@ -123,6 +123,7 @@ HEADLINE_EXTRAS = (
     "sim_ivf_recall",
     "sim_ivf_index_upsert",
     "dedup_incremental_delta",
+    "dedup_incremental_minhash",
     "dedup_shared_span",
 )
 

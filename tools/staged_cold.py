@@ -34,6 +34,7 @@ STAGED_QUERIES = (
     "tpch_q2", "tpch_q11", "tpch_q15",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
     "dedup_cluster_canonical", "dedup_shared_span", "dedup_incremental_delta",
+    "dedup_incremental_minhash",
     "sim_ivf_partition_probe", "sim_ivf_recall", "sim_ivf_index_upsert",
     "text_decontaminate", "text_repetition_signals", "text_bigram_lm_score",
     "text_vocab_coverage", "text_bm25_retrieval", "text_hashed_nb_classifier",
