@@ -79,9 +79,33 @@ def connected_components(
     # Convergence probe: sum of labels, in DECIMAL(38,0) so the comparison
     # is exact at any node-id magnitude (bigint sums overflow near 1e19;
     # decimal aggregation is Spark's exact path). Monotonicity makes
-    # sum-unchanged equivalent to no-label-changed.
+    # sum-unchanged equivalent to no-label-changed. The probe is only sound
+    # for integral node ids: a string or fractional-double label casts to
+    # NULL / truncates, the sum degenerates, and None == None would return
+    # after ONE round — a silent partial closure (ADVICE r13). Guard both:
+    # reject non-integral label types at entry, and treat a NULL sum on a
+    # non-empty frame as corruption, not convergence.
+    label_type = dict(labels.dtypes)["label"]
+    if label_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise TypeError(
+            f"connected_components requires integral node ids for the exact "
+            f"label-sum convergence probe; got {label_type!r} — map ids to "
+            f"bigint (e.g. xxhash64) before calling"
+        )
+
     def label_sum(frame: DataFrame):
-        return frame.agg(F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        n, s = frame.agg(
+            F.count(F.lit(1)), F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()
+        if s is None and n > 0:
+            raise RuntimeError(
+                "label-sum probe returned NULL on a non-empty frame — "
+                "node ids did not survive the decimal cast"
+            )
+        # Pair the count with the sum: (None, 0-rows) on an empty graph is a
+        # legitimate fixed point, and two rounds can't alias because labels
+        # strictly decrease while the node count is constant.
+        return (n, s)
 
     prev_sum = None
     for _ in range(max_iter):

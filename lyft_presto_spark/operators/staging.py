@@ -75,7 +75,11 @@ class _Entry:
     release: Callable[[], None]  # frees the artifact's storage, idempotent
 
 
-_STAGED: dict[tuple[str, str, str], _Entry] = {}
+# Key shape: (session, abs sf_dir, artifact name, mode, version) — code that
+# indexes positionally (release_staged's k[0], plan tests' k[2]) relies on it.
+_StageKey = tuple[str, str, str, str, str]
+
+_STAGED: dict[_StageKey, _Entry] = {}
 # _LOCK guards the maps only and is never held across build(): builds of
 # unrelated artifacts (different names/sessions) must not serialize behind
 # one slow plan construction, and a build that re-enters staged() for a
@@ -83,7 +87,7 @@ _STAGED: dict[tuple[str, str, str], _Entry] = {}
 # on each other via a per-key lock so a race can't stage twice and leak
 # the losing copy until session end.
 _LOCK = threading.Lock()
-_KEY_LOCKS: dict[tuple[str, str, str], threading.Lock] = {}
+_KEY_LOCKS: dict[_StageKey, threading.Lock] = {}
 
 
 def _session_key(spark: SparkSession) -> str:

@@ -1748,7 +1748,11 @@ def fn_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  - element_at / split_part return NULL out of range (Spark: ANSI error /
 #    empty string) — ElementAtFunction.java, StringFunctions.java splitPart
 #  - contains/repeat are ARRAY functions in Presto (ArrayContains.java,
-#    RepeatFunction.java); Spark's same-named builtins are string functions
+#    RepeatFunction.java); Spark's same-named builtins are string functions.
+#    rep3 is emitted through array_join: the semantic pin is that repeat()
+#    BUILDS an array (string repetition would render "000" not "0,0,0");
+#    the carrier is a string because the driver's pandas canonicalizer
+#    cannot hash list-typed cells (r13 red row; tests/test_registry_gate.py)
 #  - infinity()/nan()/is_finite/is_infinite special values MathFunctions.java
 #  - cosine_similarity over sparse map vectors (MathFunctions.java:1503) as
 #    pure codegen HOFs — no UDF
@@ -1758,7 +1762,7 @@ _COMPAT3_PRESTO = """
 SELECT p_partkey,
        levenshtein_distance(split_part(p_type, ' ', 1), split_part(p_type, ' ', 2)) AS lev,
        contains(ARRAY[1, 2, 3, 4, 5], p_partkey % 7) AS has_mod,
-       repeat(p_partkey % 3, 3) AS rep3,
+       array_join(repeat(p_partkey % 3, 3), ',') AS rep3,
        element_at(ARRAY[10, 20], CAST(p_partkey % 4 + 1 AS INTEGER)) AS maybe_elem,
        split_part(p_type, ' ', 99) AS oob_word,
        is_finite(ln(CAST(p_partkey + 1 AS DOUBLE))) AS fin,
@@ -1777,7 +1781,7 @@ _COMPAT3_DUCK = """
 SELECT p_partkey,
        levenshtein(string_split(p_type, ' ')[1], string_split(p_type, ' ')[2]) AS lev,
        list_contains([1, 2, 3, 4, 5], p_partkey % 7) AS has_mod,
-       [p_partkey % 3, p_partkey % 3, p_partkey % 3] AS rep3,
+       array_to_string([p_partkey % 3, p_partkey % 3, p_partkey % 3], ',') AS rep3,
        CASE WHEN p_partkey % 4 + 1 <= 2 THEN [10, 20][CAST(p_partkey % 4 + 1 AS BIGINT)] END AS maybe_elem,
        CAST(NULL AS VARCHAR) AS oob_word,
        TRUE AS fin,

@@ -1073,11 +1073,23 @@ def sim_ivf_partition_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = sorted(r.c for r in spark.sql(probe_sql).collect())  # bounded: nprobe ints
     idx = spark.read.parquet(path)
     cand = idx.where(F.col("c").isin(probed) & (F.col("vec_id") != 0))
-    cand.createOrReplaceTempView("ivf_idx_cand")
-    qv_sql = f"SELECT dim, xq FROM {v['flat']} WHERE vec_id = 0"
-    return spark.sql(
-        "WITH qv AS (" + qv_sql + "), cand AS (SELECT * FROM ivf_idx_cand)"
-        + _IVF_RANK_TAIL
+    # Rank with DataFrame APIs directly off the pruned-scan DataFrame — no
+    # temp view. A fixed global view name here would re-introduce the
+    # wrong-scale race staged_view closed in r11 (two concurrent callers at
+    # different sf_dirs interleaving register/resolve and silently binding
+    # the other scale's candidates — ADVICE r13 medium).
+    qv = spark.sql(f"SELECT dim, xq AS qxq FROM {v['flat']} WHERE vec_id = 0")
+    diff = F.col("xq") - F.col("qxq")
+    return (
+        cand.join(qv, "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.min("c").cast("int").alias("cell"),
+            F.sum(diff * diff).cast("bigint").alias("l2q_dist"),
+        )
+        .select(F.col("vec_id").cast("bigint").alias("vec_id"), "cell", "l2q_dist")
+        .orderBy("l2q_dist", "vec_id")
+        .limit(10)
     )
 
 

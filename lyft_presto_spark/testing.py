@@ -73,6 +73,34 @@ class OracleMismatch(AssertionError):
     pass
 
 
+def assert_driver_hashable(spark_df: DataFrame, name: str = "?") -> None:
+    """Reject Array/Map-typed output columns — the driver cannot score them.
+
+    The driver's canonicalizer sorts results with pandas ``sort_values``
+    over all columns, and pandas cannot factorize/hash Python lists or
+    dicts (``TypeError: unhashable type: 'list'`` before any comparison
+    runs — the r13 ``fn_presto_compat`` red row). This repo's own
+    ``canonicalize`` below is deliberately more permissive (type-aware
+    pure-Python sort), which is exactly how that row slipped through; this
+    gate pins the *driver's* limitation the way tests/test_bench_contract
+    pins the metric-line contract. Queries that pin array/map semantics
+    must serialize the column (array_join / to_json) in BOTH dialects.
+    """
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+    ]
+    if bad:
+        raise OracleMismatch(
+            f"[{name}] driver-unhashable output columns (pandas sort_values "
+            f"cannot hash list/dict cells): {bad} — serialize via "
+            f"array_join/to_json in both dialects"
+        )
+
+
 def compare_with_oracle(
     spark_df: DataFrame,
     oracle_sql: str,
@@ -86,6 +114,7 @@ def compare_with_oracle(
     convention (exact decimal accumulation) makes results bit-identical, so a
     nonzero tolerance is a per-query opt-out, not the norm.
     """
+    assert_driver_hashable(spark_df, name=name)
     spark_pd = spark_df.toPandas()
     con = duckdb_connection(sf_dir)
     try:

@@ -32,7 +32,7 @@ def test_every_headline_extra_is_registered():
     assert not missing, f"bench HEADLINE_EXTRAS not registered: {missing}"
 
 
-def test_last_output_line_is_the_metric(tmp_path):
+def test_last_output_line_is_the_metric(tmp_path, sf_dir):
     """End-to-end: the LAST line of a bench run's merged output parses as the
     compact metric JSON.
 
@@ -50,7 +50,9 @@ def test_last_output_line_is_the_metric(tmp_path):
 
     env = dict(os.environ)
     env.update(
-        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        # Reuse the suite's fixture dir (honors SPARK_GRAFT_TEST_SF_DIR /
+        # SPARK_GRAFT_TEST_SF) instead of hardcoding a path (ADVICE r13).
+        SPARK_GRAFT_SF_DIR=sf_dir,
         SPARK_GRAFT_BENCH_ONLY="tpch_q6",
         SPARK_GRAFT_BENCH_OUT=str(tmp_path / "bench_contract.json"),
     )

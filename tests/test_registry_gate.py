@@ -1,0 +1,52 @@
+"""Pin the driver's canonicalization limits as a registry gate.
+
+The driver sorts query results with pandas ``sort_values`` over all columns
+before hashing; pandas cannot factorize list/dict cells, so an Array- or
+Map-typed output column makes the row UNSCOREABLE (the r13
+``fn_presto_compat`` red row: ``TypeError: unhashable type: 'list'``).
+The repo's local ``testing.canonicalize`` is more permissive (type-aware
+pure-Python sort), which is how that row slipped to the driver — so the
+limitation is pinned here as a contract, the same move as
+``tests/test_bench_contract.py`` pins the metric-line contract (VERDICT
+r13 next-round #2).
+
+Two layers:
+- ``assert_driver_hashable`` is wired INTO ``compare_with_oracle``, so all
+  registered oracle tests enforce it for free (tests/test_queries_oracle.py
+  covers the whole registry at the tested scale).
+- This module proves the gate trips on synthetic array/map outputs (the
+  negative tests the verdict asked for) and sweeps the driver-scored head's
+  declared schemas directly, so a head-list edit cannot dodge the gate even
+  if its oracle test were skipped.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from lyft_presto_spark.queries import DRIVER_SCORED_HEAD, all_queries
+from lyft_presto_spark.testing import OracleMismatch, assert_driver_hashable
+
+
+def test_gate_trips_on_array_output(spark):
+    df = spark.sql("SELECT array(1, 2, 3) AS xs, 1 AS k")
+    with pytest.raises(OracleMismatch, match="driver-unhashable"):
+        assert_driver_hashable(df, name="synthetic_array")
+
+
+def test_gate_trips_on_map_output(spark):
+    df = spark.sql("SELECT map('a', 1) AS m")
+    with pytest.raises(OracleMismatch, match="driver-unhashable"):
+        assert_driver_hashable(df, name="synthetic_map")
+
+
+def test_gate_passes_scalar_output(spark):
+    df = spark.sql("SELECT 1 AS k, 'x' AS s, array_join(array('a','b'), ',') AS ser")
+    assert_driver_hashable(df, name="synthetic_scalar")  # must not raise
+
+
+@pytest.mark.parametrize("name", sorted(DRIVER_SCORED_HEAD))
+def test_head_query_is_driver_hashable(spark, sf_dir, name):
+    """Every driver-scored head row must emit only hashable column types."""
+    q = all_queries()[name]
+    assert_driver_hashable(q.spark(spark, sf_dir), name=name)
