@@ -125,6 +125,9 @@ HEADLINE_EXTRAS = (
     "dedup_incremental_delta",
     "dedup_incremental_minhash",
     "dedup_shared_span",
+    # r14 addition: the IVF compaction decision (census trigger + targeted
+    # re-cluster of overgrown cells), completing the ANN lifecycle.
+    "sim_ivf_compaction",
 )
 
 

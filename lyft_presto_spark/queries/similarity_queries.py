@@ -1306,3 +1306,181 @@ def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _UPSERT_TAIL.format(cells=v["cells"]).lstrip()
     )
     return sql_over(spark, sf_dir, chain, ("embeddings",))
+
+
+# --- IVF index compaction (NEW r14 — VERDICT r13 ask #6) ----------------------
+# Closes the ANN lifecycle: build (sim_ivf_partition_probe) -> probe ->
+# upsert (sim_ivf_index_upsert) -> evaluate (sim_ivf_recall) -> COMPACT.
+# The upsert deliberately defers re-clustering to "an offline compaction
+# decision"; this is that decision as one deterministic query:
+#  1. TRIGGER — census the post-upsert index (corpus cells ∪ batch codes)
+#     and mark every cell whose occupancy exceeds its provisioned capacity
+#     (here the tightest capacity, the mean cell size: n * k > total; a
+#     production deployment would set a skew multiple, the algebra is
+#     identical). The census is bytes-per-cell tiny at any scale.
+#  2. RE-CLUSTER — only the triggered cells' vectors are touched: the
+#     member list semi-joins the flat vectors through the trigger set, so
+#     compaction work is proportional to the overgrown cells, never the
+#     corpus. Each triggered cell splits in two by a deterministic seeded
+#     Lloyd round: seeds are the cell's min/max vec_id vectors (exact
+#     integer L2 assignment, tie -> lower subcell), then ONE refinement
+#     round re-assigns against the exact seed-split centroids using the
+#     same cross-multiplied rational argmin as PQ training (S/n kept as
+#     exact integer sums — no division, no floats).
+#  3. SWAP-READY CENSUS — emit the new (cell, subcell) layout with counts
+#     and vec_id checksums; untouched cells pass through as subcell -1.
+#     The physical swap is the existing atomic-rename publish
+#     (operators/staging.py / _ivf_index_write_path) — what this query
+#     pins is the decision + re-assignment algebra, bit-replayable in the
+#     oracle. At 100 TB: census is one tiny agg over the cell column,
+#     re-clustering reads only overgrown partitions (the same
+#     PartitionFilters pruning the probe path pins), and the swap is a
+#     metadata rename.
+
+_COMPACT_TAIL = """
+allcells AS (
+    SELECT vec_id, c FROM {cells} WHERE vec_id <> 0
+    UNION ALL
+    SELECT vec_id, c FROM bcodes WHERE vec_id <> 0
+),
+census AS (
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM allcells GROUP BY c
+),
+trig AS (
+    SELECT c FROM census
+    WHERE n * (SELECT COUNT(*) FROM census) > (SELECT SUM(n) FROM census)
+),
+tvec AS (
+    SELECT ac.c, f.vec_id, f.dim, f.xq
+    FROM allcells ac
+    JOIN {flat} f ON f.vec_id = ac.vec_id
+    WHERE ac.c IN (SELECT c FROM trig)
+),
+seeds AS (
+    SELECT c, MIN(vec_id) AS s0, MAX(vec_id) AS s1
+    FROM allcells WHERE c IN (SELECT c FROM trig) GROUP BY c
+),
+sv AS (
+    SELECT s.c, CAST(0 AS INT) AS sub, f.dim, f.xq AS x
+    FROM seeds s JOIN {flat} f ON f.vec_id = s.s0
+    UNION ALL
+    SELECT s.c, CAST(1 AS INT) AS sub, f.dim, f.xq AS x
+    FROM seeds s JOIN {flat} f ON f.vec_id = s.s1
+),
+sd AS (
+    SELECT t.c, t.vec_id, v.sub,
+           CAST(SUM((t.xq - v.x) * (t.xq - v.x)) AS BIGINT) AS d
+    FROM tvec t JOIN sv v ON v.c = t.c AND v.dim = t.dim
+    GROUP BY t.c, t.vec_id, v.sub
+),
+seed_split AS (
+    SELECT c, vec_id,
+           CASE WHEN MIN(CASE WHEN sub = 1 THEN d END)
+                     < MIN(CASE WHEN sub = 0 THEN d END)
+                THEN 1 ELSE 0 END AS sub
+    FROM sd GROUP BY c, vec_id
+),
+scb AS (
+    SELECT sp.c, sp.sub, t.dim,
+           CAST(SUM(t.xq) AS BIGINT) AS S,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seed_split sp
+    JOIN tvec t ON t.vec_id = sp.vec_id AND t.c = sp.c
+    GROUP BY sp.c, sp.sub, t.dim
+),
+rd AS (
+    SELECT t.c, t.vec_id, b.sub,
+           CAST(SUM((CAST(b.n AS DECIMAL(20,0)) * CAST(t.xq AS DECIMAL(20,0))
+                     - CAST(b.S AS DECIMAL(20,0)))
+                  * (CAST(b.n AS DECIMAL(20,0)) * CAST(t.xq AS DECIMAL(20,0))
+                     - CAST(b.S AS DECIMAL(20,0)))) AS DECIMAL(38,0)) AS A,
+           CAST(b.n AS DECIMAL(20,0)) * CAST(b.n AS DECIMAL(20,0)) AS n2
+    FROM tvec t JOIN scb b ON b.c = t.c AND b.dim = t.dim
+    GROUP BY t.c, t.vec_id, b.sub, b.n
+),
+refined AS (
+    SELECT c, vec_id,
+           CASE WHEN A1 * n20 < A0 * n21 THEN 1 ELSE 0 END AS sub
+    FROM (
+        SELECT c, vec_id,
+               MIN(CASE WHEN sub = 0 THEN A END) AS A0,
+               MIN(CASE WHEN sub = 0 THEN n2 END) AS n20,
+               MIN(CASE WHEN sub = 1 THEN A END) AS A1,
+               MIN(CASE WHEN sub = 1 THEN n2 END) AS n21
+        FROM rd GROUP BY c, vec_id
+    ) p
+),
+newidx AS (
+    SELECT c, sub, vec_id FROM refined
+    UNION ALL
+    SELECT c, CAST(-1 AS INT) AS sub, vec_id FROM allcells
+    WHERE c NOT IN (SELECT c FROM trig)
+)
+SELECT CAST(n.c AS INT) AS cell,
+       CAST(n.sub AS INT) AS subcell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(n.vec_id) AS BIGINT) AS vid_sum,
+       CAST(MIN(n.vec_id) AS BIGINT) AS min_vid
+FROM newidx n
+GROUP BY n.c, n.sub
+ORDER BY cell, subcell
+"""
+
+
+def _compact_oracle() -> str:
+    m = _UPSERT_BATCH_MOD
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflatc WHERE vec_id < 4"
+    )
+    return f"""
+WITH flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflatc AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} <> {m - 1}
+),
+bflat AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} = {m - 1}
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflatc')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflatc')},{_pq_dist_cte('cd2', 'ccb1', 'cflatc')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflatc')},{_pq_dist_cte('cd3', 'ccb2', 'cflatc')},{_pq_assign_cte('cells', 'cd3', 'duck')},{_pq_dist_cte('bd', 'ccb2', 'bflat')},{_pq_assign_cte('bcodes', 'bd', 'duck')},{_COMPACT_TAIL.format(cells='cells', flat='flat').lstrip()}"""
+
+
+@query(
+    "sim_ivf_compaction",
+    oracle=_compact_oracle(),
+    doc="IVF index compaction decision + targeted re-cluster (NEW r14 — "
+    "VERDICT r13 ask #6, closing build->probe->upsert->evaluate->compact): "
+    "census the post-upsert index, trigger every cell above its "
+    "provisioned capacity (mean occupancy here; a production multiple is "
+    "the same algebra), split ONLY the triggered cells in two by a "
+    "deterministic seeded exact-integer Lloyd round (min/max-vec_id "
+    "seeds, one cross-multiplied rational refinement — the PQ training "
+    "argmin), and emit the swap-ready (cell, subcell) census with vec_id "
+    "checksums; untouched cells pass through as subcell -1. Compaction "
+    "work is proportional to the overgrown cells (the member semi-join "
+    "gates every vector touch), the census is bytes per cell, and the "
+    "physical swap is the existing atomic-rename publish. Trigger, "
+    "split, refinement, and census replay bit-for-bit in the oracle.",
+    tags=("similarity", "extension"),
+)
+def sim_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _upsert_staged(spark, sf_dir)
+    m = _UPSERT_BATCH_MOD
+    bflat = (
+        f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
+        f"WHERE vec_id % {m} = {m - 1}"
+    )
+    chain = (
+        f"WITH bflat AS ({bflat}),"
+        + _pq_dist_cte("bd", v["ccb2"], "bflat")
+        + ","
+        + _pq_assign_cte("bcodes", "bd", "spark")
+        + ","
+        + _COMPACT_TAIL.format(cells=v["cells"], flat=v["flat"]).lstrip()
+    )
+    return sql_over(spark, sf_dir, chain, ("embeddings",))

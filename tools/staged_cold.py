@@ -36,6 +36,7 @@ STAGED_QUERIES = (
     "dedup_cluster_canonical", "dedup_shared_span", "dedup_incremental_delta",
     "dedup_incremental_minhash",
     "sim_ivf_partition_probe", "sim_ivf_recall", "sim_ivf_index_upsert",
+    "sim_ivf_compaction",
     "text_decontaminate", "text_repetition_signals", "text_bigram_lm_score",
     "text_vocab_coverage", "text_bm25_retrieval", "text_hashed_nb_classifier",
     "text_bpe_merge_train",
