@@ -263,34 +263,54 @@ from .registry import REGISTRY, Query, query
 # rows; the others via cheap re-scored keepers). After r13 the
 # never-scored pool is 71 - 33 = 38 (all tpcds; the +5 new registry rows
 # are scored the round they were built).
+# r14 rotation — 49 of 50 r13 slots were driver-green (VERDICT r13: the
+# one red, fn_presto_compat, was a harness-shape break, now fixed by
+# serializing its array column + the registry hashability gate). The
+# non-keeper slots yield to the ENTIRE remaining never-scored backlog
+# (VERDICT r13 next-round #3 asked the backlog be exhausted): all 38
+# never-scored tpcds shapes (q48-q99), the re-shaped fn_presto_compat
+# (ask #1 — scored until green), and the NEW r14 build sim_ivf_compaction
+# (the ANN lifecycle's compaction decision, ask #6 — new operators never
+# wait). Every one of the 39 debt rows was preflighted at sf0.1 with the
+# full-value oracle before entering the head (the q65 tie-break trap —
+# verify skill). TPC-H keeps 2 cheap rows (q1 the flagship, q6 the
+# pushdown pin); connector/events/text/dedup/ml/multimodal/op/geo keep one
+# cheap re-scored keeper each; sim is covered by the first-time
+# compaction row and fn by fn_presto_compat. After r14 the never-scored
+# pool is 0 (registry-growth adjusted: +1 new row, scored this round) —
+# cumulative driver-green would reach 345/346.
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
-    # TPC-H core evidence
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9", "tpch_q18", "tpch_q21",
-    # NEW r13 builds — scored the round they were built (ask #6; the
-    # incremental ingestion gate; ANN recall evaluation; index upsert)
-    "sim_ivf_partition_probe", "dedup_incremental_delta", "sim_ivf_recall",
-    "sim_ivf_index_upsert", "dedup_incremental_minhash",
-    # Newest debt: the r12-built span detector, now with the df cap (ask #3)
-    "dedup_shared_span",
-    # Never-scored generator-catalog shapes — the entire remaining set (15)
-    "connector_tpchgen_q2", "connector_tpchgen_q4", "connector_tpchgen_q7",
-    "connector_tpchgen_q8", "connector_tpchgen_q10", "connector_tpchgen_q11",
-    "connector_tpchgen_q12", "connector_tpchgen_q13", "connector_tpchgen_q14",
-    "connector_tpchgen_q15", "connector_tpchgen_q16", "connector_tpchgen_q17",
-    "connector_tpchgen_q19", "connector_tpchgen_q20", "connector_tpchgen_q22",
-    # Never-scored function rows (the last three)
-    "fn_beta_endian_hrs", "fn_presto_compat", "fn_entropy",
-    # TPC-DS-shape corpus: the 18 oldest never-scored numbers
-    "tpcds_q29_quantity_chain", "tpcds_q30_high_return_customers",
-    "tpcds_q31_qoq_channel_growth", "tpcds_q33_three_channel_category",
-    "tpcds_q34_bulk_order_cohort", "tpcds_q35_demographic_stats",
-    "tpcds_q37_price_band_active_items", "tpcds_q38_three_channel_intersect",
-    "tpcds_q39_cv_self_join", "tpcds_q40_returns_adjusted_pivot",
-    "tpcds_q41_dimension_self_exists", "tpcds_q42_category_month_years",
-    "tpcds_q43_weekday_pivot", "tpcds_q47_monthly_deviation",
-    # Family keepers (no never-scored rows left in these families)
-    "events_sessionize", "text_quality_score", "ml_classify",
-    "multimodal_decode", "op_values", "geo_union_agg",
+    # Flagship + pushdown pin
+    "tpch_q1", "tpch_q6",
+    # NEW r14 build — scored the round it was built
+    "sim_ivf_compaction",
+    # The r13 red row, re-shaped to a driver-hashable output (ask #1)
+    "fn_presto_compat",
+    # The entire remaining never-scored backlog: 38 tpcds shapes
+    "tpcds_q48_disjunctive_scan", "tpcds_q50_return_lag_buckets",
+    "tpcds_q52_brand_month_report", "tpcds_q53_quarterly_deviation_screen",
+    "tpcds_q55_brand_month_topn", "tpcds_q56_screened_channel_totals",
+    "tpcds_q57_deviation_with_extrema", "tpcds_q59_wow_weekday_ratio",
+    "tpcds_q60_category_channel_totals", "tpcds_q62_shipping_lag_buckets",
+    "tpcds_q63_cohort_monthly_deviation", "tpcds_q65_below_avg_revenue",
+    "tpcds_q66_monthly_mode_pivot", "tpcds_q68_trip_two_measures",
+    "tpcds_q71_brand_time_buckets", "tpcds_q72_reorder_within_window",
+    "tpcds_q73_small_basket_cohort", "tpcds_q74_min_ratio_growth_gate",
+    "tpcds_q75_yoy_decline", "tpcds_q76_null_key_channel_counts",
+    "tpcds_q77_channel_pnl_rollup", "tpcds_q79_best_trip_per_customer",
+    "tpcds_q81_catalog_high_returners", "tpcds_q82_band_items_qty_having",
+    "tpcds_q83_three_channel_item_returns", "tpcds_q84_customer_band_decode",
+    "tpcds_q85_reason_band_averages", "tpcds_q86_rollup_rank_within_parent",
+    "tpcds_q87_three_channel_except", "tpcds_q88_quantity_buckets",
+    "tpcds_q89_crossed_monthly_deviation", "tpcds_q90_band_count_ratio",
+    "tpcds_q91_monthly_return_cells", "tpcds_q93_returns_adjusted_sales",
+    "tpcds_q94_multi_supplier_no_returns", "tpcds_q96_multi_screen_count",
+    "tpcds_q98_class_revenue_share", "tpcds_q99_crossed_lag_buckets",
+    # Family keepers (cheap re-scored rows; sim via the new build, fn via
+    # fn_presto_compat, tpcds via the backlog)
+    "connector_tpchgen_q3", "events_tumbling_window", "text_quality_score",
+    "dedup_exact", "ml_classify", "multimodal_decode", "op_values",
+    "geo_union_agg",
 )
 
 
