@@ -2786,66 +2786,77 @@ ORDER BY c_custkey
     tags=("geo",),
 )
 def fn_geo_boolean_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Expression construction goes through selectExpr STRINGS, not nested
+    # Column composition: the operand arrays (7-9 st_point structs per
+    # ring) and the four multipolygon-area HOF chains cost one py4j round
+    # trip PER NODE when built with pyspark Column calls — profiled at
+    # ~1.4 s of pure driver time per invocation, 70% of this query's
+    # bench wall (r13 watch item). One SQL parse per select keeps the
+    # identical plan (same shoelace algebra, same aggregate order) with
+    # the tree built JVM-side.
     from ..operators import geo_scalar as GS
 
     src = sql_over(spark, sf_dir, _BOOL_OPS_SRC, ("customer",))
 
-    def ring_of(*pts: tuple[float, float]) -> F.Column:
-        return F.array(
-            *[G.st_point(F.lit(float(x)), F.lit(float(y))) for x, y in pts]
+    def pt(x, y) -> str:
+        return f"struct(CAST({x} AS DOUBLE) AS x, CAST({y} AS DOUBLE) AS y)"
+
+    def ring_of(*pts) -> str:
+        return "array(" + ", ".join(pt(x, y) for x, y in pts) + ")"
+
+    l_shape = "array(" + ring_of((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0)) + ")"
+    u_shape = "array(" + ring_of(
+        (0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3), (0, 0)
+    ) + ")"
+
+    def rect(x1, y1, x2, y2) -> str:
+        return "array(" + ring_of((x1, y1), (x2, y1), (x2, y2), (x1, y2), (x1, y1)) + ")"
+
+    ga = f"IF(kind = 0, {l_shape}, {u_shape})"
+    gb = (
+        f"IF(kind = 0, {rect('bx', 'by', 'bx + 2', 'by + 2')}, "
+        f"{rect('0.0', 'cb', '3.0', 'cb + 1')})"
+    )
+
+    # Shoelace area chain as SQL text (same algebra and accumulation order
+    # as functions/geo.py st_multipolygon_area -> st_polygon_area ->
+    # st_signed_area; lambda variables uniquified along the nesting chain).
+    def shoelace(r: str) -> str:
+        return (
+            f"aggregate(zip_with(slice({r}, 1, size({r}) - 1), "
+            f"slice({r}, 2, size({r}) - 1), (p, q) -> p.x * q.y - q.x * p.y), "
+            f"CAST(0.0 AS DOUBLE), (sa, sv) -> sa + sv) / 2.0"
         )
 
-    l_shape = F.array(
-        ring_of((0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4), (0, 0))
+    poly_area = (
+        f"(abs({shoelace('element_at(rr, 1)')}) - "
+        f"aggregate(slice(rr, 2, greatest(size(rr) - 1, 0)), "
+        f"CAST(0.0 AS DOUBLE), (ha, hr) -> ha + abs({shoelace('hr')})))"
     )
-    u_shape = F.array(
-        ring_of((0, 0), (3, 0), (3, 3), (2, 3), (2, 1), (1, 1), (1, 3), (0, 3), (0, 0))
-    )
-    bx, by, cb = F.col("bx"), F.col("by"), F.col("cb")
 
-    def rect(x1, y1, x2, y2) -> F.Column:
-        return F.array(
-            F.array(
-                G.st_point(x1, y1), G.st_point(x2, y1),
-                G.st_point(x2, y2), G.st_point(x1, y2), G.st_point(x1, y1),
-            )
-        )
+    def mpoly_area(g: str) -> str:
+        return f"aggregate({g}, CAST(0.0 AS DOUBLE), (pa, rr) -> pa + {poly_area})"
 
-    a = F.when(F.col("kind") == 0, l_shape).otherwise(u_shape)
-    b = F.when(F.col("kind") == 0, rect(bx, by, bx + 2, by + 2)).otherwise(
-        rect(F.lit(0.0), cb, F.lit(3.0), cb + 1)
-    )
     # stage operands once, then ONE arrangement build per row yielding all
     # four results (overlay_all) — four separate *_geom UDFs would redo
     # the exact-arithmetic edge split 4x per row; spread() rebalances the
     # staged operands to core count (byte-proportional scan partitioning
     # would run the Python kernel on 1-2 cores)
-    ops = (
-        spread(src.select("c_custkey", "kind", a.alias("ga"), b.alias("gb")))
-        .select(
-            "c_custkey", "kind",
-            GS.st_boolean_ops_geom(F.col("ga"), F.col("gb")).alias("bo"),
-        )
-        .select(
-            "c_custkey", "kind",
-            F.col("bo")["inter"].alias("gi"),
-            F.col("bo")["uni"].alias("gu"),
-            F.col("bo")["diff"].alias("gd"),
-            F.col("bo")["sym"].alias("gs"),
-        )
-    )
-    n_rings = F.aggregate(
-        F.col("gu"), F.lit(0), lambda acc, rings: acc + F.size(rings)
-    )
-    return ops.select(
+    ops = spread(
+        src.selectExpr("c_custkey", "kind", f"{ga} AS ga", f"{gb} AS gb")
+    ).select(
         "c_custkey", "kind",
-        F.round(G.st_multipolygon_area(F.col("gi")), 9).alias("inter_area"),
-        F.round(G.st_multipolygon_area(F.col("gu")), 9).alias("union_area"),
-        F.round(G.st_multipolygon_area(F.col("gd")), 9).alias("diff_area"),
-        F.round(G.st_multipolygon_area(F.col("gs")), 9).alias("sym_area"),
-        F.size(F.col("gu")).alias("n_union_polys"),
-        n_rings.cast("int").alias("n_union_rings"),
-        F.size(F.col("gi")).alias("n_inter_polys"),
+        GS.st_boolean_ops_geom(F.col("ga"), F.col("gb")).alias("bo"),
+    )
+    return ops.selectExpr(
+        "c_custkey", "kind",
+        f"round({mpoly_area('bo.inter')}, 9) AS inter_area",
+        f"round({mpoly_area('bo.uni')}, 9) AS union_area",
+        f"round({mpoly_area('bo.diff')}, 9) AS diff_area",
+        f"round({mpoly_area('bo.sym')}, 9) AS sym_area",
+        "size(bo.uni) AS n_union_polys",
+        "CAST(aggregate(bo.uni, 0, (na, nr) -> na + size(nr)) AS INT) AS n_union_rings",
+        "size(bo.inter) AS n_inter_polys",
     ).orderBy("c_custkey")
 
 
