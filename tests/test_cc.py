@@ -37,3 +37,20 @@ def test_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df, max_iter=2)
+
+
+def test_non_integral_node_ids_rejected(spark):
+    """ADVICE r13: string (or fractional-double) node ids would cast to
+    NULL/truncate in the decimal label-sum probe, making round 1 look
+    converged (None == None) — a silent partial closure. The guard must
+    reject them loudly at entry instead."""
+    df = spark.createDataFrame(
+        pd.DataFrame([("a", "b"), ("b", "c")], columns=["src", "dst"])
+    )
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(df)
+    ddf = spark.createDataFrame(
+        pd.DataFrame([(1.5, 2.5)], columns=["src", "dst"])
+    )
+    with pytest.raises(TypeError, match="integral node ids"):
+        connected_components(ddf)
