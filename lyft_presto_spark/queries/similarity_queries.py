@@ -1337,28 +1337,54 @@ def sim_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     PartitionFilters pruning the probe path pins), and the swap is a
 #     metadata rename.
 
-_COMPACT_TAIL = """
-allcells AS (
+# The post-upsert index (corpus cells ∪ frozen-codebook batch codes) is the
+# artifact compaction operates ON — at 100 TB it is the standing
+# cell-partitioned table on disk, not something re-derived per query. The
+# Spark side therefore stages it once (staged_view 'ups_allcells') and the
+# tail references the staged table; inlining it as a CTE instead made every
+# of the tail's four references re-expand the whole batch-coding subtree
+# (Spark inlines WITH blocks; DuckDB materializes multi-referenced CTEs,
+# so the oracle keeps the inline union form).
+_COMPACT_ALLCELLS = """
     SELECT vec_id, c FROM {cells} WHERE vec_id <> 0
     UNION ALL
     SELECT vec_id, c FROM bcodes WHERE vec_id <> 0
-),
+"""
+
+# Trigger decision, shared text: census the index, mark cells above mean
+# occupancy. The Spark side runs this FIRST and collects the triggered
+# cell ids (bounded by the cell count K — the same driver-fetch class as
+# the probe's nprobe ints), then inlines them as literals into the body so
+# (a) the census subtree is computed exactly once and (b) at 100 TB the
+# member read partition-prunes to exactly the overgrown cell directories.
+# The oracle keeps the subquery form (DuckDB materializes the CTE).
+_COMPACT_TRIG = """
 census AS (
-    SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM allcells GROUP BY c
+    SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM {ac} GROUP BY c
 ),
 trig AS (
     SELECT c FROM census
     WHERE n * (SELECT COUNT(*) FROM census) > (SELECT SUM(n) FROM census)
-),
-tvec AS (
+)"""
+
+# The re-cluster WORKING SET: the triggered cells' member vectors (tvec)
+# and the seed-split assignment over them. Both are consumed multiple
+# times by the refinement algebra (distance table, centroid recompute,
+# re-assignment), and Spark inlines every CTE reference — so the Spark
+# side materializes them once ('ups_tvec' / 'ups_split' staged views,
+# the same session memo every multiply-consumed deterministic artifact
+# uses); the oracle keeps the CTE forms (DuckDB materializes shared CTEs).
+_COMPACT_TVEC = """
     SELECT ac.c, f.vec_id, f.dim, f.xq
-    FROM allcells ac
+    FROM {ac} ac
     JOIN {flat} f ON f.vec_id = ac.vec_id
-    WHERE ac.c IN (SELECT c FROM trig)
-),
+    WHERE ac.c {in_trig}
+"""
+
+_COMPACT_SPLIT = """
 seeds AS (
     SELECT c, MIN(vec_id) AS s0, MAX(vec_id) AS s1
-    FROM allcells WHERE c IN (SELECT c FROM trig) GROUP BY c
+    FROM {ac} WHERE c {in_trig} GROUP BY c
 ),
 sv AS (
     SELECT s.c, CAST(0 AS INT) AS sub, f.dim, f.xq AS x
@@ -1370,7 +1396,7 @@ sv AS (
 sd AS (
     SELECT t.c, t.vec_id, v.sub,
            CAST(SUM((t.xq - v.x) * (t.xq - v.x)) AS BIGINT) AS d
-    FROM tvec t JOIN sv v ON v.c = t.c AND v.dim = t.dim
+    FROM {tvec} t JOIN sv v ON v.c = t.c AND v.dim = t.dim
     GROUP BY t.c, t.vec_id, v.sub
 ),
 seed_split AS (
@@ -1379,13 +1405,15 @@ seed_split AS (
                      < MIN(CASE WHEN sub = 0 THEN d END)
                 THEN 1 ELSE 0 END AS sub
     FROM sd GROUP BY c, vec_id
-),
+)"""
+
+_COMPACT_TAIL = """
 scb AS (
     SELECT sp.c, sp.sub, t.dim,
            CAST(SUM(t.xq) AS BIGINT) AS S,
            CAST(COUNT(*) AS BIGINT) AS n
-    FROM seed_split sp
-    JOIN tvec t ON t.vec_id = sp.vec_id AND t.c = sp.c
+    FROM {split} sp
+    JOIN {tvec} t ON t.vec_id = sp.vec_id AND t.c = sp.c
     GROUP BY sp.c, sp.sub, t.dim
 ),
 rd AS (
@@ -1395,7 +1423,7 @@ rd AS (
                   * (CAST(b.n AS DECIMAL(20,0)) * CAST(t.xq AS DECIMAL(20,0))
                      - CAST(b.S AS DECIMAL(20,0)))) AS DECIMAL(38,0)) AS A,
            CAST(b.n AS DECIMAL(20,0)) * CAST(b.n AS DECIMAL(20,0)) AS n2
-    FROM tvec t JOIN scb b ON b.c = t.c AND b.dim = t.dim
+    FROM {tvec} t JOIN scb b ON b.c = t.c AND b.dim = t.dim
     GROUP BY t.c, t.vec_id, b.sub, b.n
 ),
 refined AS (
@@ -1413,8 +1441,8 @@ refined AS (
 newidx AS (
     SELECT c, sub, vec_id FROM refined
     UNION ALL
-    SELECT c, CAST(-1 AS INT) AS sub, vec_id FROM allcells
-    WHERE c NOT IN (SELECT c FROM trig)
+    SELECT c, CAST(-1 AS INT) AS sub, vec_id FROM {ac}
+    WHERE NOT (c {in_trig})
 )
 SELECT CAST(n.c AS INT) AS cell,
        CAST(n.sub AS INT) AS subcell,
@@ -1447,7 +1475,13 @@ bflat AS (
 ),
 ccb0 AS (
     {coarse_cb0}
-),{_pq_dist_cte('cd1', 'ccb0', 'cflatc')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflatc')},{_pq_dist_cte('cd2', 'ccb1', 'cflatc')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflatc')},{_pq_dist_cte('cd3', 'ccb2', 'cflatc')},{_pq_assign_cte('cells', 'cd3', 'duck')},{_pq_dist_cte('bd', 'ccb2', 'bflat')},{_pq_assign_cte('bcodes', 'bd', 'duck')},{_COMPACT_TAIL.format(cells='cells', flat='flat').lstrip()}"""
+),{_pq_dist_cte('cd1', 'ccb0', 'cflatc')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflatc')},{_pq_dist_cte('cd2', 'ccb1', 'cflatc')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflatc')},{_pq_dist_cte('cd3', 'ccb2', 'cflatc')},{_pq_assign_cte('cells', 'cd3', 'duck')},{_pq_dist_cte('bd', 'ccb2', 'bflat')},{_pq_assign_cte('bcodes', 'bd', 'duck')},
+allcells AS (
+    {_COMPACT_ALLCELLS.format(cells='cells').strip()}
+),{_COMPACT_TRIG.format(ac='allcells').lstrip()},
+tvec AS (
+    {_COMPACT_TVEC.format(ac='allcells', flat='flat', in_trig='IN (SELECT c FROM trig)').strip()}
+),{_COMPACT_SPLIT.format(ac='allcells', flat='flat', tvec='tvec', in_trig='IN (SELECT c FROM trig)').lstrip()},{_COMPACT_TAIL.format(ac='allcells', tvec='tvec', split='seed_split', in_trig='IN (SELECT c FROM trig)').lstrip()}"""
 
 
 @query(
@@ -1469,18 +1503,55 @@ ccb0 AS (
     tags=("similarity", "extension"),
 )
 def sim_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.staging import staged_view
+
     v = _upsert_staged(spark, sf_dir)
     m = _UPSERT_BATCH_MOD
     bflat = (
         f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
         f"WHERE vec_id % {m} = {m - 1}"
     )
-    chain = (
+    allcells_sql = (
         f"WITH bflat AS ({bflat}),"
         + _pq_dist_cte("bd", v["ccb2"], "bflat")
         + ","
         + _pq_assign_cte("bcodes", "bd", "spark")
-        + ","
-        + _COMPACT_TAIL.format(cells=v["cells"], flat=v["flat"]).lstrip()
+        + _COMPACT_ALLCELLS.format(cells=v["cells"])
     )
-    return sql_over(spark, sf_dir, chain, ("embeddings",))
+    allcells_v = staged_view(
+        spark, sf_dir, "ups_allcells", lambda: spark.sql(allcells_sql)
+    )
+    # Bounded driver fetch of the trigger set (≤K cell ids, K = the coarse
+    # codebook size — same class as the probe's nprobe-int collect): the
+    # compaction DECISION is driver-side metadata; inlining the cells as
+    # literals computes the census exactly once and makes the member read
+    # partition-prunable at scale.
+    trig_sql = (
+        "WITH " + _COMPACT_TRIG.format(ac=allcells_v).lstrip()
+        + "\nSELECT c FROM trig"
+    )
+    trig = sorted(r.c for r in spark.sql(trig_sql).collect())
+    in_trig = "IN (" + (", ".join(str(c) for c in trig) or "-1") + ")"
+    tvec_v = staged_view(
+        spark, sf_dir, "ups_tvec",
+        lambda: spark.sql(
+            _COMPACT_TVEC.format(ac=allcells_v, flat=v["flat"], in_trig=in_trig)
+        ),
+    )
+    split_v = staged_view(
+        spark, sf_dir, "ups_split",
+        lambda: spark.sql(
+            "WITH "
+            + _COMPACT_SPLIT.format(
+                ac=allcells_v, flat=v["flat"], tvec=tvec_v, in_trig=in_trig
+            ).lstrip()
+            + "\nSELECT * FROM seed_split"
+        ),
+    )
+    return sql_over(
+        spark, sf_dir,
+        "WITH " + _COMPACT_TAIL.format(
+            ac=allcells_v, tvec=tvec_v, split=split_v, in_trig=in_trig
+        ).lstrip(),
+        ("embeddings",),
+    )
