@@ -1428,7 +1428,7 @@ rd AS (
 ),
 refined AS (
     SELECT c, vec_id,
-           CASE WHEN A1 * n20 < A0 * n21 THEN 1 ELSE 0 END AS sub
+           CASE {ofl_when}WHEN A1 * n20 < A0 * n21 THEN 1 ELSE 0 END AS sub
     FROM (
         SELECT c, vec_id,
                MIN(CASE WHEN sub = 0 THEN A END) AS A0,
@@ -1453,6 +1453,24 @@ FROM newidx n
 GROUP BY n.c, n.sub
 ORDER BY cell, subcell
 """
+
+# Headroom bound for the cross-multiplied rational argmin (ADVICE r14):
+# the comparison A1*n20 < A0*n21 multiplies A = Σ_dim (n·x − S)² (DECIMAL
+# 38,0) by n² (DECIMAL 20,0 squared). With int8-range components (|x| ≤
+# 127) and D = 64 dims, A·n² ≈ D·xmax²·n⁴ stays inside DECIMAL(38,0) up
+# to roughly n ≈ 1e8 members per cell — far above any sane cell capacity
+# (compaction exists precisely to split cells long before that). DuckDB
+# raises on decimal overflow natively; Spark's non-ANSI mode NULLs the
+# product, and a NULL comparison would silently fall to subcell 0 —
+# misassignment, not an error. The Spark side therefore detects
+# overflow-NULL (operands non-NULL, product NULL) and raises instead.
+_OFL_WHEN_SPARK = (
+    "WHEN (A1 IS NOT NULL AND n20 IS NOT NULL AND A1 * n20 IS NULL)\n"
+    "                  OR (A0 IS NOT NULL AND n21 IS NOT NULL AND A0 * n21 IS NULL)\n"
+    "                THEN CAST(raise_error('sim_ivf_compaction: decimal "
+    "overflow in refinement argmin — cell exceeds the ~1e8-member headroom "
+    "bound; raise capacity or pre-split') AS INT)\n                "
+)
 
 
 def _compact_oracle() -> str:
@@ -1481,7 +1499,7 @@ allcells AS (
 ),{_COMPACT_TRIG.format(ac='allcells').lstrip()},
 tvec AS (
     {_COMPACT_TVEC.format(ac='allcells', flat='flat', in_trig='IN (SELECT c FROM trig)').strip()}
-),{_COMPACT_SPLIT.format(ac='allcells', flat='flat', tvec='tvec', in_trig='IN (SELECT c FROM trig)').lstrip()},{_COMPACT_TAIL.format(ac='allcells', tvec='tvec', split='seed_split', in_trig='IN (SELECT c FROM trig)').lstrip()}"""
+),{_COMPACT_SPLIT.format(ac='allcells', flat='flat', tvec='tvec', in_trig='IN (SELECT c FROM trig)').lstrip()},{_COMPACT_TAIL.format(ac='allcells', tvec='tvec', split='seed_split', in_trig='IN (SELECT c FROM trig)', ofl_when='').lstrip()}"""
 
 
 @query(
@@ -1551,7 +1569,8 @@ def sim_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(
         spark, sf_dir,
         "WITH " + _COMPACT_TAIL.format(
-            ac=allcells_v, tvec=tvec_v, split=split_v, in_trig=in_trig
+            ac=allcells_v, tvec=tvec_v, split=split_v, in_trig=in_trig,
+            ofl_when=_OFL_WHEN_SPARK,
         ).lstrip(),
         ("embeddings",),
     )

@@ -85,13 +85,16 @@ def assert_driver_hashable(spark_df: DataFrame, name: str = "?") -> None:
     gate pins the *driver's* limitation the way tests/test_bench_contract
     pins the metric-line contract. Queries that pin array/map semantics
     must serialize the column (array_join / to_json) in BOTH dialects.
-    """
-    from pyspark.sql import types as T
 
+    Nesting counts (ADVICE r14): a struct<a: array<int>> column becomes a
+    Row holding a Python list after toPandas — the exact unhashable-cell
+    failure — so the check matches array</map< anywhere in the type string,
+    not only at the top level.
+    """
     bad = [
         f"{f.name}: {f.dataType.simpleString()}"
         for f in spark_df.schema.fields
-        if isinstance(f.dataType, (T.ArrayType, T.MapType))
+        if "array<" in f.dataType.simpleString() or "map<" in f.dataType.simpleString()
     ]
     if bad:
         raise OracleMismatch(

@@ -227,9 +227,16 @@ def test_ivf_compaction_splits_only_overgrown_cells(spark, sf_dir):
             assert [r.subcell for r in rs] == [-1]
             assert totals[c] <= mean_by_k
     # Index conservation vs the upsert census (modulo the excluded query
-    # vector, which lives in exactly one cell).
+    # vector, which lives in exactly one cell). Per-cell, not summed
+    # (ADVICE r14): a cross-cell leak (+1 here, -1 there) conserves the
+    # total, so assert exactly one cell differs by exactly 1 (the query
+    # vector's cell) and every other cell matches exactly.
     diff = {c: census[c] - totals.get(c, 0) for c in census}
-    assert sorted(diff.values()) in ([0, 0, 0, 1], [1]) or sum(diff.values()) == 1
+    off = {c: d for c, d in diff.items() if d != 0}
+    assert list(off.values()) == [1], (
+        f"per-cell conservation violated (query-vector cell aside, every "
+        f"cell must recompose exactly): {off}"
+    )
 
 
 def test_shared_span_stop_gram_cap_bounds_postings(spark, sf_dir):

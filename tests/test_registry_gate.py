@@ -40,6 +40,20 @@ def test_gate_trips_on_map_output(spark):
         assert_driver_hashable(df, name="synthetic_map")
 
 
+def test_gate_trips_on_nested_array_in_struct(spark):
+    """ADVICE r14: struct<a: array<int>> becomes a Row holding a Python list
+    after toPandas — unhashable — so nesting must not slip the gate."""
+    df = spark.sql("SELECT named_struct('a', array(1, 2)) AS st, 1 AS k")
+    with pytest.raises(OracleMismatch, match="driver-unhashable"):
+        assert_driver_hashable(df, name="synthetic_nested_array")
+
+
+def test_gate_trips_on_nested_map_in_struct(spark):
+    df = spark.sql("SELECT named_struct('m', map('a', 1)) AS st")
+    with pytest.raises(OracleMismatch, match="driver-unhashable"):
+        assert_driver_hashable(df, name="synthetic_nested_map")
+
+
 def test_gate_passes_scalar_output(spark):
     df = spark.sql("SELECT 1 AS k, 'x' AS s, array_join(array('a','b'), ',') AS ser")
     assert_driver_hashable(df, name="synthetic_scalar")  # must not raise
