@@ -986,3 +986,144 @@ bands AS (
     LATERAL VIEW explode(array({structs})) AS b
 ),{_incremental_minhash_tail(sim).lstrip()}"""
     return sql_over(spark, sf_dir, sql, ("documents",))
+
+
+# --- Semantic (embedding) dedup through the IVF index (NEW r15) ---------------
+# The dedup family above is lexical (digest / MinHash / SimHash / n-gram);
+# a training-data pipeline also dedups by MEANING. Candidate pairs come
+# from shared cells of the SAME staged cell-partitioned IVF index the ANN
+# probe reads (similarity_queries._ivf_index_write_path — build once,
+# consume everywhere), refined by an exact integer squared-L2 threshold in
+# the quantized space (bit-replayable in both engines — no float drift),
+# and closed into clusters by the existing min-label-propagation
+# connected_components with the component id as the keep-first canonical.
+# Reference tie: the SetDigest jaccard/intersection niche
+# (presto-main/.../SetDigestFunctions.java) generalized from token sets to
+# embeddings. Scale shape (SCALE.md): the candidate generator is an
+# equi-join on (cell, dim) — never all-pairs; per-cell pair count is
+# capacity-bounded because sim_ivf_compaction splits any cell above its
+# provisioned capacity, so total refine work is sum_cells(cap_c^2) ~
+# n * cap — linear in the corpus at fixed capacity.
+
+# Quantized squared-L2 threshold: xq = round((x+4)*1e6), so d2/1e12 is the
+# squared euclidean distance in the original float space (~1.1 here —
+# sized so the fixture's random embeddings yield real cluster structure
+# at both tested scales: 30 edges/25 clusters at sf0.01, 394/240 at
+# sf0.1, max cluster 11).
+_SEMANTIC_L2Q_T = 1_200_000_000_000
+
+
+def _semantic_oracle() -> str:
+    from .similarity_queries import (
+        _PQ_FLAT_DUCK,
+        _pq_assign_cte,
+        _pq_cb_cte_src,
+        _pq_dist_cte,
+    )
+
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflat WHERE vec_id < 4"
+    )
+    # `e`/`edges` are MATERIALIZED: the recursive closure re-expands any
+    # inlined upstream CTE once per iteration, which re-runs the whole
+    # exact-Lloyd training chain each round (measured: >270 s vs 9 s at
+    # sf0.1) — the oracle-side twin of the CTE-inlining trap BENCHNOTES
+    # r14 banked for Spark.
+    return f"""
+WITH RECURSIVE flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflat AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflat')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflat')},{_pq_dist_cte('cd2', 'ccb1', 'cflat')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflat')},{_pq_dist_cte('cd3', 'ccb2', 'cflat')},{_pq_assign_cte('cells', 'cd3', 'duck')},
+pd2 AS (
+    SELECT ca.vec_id AS va, cb.vec_id AS vb,
+           CAST(SUM((fa.xq - fb.xq) * (fa.xq - fb.xq)) AS BIGINT) AS d2
+    FROM cells ca JOIN cells cb ON ca.c = cb.c AND ca.vec_id < cb.vec_id
+    JOIN cflat fa ON fa.vec_id = ca.vec_id
+    JOIN cflat fb ON fb.vec_id = cb.vec_id AND fb.dim = fa.dim
+    GROUP BY ca.vec_id, cb.vec_id
+),
+e AS MATERIALIZED (
+    SELECT va, vb FROM pd2 WHERE d2 <= {_SEMANTIC_L2Q_T}
+),
+edges AS MATERIALIZED (
+    SELECT va AS src, vb AS dst FROM e UNION SELECT vb, va FROM e
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, ed.dst FROM reach JOIN edges ed ON reach.r = ed.src
+),
+labeled AS (
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+)
+SELECT component,
+       count(*) AS cluster_size,
+       string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+FROM labeled
+GROUP BY component
+ORDER BY component
+"""
+
+
+@query(
+    "dedup_semantic",
+    oracle=_semantic_oracle(),
+    doc="Semantic (embedding-based) dedup through the IVF index (NEW r15 — "
+    "VERDICT r14 ask #3): candidate pairs are vectors sharing a cell of "
+    "the staged cell-partitioned IVF index (the same parquet artifact "
+    "sim_ivf_partition_probe prunes — built once, equi-join on (cell, "
+    "dim), never all-pairs), refined by an exact integer squared-L2 "
+    "threshold in the quantized space, closed into near-dup clusters by "
+    "min-label propagation (operators/cc.py) with the minimum vec_id as "
+    "the keep-first canonical. The oracle replays training, cell "
+    "assignment, threshold, and a recursive-CTE closure bit-for-bit. "
+    "Per-cell pair count is capacity-bounded (sim_ivf_compaction splits "
+    "overgrown cells), so refine work is linear in the corpus at fixed "
+    "capacity.",
+    tags=("dedup", "similarity", "extension"),
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cc import connected_components
+    from .similarity_queries import _ivf_index_write_path
+
+    path = _ivf_index_write_path(spark, sf_dir)
+
+    def build_edges() -> DataFrame:
+        idx = spark.read.parquet(path)
+        a = idx.select("c", "dim", F.col("vec_id").alias("va"), F.col("xq").alias("xa"))
+        b = idx.select("c", "dim", F.col("vec_id").alias("vb"), F.col("xq").alias("xb"))
+        d = F.col("xa") - F.col("xb")
+        return (
+            a.join(b, ["c", "dim"])
+            .where(F.col("va") < F.col("vb"))
+            .groupBy("va", "vb")
+            .agg(F.sum(d * d).cast("bigint").alias("d2"))
+            .where(F.col("d2") <= _SEMANTIC_L2Q_T)
+            .select("va", "vb")
+        )
+
+    # Stage the EDGES (the dedup_cluster_canonical lesson, VERDICT r12 #4):
+    # the closure consumes the pair graph every propagation round; without
+    # staging, the index self-join would re-run under each round's lineage.
+    edges = staged(spark, sf_dir, "semantic_edges", build_edges)
+    cc = connected_components(edges, "va", "vb", edges_unique=True)
+    return (
+        cc.groupBy(F.col("label").alias("component"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("node")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("component")
+    )

@@ -713,3 +713,21 @@ def test_ivfpq_search_cell_pruned_semi_join_no_cartesian(spark, sf_dir):
         vid for vid, c in cell_of.items() if vid != 0 and c not in probed
     }
     assert excluded, "cell pruning excluded nothing — semi-join is vacuous"
+
+
+def test_dedup_semantic_cell_bucketed_and_canonical(spark, sf_dir):
+    """NEW r15 (VERDICT r14 ask #3): semantic dedup's candidate generator
+    must be the cell-bucketed equi-join (no cartesian anywhere in the
+    plan), clusters must partition their members (a vector joins at most
+    one cluster), singletons are not emitted, and the component id is the
+    keep-first canonical (the minimum member)."""
+    df = QS["dedup_semantic"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert rows, "threshold yields no clusters — the row is vacuous"
+    members = [int(x) for r in rows for x in r.members.split(",")]
+    assert len(members) == len(set(members)), "a vector leaked into two clusters"
+    for r in rows:
+        ms = [int(x) for x in r.members.split(",")]
+        assert r.cluster_size == len(ms) >= 2
+        assert r.component == min(ms), "component must be the keep-first canonical"
