@@ -128,6 +128,9 @@ HEADLINE_EXTRAS = (
     # r14 addition: the IVF compaction decision (census trigger + targeted
     # re-cluster of overgrown cells), completing the ANN lifecycle.
     "sim_ivf_compaction",
+    # r15 addition: semantic dedup through the shared IVF cell index
+    # (cell-bucketed candidate join + exact integer refine + closure).
+    "dedup_semantic",
 )
 
 

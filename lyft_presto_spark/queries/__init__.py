@@ -279,38 +279,58 @@ from .registry import REGISTRY, Query, query
 # compaction row and fn by fn_presto_compat. After r14 the never-scored
 # pool is 0 (registry-growth adjusted: +1 new row, scored this round) —
 # cumulative driver-green would reach 345/346.
+# r15 rotation — STALENESS POLICY (VERDICT r14 next-round #1). The
+# never-scored backlog is exhausted (346/346 cumulative driver-green after
+# r14), so from r15 on the 50 slots are allocated by STALENESS x CHURN:
+# (1) new operators built this round enter the head immediately (the
+# new-operators-never-wait rule, unchanged); (2) remaining slots go to the
+# rows with the OLDEST last-driver-score, tie-broken toward rows whose
+# implementing module changed since that score (churn) — concretely this
+# round: fn_geo_boolean_ops (REWRITTEN r14 on an r6 score — the poster
+# case) and the other r<=6-scored geo rows riding the r14
+# geo_queries/polygon_overlay work, the dedup closure rows riding the
+# r13/r14 cc.py rework (dedup_cluster_canonical r5, dedup_minhash_lsh r6),
+# then strictly oldest-first; (3) every family keeps >= 1 scored row —
+# when a family has no stale row, its keeper is its stalest row (tpcds ->
+# tpcds_q01 r6, multimodal -> multimodal_features r6, ml -> ml_regress r9,
+# connector -> connector_tpchgen_orders r9), so keepers also retire
+# staleness instead of re-scoring fresh rows. tpch keeps only the q1
+# flagship this round (every tpch row is r10+-green) to fund stale slots.
+# This head: 48 of 50 slots are re-scores of rows last driver-scored
+# r9 or earlier — the entire r1-r4 tail (op_unnest_ordinality r1, all 19
+# r2 rows, the 3 r3 join rows, all 6 r4 rows) plus the r5/r6 verdict-named
+# set. After r15 the oldest remaining last-score is r5 (9 rows).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
-    # Flagship + pushdown pin
-    "tpch_q1", "tpch_q6",
-    # NEW r14 build — scored the round it was built
-    "sim_ivf_compaction",
-    # The r13 red row, re-shaped to a driver-hashable output (ask #1)
-    "fn_presto_compat",
-    # The entire remaining never-scored backlog: 38 tpcds shapes
-    "tpcds_q48_disjunctive_scan", "tpcds_q50_return_lag_buckets",
-    "tpcds_q52_brand_month_report", "tpcds_q53_quarterly_deviation_screen",
-    "tpcds_q55_brand_month_topn", "tpcds_q56_screened_channel_totals",
-    "tpcds_q57_deviation_with_extrema", "tpcds_q59_wow_weekday_ratio",
-    "tpcds_q60_category_channel_totals", "tpcds_q62_shipping_lag_buckets",
-    "tpcds_q63_cohort_monthly_deviation", "tpcds_q65_below_avg_revenue",
-    "tpcds_q66_monthly_mode_pivot", "tpcds_q68_trip_two_measures",
-    "tpcds_q71_brand_time_buckets", "tpcds_q72_reorder_within_window",
-    "tpcds_q73_small_basket_cohort", "tpcds_q74_min_ratio_growth_gate",
-    "tpcds_q75_yoy_decline", "tpcds_q76_null_key_channel_counts",
-    "tpcds_q77_channel_pnl_rollup", "tpcds_q79_best_trip_per_customer",
-    "tpcds_q81_catalog_high_returners", "tpcds_q82_band_items_qty_having",
-    "tpcds_q83_three_channel_item_returns", "tpcds_q84_customer_band_decode",
-    "tpcds_q85_reason_band_averages", "tpcds_q86_rollup_rank_within_parent",
-    "tpcds_q87_three_channel_except", "tpcds_q88_quantity_buckets",
-    "tpcds_q89_crossed_monthly_deviation", "tpcds_q90_band_count_ratio",
-    "tpcds_q91_monthly_return_cells", "tpcds_q93_returns_adjusted_sales",
-    "tpcds_q94_multi_supplier_no_returns", "tpcds_q96_multi_screen_count",
-    "tpcds_q98_class_revenue_share", "tpcds_q99_crossed_lag_buckets",
-    # Family keepers (cheap re-scored rows; sim via the new build, fn via
-    # fn_presto_compat, tpcds via the backlog)
-    "connector_tpchgen_q3", "events_tumbling_window", "text_quality_score",
-    "dedup_exact", "ml_classify", "multimodal_decode", "op_values",
-    "geo_union_agg",
+    # Flagship
+    "tpch_q1",
+    # NEW r15 build — scored the round it was built
+    "dedup_semantic",
+    # Churn-first: geo rows whose implementing module was rewritten or
+    # reworked in r14 on r<=6 scores (VERDICT r14 #1 names these)
+    "fn_geo_boolean_ops", "fn_geo_polygon_predicates", "fn_geo_relate",
+    "fn_geo_relate_pairs", "geo_union_area_sweep",
+    "op_spatial_polygon_pair_join", "op_spatial_polygon_join",
+    # Churn: dedup closure rows riding the r13/r14 cc.py rework
+    "dedup_cluster_canonical", "dedup_minhash_lsh",
+    # Oldest-first: the full r1-r3 tail (op_unnest_ordinality r1; 19 r2
+    # rows; 3 r3 join rows)
+    "op_unnest_ordinality",
+    "op_join_right", "op_join_full", "op_join_cross", "op_agg_filter",
+    "op_agg_rollup", "op_agg_cube", "op_distinct_limit", "op_window_rank",
+    "op_window_lag_lead", "op_window_value_functions",
+    "op_window_distribution", "op_sort_nulls", "op_limit_offset",
+    "op_limit_with_ties", "op_union_all", "op_union_distinct",
+    "op_intersect", "op_except", "op_except_all",
+    "op_join_left", "op_join_anti", "op_join_nonequi",
+    # The full r4 tail
+    "fn_string", "fn_json", "dedup_simhash", "sim_topk_signbucket",
+    "fn_geo_polygon_measures", "op_spatial_bbox_join",
+    # r5 rows (text/sim/events keepers are their families' stalest rows)
+    "text_pii_scrub", "sim_knn_join", "events_funnel", "fn_stats_agg",
+    "fn_datetime_patterns", "op_agg_multi_distinct",
+    # Family keepers = the family's stalest row (retires staleness too)
+    "multimodal_features", "tpcds_q01_returns_above_avg", "ml_regress",
+    "connector_tpchgen_orders",
 )
 
 
