@@ -14,6 +14,7 @@ from .inspect import (
     assert_no_cartesian,
     assert_pushed_filters,
     assert_read_schema_pruned,
+    construction_seconds,
     count_exchanges,
     formatted_plan,
 )
@@ -25,4 +26,5 @@ __all__ = [
     "assert_no_cartesian",
     "assert_broadcast_join",
     "assert_read_schema_pruned",
+    "construction_seconds",
 ]
