@@ -14,6 +14,7 @@ from .events_stream import (
     stream_events,
     tumbling_counts,
 )
+from .ann_ingest_stream import ann_ingest_query, code_against_codebook
 from .burst_stream import burst_stream
 from .join_stream import attribution_pairs
 from .sessionize_stream import sessionize_stream
@@ -26,4 +27,6 @@ __all__ = [
     "sessionize_stream",
     "attribution_pairs",
     "burst_stream",
+    "ann_ingest_query",
+    "code_against_codebook",
 ]
