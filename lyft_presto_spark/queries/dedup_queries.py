@@ -1109,11 +1109,21 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("va", "vb")
         )
 
-    # Stage the EDGES (the dedup_cluster_canonical lesson, VERDICT r12 #4):
-    # the closure consumes the pair graph every propagation round; without
-    # staging, the index self-join would re-run under each round's lineage.
-    edges = staged(spark, sf_dir, "semantic_edges", build_edges)
-    cc = connected_components(edges, "va", "vb", edges_unique=True)
+    # Stage the EDGES (the dedup_cluster_canonical lesson, VERDICT r12 #4)
+    # AND the closure's component map: unlike the jaccard graph's shallow
+    # clusters, the semantic graph has diameter-11 chains at sf0.1, so the
+    # min-label propagation runs ~10 rounds of driver-latency-bound jobs —
+    # re-running that per consumer is the same trap as re-running the
+    # posting join. The component map is itself the published dedup
+    # artifact a production pipeline materializes once per corpus version
+    # (the content-fingerprinted staging path invalidates it when the
+    # corpus changes); every consumer — this census, the canonical-keep
+    # join, the downstream filter — reads the staged map.
+    def build_components() -> DataFrame:
+        edges = staged(spark, sf_dir, "semantic_edges", build_edges)
+        return connected_components(edges, "va", "vb", edges_unique=True)
+
+    cc = staged(spark, sf_dir, "semantic_components", build_components)
     return (
         cc.groupBy(F.col("label").alias("component"))
         .agg(
