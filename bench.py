@@ -128,9 +128,13 @@ HEADLINE_EXTRAS = (
     # r14 addition: the IVF compaction decision (census trigger + targeted
     # re-cluster of overgrown cells), completing the ANN lifecycle.
     "sim_ivf_compaction",
-    # r15 addition: semantic dedup through the shared IVF cell index
-    # (cell-bucketed candidate join + exact integer refine + closure).
+    # r15 additions: semantic dedup through the shared IVF cell index
+    # (cell-bucketed candidate join + exact integer refine + closure) and
+    # its incremental form — the embedding admission gate (batch coded
+    # against the frozen codebook, gated against the standing corpus
+    # cells).
     "dedup_semantic",
+    "dedup_semantic_incremental",
 )
 
 

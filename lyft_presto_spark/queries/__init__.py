@@ -296,15 +296,18 @@ from .registry import REGISTRY, Query, query
 # connector -> connector_tpchgen_orders r9), so keepers also retire
 # staleness instead of re-scoring fresh rows. tpch keeps only the q1
 # flagship this round (every tpch row is r10+-green) to fund stale slots.
-# This head: 48 of 50 slots are re-scores of rows last driver-scored
+# This head: 47 of 50 slots are re-scores of rows last driver-scored
 # r9 or earlier — the entire r1-r4 tail (op_unnest_ordinality r1, all 19
 # r2 rows, the 3 r3 join rows, all 6 r4 rows) plus the r5/r6 verdict-named
-# set. After r15 the oldest remaining last-score is r5 (9 rows).
+# set; the other 3 are the flagship and the two NEW r15 builds
+# (dedup_semantic, dedup_semantic_incremental — the second funded by
+# op_agg_multi_distinct's slot, which waits with the other r5 rows for
+# r16). After r15 the oldest remaining last-score is r5 (10 rows).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # Flagship
     "tpch_q1",
-    # NEW r15 build — scored the round it was built
-    "dedup_semantic",
+    # NEW r15 builds — scored the round they were built
+    "dedup_semantic", "dedup_semantic_incremental",
     # Churn-first: geo rows whose implementing module was rewritten or
     # reworked in r14 on r<=6 scores (VERDICT r14 #1 names these)
     "fn_geo_boolean_ops", "fn_geo_polygon_predicates", "fn_geo_relate",
@@ -327,7 +330,7 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "fn_geo_polygon_measures", "op_spatial_bbox_join",
     # r5 rows (text/sim/events keepers are their families' stalest rows)
     "text_pii_scrub", "sim_knn_join", "events_funnel", "fn_stats_agg",
-    "fn_datetime_patterns", "op_agg_multi_distinct",
+    "fn_datetime_patterns",
     # Family keepers = the family's stalest row (retires staleness too)
     "multimodal_features", "tpcds_q01_returns_above_avg", "ml_regress",
     "connector_tpchgen_orders",

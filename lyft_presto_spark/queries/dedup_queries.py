@@ -1137,3 +1137,123 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+# --- Incremental ingestion gate, SEMANTIC form (NEW r15) ----------------------
+# Completes the gate matrix: dedup_incremental_delta is the exact+posting
+# gate, dedup_incremental_minhash the LSH gate — this is the EMBEDDING
+# gate, the admission decision a multimodal/LLM pipeline runs per ingest
+# batch: is this vector semantically already in the corpus? The batch
+# (vec_id % 5 = 4, the upsert fixture split) is coded against the FROZEN
+# corpus-trained coarse codebook (the sim_ivf_index_upsert algebra — one
+# broadcast distance round + exact rational argmin, work proportional to
+# the batch), candidates are the batch's cells equi-joined against the
+# STANDING corpus cell assignment (the same staged artifact the ANN
+# probe and dedup_semantic consume), and the verdict is decided by the
+# exact integer squared-L2 threshold with the best match picked by
+# (d2, corpus vec_id) row_number — deterministic, bit-replayable.
+# Corpus x corpus is never joined; per-batch candidate count is
+# batch x cell-capacity, bounded by the compaction trigger.
+
+
+def _sem_inc_tail(cflatc: str, cells: str, t: int) -> str:
+    return f"""
+cand AS (
+    SELECT b.vec_id AS vb, cl.vec_id AS vc
+    FROM bcodes b JOIN {cells} cl ON cl.c = b.c
+),
+pdist AS (
+    SELECT ca.vb, ca.vc,
+           CAST(SUM((fb.xq - fc.xq) * (fb.xq - fc.xq)) AS BIGINT) AS d2
+    FROM cand ca
+    JOIN bflat fb ON fb.vec_id = ca.vb
+    JOIN {cflatc} fc ON fc.vec_id = ca.vc AND fc.dim = fb.dim
+    GROUP BY ca.vb, ca.vc
+),
+best AS (
+    SELECT vb, vc, d2 FROM (
+        SELECT vb, vc, d2,
+               row_number() OVER (PARTITION BY vb ORDER BY d2, vc) AS rn
+        FROM pdist WHERE d2 <= {t}
+    ) r WHERE rn = 1
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
+       CASE WHEN bt.vb IS NOT NULL THEN 'dup' ELSE 'keep' END AS verdict,
+       CAST(bt.vc AS BIGINT) AS matched_vec,
+       CAST(bt.d2 AS BIGINT) AS l2q_dist
+FROM bcodes b
+LEFT JOIN best bt ON bt.vb = b.vec_id
+ORDER BY vec_id
+"""
+
+
+def _sem_inc_oracle() -> str:
+    from .similarity_queries import (
+        _PQ_FLAT_DUCK,
+        _UPSERT_BATCH_MOD,
+        _pq_assign_cte,
+        _pq_cb_cte_src,
+        _pq_dist_cte,
+    )
+
+    m = _UPSERT_BATCH_MOD
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflatc WHERE vec_id < 4"
+    )
+    return f"""
+WITH flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflatc AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} <> {m - 1}
+),
+bflat AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} = {m - 1}
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflatc')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflatc')},{_pq_dist_cte('cd2', 'ccb1', 'cflatc')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflatc')},{_pq_dist_cte('cd3', 'ccb2', 'cflatc')},{_pq_assign_cte('cells', 'cd3', 'duck')},{_pq_dist_cte('bd', 'ccb2', 'bflat')},{_pq_assign_cte('bcodes', 'bd', 'duck')},{_sem_inc_tail('cflatc', 'cells', _SEMANTIC_L2Q_T).lstrip()}"""
+
+
+@query(
+    "dedup_semantic_incremental",
+    oracle=_sem_inc_oracle(),
+    doc="Incremental ingestion gate, semantic form (NEW r15): the embedding "
+    "admission decision per ingest batch, completing the gate matrix "
+    "(exact+posting -> LSH -> semantic). The batch codes against the "
+    "FROZEN corpus-trained codebook (the upsert algebra, work "
+    "proportional to the batch), candidates come from the batch's cells "
+    "equi-joined against the STANDING staged corpus cell assignment (the "
+    "artifact the ANN probe and dedup_semantic share), and the verdict "
+    "is the exact integer squared-L2 threshold with the best match "
+    "picked by (d2, corpus vec_id) row_number. Corpus x corpus never "
+    "joined; training, both codings, candidates, and verdicts replay "
+    "bit-for-bit in the oracle.",
+    tags=("dedup", "similarity", "extension"),
+)
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity_queries import (
+        _UPSERT_BATCH_MOD,
+        _pq_assign_cte,
+        _pq_dist_cte,
+        _upsert_staged,
+    )
+
+    v = _upsert_staged(spark, sf_dir)
+    m = _UPSERT_BATCH_MOD
+    bflat = (
+        f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
+        f"WHERE vec_id % {m} = {m - 1}"
+    )
+    sql = (
+        f"WITH bflat AS ({bflat}),"
+        + _pq_dist_cte("bd", v["ccb2"], "bflat")
+        + ","
+        + _pq_assign_cte("bcodes", "bd", "spark")
+        + ","
+        + _sem_inc_tail(v["cflatc"], v["cells"], _SEMANTIC_L2Q_T).lstrip()
+    )
+    return sql_over(spark, sf_dir, sql, ("embeddings",))

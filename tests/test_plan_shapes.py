@@ -797,3 +797,28 @@ def test_construction_gate_trips_on_deep_column_tree(spark):
         f"synthetic deep tree built in {secs:.2f}s — the budget no longer "
         f"discriminates; tighten it or deepen the control"
     )
+
+
+def test_semantic_gate_batch_sided_and_deterministic(spark, sf_dir):
+    """NEW r15: the semantic ingest gate must generate candidates from the
+    batch side only (no cartesian; corpus x corpus never joined — the
+    candidate join is batch codes vs corpus cells on the cell key), emit
+    exactly one verdict per batch vector, and pick a deterministic best
+    match (l2q_dist under the threshold, matched_vec set iff dup)."""
+    from lyft_presto_spark.queries.dedup_queries import _SEMANTIC_L2Q_T
+    from lyft_presto_spark.queries.similarity_queries import _UPSERT_BATCH_MOD
+
+    df = QS["dedup_semantic_incremental"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    m = _UPSERT_BATCH_MOD
+    assert rows and all(r.vec_id % m == m - 1 for r in rows)  # batch only
+    assert len({r.vec_id for r in rows}) == len(rows)  # one verdict per vec
+    verdicts = {r.verdict for r in rows}
+    assert verdicts == {"dup", "keep"}  # both live on the fixture
+    for r in rows:
+        if r.verdict == "dup":
+            assert r.matched_vec is not None and r.matched_vec % m != m - 1
+            assert r.l2q_dist is not None and r.l2q_dist <= _SEMANTIC_L2Q_T
+        else:
+            assert r.matched_vec is None and r.l2q_dist is None
