@@ -135,6 +135,9 @@ HEADLINE_EXTRAS = (
     # cells).
     "dedup_semantic",
     "dedup_semantic_incremental",
+    # r15 addition: the tombstone-delete census + purge decision, the
+    # lifecycle step compaction presupposes.
+    "sim_ivf_delete",
 )
 
 

@@ -1574,3 +1574,89 @@ def sim_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).lstrip(),
         ("embeddings",),
     )
+
+
+# --- IVF index delete/tombstone census (NEW r15) ------------------------------
+# The lifecycle step the compaction decision presupposes: DELETES. A
+# production vector index does not rewrite cell files per delete — it
+# writes tombstones (a tiny standing table of deleted vec_ids), masks
+# them out of every probe with an anti-join, and defers the physical
+# purge to compaction once a cell's tombstone fraction crosses the purge
+# threshold. This query is the delete-side bookkeeping as relational
+# algebra: per-cell live/tombstoned census plus the purge decision, all
+# exact integers — the oracle replays training, assignment, mask, and
+# decision bit-for-bit. The probe-side mask (anti-join, no index
+# rewrite, no cartesian) is pinned in tests/test_plan_shapes.py.
+# Deletes here are the deterministic fixture subset vec_id % 9 = 6
+# (~11% of the corpus); the purge threshold is >= 1/9 of the cell, so
+# per-cell binomial variation around the global rate yields BOTH
+# decisions on the fixture (asserted non-vacuous in the plan test via a
+# synthetic skewed census when the fixture happens to be one-sided).
+
+_DELETE_MOD = 9  # vec_id % 9 = 6 simulates the tombstoned subset
+_PURGE_NUM, _PURGE_DEN = 1, 9  # purge when tombstoned/cell >= 1/9
+
+
+def _delete_census_tail(cells: str) -> str:
+    m = _DELETE_MOD
+    return f"""
+tomb AS (
+    SELECT vec_id FROM {cells} WHERE vec_id % {m} = {m - 3}
+),
+cens AS (
+    SELECT cl.c,
+           COUNT(*) AS n_before,
+           SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_tomb
+    FROM {cells} cl LEFT JOIN tomb t ON t.vec_id = cl.vec_id
+    GROUP BY cl.c
+)
+SELECT CAST(c AS INT) AS cell,
+       CAST(n_before AS BIGINT) AS n_before,
+       CAST(n_tomb AS BIGINT) AS n_tombstoned,
+       CAST(n_before - n_tomb AS BIGINT) AS n_live,
+       (n_tomb * {_PURGE_DEN} >= n_before * {_PURGE_NUM}) AS purge_due
+FROM cens
+ORDER BY cell
+"""
+
+
+def _delete_oracle() -> str:
+    coarse_cb0 = (
+        "SELECT CAST(0 AS INT) AS m, dim AS d, CAST(vec_id AS INT) AS c, "
+        "xq AS S, CAST(1 AS BIGINT) AS n FROM cflatc WHERE vec_id < 4"
+    )
+    m = _UPSERT_BATCH_MOD
+    return f"""
+WITH flat AS (
+    {_PQ_FLAT_DUCK}
+),
+cflatc AS (
+    SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM flat
+    WHERE vec_id % {m} <> {m - 1}
+),
+ccb0 AS (
+    {coarse_cb0}
+),{_pq_dist_cte('cd1', 'ccb0', 'cflatc')},{_pq_assign_cte('ca1', 'cd1', 'duck')},{_pq_cb_cte_src('ccb1', 'ca1', 'cflatc')},{_pq_dist_cte('cd2', 'ccb1', 'cflatc')},{_pq_assign_cte('ca2', 'cd2', 'duck')},{_pq_cb_cte_src('ccb2', 'ca2', 'cflatc')},{_pq_dist_cte('cd3', 'ccb2', 'cflatc')},{_pq_assign_cte('cells', 'cd3', 'duck')},{_delete_census_tail('cells').lstrip()}"""
+
+
+@query(
+    "sim_ivf_delete",
+    oracle=_delete_oracle(),
+    doc="IVF index delete/tombstone census (NEW r15 — the lifecycle step "
+    "compaction presupposes): deletes are TOMBSTONES (a standing table "
+    "of deleted vec_ids, bytes per delete), every probe masks them with "
+    "an anti-join (no index rewrite — pinned in tests/test_plan_shapes"
+    ".py), and the physical purge is deferred to compaction via the "
+    "per-cell purge decision this query emits: live/tombstoned census "
+    "plus purge_due once the tombstone fraction crosses the threshold. "
+    "Training, assignment, mask, and decision replay bit-for-bit in "
+    "the oracle.",
+    tags=("similarity", "extension"),
+)
+def sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _upsert_staged(spark, sf_dir)
+    return sql_over(
+        spark, sf_dir,
+        "WITH " + _delete_census_tail(v["cells"]).lstrip(),
+        ("embeddings",),
+    )

@@ -132,3 +132,74 @@ def ann_ingest_query(stream: DataFrame, codebook: DataFrame, index_root: str,
         stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
     )
+
+
+def semantic_gate(batch: DataFrame, codebook: DataFrame,
+                  corpus_index: DataFrame, threshold: int) -> DataFrame:
+    """Verdict per arriving vector against the standing corpus index.
+
+    The streaming form of the batch ``dedup_semantic_incremental``
+    operator (queries/dedup_queries.py) — same algebra, same artifacts:
+    the arrival codes against the frozen broadcast codebook, candidates
+    are the corpus vectors sharing its cell (equi-join on (c, dim) —
+    never all-pairs, never corpus x corpus), and the verdict is the exact
+    integer squared-L2 threshold with the best match as the
+    lexicographic (d2, corpus vec_id) minimum — bit-identical to the
+    batch twin's row_number pick. Returns
+    (vec_id, verdict, matched_vec, l2q_dist).
+
+    Like the lexical ingest gate, the decision is against the standing
+    corpus SNAPSHOT: two near-identical novel arrivals both admit until
+    the index republishes — within-feed dedup is the watermark-state
+    concern (dedup_stream), corpus-vs-arrival is this gate's.
+    """
+    coded = code_against_codebook(batch, codebook)
+    b = coded.select(
+        F.col("vec_id").alias("vb"), "dim", F.col("xq").alias("xb"), "c"
+    )
+    cidx = corpus_index.select(
+        F.col("vec_id").alias("vc"), "dim", F.col("xq").alias("xc"), "c"
+    )
+    d = F.col("xb") - F.col("xc")
+    best = (
+        b.join(cidx, ["c", "dim"])
+        .groupBy("vb", "vc")
+        .agg(F.sum(d * d).cast("bigint").alias("d2"))
+        .where(F.col("d2") <= threshold)
+        .groupBy("vb")
+        .agg(F.min(F.struct("d2", "vc")).alias("m"))
+    )
+    return (
+        coded.select("vec_id").distinct()
+        .join(best, F.col("vec_id") == F.col("vb"), "left")
+        .select(
+            "vec_id",
+            F.when(F.col("m").isNotNull(), F.lit("dup"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.col("m.vc").cast("bigint").alias("matched_vec"),
+            F.col("m.d2").cast("bigint").alias("l2q_dist"),
+        )
+    )
+
+
+def gated_ann_ingest_query(stream: DataFrame, codebook: DataFrame,
+                           corpus_index: DataFrame, threshold: int,
+                           index_root: str, checkpoint: str):
+    """Build (not start) the gated streaming index writer: only vectors
+    that are semantically NOVEL against the standing corpus enter the
+    index — the full admission path (gate + append) per micro-batch,
+    published with the same idempotent atomic-rename protocol as the
+    ungated ingest (exactly-once across restart)."""
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = semantic_gate(batch_df, codebook, corpus_index, threshold)
+        admitted = batch_df.join(
+            verdicts.where("verdict = 'keep'").select("vec_id"), "vec_id"
+        )
+        publish_batch(code_against_codebook(admitted, codebook),
+                      index_root, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+    )

@@ -822,3 +822,67 @@ def test_semantic_gate_batch_sided_and_deterministic(spark, sf_dir):
             assert r.l2q_dist is not None and r.l2q_dist <= _SEMANTIC_L2Q_T
         else:
             assert r.matched_vec is None and r.l2q_dist is None
+
+
+def test_ivf_delete_tombstone_mask_and_purge_decision(spark, sf_dir):
+    """NEW r15: deletes are tombstones, not rewrites. The census must
+    recompose (live = before - tombstoned, totals = the upsert corpus
+    census), the PROBE must mask tombstoned vectors with an anti-join —
+    no index rewrite, no cartesian — and the purge decision must fire on
+    exactly the cells at/above the threshold fraction (both branches
+    pinned on a synthetic skewed census, fixture-independent)."""
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.queries.similarity_queries import (
+        _DELETE_MOD,
+        _delete_census_tail,
+        _ivf_index_write_path,
+    )
+
+    df = QS["sim_ivf_delete"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    rows = df.collect()
+    assert rows and all(r.n_live == r.n_before - r.n_tombstoned for r in rows)
+    assert any(r.n_tombstoned > 0 for r in rows)  # deletes are non-trivial
+    corpus_census = {
+        r.cell: r.n_corpus
+        for r in QS["sim_ivf_index_upsert"].spark(spark, sf_dir).collect()
+        if r.n_corpus > 0
+    }
+    assert {r.cell: r.n_before for r in rows} == corpus_census
+
+    # probe-side mask: anti-join the tombstones out of the partitioned
+    # index — no deleted vector may surface, and the plan carries the
+    # anti-join (the no-rewrite contract)
+    m = _DELETE_MOD
+    idx = spark.read.parquet(_ivf_index_write_path(spark, sf_dir))
+    tomb = idx.select("vec_id").distinct().where(f"vec_id % {m} = {m - 3}")
+    masked = idx.join(tomb, "vec_id", "left_anti")
+    assert_no_cartesian(masked)
+    plan = masked._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "tombstone mask must be an anti-join"
+    assert masked.where(f"vec_id % {m} = {m - 3}").count() == 0
+    n_tomb_idx = idx.where(f"vec_id % {m} = {m - 3}").select("vec_id").distinct().count()
+    assert (
+        idx.select("vec_id").distinct().count()
+        == masked.select("vec_id").distinct().count() + n_tomb_idx
+    )
+
+    # purge decision, both branches, as pure algebra on a synthetic skewed
+    # census: cell 0 is 30% tombstoned (ids 6,15,24 mod-9-6 of 10), cell 1
+    # is 5% (id 33 of 20) — threshold 1/9 fires on cell 0 only
+    ids0 = [6, 15, 24] + [i for i in range(100, 108) if i % m != m - 3][:7]
+    ids1 = [33] + [i for i in range(200, 222) if i % m != m - 3][:19]
+    assert all(i % m == m - 3 for i in ids0[:3] + ids1[:1])
+    assert all(i % m != m - 3 for i in ids0[3:] + ids1[1:])
+    rows_syn = [(v, 0) for v in ids0] + [(v, 1) for v in ids1]
+    spark.createDataFrame(rows_syn, "vec_id BIGINT, c INT").createOrReplaceTempView(
+        "del_probe_cells"
+    )
+    out = {
+        r.cell: r.purge_due
+        for r in spark.sql(
+            "WITH " + _delete_census_tail("del_probe_cells").lstrip()
+        ).collect()
+    }
+    assert out == {0: True, 1: False}

@@ -143,3 +143,85 @@ def test_coding_plan_broadcasts_codebook(spark, sf_dir):
     coded = code_against_codebook(_arriving(spark, sf_dir), cb)
     assert_broadcast_join(coded, expect=True)
     assert_no_cartesian(coded)
+
+
+def _corpus_index(spark, sf_dir):
+    """The standing corpus index (vec_id, dim, xq, c) the gate consumes —
+    the same staged artifacts the batch gate reads."""
+    v = _upsert_staged(spark, sf_dir)
+    return spark.sql(
+        f"SELECT f.vec_id, f.dim, f.xq, cl.c FROM {v['cflatc']} f "
+        f"JOIN {v['cells']} cl ON cl.vec_id = f.vec_id"
+    )
+
+
+def test_semantic_gate_matches_batch_twin(spark, sf_dir):
+    """The streaming gate's verdicts must be row-identical to the
+    registered (oracle-checked) batch twin dedup_semantic_incremental."""
+    from lyft_presto_spark.queries.dedup_queries import _SEMANTIC_L2Q_T
+    from lyft_presto_spark.streaming.ann_ingest_stream import semantic_gate
+
+    cb = _frozen_codebook(spark, sf_dir)
+    got = {
+        r.vec_id: (r.verdict, r.matched_vec, r.l2q_dist)
+        for r in semantic_gate(
+            _arriving(spark, sf_dir), cb, _corpus_index(spark, sf_dir),
+            _SEMANTIC_L2Q_T,
+        ).collect()
+    }
+    want = {
+        r.vec_id: (r.verdict, r.matched_vec, r.l2q_dist)
+        for r in all_queries()["dedup_semantic_incremental"]
+        .spark(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
+    assert {v[0] for v in want.values()} == {"dup", "keep"}  # non-vacuous
+
+
+def test_gated_ann_ingest_admits_only_novel_with_restart(
+    spark, sf_dir, tmp_path_factory
+):
+    """Gate + append composed: across a stop/restart, the index holds
+    exactly the keep-verdict vectors, once each."""
+    from lyft_presto_spark.queries.dedup_queries import _SEMANTIC_L2Q_T
+    from lyft_presto_spark.streaming.ann_ingest_stream import (
+        gated_ann_ingest_query,
+        semantic_gate,
+    )
+
+    base = tmp_path_factory.mktemp("gated_ann")
+    src, ckpt, idx = str(base / "src"), str(base / "ckpt"), str(base / "idx")
+    os.makedirs(src)
+
+    cb = _frozen_codebook(spark, sf_dir)
+    cidx = _corpus_index(spark, sf_dir)
+    batch = _arriving(spark, sf_dir)
+    batch.filter("vec_id % 2 = 0").coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            gated_ann_ingest_query(stream, cb, cidx, _SEMANTIC_L2Q_T, idx, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    batch.filter("vec_id % 2 = 1").coalesce(1).write.mode("append").parquet(src)
+    run_once()  # restart from checkpoint
+
+    keep = {
+        r.vec_id
+        for r in semantic_gate(batch, cb, cidx, _SEMANTIC_L2Q_T).collect()
+        if r.verdict == "keep"
+    }
+    got = spark.read.parquet(idx)
+    assert {r.vec_id for r in got.select("vec_id").distinct().collect()} == keep
+    d = batch.select(F.size("embedding")).first()[0]
+    assert got.count() == len(keep) * d  # once each, fully landed
