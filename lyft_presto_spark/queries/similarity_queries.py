@@ -1502,9 +1502,30 @@ tvec AS (
 ),{_COMPACT_SPLIT.format(ac='allcells', flat='flat', tvec='tvec', in_trig='IN (SELECT c FROM trig)').lstrip()},{_COMPACT_TAIL.format(ac='allcells', tvec='tvec', split='seed_split', in_trig='IN (SELECT c FROM trig)', ofl_when='').lstrip()}"""
 
 
+def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
+    """Pin DuckDB CTE materialization for re-referenced oracle CTEs.
+
+    DuckDB re-expands (inlines) a CTE per reference when its heuristics
+    decline to materialize it, and every expansion re-runs the entire
+    upstream chain — the compaction oracle referenced trig/tvec/allcells
+    3-5x each, multiplying the exact-Lloyd training chain into a 197 s
+    wall at sf0.001 (r15; the oracle-side twin of the Spark CTE-inlining
+    trap, BENCHNOTES r14/r15). The hint is DuckDB-only syntax, applied by
+    string rewrite to ORACLE text exclusively — the Spark side stages
+    these artifacts as persisted views instead.
+    """
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+    return sql
+
+
 @query(
     "sim_ivf_compaction",
-    oracle=_compact_oracle(),
+    oracle=_materialize_ctes(
+        _compact_oracle(),
+        ("cflatc", "ccb2", "cells", "bcodes", "allcells", "trig", "tvec",
+         "seed_split"),
+    ),
     doc="IVF index compaction decision + targeted re-cluster (NEW r14 — "
     "VERDICT r13 ask #6, closing build->probe->upsert->evaluate->compact): "
     "census the post-upsert index, trigger every cell above its "
