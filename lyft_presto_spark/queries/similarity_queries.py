@@ -1515,7 +1515,11 @@ def _materialize_ctes(sql: str, names: tuple[str, ...]) -> str:
     these artifacts as persisted views instead.
     """
     for n in names:
-        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+        # newline-anchored so a name that is a suffix of another CTE's name
+        # (cells vs allcells) can never rewrite the wrong definition
+        out = sql.replace(f"\n{n} AS (", f"\n{n} AS MATERIALIZED (", 1)
+        assert out != sql, f"CTE {n!r} not found to materialize"
+        sql = out
     return sql
 
 

@@ -64,3 +64,21 @@ def test_head_query_is_driver_hashable(spark, sf_dir, name):
     """Every driver-scored head row must emit only hashable column types."""
     q = all_queries()[name]
     assert_driver_hashable(q.spark(spark, sf_dir), name=name)
+
+
+def test_heavy_oracles_stay_materialized():
+    """Pin the DuckDB CTE-materialization hints (r15): without them the
+    recursive closure / re-referenced compaction CTEs re-expand the whole
+    exact-Lloyd chain per reference (197-270 s walls at sf0.001). A
+    refactor that drops the hints must fail loudly here, not as a silent
+    suite slowdown."""
+    qs = all_queries()
+    for name, ctes in (
+        ("sim_ivf_compaction", ("allcells", "trig", "tvec", "seed_split")),
+        ("dedup_semantic", ("e", "edges")),
+    ):
+        oracle = qs[name].oracle
+        for cte in ctes:
+            assert f"{cte} AS MATERIALIZED (" in oracle, (
+                f"{name}: CTE {cte!r} lost its MATERIALIZED hint"
+            )
