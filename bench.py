@@ -138,6 +138,9 @@ HEADLINE_EXTRAS = (
     # r15 addition: the tombstone-delete census + purge decision, the
     # lifecycle step compaction presupposes.
     "sim_ivf_delete",
+    # r15 addition: quality-ranked canonical selection (keep the BEST
+    # cluster member by the shared quality score, not the first).
+    "dedup_canonical_best",
 )
 
 

@@ -300,16 +300,17 @@ from .registry import REGISTRY, Query, query
 # r9 or earlier — the entire r1-r4 tail (op_unnest_ordinality r1, all 19
 # r2 rows, the 3 r3 join rows, all 6 r4 rows) plus the r5/r6 verdict-named
 # set; the other 3 are the flagship and the two NEW r15 builds
-# (dedup_semantic, dedup_semantic_incremental, sim_ivf_delete — funded
-# by the slots of op_agg_multi_distinct and fn_datetime_patterns, which
-# wait with the other r5 rows for r16). Corrected totals: 46 of 50 slots
-# are stale re-scores; after r15 the oldest remaining last-score is r5
-# (11 rows).
+# (dedup_semantic, dedup_semantic_incremental, sim_ivf_delete,
+# dedup_canonical_best — funded by the slots of op_agg_multi_distinct,
+# fn_datetime_patterns, and fn_stats_agg, which wait with the other r5
+# rows for r16). Corrected totals: 45 of 50 slots are stale re-scores;
+# after r15 the oldest remaining last-score is r5 (12 rows).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # Flagship
     "tpch_q1",
     # NEW r15 builds — scored the round they were built
     "dedup_semantic", "dedup_semantic_incremental", "sim_ivf_delete",
+    "dedup_canonical_best",
     # Churn-first: geo rows whose implementing module was rewritten or
     # reworked in r14 on r<=6 scores (VERDICT r14 #1 names these)
     "fn_geo_boolean_ops", "fn_geo_polygon_predicates", "fn_geo_relate",
@@ -331,7 +332,7 @@ DRIVER_SCORED_HEAD: tuple[str, ...] = (
     "fn_string", "fn_json", "dedup_simhash", "sim_topk_signbucket",
     "fn_geo_polygon_measures", "op_spatial_bbox_join",
     # r5 rows (text/sim/events keepers are their families' stalest rows)
-    "text_pii_scrub", "sim_knn_join", "events_funnel", "fn_stats_agg",
+    "text_pii_scrub", "sim_knn_join", "events_funnel",
     # Family keepers = the family's stalest row (retires staleness too)
     "multimodal_features", "tpcds_q01_returns_above_avg", "ml_regress",
     "connector_tpchgen_orders",

@@ -691,6 +691,22 @@ ORDER BY component
 """
 
 
+def _staged_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Stage the EDGES, not just the postings (VERDICT r12 next-round #4):
+    # the closure consumes the pair graph every iteration round; without
+    # staging, the full posting self-join re-ran under the first round's
+    # lineage. ~2x on the sf0.1 wall (1.95 s -> ~1.0 s measured). Shared
+    # by every consumer of the near-dup pair graph (cluster_canonical,
+    # canonical_best).
+    def build_pairs() -> DataFrame:
+        inv_v = _staged_jaccard_postings(spark, sf_dir)
+        return sql_over(
+            spark, sf_dir, _jaccard_sql("spark", inv_view=inv_v), ()
+        ).select("doc_a", "doc_b")
+
+    return staged(spark, sf_dir, "jaccard_pairs", build_pairs)
+
+
 @query(
     "dedup_cluster_canonical",
     oracle=_cluster_sql_duck(),
@@ -711,17 +727,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.cc import connected_components
 
-    def build_pairs() -> DataFrame:
-        inv_v = _staged_jaccard_postings(spark, sf_dir)
-        return sql_over(
-            spark, sf_dir, _jaccard_sql("spark", inv_view=inv_v), ()
-        ).select("doc_a", "doc_b")
-
-    # Stage the EDGES, not just the postings (VERDICT r12 next-round #4):
-    # the closure consumes the pair graph every iteration round; without
-    # staging, the full posting self-join re-ran under the first round's
-    # lineage. ~2x on the sf0.1 wall (1.95 s -> ~1.0 s measured).
-    pairs = staged(spark, sf_dir, "jaccard_pairs", build_pairs)
+    pairs = _staged_jaccard_pairs(spark, sf_dir)
     # jaccard pairs are unique with doc_a < doc_b by construction, so the
     # symmetrization inside the closure can skip its dedup shuffle
     cc = connected_components(pairs, "doc_a", "doc_b", edges_unique=True)
@@ -1257,3 +1263,120 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _sem_inc_tail(v["cflatc"], v["cells"], _SEMANTIC_L2Q_T).lstrip()
     )
     return sql_over(spark, sf_dir, sql, ("embeddings",))
+
+
+# --- Quality-ranked canonical selection (NEW r15) -----------------------------
+# dedup_cluster_canonical keeps each cluster's FIRST doc (min id); a
+# production pipeline keeps the BEST doc — the published recipe (CCNet /
+# RefinedWeb style): rank each near-dup cluster's members by the quality
+# score and keep the top one, ties broken deterministically by doc_id.
+# One scoring definition shared with text_quality_score
+# (text_pipeline._quality_doc_ctes), the same staged pair graph as
+# cluster_canonical, the same closure — so "which docs are duplicates"
+# and "which one survives" are decided by already-verified components.
+
+
+def _rank_keep_best(cc: DataFrame, quality: DataFrame) -> DataFrame:
+    """Rank each cluster's members by (quality DESC, doc_id) and keep the
+    top one — shared by the registered query and the synthetic both-
+    branches pin in tests/test_plan_shapes.py (the fixture's homogeneous
+    docs tie on the coarse score, so keep-best == keep-first there; the
+    branch where they differ is pinned synthetically)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ranked = (
+        cc.select(F.col("label").alias("component"), F.col("node"))
+        .join(quality, F.col("node") == F.col("doc_id"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("component").orderBy(
+                    F.desc("quality_score"), F.asc("node")
+                )
+            ),
+        )
+    )
+    one = F.when(F.col("rn") == 1, F.col("node"))
+    oneq = F.when(F.col("rn") == 1, F.col("quality_score"))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.min(one).cast("bigint").alias("keep_doc"),
+            F.min(oneq).alias("keep_quality"),
+        )
+        .orderBy("component")
+    )
+
+
+def _canonical_best_oracle() -> str:
+    from .text_pipeline import _quality_doc_ctes
+
+    return f"""
+WITH RECURSIVE {_quality_doc_ctes('duck')},
+pairs AS MATERIALIZED (
+    SELECT doc_a, doc_b FROM ({_jaccard_sql("duck")})
+),
+edges AS MATERIALIZED (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+labeled AS (
+    SELECT node, min(r) AS component FROM reach GROUP BY node
+),
+ranked AS (
+    SELECT l.component, l.node, q.quality_score,
+           row_number() OVER (
+               PARTITION BY l.component
+               ORDER BY q.quality_score DESC, l.node
+           ) AS rn
+    FROM labeled l JOIN final q ON q.doc_id = l.node
+)
+SELECT component,
+       CAST(count(*) AS BIGINT) AS cluster_size,
+       CAST(min(CASE WHEN rn = 1 THEN node END) AS BIGINT) AS keep_doc,
+       min(CASE WHEN rn = 1 THEN quality_score END) AS keep_quality
+FROM ranked
+GROUP BY component
+ORDER BY component
+"""
+
+
+@query(
+    "dedup_canonical_best",
+    oracle=_canonical_best_oracle(),
+    doc="Quality-ranked canonical selection (NEW r15): each near-dup "
+    "cluster keeps its BEST member — ranked by the shared composite "
+    "quality score (text_pipeline._quality_doc_ctes, the same definition "
+    "text_quality_score rolls up), ties broken by doc_id — instead of "
+    "cluster_canonical's keep-first. Consumes the same staged jaccard "
+    "pair graph and the same min-label closure; the per-doc quality join "
+    "touches only clustered docs after Catalyst pushes the join. Oracle "
+    "replays pairs, closure (recursive CTE, MATERIALIZED boundaries), "
+    "scoring, and the argmax bit-for-bit.",
+    tags=("dedup", "text", "extension"),
+)
+def dedup_canonical_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.cc import connected_components
+    from .text_pipeline import _quality_doc_ctes
+
+    pairs = _staged_jaccard_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b", edges_unique=True)
+    quality = sql_over(
+        spark, sf_dir,
+        f"WITH {_quality_doc_ctes('spark')}\n"
+        "SELECT doc_id, quality_score FROM final",
+        ("documents",),
+    )
+    return _rank_keep_best(cc, quality)

@@ -86,7 +86,11 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sql_over(spark, sf_dir, _bpe_count_sql("spark"), ("documents",))
 
 
-def _quality_sql(d: str) -> str:
+def _quality_doc_ctes(d: str, src: str = "documents") -> str:
+    """Per-doc quality CTE chain (feat -> scored -> final) shared by the
+    per-source rollup (text_quality_score) and the quality-ranked
+    canonical pick (dedup_canonical_best): one scoring definition, both
+    dialects, so every consumer agrees on what 'best' means."""
     toks = T.tokens("text", d)
     g = ", 'g'" if d == "duck" else ""
     n_alnum = f"length(regexp_replace(lower(text), '[^a-z0-9]', ''{g}))"
@@ -95,11 +99,10 @@ def _quality_sql(d: str) -> str:
         if d == "spark"
         else f"len(list_filter(toks, t -> t IN {STOPWORDS}))"
     )
-    return f"""
-WITH feat AS (
+    return f"""feat AS (
     SELECT doc_id, source, n_chars, {toks} AS toks,
            {n_alnum} AS n_alnum
-    FROM documents
+    FROM {src}
 ),
 scored AS (
     SELECT doc_id, source,
@@ -118,7 +121,12 @@ final AS (
            + (CASE WHEN avg_token_len BETWEEN 2 AND 12 THEN 0.1 ELSE 0.0 END), 1) AS DOUBLE)
            AS quality_score
     FROM scored
-)
+)"""
+
+
+def _quality_sql(d: str) -> str:
+    return f"""
+WITH {_quality_doc_ctes(d)}
 SELECT source,
        count(*) AS n_docs,
        round(avg(quality_score), 6) AS avg_quality,

@@ -886,3 +886,47 @@ def test_ivf_delete_tombstone_mask_and_purge_decision(spark, sf_dir):
         ).collect()
     }
     assert out == {0: True, 1: False}
+
+
+def test_canonical_best_keeps_higher_quality_not_first(spark, sf_dir):
+    """NEW r15: quality-ranked canonical selection. The fixture's
+    homogeneous docs tie on the coarse score (keep-best == keep-first
+    there — verified below), so the branch where they DIFFER is pinned
+    synthetically: a 2-doc near-dup cluster where the HIGHER-id doc is
+    punctuation-clean (quality 1.0) and the lower-id doc is punctuation-
+    heavy (loses the 0.3 punct component) must keep the higher id."""
+    from pyspark.sql import functions as F
+
+    from lyft_presto_spark.queries.dedup_queries import _rank_keep_best
+    from lyft_presto_spark.queries.text_pipeline import _quality_doc_ctes
+
+    base = (
+        "seven careful wizards brew strong potions under the pale autumn "
+        "moon while quiet sailors watch from the old stone harbor tonight"
+    )
+    noisy = base + " !!! ??? ### $$$ %%% &&& *** ((( ))) @@@ !!! ??? ###"
+    rows = [(1, "probe", noisy, len(noisy)), (2, "probe", base, len(base))]
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, source STRING, text STRING, n_chars BIGINT"
+    ).createOrReplaceTempView("cb_probe_docs")
+    quality = spark.sql(
+        f"WITH {_quality_doc_ctes('spark', 'cb_probe_docs')}\n"
+        "SELECT doc_id, quality_score FROM final"
+    )
+    q = {r.doc_id: r.quality_score for r in quality.collect()}
+    assert q[2] > q[1], f"synthetic quality gap missing: {q}"
+    cc = spark.createDataFrame([(1, 1), (2, 1)], "node BIGINT, label BIGINT")
+    out = _rank_keep_best(cc, quality).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.component == 1 and r.cluster_size == 2
+    assert r.keep_doc == 2, "must keep the best doc, not the first"
+    assert r.keep_quality == q[2]
+    # fixture run: oracle-checked elsewhere; here pin plan + tie behavior
+    df = QS["dedup_canonical_best"].spark(spark, sf_dir)
+    assert_no_cartesian(df)
+    fixture = df.collect()
+    assert fixture and all(x.keep_doc is not None for x in fixture)
+    # on the homogeneous fixture the coarse score ties -> keep-first wins,
+    # which pins the deterministic tie-break (doc_id ASC among the best)
+    assert all(x.keep_doc == x.component for x in fixture)
