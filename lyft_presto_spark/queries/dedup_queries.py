@@ -1242,25 +1242,67 @@ ccb0 AS (
 )
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity_queries import (
+        _PACKED_XQA,
         _UPSERT_BATCH_MOD,
         _pq_assign_cte,
         _pq_dist_cte,
+        _upsert_packed_staged,
         _upsert_staged,
     )
 
     v = _upsert_staged(spark, sf_dir)
+    cpacked = _upsert_packed_staged(spark, sf_dir)
     m = _UPSERT_BATCH_MOD
     bflat = (
         f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
         f"WHERE vec_id % {m} = {m - 1}"
     )
+    # Candidate-distance refine in PACKED form (OPTIMIZATION r15; guide
+    # §2.3-2.4): the flat-form tail (_sem_inc_tail — still the oracle's
+    # spelling) exploded every candidate pair into 64 per-dim rows through
+    # a shuffle join + hash re-aggregation (10.2M rows at sf0.1, measured
+    # 2.9 s/rep). Here each side carries its packed xqa array, candidates
+    # stay ONE row per (vb, vc), and d2 is the identical exact-integer sum
+    # computed as codegen array arithmetic — zip_with's positional pairing
+    # IS the flat join's dim equality (dim = pos + 1 both sides). The
+    # batch CODING (bd/bcodes, the frozen-codebook argmin) stays per-rep:
+    # it is the gate's per-batch work, not a standing artifact. The final
+    # verdict's left side is the batch id list itself so the coding chain
+    # is consumed exactly once per rep.
     sql = (
         f"WITH bflat AS ({bflat}),"
         + _pq_dist_cte("bd", v["ccb2"], "bflat")
         + ","
         + _pq_assign_cte("bcodes", "bd", "spark")
-        + ","
-        + _sem_inc_tail(v["cflatc"], v["cells"], _SEMANTIC_L2Q_T).lstrip()
+        + f""",
+bpk AS (
+    SELECT vec_id, {_PACKED_XQA} AS xqa FROM embeddings
+    WHERE vec_id % {m} = {m - 1}
+),
+bq AS (
+    SELECT b.vec_id, b.c, p.xqa FROM bcodes b JOIN bpk p ON p.vec_id = b.vec_id
+),
+pdist AS (
+    SELECT bq.vec_id AS vb, cp.vec_id AS vc,
+           aggregate(zip_with(bq.xqa, cp.xqa, (x, y) -> (x - y) * (x - y)),
+                     CAST(0 AS BIGINT), (acc, e) -> acc + e) AS d2
+    FROM bq JOIN {cpacked} cp ON cp.c = bq.c
+),
+best AS (
+    SELECT vb, vc, d2 FROM (
+        SELECT vb, vc, d2,
+               row_number() OVER (PARTITION BY vb ORDER BY d2, vc) AS rn
+        FROM pdist WHERE d2 <= {_SEMANTIC_L2Q_T}
+    ) r WHERE rn = 1
+)
+SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
+       CASE WHEN bt.vb IS NOT NULL THEN 'dup' ELSE 'keep' END AS verdict,
+       CAST(bt.vc AS BIGINT) AS matched_vec,
+       CAST(bt.d2 AS BIGINT) AS l2q_dist
+FROM bpk b
+LEFT JOIN best bt ON bt.vb = b.vec_id
+ORDER BY vec_id
+"""
     )
     return sql_over(spark, sf_dir, sql, ("embeddings",))
 

@@ -1237,6 +1237,46 @@ def _upsert_staged(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     return {"flat": flat_v, "cflatc": cflatc_v, "ccb2": ccb2_v, "cells": cellsc_v}
 
 
+# Packed (array) twin of the per-dim flat quantization: one row per vector,
+# xqa[i] computed by the SAME elementwise expression _PQ_FLAT_SPARK applies
+# (posexplode's dim = position + 1, so zip_with's positional pairing is the
+# flat form's dim-equality join). Consumers compute squared-L2 as
+# aggregate(zip_with(...)) — whole-stage-codegen array arithmetic on ONE row
+# per pair instead of a pair x 64-dim join + hash re-aggregation, which is
+# the optimization guide's "shuffle fewer bytes / remove the shuffle"
+# (spark_optimization_guide §2.3-2.4): the r15-measured candidate-distance
+# join shuffled 10.2M exploded rows where the packed form moves 160k.
+_PACKED_XQA = (
+    "transform(embedding, x -> "
+    "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT))"
+)
+
+
+def _upsert_packed_staged(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the standing index's packed payload: (vec_id, c, xqa).
+
+    The corpus-side artifact the semantic admission gate probes — the cell
+    assignment (``ups_cells``) carrying each member's packed quantized
+    vector. Same standing-artifact class as ``ups_cells`` itself: built
+    once per corpus version, consumed per ingest batch.
+    """
+    from ..operators.staging import staged_view
+
+    v = _upsert_staged(spark, sf_dir)
+    m = _UPSERT_BATCH_MOD
+    return staged_view(
+        spark, sf_dir, "ups_cpacked",
+        lambda: sql_over(
+            spark, sf_dir,
+            f"SELECT cl.vec_id, cl.c, p.xqa "
+            f"FROM {v['cells']} cl JOIN ("
+            f"SELECT vec_id, {_PACKED_XQA} AS xqa FROM embeddings "
+            f"WHERE vec_id % {m} <> {m - 1}) p ON p.vec_id = cl.vec_id",
+            ("embeddings",),
+        ),
+    )
+
+
 _UPSERT_TAIL = """
 corpus_census AS (
     SELECT c, count(*) AS n_corpus FROM {cells} GROUP BY c
