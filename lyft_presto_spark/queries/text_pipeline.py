@@ -1254,6 +1254,33 @@ def _nb_classifier_sql(d: str, flat_view: str | None = None) -> str:
     {flat}
 ),
 """
+    # Argmax over scores: the oracle's spelling (max s per doc, join back,
+    # max lang among exact-equal maxima) references `scores` TWICE; Spark
+    # inlines CTEs, so the whole test_postings x model join + grouped
+    # decimal sum ran twice (plan ops 1-52 duplicated as 54-108 — measured
+    # 1.65 s, OPTIMIZATION r15, guide §2.4/§7.2 "duplicated subtrees").
+    # max(struct(s, lang)) is the identical semantic in ONE pass: struct
+    # comparison is field-lexicographic, so it picks max s first, then max
+    # lang among rows whose exact DECIMAL s ties — no doubles, no
+    # nondeterminism. DuckDB materializes CTEs, so the oracle keeps the
+    # two-reference spelling unchanged.
+    if d == "spark":
+        argmax = """pred AS (
+    SELECT doc_id, labeled_lang,
+           max(named_struct('s', s, 'lang', lang)).lang AS predicted_lang
+    FROM scores
+    GROUP BY doc_id, labeled_lang
+)"""
+    else:
+        argmax = """best AS (
+    SELECT doc_id, max(s) AS mx FROM scores GROUP BY doc_id
+),
+pred AS (
+    SELECT s.doc_id, s.labeled_lang, max(s.lang) AS predicted_lang
+    FROM scores s
+    JOIN best b ON s.doc_id = b.doc_id AND s.s = b.mx
+    GROUP BY s.doc_id, s.labeled_lang
+)"""
     return f"""
 WITH tok_t AS (
     {tok_t}
@@ -1305,15 +1332,7 @@ scores AS (
     JOIN priors p ON p.lang = m.lang
     GROUP BY tp.doc_id, tp.labeled_lang, m.lang, p.prior
 ),
-best AS (
-    SELECT doc_id, max(s) AS mx FROM scores GROUP BY doc_id
-),
-pred AS (
-    SELECT s.doc_id, s.labeled_lang, max(s.lang) AS predicted_lang
-    FROM scores s
-    JOIN best b ON s.doc_id = b.doc_id AND s.s = b.mx
-    GROUP BY s.doc_id, s.labeled_lang
-)
+{argmax}
 SELECT labeled_lang, predicted_lang, count(*) AS n_docs
 FROM pred
 GROUP BY labeled_lang, predicted_lang

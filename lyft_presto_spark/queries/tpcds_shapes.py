@@ -1310,42 +1310,50 @@ def tpcds_q78_channel_ratio_chain(spark: SparkSession, sf_dir: str) -> DataFrame
         .distinct()
     )
 
-    def channel(mod: int, pre: str) -> DataFrame:
-        return (
-            li.filter(F.col("l_linenumber") % 3 == mod)
-            .join(
-                ret,
-                (li.l_orderkey == ret.r_orderkey) & (li.l_partkey == ret.r_partkey),
-                "left",
-            )
-            .filter(F.col("r_orderkey").isNull())
-            .join(orders, li.l_orderkey == orders.o_orderkey)
-            .groupBy(
-                F.year("o_orderdate").alias(f"{pre}_yr"),
-                F.col("o_custkey").alias(f"{pre}_ck"),
-            )
-            .agg(
-                F.sum(_dec("l_quantity", QTY)).alias(f"{pre}_qty"),
-                F.sum(_dec("l_extendedprice", PRICE)).alias(f"{pre}_sp"),
-            )
-        )
+    # OPTIMIZATION r15 (guide §2.3-2.4): the three channels partition
+    # lineitem DISJOINTLY on l_linenumber % 3, so the oracle's
+    # three-CTE-plus-two-LEFT-JOIN chain collapses to ONE pass with
+    # conditional aggregation — 6 lineitem scans + 3 orders joins + 2
+    # sort-merge chain joins (measured 2.16 s) become 1 scan, 1 ret
+    # anti-join, 1 orders join, 1 aggregation. Equivalence: a (yr, ck)
+    # group's per-channel sums are exactly the per-CTE sums (identical
+    # DECIMAL operands); a missing channel yields a NULL conditional sum,
+    # which is exactly the LEFT JOIN's null extension; the ss LEFT-side
+    # existence requirement is ss_qty IS NOT NULL (l_quantity is
+    # non-null, so the sum is NULL iff no mod-0 row). The ss.yr = 1995
+    # screen propagates to every channel through the yr equi-join keys,
+    # so it is applied BEFORE aggregation, pruning the orders scan.
+    # DuckDB materializes CTEs, so the oracle keeps the reference's
+    # three-channel spelling unchanged.
+    mod3 = F.col("l_linenumber") % 3
 
-    ss, ws, cs = channel(0, "ss"), channel(1, "ws"), channel(2, "cs")
+    def chan(mod: int, expr, alias: str):
+        return F.sum(F.when(mod3 == mod, expr)).alias(alias)
+
     joined = (
-        ss.join(
-            ws,
-            (ss.ss_yr == ws.ws_yr) & (ss.ss_ck == ws.ws_ck),
+        li.join(
+            ret,
+            (li.l_orderkey == ret.r_orderkey) & (li.l_partkey == ret.r_partkey),
             "left",
         )
-        .join(
-            cs,
-            (ss.ss_yr == cs.cs_yr) & (ss.ss_ck == cs.cs_ck),
-            "left",
+        .filter(F.col("r_orderkey").isNull())
+        .join(orders.filter(F.year("o_orderdate") == 1995), li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.year("o_orderdate").alias("ss_yr"),
+            F.col("o_custkey").alias("ss_ck"),
+        )
+        .agg(
+            chan(0, _dec("l_quantity", QTY), "ss_qty"),
+            chan(0, _dec("l_extendedprice", PRICE), "ss_sp"),
+            chan(1, _dec("l_quantity", QTY), "ws_qty"),
+            chan(1, _dec("l_extendedprice", PRICE), "ws_sp"),
+            chan(2, _dec("l_quantity", QTY), "cs_qty"),
+            chan(2, _dec("l_extendedprice", PRICE), "cs_sp"),
         )
         .filter(
-            (F.coalesce(F.col("ws_qty"), F.lit(0)) > 0)
+            F.col("ss_qty").isNotNull()
+            & (F.coalesce(F.col("ws_qty"), F.lit(0)) > 0)
             & (F.coalesce(F.col("cs_qty"), F.lit(0)) > 0)
-            & (F.col("ss_yr") == 1995)
         )
     )
     zero = F.lit(0).cast(QTY)
@@ -2405,31 +2413,38 @@ def tpcds_q04_triple_channel_growth(spark: SparkSession, sf_dir: str) -> DataFra
     orders = t(spark, sf_dir, "orders").filter(
         F.year("o_orderdate").isin(1995, 1996)
     )
-    yt = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .groupBy(
-            F.col("o_custkey").alias("ck"),
-            (F.col("l_linenumber") % 3).alias("ch"),
-            F.year("o_orderdate").alias("yr"),
-        )
-        .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("tot"))
-    )
+    # OPTIMIZATION r15 (guide §2.3-2.4): the six yt legs are DISJOINT
+    # (channel, year) cells of one aggregate, and the six-way self-join
+    # re-scanned lineitem/orders six times each (5 sort-merge joins,
+    # measured 1.70 s). One pass with six conditional sums is the
+    # identical algebra: each cell's sum is the same DECIMAL total; a
+    # missing cell yields NULL, and requiring all six IS NOT NULL is
+    # exactly the six-way INNER join's existence condition. The oracle
+    # keeps the reference's repeated-CTE spelling (DuckDB materializes
+    # yt once).
+    mod3 = F.col("l_linenumber") % 3
+    yrc = F.year("o_orderdate")
 
-    def leg(ch: int, yr: int, pre: str) -> DataFrame:
-        return yt.filter((F.col("ch") == ch) & (F.col("yr") == yr)).select(
-            F.col("ck").alias(f"{pre}_ck"),
-            F.col("tot").cast("double").alias(f"{pre}_tot"),
+    def cell(ch: int, yr: int, pre: str):
+        return (
+            F.sum(F.when((mod3 == ch) & (yrc == yr), _dec("l_extendedprice", PRICE)))
+            .cast("double")
+            .alias(f"{pre}_tot")
         )
 
-    s1, s2 = leg(0, 1995, "s1"), leg(0, 1996, "s2")
-    w1, w2 = leg(1, 1995, "w1"), leg(1, 1996, "w2")
-    c1, c2 = leg(2, 1995, "c1"), leg(2, 1996, "c2")
     joined = (
-        s1.join(s2, s1.s1_ck == s2.s2_ck)
-        .join(w1, s1.s1_ck == w1.w1_ck)
-        .join(w2, s1.s1_ck == w2.w2_ck)
-        .join(c1, s1.s1_ck == c1.c1_ck)
-        .join(c2, s1.s1_ck == c2.c2_ck)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("s1_ck"))
+        .agg(
+            cell(0, 1995, "s1"), cell(0, 1996, "s2"),
+            cell(1, 1995, "w1"), cell(1, 1996, "w2"),
+            cell(2, 1995, "c1"), cell(2, 1996, "c2"),
+        )
+        .filter(
+            F.col("s1_tot").isNotNull() & F.col("s2_tot").isNotNull()
+            & F.col("w1_tot").isNotNull() & F.col("w2_tot").isNotNull()
+            & F.col("c1_tot").isNotNull() & F.col("c2_tot").isNotNull()
+        )
         .filter(
             (F.col("s1_tot") > 0) & (F.col("w1_tot") > 0) & (F.col("c1_tot") > 0)
         )
@@ -3185,34 +3200,46 @@ def tpcds_q25_chained_repurchase_profit(spark: SparkSession, sf_dir: str) -> Dat
     nation = t(spark, sf_dir, "nation")
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
 
-    def leg(cond, measure, alias):
-        return (
-            fact.filter(cond)
-            .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-            .agg(F.sum(measure).alias(alias))
-        )
-
+    # OPTIMIZATION r15 (guide §2.3-2.4): the three date-role legs all
+    # group by the SAME (customer, part) key, so three conditional sums
+    # in one pass replace 3 lineitem + 3 orders scans and 2 sort-merge
+    # chain joins (measured 1.67 s). The role predicates OVERLAP (a
+    # returned 1995 line can be both a sale and a return) — that is
+    # fine: each conditional sum counts exactly the rows its leg's
+    # filter admitted, identical DECIMAL operands per leg. A role with
+    # no qualifying rows in a group sums to NULL, and requiring all
+    # three IS NOT NULL is the three-way INNER join's existence
+    # condition; the OR-of-roles pre-filter prunes rows no role admits
+    # (they could only produce all-NULL groups, which the gate drops).
+    # The oracle keeps the reference's three-CTE spelling.
     od = F.col("o_orderdate")
-    sale = leg(
-        (od >= F.lit("1995-01-01").cast("timestamp"))
-        & (od < F.lit("1995-07-01").cast("timestamp")),
-        disc_price(), "sale_rev",
+    c_sale = (od >= F.lit("1995-01-01").cast("timestamp")) & (
+        od < F.lit("1995-07-01").cast("timestamp")
     )
-    ret = leg(
+    c_ret = (
         (F.col("l_returnflag") == "R")
         & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")),
-        _dec("l_quantity", QTY), "ret_qty",
-    ).withColumnsRenamed({"ck": "rck", "pk": "rpk"})
-    rep = leg(
-        (od >= F.lit("1996-01-01").cast("timestamp"))
-        & (od < F.lit("1997-01-01").cast("timestamp")),
-        disc_price(), "rep_rev",
-    ).withColumnsRenamed({"ck": "pck", "pk": "ppk"})
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    c_rep = (od >= F.lit("1996-01-01").cast("timestamp")) & (
+        od < F.lit("1997-01-01").cast("timestamp")
+    )
+    sale = (
+        fact.filter(c_sale | c_ret | c_rep)
+        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+        .agg(
+            F.sum(F.when(c_sale, disc_price())).alias("sale_rev"),
+            F.sum(F.when(c_ret, _dec("l_quantity", QTY))).alias("ret_qty"),
+            F.sum(F.when(c_rep, disc_price())).alias("rep_rev"),
+        )
+        .filter(
+            F.col("sale_rev").isNotNull()
+            & F.col("ret_qty").isNotNull()
+            & F.col("rep_rev").isNotNull()
+        )
+    )
     return (
-        sale.join(ret, (sale.ck == ret.rck) & (sale.pk == ret.rpk))
-        .join(rep, (sale.ck == rep.pck) & (sale.pk == rep.ppk))
-        .join(cust, sale.ck == cust.c_custkey)
+        sale.join(cust, sale.ck == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
@@ -3583,27 +3610,36 @@ def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = t(spark, sf_dir, "orders")
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
 
-    def chan(mod: int, a: str, b: str) -> DataFrame:
-        return (
-            fact.filter(F.col("l_linenumber") % 2 == mod)
-            .select(F.col("o_custkey").alias(a), F.col("l_partkey").alias(b))
-            .distinct()
+    # OPTIMIZATION r15 (guide §2.3-2.4): the two channels are the
+    # linenumber-parity partition of ONE fact join, and both DISTINCT
+    # sets share the (customer, part) key — so the FULL OUTER JOIN of
+    # the two distinct sets is exactly a per-(ck, pk) presence
+    # classification. One grouped pass (presence flags per side) + one
+    # scalar aggregation replaces 2 fact scans + 2 DISTINCT shuffles +
+    # a full-outer sort-merge join (measured 1.70 s). Equivalence: both
+    # sides are distinct on the full join key, so every output row of
+    # the outer join is one distinct (ck, pk) of the union, classified
+    # by which side(s) contain it — precisely max(parity flags). The
+    # oracle keeps the reference's FULL OUTER spelling.
+    mod2 = F.col("l_linenumber") % 2
+    presence = (
+        fact.groupBy(
+            F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk")
         )
-
-    store = chan(0, "sck", "spk")
-    cat = chan(1, "cck", "cpk")
-    joined = store.join(
-        cat, (store.sck == cat.cck) & (store.spk == cat.cpk), "full_outer"
+        .agg(
+            F.max(F.when(mod2 == 0, 1).otherwise(0)).alias("in_store"),
+            F.max(F.when(mod2 == 1, 1).otherwise(0)).alias("in_cat"),
+        )
     )
-    return joined.agg(
+    return presence.agg(
         F.sum(
-            F.when(F.col("sck").isNotNull() & F.col("cck").isNull(), 1).otherwise(0)
+            F.when((F.col("in_store") == 1) & (F.col("in_cat") == 0), 1).otherwise(0)
         ).cast("bigint").alias("store_only"),
         F.sum(
-            F.when(F.col("sck").isNull() & F.col("cck").isNotNull(), 1).otherwise(0)
+            F.when((F.col("in_store") == 0) & (F.col("in_cat") == 1), 1).otherwise(0)
         ).cast("bigint").alias("catalog_only"),
         F.sum(
-            F.when(F.col("sck").isNotNull() & F.col("cck").isNotNull(), 1).otherwise(0)
+            F.when((F.col("in_store") == 1) & (F.col("in_cat") == 1), 1).otherwise(0)
         ).cast("bigint").alias("store_and_catalog"),
     )
 
@@ -4966,30 +5002,35 @@ def tpcds_q74_min_ratio_growth_gate(spark: SparkSession, sf_dir: str) -> DataFra
     li = t(spark, sf_dir, "lineitem")
     orders = t(spark, sf_dir, "orders")
     od = F.col("o_orderdate")
-    yt = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .filter(F.year(od).isin(1995, 1996))
-        .groupBy(
-            F.col("o_custkey").alias("ck"),
-            F.year(od).alias("yr"),
-            (F.col("l_linenumber") % 2).alias("chan"),
-        )
-        .agg(F.sum(_dec("l_quantity", QTY)).alias("total"))
-    )
+    # OPTIMIZATION r15 (guide §2.3-2.4): q04's collapse applied to q74 —
+    # the four yt instances are disjoint (chan, yr) cells of one
+    # aggregate, so four conditional sums in ONE pass replace 4 lineitem
+    # + 4 orders scans and 3 sort-merge self-joins (measured 1.36 s).
+    # A missing cell's conditional sum is NULL; requiring all four
+    # IS NOT NULL is the four-way INNER join's existence condition. The
+    # oracle keeps the reference's year_total repeated-CTE spelling.
+    mod2 = F.col("l_linenumber") % 2
+    yrc = F.year(od)
 
-    def inst(chan: int, yr: int, alias: str) -> DataFrame:
-        return yt.filter((F.col("chan") == chan) & (F.col("yr") == yr)).select(
-            F.col("ck").alias(f"ck_{alias}"), F.col("total").alias(f"t_{alias}")
-        )
+    def cell(chan: int, yr: int, alias: str):
+        return F.sum(
+            F.when((mod2 == chan) & (yrc == yr), _dec("l_quantity", QTY))
+        ).alias(f"t_{alias}")
 
-    s1, s2 = inst(0, 1995, "s1"), inst(0, 1996, "s2")
-    w1, w2 = inst(1, 1995, "w1"), inst(1, 1996, "w2")
     sg = F.col("t_s2").cast("double") / F.col("t_s1").cast("double")
     wg = F.col("t_w2").cast("double") / F.col("t_w1").cast("double")
     return (
-        s1.join(s2, s1.ck_s1 == s2.ck_s2)
-        .join(w1, s1.ck_s1 == w1.ck_w1)
-        .join(w2, s1.ck_s1 == w2.ck_w2)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(yrc.isin(1995, 1996))
+        .groupBy(F.col("o_custkey").alias("ck_s2"))
+        .agg(
+            cell(0, 1995, "s1"), cell(0, 1996, "s2"),
+            cell(1, 1995, "w1"), cell(1, 1996, "w2"),
+        )
+        .filter(
+            F.col("t_s1").isNotNull() & F.col("t_s2").isNotNull()
+            & F.col("t_w1").isNotNull() & F.col("t_w2").isNotNull()
+        )
         .filter(
             (F.col("t_s1").cast("double") > 0)
             & (F.col("t_w1").cast("double") > 0)

@@ -475,14 +475,22 @@ def test_tpcds_q25_chain_pre_aggregates_then_equijoins(spark, sf_dir):
     assert_broadcast_join(df)
 
 
-def test_tpcds_q97_overlap_is_equijoin_full_outer(spark, sf_dir):
-    # the FULL OUTER overlap census must join on the composite key, never
-    # cartesian; the DISTINCT reductions bound the join inputs.
+def test_tpcds_q97_overlap_is_single_pass_classification(spark, sf_dir):
+    # OPTIMIZATION r15: the overlap census is one grouped presence pass —
+    # the oracle's FULL OUTER of two distinct sets must NOT reappear in
+    # the Spark plan (it cost 2 fact scans + 2 DISTINCT shuffles + a
+    # full-outer sort-merge join). One fact scan, no join of derived
+    # sets, never cartesian.
     from lyft_presto_spark.plans.inspect import formatted_plan
 
     df = QS["tpcds_q97_channel_overlap"].spark(spark, sf_dir)
     assert_no_cartesian(df)
-    assert "FullOuter" in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "FullOuter" not in plan
+    import re
+
+    # lineitem + orders, once each (detail headers; the tree repeats them)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
 
 
 def test_tpcds_q56_screen_is_broadcast_semi(spark, sf_dir):
