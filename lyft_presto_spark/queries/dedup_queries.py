@@ -1243,6 +1243,7 @@ ccb0 AS (
 def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity_queries import (
         _PACKED_XQA,
+        _RP_IN_DIMS as _SEM_DIMS,
         _UPSERT_BATCH_MOD,
         _pq_assign_cte,
         _pq_dist_cte,
@@ -1258,17 +1259,37 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WHERE vec_id % {m} = {m - 1}"
     )
     # Candidate-distance refine in PACKED form (OPTIMIZATION r15; guide
-    # §2.3-2.4): the flat-form tail (_sem_inc_tail — still the oracle's
-    # spelling) exploded every candidate pair into 64 per-dim rows through
-    # a shuffle join + hash re-aggregation (10.2M rows at sf0.1, measured
-    # 2.9 s/rep). Here each side carries its packed xqa array, candidates
-    # stay ONE row per (vb, vc), and d2 is the identical exact-integer sum
-    # computed as codegen array arithmetic — zip_with's positional pairing
-    # IS the flat join's dim equality (dim = pos + 1 both sides). The
+    # §2.3-2.4, §4.1): the flat-form tail (_sem_inc_tail — still the
+    # oracle's spelling) exploded every candidate pair into 64 per-dim
+    # rows through a shuffle join + hash re-aggregation (10.2M rows at
+    # sf0.1, measured 2.9 s/rep). Here each side carries its packed xqa
+    # array and candidates stay ONE row per (vb, vc). Two measured
+    # refinements on top of the packed form (isolated noop timings,
+    # coding+pdist sub-chain): (1) d2 as an UNROLLED 64-term codegen sum
+    # — higher-order aggregate(zip_with(...)) is interpreted per element
+    # and allocates an intermediate array per pair (2.2 -> 0.96 s);
+    # positional indexing IS the flat join's dim equality (dim = pos+1).
+    # (2) BROADCAST(bq): the candidate join's key c has only K=4 distinct
+    # values, so a shuffle join collapsed all pairs into <=4 partitions
+    # (one straggler does every zip_with); broadcasting the batch side
+    # keeps the corpus scan's partitioning (3.2 -> 2.2 s alone). The
     # batch CODING (bd/bcodes, the frozen-codebook argmin) stays per-rep:
     # it is the gate's per-batch work, not a standing artifact. The final
     # verdict's left side is the batch id list itself so the coding chain
     # is consumed exactly once per rep.
+    # (3) The best-match pick is min(struct(d2, vc)) GROUP BY vb — the
+    # same total order as the oracle's row_number (d2, vc) with the
+    # threshold applied AFTER the argmin: the threshold is a PREFIX of
+    # the (d2, vc) order, so min-then-filter equals filter-then-min, and
+    # moving it avoids re-evaluating the 64-term d2 inside a pushed-down
+    # Filter (measured 4.4 s with the pre-window filter — Catalyst
+    # duplicates the expression below the window sort — vs 1.6 s here)
+    # while the hash aggregate replaces two window sorts with a map-side
+    # combine.
+    d2 = " + ".join(
+        f"(bq.xqa[{i}] - cp.xqa[{i}]) * (bq.xqa[{i}] - cp.xqa[{i}])"
+        for i in range(_SEM_DIMS)
+    )
     sql = (
         f"WITH bflat AS ({bflat}),"
         + _pq_dist_cte("bd", v["ccb2"], "bflat")
@@ -1283,17 +1304,15 @@ bq AS (
     SELECT b.vec_id, b.c, p.xqa FROM bcodes b JOIN bpk p ON p.vec_id = b.vec_id
 ),
 pdist AS (
-    SELECT bq.vec_id AS vb, cp.vec_id AS vc,
-           aggregate(zip_with(bq.xqa, cp.xqa, (x, y) -> (x - y) * (x - y)),
-                     CAST(0 AS BIGINT), (acc, e) -> acc + e) AS d2
+    SELECT /*+ BROADCAST(bq) */ bq.vec_id AS vb, cp.vec_id AS vc,
+           {d2} AS d2
     FROM bq JOIN {cpacked} cp ON cp.c = bq.c
 ),
 best AS (
-    SELECT vb, vc, d2 FROM (
-        SELECT vb, vc, d2,
-               row_number() OVER (PARTITION BY vb ORDER BY d2, vc) AS rn
-        FROM pdist WHERE d2 <= {_SEMANTIC_L2Q_T}
-    ) r WHERE rn = 1
+    SELECT vb, s.vc AS vc, s.d2 AS d2 FROM (
+        SELECT vb, min(named_struct('d2', d2, 'vc', vc)) AS s
+        FROM pdist GROUP BY vb
+    ) g WHERE s.d2 <= {_SEMANTIC_L2Q_T}
 )
 SELECT CAST(b.vec_id AS BIGINT) AS vec_id,
        CASE WHEN bt.vb IS NOT NULL THEN 'dup' ELSE 'keep' END AS verdict,

@@ -3200,46 +3200,42 @@ def tpcds_q25_chained_repurchase_profit(spark: SparkSession, sf_dir: str) -> Dat
     nation = t(spark, sf_dir, "nation")
     fact = li.join(orders, li.l_orderkey == orders.o_orderkey)
 
-    # OPTIMIZATION r15 (guide §2.3-2.4): the three date-role legs all
-    # group by the SAME (customer, part) key, so three conditional sums
-    # in one pass replace 3 lineitem + 3 orders scans and 2 sort-merge
-    # chain joins (measured 1.67 s). The role predicates OVERLAP (a
-    # returned 1995 line can be both a sale and a return) — that is
-    # fine: each conditional sum counts exactly the rows its leg's
-    # filter admitted, identical DECIMAL operands per leg. A role with
-    # no qualifying rows in a group sums to NULL, and requiring all
-    # three IS NOT NULL is the three-way INNER join's existence
-    # condition; the OR-of-roles pre-filter prunes rows no role admits
-    # (they could only produce all-NULL groups, which the gate drops).
-    # The oracle keeps the reference's three-CTE spelling.
+    # OPTIMIZATION r15, examined and kept AS-IS (guide §1.2): the q78-style
+    # conditional-aggregation collapse was tried here and MEASURED WORSE
+    # (1.67 -> 1.96 s): unlike q78/q04/q74, whose legs partition the fact,
+    # these legs are selective and their date/flag predicates push into the
+    # per-leg parquet scans (sale prunes orders to a half-year, ret prunes
+    # lineitem to R-flag ship-year) — the collapsed form forced one FULL
+    # unpruned fact join, which costs more than the three pruned legs plus
+    # the (ck, pk) chain joins. Pre-aggregate-then-chain stays.
+    def leg(cond, measure, alias):
+        return (
+            fact.filter(cond)
+            .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
+            .agg(F.sum(measure).alias(alias))
+        )
+
     od = F.col("o_orderdate")
-    c_sale = (od >= F.lit("1995-01-01").cast("timestamp")) & (
-        od < F.lit("1995-07-01").cast("timestamp")
+    sale = leg(
+        (od >= F.lit("1995-01-01").cast("timestamp"))
+        & (od < F.lit("1995-07-01").cast("timestamp")),
+        disc_price(), "sale_rev",
     )
-    c_ret = (
+    ret = leg(
         (F.col("l_returnflag") == "R")
         & (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
-    )
-    c_rep = (od >= F.lit("1996-01-01").cast("timestamp")) & (
-        od < F.lit("1997-01-01").cast("timestamp")
-    )
-    sale = (
-        fact.filter(c_sale | c_ret | c_rep)
-        .groupBy(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("pk"))
-        .agg(
-            F.sum(F.when(c_sale, disc_price())).alias("sale_rev"),
-            F.sum(F.when(c_ret, _dec("l_quantity", QTY))).alias("ret_qty"),
-            F.sum(F.when(c_rep, disc_price())).alias("rep_rev"),
-        )
-        .filter(
-            F.col("sale_rev").isNotNull()
-            & F.col("ret_qty").isNotNull()
-            & F.col("rep_rev").isNotNull()
-        )
-    )
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")),
+        _dec("l_quantity", QTY), "ret_qty",
+    ).withColumnsRenamed({"ck": "rck", "pk": "rpk"})
+    rep = leg(
+        (od >= F.lit("1996-01-01").cast("timestamp"))
+        & (od < F.lit("1997-01-01").cast("timestamp")),
+        disc_price(), "rep_rev",
+    ).withColumnsRenamed({"ck": "pck", "pk": "ppk"})
     return (
-        sale.join(cust, sale.ck == cust.c_custkey)
+        sale.join(ret, (sale.ck == ret.rck) & (sale.pk == ret.rpk))
+        .join(rep, (sale.ck == rep.pck) & (sale.pk == rep.ppk))
+        .join(cust, sale.ck == cust.c_custkey)
         .join(nation, cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(
