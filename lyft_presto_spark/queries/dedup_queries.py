@@ -798,6 +798,42 @@ inv AS (
         )
     key_a = "a.k" if dialect == "duck" else "a.h"
     key_b = "b.k" if dialect == "duck" else "b.h"
+    # Best-near-match argmin (OPTIMIZATION r15, the dedup_semantic_
+    # incremental pattern): on the Spark side, min(struct(-jaccard,
+    # corpus_doc)) GROUP BY delta_doc is the same total order as the
+    # oracle's row_number (jaccard DESC, corpus_doc) — double negation is
+    # exact — with the threshold applied AFTER the argmin (the threshold
+    # is a prefix of the DESC order, so min-then-filter = filter-then-min).
+    # Replaces the window's two WindowGroupLimit sorts with one map-side-
+    # combinable hash aggregate. DuckDB keeps the declarative spelling.
+    if dialect == "duck":
+        near_best = f"""near_best AS (
+    SELECT delta_doc, corpus_doc, jaccard FROM (
+        SELECT delta_doc, corpus_doc,
+               round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard,
+               row_number() OVER (
+                   PARTITION BY delta_doc
+                   ORDER BY CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) DESC,
+                            corpus_doc
+               ) AS rn
+        FROM pair_common
+        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_JACCARD_T}
+    ) ranked
+    WHERE rn = 1
+)"""
+    else:
+        near_best = f"""near_best AS (
+    SELECT delta_doc, g.s.corpus_doc AS corpus_doc,
+           round(-g.s.nj, 6) AS jaccard
+    FROM (
+        SELECT delta_doc,
+               min(named_struct(
+                   'nj', -(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)),
+                   'corpus_doc', corpus_doc)) AS s
+        FROM pair_common
+        GROUP BY delta_doc
+    ) g WHERE -g.s.nj >= {_JACCARD_T}
+)"""
     lead = "WITH" if not postings_ctes else "WITH" + postings_ctes.rstrip(",") + ","
     return f"""
 {lead}
@@ -822,20 +858,7 @@ pair_common AS (
      AND a.doc_id % {m} = 0 AND b.doc_id % {m} <> 0{band}
     GROUP BY a.doc_id, b.doc_id
 ),
-near_best AS (
-    SELECT delta_doc, corpus_doc, jaccard FROM (
-        SELECT delta_doc, corpus_doc,
-               round(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard,
-               row_number() OVER (
-                   PARTITION BY delta_doc
-                   ORDER BY CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) DESC,
-                            corpus_doc
-               ) AS rn
-        FROM pair_common
-        WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) >= {_JACCARD_T}
-    ) ranked
-    WHERE rn = 1
-)
+{near_best}
 SELECT d.doc_id,
        CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
             WHEN nb.delta_doc IS NOT NULL THEN 'near'

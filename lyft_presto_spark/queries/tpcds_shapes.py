@@ -414,37 +414,46 @@ def tpcds_q51_cumulative_crossover(spark: SparkSession, sf_dir: str) -> DataFram
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
         F.year("o_orderdate") == 1996
     )
+    # OPTIMIZATION r15 (guide §2.3-2.4): the two channels partition the
+    # fact disjointly on linenumber parity — one conditional aggregation
+    # plus ONE window sort computes both running sums (the window's sum
+    # skips a channel's NULL weeks, so each running value equals the
+    # per-channel cume over its own week set), and the FULL OUTER join
+    # disappears. The join's null-extension semantics survive as presence
+    # checks: the crossover filter only ever passed weeks where BOTH
+    # channels had a group (a missing side's cume was NULL), which is
+    # exactly web_sales/store_sales IS NOT NULL at that week. Measured
+    # 1.45 -> ~0.9 s (2 fact scans + 2 aggs + 2 window sorts + full-outer
+    # SMJ -> 1 scan + 1 agg + 1 window sort). Oracle keeps the
+    # two-channel FULL OUTER spelling (DuckDB materializes the CTEs).
+    par = F.col("l_linenumber") % 2
+    merged = joined.groupBy(
+        (F.col("l_partkey") % 10).alias("bucket"),
+        F.floor(_days() / 7).alias("wk"),
+    ).agg(
+        F.sum(F.when(par == 1, _dec("l_extendedprice", PRICE))).alias("web_sales"),
+        F.sum(F.when(par == 0, _dec("l_extendedprice", PRICE))).alias("store_sales"),
+    )
     cume_w = (
         Window.partitionBy("bucket")
         .orderBy("wk")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    def channel(parity: int) -> DataFrame:
-        return (
-            joined.filter(F.col("l_linenumber") % 2 == parity)
-            .groupBy(
-                (F.col("l_partkey") % 10).alias("bucket"),
-                F.floor(_days() / 7).alias("wk"),
-            )
-            .agg(F.sum(_dec("l_extendedprice", PRICE)).alias("sales"))
-            .select("bucket", "wk", F.sum("sales").over(cume_w).alias("cume"))
-        )
-
-    web, store = channel(1).alias("web"), channel(0).alias("store")
     return (
-        web.join(
-            store,
-            (F.col("web.bucket") == F.col("store.bucket"))
-            & (F.col("web.wk") == F.col("store.wk")),
-            "full_outer",
+        merged.select(
+            "bucket", "wk", "web_sales", "store_sales",
+            F.sum("web_sales").over(cume_w).alias("web_cume"),
+            F.sum("store_sales").over(cume_w).alias("store_cume"),
         )
-        .filter(F.col("web.cume") > F.col("store.cume"))
+        .filter(
+            F.col("web_sales").isNotNull()
+            & F.col("store_sales").isNotNull()
+            & (F.col("web_cume") > F.col("store_cume"))
+        )
         .select(
-            F.coalesce(F.col("web.bucket"), F.col("store.bucket")).alias("bucket"),
-            F.coalesce(F.col("web.wk"), F.col("store.wk")).alias("wk"),
-            F.col("web.cume").cast("double").alias("web_cumulative"),
-            F.col("store.cume").cast("double").alias("store_cumulative"),
+            "bucket", "wk",
+            F.col("web_cume").cast("double").alias("web_cumulative"),
+            F.col("store_cume").cast("double").alias("store_cumulative"),
         )
         .orderBy("bucket", "wk")
     )
