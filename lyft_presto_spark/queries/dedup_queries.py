@@ -1327,9 +1327,16 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({nxq.format(i=i)} - {s_i.format(i=i)}) * ({nxq.format(i=i)} - {s_i.format(i=i)})"
         for i in range(_SEM_DIMS)
     )
+    # The coding join's key is the (single) coarse subspace m = 0. It must
+    # be spelled as a NON-FOLDABLE expression (vec_id % 1, always 0): a
+    # literal 0 = 0 key constant-folds to an unconditioned
+    # BroadcastNestedLoopJoin under some plan states (the full-suite
+    # sf0.001 run caught exactly that), which trips the no-cartesian pin;
+    # the column-derived key keeps it a BroadcastHashJoin on m — hash
+    # semantics identical, the codebook side is K=4 rows at any scale.
     sql = (
         f"""WITH bpk AS (
-    SELECT vec_id, CAST(0 AS INT) AS m, {_PACKED_XQA} AS xqa FROM embeddings
+    SELECT vec_id, CAST(vec_id % 1 AS INT) AS m, {_PACKED_XQA} AS xqa FROM embeddings
     WHERE vec_id % {m} = {m - 1}
 ),
 bd AS (
