@@ -1269,15 +1269,18 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _RP_IN_DIMS as _SEM_DIMS,
         _UPSERT_BATCH_MOD,
         _pq_assign_cte,
-        _upsert_cbpacked_staged,
+        _pq_dist_cte,
         _upsert_packed_staged,
         _upsert_staged,
     )
 
-    _upsert_staged(spark, sf_dir)
+    v = _upsert_staged(spark, sf_dir)
     cpacked = _upsert_packed_staged(spark, sf_dir)
-    cbpacked = _upsert_cbpacked_staged(spark, sf_dir)
     m = _UPSERT_BATCH_MOD
+    bflat = (
+        f"SELECT vec_id, CAST(0 AS INT) AS m, dim, xq FROM {v['flat']} "
+        f"WHERE vec_id % {m} = {m - 1}"
+    )
     # Candidate-distance refine in PACKED form (OPTIMIZATION r15; guide
     # §2.3-2.4, §4.1): the flat-form tail (_sem_inc_tail — still the
     # oracle's spelling) exploded every candidate pair into 64 per-dim
@@ -1306,47 +1309,20 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicates the expression below the window sort — vs 1.6 s here)
     # while the hash aggregate replaces two window sorts with a map-side
     # combine.
-    # (4) Batch CODING in packed form too (same round, measured after
-    # (1)-(3)): the per-dim flat join (batch 25.6k exploded rows x the
-    # 256-row per-dim codebook + a two-level hash aggregation) becomes
-    # ONE equi-join of the packed batch against the PACKED codebook
-    # (K=4 rows, broadcast on the constant subspace key m — guide §3.1
-    # "broadcast the model, not the postings") with the n^2-scaled
-    # distance A as an unrolled exact-DECIMAL sum — term-for-term the
-    # same (n*xq - S)^2 algebra _pq_dist_cte aggregates, with sarr[i]
-    # ordered by dim = xqa position + 1. The argmin (_pq_assign_cte)
-    # is unchanged. Coding is still per-rep batch work; only its
-    # standing model input changed representation.
     d2 = " + ".join(
         f"(bq.xqa[{i}] - cp.xqa[{i}]) * (bq.xqa[{i}] - cp.xqa[{i}])"
         for i in range(_SEM_DIMS)
     )
-    nxq = "CAST(cb.n AS DECIMAL(20,0)) * CAST(b.xqa[{i}] AS DECIMAL(20,0))"
-    s_i = "CAST(cb.sarr[{i}] AS DECIMAL(20,0))"
-    a_sum = " + ".join(
-        f"({nxq.format(i=i)} - {s_i.format(i=i)}) * ({nxq.format(i=i)} - {s_i.format(i=i)})"
-        for i in range(_SEM_DIMS)
-    )
-    # The coding join's key is the (single) coarse subspace m = 0. It must
-    # be spelled as a NON-FOLDABLE expression (vec_id % 1, always 0): a
-    # literal 0 = 0 key constant-folds to an unconditioned
-    # BroadcastNestedLoopJoin under some plan states (the full-suite
-    # sf0.001 run caught exactly that), which trips the no-cartesian pin;
-    # the column-derived key keeps it a BroadcastHashJoin on m — hash
-    # semantics identical, the codebook side is K=4 rows at any scale.
     sql = (
-        f"""WITH bpk AS (
-    SELECT vec_id, CAST(vec_id % 1 AS INT) AS m, {_PACKED_XQA} AS xqa FROM embeddings
-    WHERE vec_id % {m} = {m - 1}
-),
-bd AS (
-    SELECT b.vec_id, b.m, cb.c, cb.n,
-           CAST({a_sum} AS DECIMAL(38,0)) AS A,
-           CAST(cb.n AS DECIMAL(20,0)) * CAST(cb.n AS DECIMAL(20,0)) AS n2
-    FROM bpk b JOIN {cbpacked} cb ON cb.m = b.m
-),"""
+        f"WITH bflat AS ({bflat}),"
+        + _pq_dist_cte("bd", v["ccb2"], "bflat")
+        + ","
         + _pq_assign_cte("bcodes", "bd", "spark")
         + f""",
+bpk AS (
+    SELECT vec_id, {_PACKED_XQA} AS xqa FROM embeddings
+    WHERE vec_id % {m} = {m - 1}
+),
 bq AS (
     SELECT b.vec_id, b.c, p.xqa FROM bcodes b JOIN bpk p ON p.vec_id = b.vec_id
 ),

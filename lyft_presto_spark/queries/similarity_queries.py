@@ -1252,27 +1252,6 @@ _PACKED_XQA = (
 )
 
 
-def _upsert_cbpacked_staged(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the frozen coarse codebook in PACKED form: (m, c, n, sarr).
-
-    One row per centroid with its 64 coordinate sums as an array ordered
-    by dim — the broadcastable model the batch coding equi-joins on m
-    (K=4 rows at any corpus scale), replacing the per-dim postings join.
-    Same standing-artifact class as ``ups_ccb2`` itself (OPTIMIZATION
-    r15; guide §3.1 — broadcast the model, not the postings)."""
-    from ..operators.staging import staged_view
-
-    v = _upsert_staged(spark, sf_dir)
-    return staged_view(
-        spark, sf_dir, "ups_cbpacked",
-        lambda: spark.sql(
-            f"SELECT m, c, max(n) AS n, "
-            f"transform(array_sort(collect_list(struct(d, S))), s -> s.S) AS sarr "
-            f"FROM {v['ccb2']} GROUP BY m, c"
-        ),
-    )
-
-
 def _upsert_packed_staged(spark: SparkSession, sf_dir: str) -> str:
     """Stage the standing index's packed payload: (vec_id, c, xqa).
 
