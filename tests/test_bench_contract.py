@@ -71,6 +71,13 @@ def test_last_output_line_is_the_metric(tmp_path, sf_dir):
     assert tail["metric"] == "headline_total_median_wall"
     assert tail["failed"] == []
     assert tail["n_queries"] == 1
+    # The compact line must itself carry the per-query medians: the driver's
+    # PERF per-query/geomean/scaling computation parses THIS line, and the
+    # full dict printed earlier lives in an oversized line the driver's
+    # stdout-tail window truncates (n_common=0 in PERF_r14/r15 — VERDICT r15
+    # next-round #1). 3-decimal floats keep the line tail-window-sized.
+    assert set(tail["queries"]) == {"tpch_q6"}
+    assert all(isinstance(v, float) and v == round(v, 3) for v in tail["queries"].values())
     # the full result object is the second-to-last line and must also parse
     full = json.loads(lines[-2])
     assert set(full["queries"]) == {"tpch_q6"}

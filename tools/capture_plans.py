@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for named queries into plans/r15/<q>_<tag>.txt.
+"""Capture .explain('formatted') for named queries into plans/<round>/<q>_<tag>.txt.
 
 Usage: python tools/capture_plans.py <tag> <query> [query ...]
 Runs at $SPARK_GRAFT_SF_DIR (default sf0.1) so the plans match the bench scale.
+The round subdirectory defaults to r16; override with $SPARK_GRAFT_PLANS_ROUND.
 """
 from __future__ import annotations
 
@@ -15,7 +16,11 @@ from lyft_presto_spark.queries import all_queries  # noqa: E402
 from lyft_presto_spark.session import build_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16"),
+)
 
 
 def main() -> int:
