@@ -1246,9 +1246,19 @@ def _upsert_staged(spark: SparkSession, sf_dir: str) -> dict[str, str]:
 # the optimization guide's "shuffle fewer bytes / remove the shuffle"
 # (spark_optimization_guide §2.3-2.4): the r15-measured candidate-distance
 # join shuffled 10.2M exploded rows where the packed form moves 160k.
+# Dimensionality guard (ADVICE r15): consumers index xqa[0..63] with an
+# UNROLLED 64-term distance, so a short embedding would yield NULL d2 —
+# min(struct) would pick the NULL row and the threshold filter would drop
+# it, silently classifying the vector 'keep' even when real under-threshold
+# candidates exist. Fail loudly at packing time instead; the fixture is
+# fixed 64-dim, so on well-formed data this is a never-taken branch.
 _PACKED_XQA = (
+    f"CASE WHEN size(embedding) = {_RP_IN_DIMS} THEN "
     "transform(embedding, x -> "
-    "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT))"
+    "CAST(round((CAST(x AS DOUBLE) + 4.0) * 1000000, 0) AS BIGINT)) "
+    "ELSE CAST(raise_error(CONCAT('packed embedding requires exactly "
+    f"{_RP_IN_DIMS} dims, got ', CAST(size(embedding) AS STRING), "
+    "' at vec_id ', CAST(vec_id AS STRING))) AS ARRAY<BIGINT>) END"
 )
 
 
@@ -1274,6 +1284,7 @@ def _upsert_packed_staged(spark: SparkSession, sf_dir: str) -> str:
             f"WHERE vec_id % {m} <> {m - 1}) p ON p.vec_id = cl.vec_id",
             ("embeddings",),
         ),
+        version="2",  # build SQL changed r16: dimensionality guard added
     )
 
 
@@ -1392,12 +1403,15 @@ _COMPACT_ALLCELLS = """
 """
 
 # Trigger decision, shared text: census the index, mark cells above mean
-# occupancy. The Spark side runs this FIRST and collects the triggered
-# cell ids (bounded by the cell count K — the same driver-fetch class as
-# the probe's nprobe ints), then inlines them as literals into the body so
-# (a) the census subtree is computed exactly once and (b) at 100 TB the
-# member read partition-prunes to exactly the overgrown cell directories.
-# The oracle keeps the subquery form (DuckDB materializes the CTE).
+# occupancy. Both engines keep the subquery form (OPTIMIZATION r16 —
+# VERDICT r15 next-round #6): the Spark side previously collected the
+# triggered cell ids to the driver and inlined them as literals, which
+# serialized a separate census job before every re-cluster. As a CTE +
+# semi-join the census folds INTO each consuming job (the trigger set is
+# bytes per cell, broadcast by AQE), so decision + re-cluster are one job
+# and no driver round-trip remains. At 100 TB the semi-join reaches a
+# cell-partitioned member read as a DPP partition filter — the same
+# pruning the literals bought.
 _COMPACT_TRIG = """
 census AS (
     SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM {ac} GROUP BY c
@@ -1604,36 +1618,34 @@ def sim_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     allcells_v = staged_view(
         spark, sf_dir, "ups_allcells", lambda: spark.sql(allcells_sql)
     )
-    # Bounded driver fetch of the trigger set (≤K cell ids, K = the coarse
-    # codebook size — same class as the probe's nprobe-int collect): the
-    # compaction DECISION is driver-side metadata; inlining the cells as
-    # literals computes the census exactly once and makes the member read
-    # partition-prunable at scale.
-    trig_sql = (
-        "WITH " + _COMPACT_TRIG.format(ac=allcells_v).lstrip()
-        + "\nSELECT c FROM trig"
-    )
-    trig = sorted(r.c for r in spark.sql(trig_sql).collect())
-    in_trig = "IN (" + (", ".join(str(c) for c in trig) or "-1") + ")"
+    # Trigger census as a CTE + semi-join in every consumer (see the
+    # _COMPACT_TRIG note): no driver collect, no separate census job — the
+    # decision executes inside the job that consumes it. The census itself
+    # is one groupBy over the staged index (bytes per cell).
+    trig_cte = "WITH " + _COMPACT_TRIG.format(ac=allcells_v).lstrip()
+    in_trig = "IN (SELECT c FROM trig)"
     tvec_v = staged_view(
         spark, sf_dir, "ups_tvec",
         lambda: spark.sql(
-            _COMPACT_TVEC.format(ac=allcells_v, flat=v["flat"], in_trig=in_trig)
+            trig_cte
+            + _COMPACT_TVEC.format(ac=allcells_v, flat=v["flat"], in_trig=in_trig)
         ),
+        version="2",  # build SQL changed r16: literal trig -> semi-join
     )
     split_v = staged_view(
         spark, sf_dir, "ups_split",
         lambda: spark.sql(
-            "WITH "
+            trig_cte + ","
             + _COMPACT_SPLIT.format(
                 ac=allcells_v, flat=v["flat"], tvec=tvec_v, in_trig=in_trig
             ).lstrip()
             + "\nSELECT * FROM seed_split"
         ),
+        version="2",  # build SQL changed r16: literal trig -> semi-join
     )
     return sql_over(
         spark, sf_dir,
-        "WITH " + _COMPACT_TAIL.format(
+        trig_cte + "," + _COMPACT_TAIL.format(
             ac=allcells_v, tvec=tvec_v, split=split_v, in_trig=in_trig,
             ofl_when=_OFL_WHEN_SPARK,
         ).lstrip(),

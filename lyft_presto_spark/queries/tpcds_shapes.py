@@ -327,22 +327,35 @@ def tpcds_q36_rollup_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t(spark, sf_dir, "customer")
     nation = t(spark, sf_dir, "nation")
     region = t(spark, sf_dir, "region")
-    joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        cust, orders.o_custkey == cust.c_custkey
     )
-    # Pre-aggregate the exact decimal sums per leaf (r_name, n_name) BEFORE
-    # the rollup: Catalyst does not push partial aggregation through Expand,
-    # so rolling up the raw fact replicates every fact row once per grouping
-    # set (3x the decimal work and shuffle width — this was the heaviest
-    # registry row, ~2.5 s at sf0.1). Rollup-of-sums == sum by
-    # associativity, and the dimension keys are never NULL in the base
-    # data, so GROUPING() semantics are unchanged. ~25 rows enter Expand.
-    base = joined.groupBy("r_name", "n_name").agg(
+    # Pre-aggregate the exact decimal sums per leaf BEFORE the rollup:
+    # Catalyst does not push partial aggregation through Expand, so rolling
+    # up the raw fact replicates every fact row once per grouping set (3x
+    # the decimal work and shuffle width — this was the heaviest registry
+    # row, ~2.5 s at sf0.1). Rollup-of-sums == sum by associativity, and
+    # the dimension keys are never NULL in the base data, so GROUPING()
+    # semantics are unchanged. ~25 rows enter Expand.
+    #
+    # OPTIMIZATION r16: key the fact-side aggregate on c_nationkey (one
+    # int) and join nation/region names to the 25-row aggregate AFTER —
+    # the 600k-row path previously paid two extra per-row broadcast hash
+    # probes (nation, region) plus string-keyed (r_name, n_name) partial
+    # aggregation. Equivalent because nationkey determines (n_name,
+    # r_name) (FK into nation ⨝ region, both inner joins), and the rollup
+    # leaf grouping set re-aggregates by the names anyway, so even
+    # same-named nations merge exactly as before.
+    per_nation = joined.groupBy("c_nationkey").agg(
         F.sum(disc_price()).alias("s_disc"),
         F.sum(_dec("l_extendedprice", PRICE)).alias("s_price"),
+    )
+    base = (
+        per_nation.join(
+            F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "n_name", "s_disc", "s_price")
     )
     agg = base.rollup("r_name", "n_name").agg(
         (

@@ -475,6 +475,19 @@ def test_tpcds_q25_chain_pre_aggregates_then_equijoins(spark, sf_dir):
     assert_broadcast_join(df)
 
 
+def _count_scans(plan: str) -> int:
+    """Count scan operators in a formatted plan's detail sections.
+
+    Matches both the DSv1 header ('(n) Scan parquet') and the DSv2 header
+    ('(n) BatchScan') so a Spark plan-format change cannot flip a
+    scan-count bound to vacuously passing (0 matches <= bound) — callers
+    must also assert a minimum of 1 (ADVICE r15).
+    """
+    import re
+
+    return len(re.findall(r"\(\d+\) (?:Scan parquet|BatchScan)", plan))
+
+
 def test_tpcds_q97_overlap_is_single_pass_classification(spark, sf_dir):
     # OPTIMIZATION r15: the overlap census is one grouped presence pass —
     # the oracle's FULL OUTER of two distinct sets must NOT reappear in
@@ -487,10 +500,47 @@ def test_tpcds_q97_overlap_is_single_pass_classification(spark, sf_dir):
     assert_no_cartesian(df)
     plan = formatted_plan(df)
     assert "FullOuter" not in plan
-    import re
-
     # lineitem + orders, once each (detail headers; the tree repeats them)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert 1 <= _count_scans(plan) <= 2
+
+
+def test_tpcds_repeated_cte_collapses_stay_single_pass(spark, sf_dir):
+    """ADVICE r15: the r15 conditional-aggregation collapses (q78/q04/q74/
+    q51) only had q97 pinned — a refactor could silently reintroduce the
+    multi-scan self-join plans with identical results. Pin each collapse:
+    no self-join of the repeated CTE (no SortMergeJoin chain, no
+    FullOuter), and the fact is scanned a bounded number of times."""
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    bounds = {
+        # name -> (max scans, forbidden plan substrings)
+        "tpcds_q78_channel_ratio_chain": (3, ("SortMergeJoin",)),
+        "tpcds_q04_triple_channel_growth": (2, ("SortMergeJoin",)),
+        "tpcds_q74_min_ratio_growth_gate": (2, ("SortMergeJoin",)),
+        "tpcds_q51_cumulative_crossover": (2, ("SortMergeJoin", "FullOuter")),
+    }
+    for name, (max_scans, forbidden) in bounds.items():
+        df = QS[name].spark(spark, sf_dir)
+        assert_no_cartesian(df)
+        plan = formatted_plan(df)
+        for frag in forbidden:
+            assert frag not in plan, f"{name}: {frag} reappeared"
+        n = _count_scans(plan)
+        assert 1 <= n <= max_scans, f"{name}: {n} scans (bound {max_scans})"
+
+
+def test_nb_classifier_single_model_chain(spark, sf_dir):
+    """ADVICE r15: the r15 single-pass max(struct) argmax rewrite must not
+    regress to the duplicated scores-chain plan (the oracle references the
+    scores CTE twice; Spark inlines CTEs, so the old plan carried the
+    entire test_postings x model x priors subtree TWICE — 59 Exchanges).
+    Bound the scan count to one chain's worth."""
+    from lyft_presto_spark.plans.inspect import formatted_plan
+
+    df = QS["text_hashed_nb_classifier"].spark(spark, sf_dir)
+    plan = formatted_plan(df)
+    n = _count_scans(plan)
+    assert 1 <= n <= 6, f"duplicated model chain suspected: {n} scans"
 
 
 def test_tpcds_q56_screen_is_broadcast_semi(spark, sf_dir):
@@ -830,6 +880,30 @@ def test_semantic_gate_batch_sided_and_deterministic(spark, sf_dir):
             assert r.l2q_dist is not None and r.l2q_dist <= _SEMANTIC_L2Q_T
         else:
             assert r.matched_vec is None and r.l2q_dist is None
+
+
+def test_packed_embedding_dim_guard_raises_on_short_vector(spark):
+    """ADVICE r15: consumers of the packed xqa index xqa[0..63] with an
+    unrolled 64-term distance, so a short embedding must fail LOUDLY at
+    packing time — a NULL distance would win min(struct) and be dropped by
+    the threshold filter, silently classifying the vector 'keep'."""
+    from lyft_presto_spark.queries.similarity_queries import (
+        _PACKED_XQA,
+        _RP_IN_DIMS,
+    )
+
+    good = spark.createDataFrame(
+        [(1, [float(i) for i in range(_RP_IN_DIMS)])],
+        "vec_id BIGINT, embedding ARRAY<DOUBLE>",
+    )
+    packed = good.selectExpr(f"{_PACKED_XQA} AS xqa").first().xqa
+    assert len(packed) == _RP_IN_DIMS and packed[0] is not None
+
+    bad = spark.createDataFrame(
+        [(2, [1.0, 2.0, 3.0])], "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    with pytest.raises(Exception, match="packed embedding requires exactly"):
+        bad.selectExpr(f"{_PACKED_XQA} AS xqa").collect()
 
 
 def test_ivf_delete_tombstone_mask_and_purge_decision(spark, sf_dir):
