@@ -305,37 +305,61 @@ from .registry import REGISTRY, Query, query
 # fn_datetime_patterns, and fn_stats_agg, which wait with the other r5
 # rows for r16). Corrected totals: 45 of 50 slots are stale re-scores;
 # after r15 the oldest remaining last-score is r5 (12 rows).
+# r16 rotation — CHURN FIRST (VERDICT r15 next-round #2), then staleness.
+# (1) The 8 queries REWRITTEN in the r15 optimization session shipped on
+# local-suite evidence only (the r15 head spent its slots on the r1-r4
+# staleness tail); the repo's own staleness x churn policy makes them head
+# r16: tpcds_q78/q04/q97/q74/q51, text_hashed_nb_classifier,
+# dedup_incremental_delta (dedup_semantic_incremental was in the r15 head
+# and is already driver-green on the rewritten form). (2) dedup_semantic
+# and dedup_canonical_best re-score because their staging changed
+# post-build (VERDICT r15 what's-wrong #1). (3) Queries churned THIS
+# round: tpcds_q36 (int-keyed pre-aggregate), sim_ivf_compaction (trigger
+# census folded into the consuming jobs), and the cc.py pointer-jumping
+# consumers dedup_cluster_canonical + dedup_minhash_lsh (both r15-green,
+# but the closure operator they exercise changed). (4) Staleness: the
+# ENTIRE remaining r5 pool (9 rows) and r6 pool (13 rows beyond
+# q36/q51 above), then 11 of the 27 r7 rows — the three events rows (the
+# family's stalest), both sim rows, dedup_ngram_jaccard, the four tpcds
+# shapes, fn_approx_agg; the other 16 r7 rows (fn_checksum, the six
+# fn_geo_* builds, fn_map_agg, fn_theta_setdigest, op_pivot,
+# op_subquery_quantified, text_fingerprint, text_train_test_split) wait
+# for r17. (5) Family keepers where no stale row covers the family:
+# ml_auc_rank (r11), multimodal_resize (r8), connector_filelog_clicks
+# (r10) — each the family's stalest row, so keepers retire staleness too.
+# tpch keeps only the q1 flagship (every tpch row is r10+-green).
 DRIVER_SCORED_HEAD: tuple[str, ...] = (
     # Flagship
     "tpch_q1",
-    # NEW r15 builds — scored the round they were built
-    "dedup_semantic", "dedup_semantic_incremental", "sim_ivf_delete",
-    "dedup_canonical_best",
-    # Churn-first: geo rows whose implementing module was rewritten or
-    # reworked in r14 on r<=6 scores (VERDICT r14 #1 names these)
-    "fn_geo_boolean_ops", "fn_geo_polygon_predicates", "fn_geo_relate",
-    "fn_geo_relate_pairs", "geo_union_area_sweep",
-    "op_spatial_polygon_pair_join", "op_spatial_polygon_join",
-    # Churn: dedup closure rows riding the r13/r14 cc.py rework
+    # Churn: the r15 rewrites without an r15 driver score
+    "tpcds_q78_channel_ratio_chain", "tpcds_q04_triple_channel_growth",
+    "tpcds_q97_channel_overlap", "tpcds_q74_min_ratio_growth_gate",
+    "tpcds_q51_cumulative_crossover", "text_hashed_nb_classifier",
+    "dedup_incremental_delta",
+    # Churn: staging changed post-build (r15 what's-wrong #1)
+    "dedup_semantic", "dedup_canonical_best",
+    # Churn: rewritten this round (r16)
+    "tpcds_q36_rollup_margin_rank", "sim_ivf_compaction",
+    # Churn: cc.py pointer jumping (r16) — closure consumers
     "dedup_cluster_canonical", "dedup_minhash_lsh",
-    # Oldest-first: the full r1-r3 tail (op_unnest_ordinality r1; 19 r2
-    # rows; 3 r3 join rows)
-    "op_unnest_ordinality",
-    "op_join_right", "op_join_full", "op_join_cross", "op_agg_filter",
-    "op_agg_rollup", "op_agg_cube", "op_distinct_limit", "op_window_rank",
-    "op_window_lag_lead", "op_window_value_functions",
-    "op_window_distribution", "op_sort_nulls", "op_limit_offset",
-    "op_limit_with_ties", "op_union_all", "op_union_distinct",
-    "op_intersect", "op_except", "op_except_all",
-    "op_join_left", "op_join_anti", "op_join_nonequi",
-    # The full r4 tail
-    "fn_string", "fn_json", "dedup_simhash", "sim_topk_signbucket",
-    "fn_geo_polygon_measures", "op_spatial_bbox_join",
-    # r5 rows (text/sim/events keepers are their families' stalest rows)
-    "text_pii_scrub", "sim_knn_join", "events_funnel",
+    # Staleness: the entire remaining r5 pool
+    "fn_datetime_patterns", "fn_geo_bingtile", "fn_geo_wkb",
+    "fn_stats_agg", "op_agg_multi_distinct", "op_intersect_all",
+    "op_lateral", "op_spatial_kdb_join", "op_window_topn_per_group",
+    # Staleness: the remaining r6 pool
+    "fn_array_hof", "fn_hll_merge", "fn_kll_quantile",
+    "op_agg_grouping_sets", "op_asof_join", "op_join_semi",
+    "op_subquery_correlated", "op_unnest", "op_window_frames",
+    "text_decontaminate", "text_langid_confusion",
+    "tpcds_q14_cross_channel_items", "tpcds_q95_multi_supplier_returns",
+    # Staleness: 11 r7 rows (events/sim family-stalest included)
+    "events_click_attribution", "events_retention",
+    "events_tumbling_window_hll", "sim_pairs_blocked", "sim_topk_ivf",
+    "dedup_ngram_jaccard", "tpcds_q10_exists_or_exists",
+    "tpcds_q27_rollup_multi_avg", "tpcds_q67_rollup_topn",
+    "tpcds_q92_excess_discount", "fn_approx_agg",
     # Family keepers = the family's stalest row (retires staleness too)
-    "multimodal_features", "tpcds_q01_returns_above_avg", "ml_regress",
-    "connector_tpchgen_orders",
+    "ml_auc_rank", "multimodal_resize", "connector_filelog_clicks",
 )
 
 
