@@ -239,6 +239,11 @@ def main() -> None:
         "metric": "headline_total_median_wall",
         "value": total,
         "unit": "sec",
+        # The driver also reruns the bench at a lower core count; stamping
+        # the run's cores into the artifact keeps an 8-CPU rerun landing in
+        # BENCHRUN_latest.json from being misread as the 32-CPU record
+        # (VERDICT r15 minor #5).
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
         "queries": per_query,
         "queries_min": per_query_min,
         "probe": {
